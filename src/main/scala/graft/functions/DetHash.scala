@@ -1,0 +1,36 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable hashing.
+  *
+  * Spark's `hash`/`xxhash64` have no DuckDB twin, so every hash that
+  * feeds a correctness-checked operator (dedup, minhash, simhash,
+  * fingerprints) is derived from MD5, which both engines implement
+  * bit-identically: take the first 15 hex chars (60 bits — always
+  * non-negative in an i64) and parse as an integer.
+  *
+  * DuckDB equivalent: `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  *
+  * Scale note: md5 is ~2× slower than xxhash64 but still >100 MB/s/core
+  * and fully parallel — it is never the bottleneck next to a shuffle.
+  * The library-internal (non-oracle) paths may use xxhash64 freely.
+  */
+object DetHash {
+
+  /** 60-bit non-negative hash of a string column. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+
+  /** Seeded variant: independent hash family member i (for minhash). */
+  def h60(c: Column, seed: Int): Column =
+    h60(concat(lit(seed.toString), lit("|"), c))
+
+  /** DuckDB SQL fragment for the same hash, for oracle authoring. */
+  def duckH60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  def duckH60(expr: String, seed: Int): String =
+    duckH60(s"'$seed' || '|' || $expr")
+}

@@ -1,0 +1,157 @@
+package graft.ir
+
+import graft.Tables
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequential-scan retrieval, Spark-first (SURVEY.md §3.1 "Spark shape").
+  *
+  * The reference scores every query against every document in one pass
+  * over the corpus with the query set held in task memory
+  * (`nl/utwente/mirex/TrecRun.java:123-150`). Our dataflow:
+  *
+  *   docs → tokenize/explode → equi-join broadcast(query terms)
+  *        → join doc-lengths → join broadcast(term stats)
+  *        → groupBy(qid, doc) agg(score) → window top-k
+  *
+  * i.e. the cross-score "join" becomes a broadcast HASH join on `term`
+  * (not a nested loop), partial aggregation runs map-side, and the only
+  * shuffles are the groupBy on (qid, doc_id) and the top-k window on
+  * qid. At 100 TB the corpus side never materializes more than the
+  * matched (doc, query-term) pairs — the semi-join pruning the reference
+  * hand-codes (`TrecRun.java:131`) falls out of the equi-join.
+  *
+  * Scoring formulas are carried as SQL expression STRINGS compiled with
+  * `expr(...)` — the same strings are embedded in the DuckDB oracle, so
+  * the floating-point math is identical on both engines by construction.
+  * All formulas cite the reference implementation they re-express.
+  */
+object Retrieval {
+
+  /** Literal evaluation query set (terms from the synthetic corpus
+    * vocabulary). qtf = 1 for every term, as in the reference's plain
+    * topic format (`TrecRun.java:91-106`).
+    */
+  val querySet: Seq[(String, Seq[String])] = Seq(
+    "51" -> Seq("spark", "join"),
+    "52" -> Seq("window", "filter", "sort"),
+    "53" -> Seq("fast", "data", "merge"),
+    "54" -> Seq("stream", "batch"),
+    "55" -> Seq("hash", "table", "scan"))
+
+  /** (qid, term) rows as a DuckDB VALUES clause. */
+  val duckQueryValues: String =
+    querySet
+      .flatMap { case (qid, ts) => ts.map(t => s"('$qid','$t')") }
+      .mkString("(VALUES ", ",", ") v(qid, term)")
+
+  // ---- scoring formulas (identical strings on both engines) ----
+  // Row context: tf, dl, df, cf, qlen, n_docs, n_tokens (all BIGINT).
+
+  /** LM no smoothing, log domain; conjunctive — docs missing any query
+    * term are dropped by the `n_matched = qlen` gate.
+    * Ref: `TrecRun.java:108-116` (product form with doc-length prior).
+    */
+  val lmnoPart = "ln(tf / dl)"
+  val lmnoFinal = "round(score_sum + ln(dl), 6)"
+
+  /** Jelinek-Mercer smoothing, λ=0.5, zero-floor semantics (only docs
+    * matching ≥1 term emitted). Ref: `TrecRunBaselines.java:168-180`.
+    * Fractional literals use e-notation — DOUBLE in both engines (bare
+    * `0.5` would be DECIMAL in Spark; see IrQueries cross-engine rule).
+    */
+  def lmjmPart(lam: String = "5e-1") =
+    s"ln(1 + tf * n_tokens * $lam / (cf * dl * (1 - $lam)))"
+  val lmjmFinal = "round(score_sum + ln(dl), 6)"
+
+  /** Dirichlet smoothing, µ=2500. Ref: `TrecRunBaselines.java:210-220`. */
+  val lmdirPart = "ln(tf * (n_tokens / cf) + 2500) - ln(dl + 2500)"
+  val lmdirFinal = "round(score_sum, 6)"
+
+  /** BM25, k1=1.2, b=0.75. Ref: `TrecRunBaselines.java:190-201,268`. */
+  val bm25Part =
+    "(1.2e0 + 1) * tf / (1.2e0 * ((1 - 7.5e-1) + 7.5e-1 * dl / (n_tokens / n_docs)) + tf)" +
+      " * ln((n_docs - df + 5e-1) / (df + 5e-1))"
+  val bm25Final = "round(score_sum, 6)"
+
+  /** The matched (qid, doc, term) rows with all scoring stats attached.
+    * Broadcast sides: the query set (tiny) and the per-query-term stats
+    * (|query vocab| rows). The corpus side streams.
+    */
+  def matchedTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = TextOps.termFreqs(docs)
+    val dl = TextOps.docLengths(docs)
+    val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val tstats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .join(q.select("term").distinct(), Seq("term"), "left_semi")
+    val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    tf.join(broadcast(q), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(tstats), Seq("term"))
+      .join(broadcast(qlen), Seq("qid"))
+      .crossJoin(broadcast(cs))
+  }
+
+  /** Full scoring pipeline → (qid, doc_id, score, rank), top-k per qid. */
+  def score(spark: SparkSession, sfDir: String, partExpr: String,
+            finalExpr: String, conjunctive: Boolean, k: Int): DataFrame = {
+    val grouped = matchedTerms(spark, sfDir)
+      .withColumn("part", expr(partExpr))
+      .groupBy("qid", "doc_id", "dl", "qlen")
+      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
+    val gated =
+      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
+      else grouped
+    gated
+      .withColumn("score", expr(finalExpr))
+      .withColumn("rank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+  }
+
+  /** DuckDB oracle for the same pipeline; `partExpr`/`finalExpr` are the
+    * very strings given to `expr(...)` above.
+    */
+  def duckScore(partExpr: String, finalExpr: String, conjunctive: Boolean,
+                k: Int): String =
+    duckScoreCtes(partExpr, finalExpr, conjunctive) +
+      s"\nSELECT qid, doc_id, score, rank FROM ranked WHERE rank <= $k"
+
+  /** The WITH-chain through `ranked` (qid, doc_id, score, rank), for
+    * oracles that post-process retrieval output (eval, feedback).
+    */
+  def duckScoreCtes(partExpr: String, finalExpr: String,
+                    conjunctive: Boolean): String = {
+    val gate = if (conjunctive) "WHERE n_matched = qlen" else ""
+    s"""WITH tokens AS (${TextOps.duckTokens}),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+       |cs AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+       |q AS (SELECT * FROM $duckQueryValues),
+       |qlen AS (SELECT qid, count(*) AS qlen FROM q GROUP BY qid),
+       |tstats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+       |           FROM tf GROUP BY term),
+       |matched AS (
+       |  SELECT q.qid, tf.doc_id, tf.tf, dl.dl, tstats.df, tstats.cf,
+       |         qlen.qlen, cs.n_docs, cs.n_tokens
+       |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+       |  JOIN tstats USING (term) JOIN qlen USING (qid) CROSS JOIN cs),
+       |grouped AS (
+       |  SELECT qid, doc_id, dl, qlen,
+       |         sum($partExpr) AS score_sum, count(*) AS n_matched
+       |  FROM matched GROUP BY qid, doc_id, dl, qlen),
+       |scored AS (
+       |  SELECT qid, doc_id, $finalExpr AS score FROM grouped $gate),
+       |ranked AS (
+       |  SELECT qid, doc_id, score,
+       |         row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored)""".stripMargin
+  }
+}

@@ -1,0 +1,397 @@
+package graft.queries
+
+import graft.Tables
+import graft.ir.Retrieval
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Information-retrieval operator coverage (SURVEY.md §2) over the
+  * synthetic `documents` corpus.
+  *
+  * Naming: ir01.. mirror the reference jobs — tokenization (P3),
+  * word count (A1), term/collection stats (A2/A3, QueryTermCount /
+  * ClueWebCollectionStats), co-occurrence + EMIM/NPMI (J6/A6,
+  * TrecMutualInfo), the four scoring models with top-k (J1/T1,
+  * TrecRun / TrecRunBaselines), parameter sweep, TREC eval (J5,
+  * Eval.java), and RM1/RM3 feedback (GenerateFeedbackQueriesHBase).
+  */
+object IrQueries {
+
+  import Retrieval._
+
+  private def docsT(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+
+  private def toks(s: SparkSession, dir: String): DataFrame =
+    TextOps.tokens(docsT(s, dir))
+
+  // Shared pair-statistics builder for EMIM/NPMI: (w1, w2, n11,
+  // df1, df2, n_docs) over distinct per-doc terms.
+  //
+  // Scale note: the within-doc pair self-join is quadratic in distinct
+  // terms per doc — bounded in practice by doc length, and the reference
+  // has the same blowup in its mapper (`TrecMutualInfo.java:139-166`).
+  // The vocabulary df table is broadcast here; for web-scale vocabularies
+  // it would flip to a shuffled join automatically (AQE size check).
+  private def pairStats(s: SparkSession, dir: String): DataFrame = {
+    val dt = toks(s, dir).distinct()
+    val pairs = dt.alias("a")
+      .join(dt.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("n11"))
+    val dft = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = dt.agg(countDistinct(col("doc_id")).as("n_docs"))
+    pairs
+      .join(broadcast(dft.select(col("term").as("w1"), col("df").as("df1"))), Seq("w1"))
+      .join(broadcast(dft.select(col("term").as("w2"), col("df").as("df2"))), Seq("w2"))
+      .crossJoin(broadcast(nd))
+  }
+
+  private val duckPairCtes: String =
+    s"""WITH tokens AS (${TextOps.duckTokens}),
+       |dt AS (SELECT DISTINCT doc_id, term FROM tokens),
+       |pairs AS (SELECT a.term AS w1, b.term AS w2, count(*) AS n11
+       |          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+       |          GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dt),
+       |ps AS (SELECT w1, w2, n11, d1.df AS df1, d2.df AS df2, nd.n_docs
+       |       FROM pairs JOIN dft d1 ON w1 = d1.term
+       |       JOIN dft d2 ON w2 = d2.term CROSS JOIN nd)""".stripMargin
+
+  // EMIM with the reference's +0.5 / +0.25 smoothing over marginals /
+  // joint cells (`TrecMutualInfo.java:308-345`), log base 2.
+  //
+  // CROSS-ENGINE RULE: fractional literals are written in e-notation
+  // (2.5e-1, not 0.25). Spark parses bare decimal-point literals as
+  // DECIMAL and its decimal division truncates scale (errors ~1e-6!),
+  // while DuckDB promotes to DOUBLE; e-notation is DOUBLE in both.
+  private val p11 = "((n11 + 2.5e-1) / (n_docs + 1e0))"
+  private val px = "((df1 + 5e-1) / (n_docs + 1e0))"
+  private val py = "((df2 + 5e-1) / (n_docs + 1e0))"
+  private val p10 = "((df1 - n11 + 2.5e-1) / (n_docs + 1e0))"
+  private val p01 = "((df2 - n11 + 2.5e-1) / (n_docs + 1e0))"
+  private val p00 = "((n_docs - df1 - df2 + n11 + 2.5e-1) / (n_docs + 1e0))"
+  private val emimExpr =
+    s"round($p11 * log2($p11 / ($px * $py)) + $p10 * log2($p10 / ($px * (1 - $py))) " +
+      s"+ $p01 * log2($p01 / ((1 - $px) * $py)) " +
+      s"+ $p00 * log2($p00 / ((1 - $px) * (1 - $py))), 6)"
+
+  // NPMI — the *intended* formula (pmi / -log2 p11). The reference's
+  // TrecMutualInfo2 has two bugs (uninitialized N and a double /log2,
+  // `TrecMutualInfo2.java:182,303-326`); we implement the documented fix
+  // per SURVEY §4 "quirk parity decisions".
+  private val npmiExpr = s"round(log2($p11 / ($px * $py)) / (-log2($p11)), 6)"
+
+  // RM1/RM3 feedback shared fragments (GenerateFeedbackQueriesHBase).
+  // fbDocs = fbTerms = 10, RM3 λ = 0.5; term cleaner = P11
+  // (len ≥ 3, no digits, `GenerateFeedbackQueriesHBase.java:366-377`).
+  private val rm1Contrib = "(tf / dl) * exp(score)"
+  private def duckRm1Ctes: String =
+    duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
+      s""",
+         |fb AS (SELECT qid, doc_id, score FROM ranked WHERE rank <= 10),
+         |fbterm AS (SELECT fb.qid, tf.term, sum($rm1Contrib) AS w
+         |           FROM fb JOIN tf USING (doc_id) JOIN dl USING (doc_id)
+         |           WHERE length(term) >= 3 AND NOT regexp_matches(term, '[0-9]')
+         |           GROUP BY fb.qid, tf.term),
+         |tot AS (SELECT qid, sum(w) AS tot FROM fbterm GROUP BY qid),
+         |normed AS (SELECT qid, term, w, round(w / tot, 6) AS wn,
+         |             row_number() OVER (PARTITION BY qid
+         |               ORDER BY round(w / tot, 9) DESC, term) AS frank
+         |           FROM fbterm JOIN tot USING (qid))""".stripMargin
+
+  private def rm1Spark(s: SparkSession, dir: String): DataFrame = {
+    val fb = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+      .select("qid", "doc_id", "score")
+    val tf = TextOps.termFreqs(docsT(s, dir))
+    val dl = TextOps.docLengths(docsT(s, dir))
+    val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
+      .withColumn("contrib", expr(rm1Contrib))
+      .groupBy("qid", "term").agg(sum("contrib").as("w"))
+    val tot = fbterm.groupBy("qid").agg(sum("w").as("tot"))
+    fbterm.join(tot, Seq("qid"))
+      .withColumn("wn", expr("round(w / tot, 6)"))
+      .withColumn("frank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY round(w / tot, 9) DESC, term)"))
+  }
+
+  val all: Seq[Decl] = Seq(
+
+    // P3 + UDTF-style multi-emit: tokenization with positions over the
+    // raw split array (positions count empty edge tokens, rows don't).
+    Decl(
+      "ir01_tokenize_pos",
+      (s, dir) =>
+        docsT(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokensCol(col("text"))).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+          .select("doc_id", "pos", "term"),
+      Some("""SELECT doc_id, i - 1 AS pos, t AS term FROM (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS t,
+             |    generate_subscripts(string_split_regex(lower(text), '[^0-9a-z]+'), 1) AS i
+             |  FROM documents WHERE doc_id < 100) u WHERE t <> ''""".stripMargin),
+      survey = Seq("P3")),
+
+    // A1: word count (WordCount.java, TrecWordCount.java).
+    Decl(
+      "ir02_wordcount",
+      (s, dir) => toks(s, dir).groupBy("term").agg(count(lit(1)).as("n")),
+      Some(s"SELECT term, count(*) AS n FROM (${TextOps.duckTokens}) t GROUP BY term"),
+      survey = Seq("A1", "P3")),
+
+    // A2: per-term df + cf in one pass (ClueWebCollectionStats.java:104-131).
+    Decl(
+      "ir03_term_stats",
+      (s, dir) =>
+        TextOps.termFreqs(docsT(s, dir))
+          .groupBy("term")
+          .agg(count(lit(1)).as("df"), sum("tf").as("cf")),
+      Some(s"""SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              |FROM (${TextOps.duckTermFreqs}) tf GROUP BY term""".stripMargin),
+      survey = Seq("A2")),
+
+    // A3: global collection statistics (#docs/#terms/#tokens header,
+    // ClueWebCollectionStats.java:157-174).
+    Decl(
+      "ir04_collection_stats",
+      (s, dir) =>
+        toks(s, dir).agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          countDistinct(col("term")).as("n_terms"),
+          count(lit(1)).as("n_tokens")),
+      Some(s"""SELECT count(DISTINCT doc_id) AS n_docs,
+              |  count(DISTINCT term) AS n_terms, count(*) AS n_tokens
+              |FROM (${TextOps.duckTokens}) t""".stripMargin),
+      survey = Seq("A3")),
+
+    // A4: per-doc term-frequency bag (FeatureVector.addTerm).
+    Decl(
+      "ir05_doc_tf",
+      (s, dir) => TextOps.termFreqs(docsT(s, dir)).filter(col("doc_id") < 50),
+      Some(s"SELECT * FROM (${TextOps.duckTermFreqs}) tf WHERE doc_id < 50"),
+      survey = Seq("A4")),
+
+    // P9: stopword anti-filter (TrecQueryStats.java:85-96).
+    Decl(
+      "ir06_stopword_filter",
+      (s, dir) =>
+        toks(s, dir)
+          .filter(!col("term").isin(TextOps.stopwords: _*))
+          .groupBy("term").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT term, count(*) AS n FROM (${TextOps.duckTokens}) t
+              |WHERE term NOT IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")})
+              |GROUP BY term""".stripMargin),
+      survey = Seq("P9")),
+
+    // P10: frequency-threshold pruning (MIN_OCCUR, TrecWordCount.java:106,117).
+    Decl(
+      "ir07_min_occur",
+      (s, dir) =>
+        TextOps.termFreqs(docsT(s, dir))
+          .groupBy("term").agg(sum("tf").as("cf"))
+          .filter(col("cf") > 2),
+      Some(s"""SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+              |FROM (${TextOps.duckTermFreqs}) tf GROUP BY term
+              |HAVING CAST(sum(tf) AS BIGINT) > 2""".stripMargin),
+      survey = Seq("P10")),
+
+    // A9: distinct-terms-per-doc (document-frequency semantics,
+    // TrecWordCount.java:66-71).
+    Decl(
+      "ir08_distinct_terms",
+      (s, dir) =>
+        toks(s, dir).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_distinct")),
+      Some(s"""SELECT doc_id, count(*) AS n_distinct
+              |FROM (SELECT DISTINCT doc_id, term FROM (${TextOps.duckTokens}) t) dt
+              |GROUP BY doc_id""".stripMargin),
+      survey = Seq("A9")),
+
+    // J6/A6: within-document co-occurrence pairs (TrecMutualInfo map).
+    Decl(
+      "ir09_cooccur",
+      (s, dir) => pairStats(s, dir).select("w1", "w2", "n11"),
+      Some(s"$duckPairCtes\nSELECT w1, w2, n11 FROM ps"),
+      survey = Seq("J6", "A6")),
+
+    // §2.7 EMIM (TrecMutualInfo.java:308-345).
+    Decl(
+      "ir10_emim",
+      (s, dir) =>
+        pairStats(s, dir).select(col("w1"), col("w2"), expr(emimExpr).as("emim")),
+      Some(s"$duckPairCtes\nSELECT w1, w2, $emimExpr AS emim FROM ps"),
+      survey = Seq("EMIM")),
+
+    // §2.7 NPMI (documented fix of TrecMutualInfo2 quirks).
+    Decl(
+      "ir11_npmi",
+      (s, dir) =>
+        pairStats(s, dir).select(col("w1"), col("w2"), expr(npmiExpr).as("npmi")),
+      Some(s"$duckPairCtes\nSELECT w1, w2, $npmiExpr AS npmi FROM ps"),
+      survey = Seq("NPMI")),
+
+    // J1 + T1 + LMno: conjunctive language model, no smoothing
+    // (TrecRun.java:108-116): the flagship sequential-scan query.
+    Decl(
+      "ir12_score_lmno",
+      (s, dir) => score(s, dir, lmnoPart, lmnoFinal, conjunctive = true, 10),
+      Some(duckScore(lmnoPart, lmnoFinal, conjunctive = true, 10)),
+      survey = Seq("J1", "T1", "LMno")),
+
+    // LM Jelinek-Mercer λ=0.5 (TrecRunBaselines.java:168-180).
+    Decl(
+      "ir13_score_lmjm",
+      (s, dir) => score(s, dir, lmjmPart(), lmjmFinal, conjunctive = false, 10),
+      Some(duckScore(lmjmPart(), lmjmFinal, conjunctive = false, 10)),
+      survey = Seq("LMs")),
+
+    // LM Dirichlet µ=2500 (TrecRunBaselines.java:210-220).
+    Decl(
+      "ir14_score_lmdir",
+      (s, dir) => score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10),
+      Some(duckScore(lmdirPart, lmdirFinal, conjunctive = false, 10)),
+      survey = Seq("LMdi")),
+
+    // BM25 k1=1.2 b=0.75 (TrecRunBaselines.java:190-201).
+    Decl(
+      "ir15_score_bm25",
+      (s, dir) => score(s, dir, bm25Part, bm25Final, conjunctive = false, 10),
+      Some(duckScore(bm25Part, bm25Final, conjunctive = false, 10)),
+      survey = Seq("BM25")),
+
+    // §2.7 parameter sweep: λ grid × JM scoring, top-3 per (qid, λ)
+    // (TrecRunBaselines.java:260-263 sweeps λ ∈ 0.1..0.9 step 0.2).
+    Decl(
+      "ir16_sweep_lmjm",
+      (s, dir) => {
+        val grid = s.range(0, 5).select(
+          (col("id").cast("double") * 0.2 + 0.1).as("lam"))
+        matchedTerms(s, dir)
+          .crossJoin(broadcast(grid))
+          .withColumn("part", expr(lmjmPart("lam")))
+          .groupBy("qid", "doc_id", "dl", "lam")
+          .agg(sum("part").as("score_sum"))
+          .withColumn("score", expr(lmjmFinal))
+          .withColumn("rank",
+            expr("row_number() OVER (PARTITION BY qid, lam ORDER BY score DESC, doc_id)"))
+          .filter(col("rank") <= 3)
+          .select("qid", "lam", "doc_id", "score", "rank")
+      },
+      Some(s"""WITH tokens AS (${TextOps.duckTokens}),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+              |cs AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+              |q AS (SELECT * FROM $duckQueryValues),
+              |tstats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              |           FROM tf GROUP BY term),
+              |grid AS (SELECT unnest([0,1,2,3,4]) * CAST(0.2 AS DOUBLE)
+              |         + CAST(0.1 AS DOUBLE) AS lam),
+              |grouped AS (
+              |  SELECT q.qid, tf.doc_id, dl.dl, grid.lam,
+              |         sum(${lmjmPart("lam")}) AS score_sum
+              |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+              |  JOIN tstats USING (term) CROSS JOIN cs CROSS JOIN grid
+              |  GROUP BY q.qid, tf.doc_id, dl.dl, grid.lam),
+              |ranked AS (
+              |  SELECT qid, lam, doc_id, $lmjmFinal AS score,
+              |         row_number() OVER (PARTITION BY qid, lam
+              |           ORDER BY $lmjmFinal DESC, doc_id) AS rank
+              |  FROM grouped)
+              |SELECT qid, lam, doc_id, score, rank FROM ranked WHERE rank <= 3""".stripMargin),
+      survey = Seq("GRID", "LMs")),
+
+    // J5 + Eval.java: P@5 and AP@10 against deterministic synthetic
+    // qrels (rel ⇔ doc_id ≡ 0 mod (qid − 40)); MAP divides by the
+    // qrels relevant count, mirroring Eval.map (Eval.java:159-170).
+    Decl(
+      "ir17_eval",
+      (s, dir) => {
+        val judged = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+          .withColumn("rel",
+            expr("CASE WHEN doc_id % (CAST(qid AS INT) - 40) = 0 THEN 1 ELSE 0 END"))
+          .withColumn("cum_rel",
+            expr("sum(rel) OVER (PARTITION BY qid ORDER BY rank)"))
+        val qids = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+          .select("qid").distinct()
+        val nrel = docsT(s, dir).select("doc_id").crossJoin(qids)
+          .filter(expr("doc_id % (CAST(qid AS INT) - 40) = 0"))
+          .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+        judged.groupBy("qid")
+          .agg(
+            expr("sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END)").as("rel5"),
+            expr("sum(CASE WHEN rel = 1 THEN cum_rel / CAST(rank AS DOUBLE) ELSE 0 END)")
+              .as("ap_num"))
+          .join(nrel, Seq("qid"))
+          .select(col("qid"), expr("round(rel5 / 5e0, 6)").as("p5"),
+            expr("round(ap_num / n_rel, 6)").as("ap"))
+      },
+      Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
+        """,
+          |judged AS (
+          |  SELECT qid, doc_id, rank,
+          |    CASE WHEN doc_id % (CAST(qid AS INT) - 40) = 0 THEN 1 ELSE 0 END AS rel
+          |  FROM ranked WHERE rank <= 10),
+          |cums AS (SELECT *, sum(rel) OVER (PARTITION BY qid ORDER BY rank) AS cum_rel
+          |         FROM judged),
+          |nrel AS (SELECT qs.qid, count(*) AS n_rel
+          |         FROM documents CROSS JOIN (SELECT DISTINCT qid FROM q) qs
+          |         WHERE doc_id % (CAST(qs.qid AS INT) - 40) = 0 GROUP BY qs.qid),
+          |m AS (SELECT qid,
+          |        sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS rel5,
+          |        sum(CASE WHEN rel = 1 THEN cum_rel / CAST(rank AS DOUBLE) ELSE 0 END) AS ap_num
+          |      FROM cums GROUP BY qid)
+          |SELECT qid, round(rel5 / 5e0, 6) AS p5, round(ap_num / n_rel, 6) AS ap
+          |FROM m JOIN nrel USING (qid)""".stripMargin),
+      survey = Seq("J5", "EVAL")),
+
+    // RM1 relevance model over the top-10 Dirichlet feedback docs
+    // (GenerateFeedbackQueriesHBase.java:438-488) with the P11 term
+    // cleaner; weights normalized, top-10 terms kept.
+    Decl(
+      "ir18_rm1",
+      (s, dir) =>
+        rm1Spark(s, dir).filter(col("frank") <= 10)
+          .select("qid", "term", "wn", "frank"),
+      Some(duckRm1Ctes +
+        "\nSELECT qid, term, wn, frank FROM normed WHERE frank <= 10"),
+      survey = Seq("RM1", "P11")),
+
+    // RM3 interpolation λ·q + (1−λ)·RM1clip, λ=0.5
+    // (FeatureVector.interpolate:173-190, clip:66-84, normalize:86-107).
+    Decl(
+      "ir19_rm3",
+      (s, dir) => {
+        import s.implicits._
+        val clip = rm1Spark(s, dir).filter(col("frank") <= 10)
+          .select("qid", "term", "w")
+        val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
+        val clipn = clip.join(cliptot, Seq("qid"))
+          .select(col("qid"), col("term"), expr("w / cliptot").as("wc"))
+        val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("qid", "term")
+        val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+        val qq = q.join(qlen, Seq("qid"))
+        qq.join(clipn, Seq("qid", "term"), "full_outer")
+          .select(col("qid"), col("term"),
+            expr("round(coalesce(5e-1 * (1e0 / qlen), 0) + coalesce(5e-1 * wc, 0), 6)")
+              .as("w3"))
+      },
+      Some(duckRm1Ctes +
+        """,
+          |clip AS (SELECT qid, term, w FROM normed WHERE frank <= 10),
+          |cliptot AS (SELECT qid, sum(w) AS cliptot FROM clip GROUP BY qid),
+          |clipn AS (SELECT qid, term, w / cliptot AS wc
+          |          FROM clip JOIN cliptot USING (qid)),
+          |qq AS (SELECT q.qid, q.term, qlen.qlen FROM q JOIN qlen USING (qid))
+          |SELECT qid, term,
+          |  round(coalesce(5e-1 * (1e0 / qlen), 0) + coalesce(5e-1 * wc, 0), 6) AS w3
+          |FROM qq FULL JOIN clipn USING (qid, term)""".stripMargin),
+      survey = Seq("RM3"))
+  )
+}

@@ -1,0 +1,261 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage (SURVEY.md §2.2–§2.6) expressed over the
+  * TPC-H-ish testdata.
+  *
+  * Scale design notes (100 TB):
+  *  - Aggregations rely on Catalyst's partial+final HashAggregate — the
+  *    Spark twin of the reference's hand-installed combiners (§2.4).
+  *  - Dimension joins (`nation`, `region`, param grids) are explicitly
+  *    `broadcast()` — no shuffle of the fact side.
+  *  - Fact-fact joins (orders⋈customer) shuffle on the join key; AQE
+  *    handles skew and re-plans to broadcast when a side turns out tiny.
+  *  - Money sums go through DECIMAL so results are exact and
+  *    order-independent — a raw double sum is nondeterministic under
+  *    parallel reduction and could never match an oracle (or itself).
+  */
+object RelationalQueries {
+
+  private def decSum(col: String, scale: Int = 2): String =
+    Decl.decSumSql(col, scale)
+
+  val all: Seq[Decl] = Seq(
+
+    // A1/A2: multi-metric aggregation with automatic partial aggregation
+    // (reference combiner pattern: WordCount.java:99, QueryTermCount.java:194).
+    Decl(
+      "q01_agg_sums",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            expr(decSum("l_quantity")).as("sum_qty"),
+            expr(decSum("l_extendedprice")).as("sum_base"),
+            expr(decSum("l_extendedprice*(1-l_discount)", 4)).as("sum_disc_price"),
+            count(lit(1)).as("cnt")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${decSum("l_quantity")} AS sum_qty,
+              |  ${decSum("l_extendedprice")} AS sum_base,
+              |  ${decSum("l_extendedprice*(1-l_discount)", 4)} AS sum_disc_price,
+              |  count(*) AS cnt
+              |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      survey = Seq("A1", "A2")),
+
+    // J2/J3/S10: multiway join; small dims broadcast, fact join shuffled.
+    Decl(
+      "q02_join_multiway",
+      (s, dir) => {
+        val orders = Tables(s, dir, "orders")
+        val customer = Tables(s, dir, "customer")
+        val nation = Tables(s, dir, "nation")
+        val region = Tables(s, dir, "region")
+        orders
+          .join(customer, orders("o_custkey") === customer("c_custkey"))
+          .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+          .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+          .groupBy("r_name")
+          .agg(count(lit(1)).as("n_orders"),
+            expr(decSum("o_totalprice")).as("revenue"))
+      },
+      Some(s"""SELECT r_name, count(*) AS n_orders,
+              |  ${decSum("o_totalprice")} AS revenue
+              |FROM orders
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY r_name""".stripMargin),
+      survey = Seq("J2", "J3", "S10")),
+
+    // T1/T2/T3: per-group top-k via window — the Spark twin of the
+    // reference's bounded insertion-sort combiner (TrecRun.java:156-196).
+    // Partial limits run map-side under AQE; the only shuffle is the
+    // window hash partition on the group key.
+    Decl(
+      "q03_topk_per_group",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        Tables(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_custkey
+             |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders) t WHERE rn <= 3""".stripMargin),
+      survey = Seq("T1", "T2", "T3")),
+
+    // P7/P10: predicate + projection pushed to the parquet scan
+    // (PushedFilters/ReadSchema visible in .explain).
+    Decl(
+      "q04_filter_project",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .filter(col("l_quantity") >= 48 && col("l_returnflag") === "R")
+          .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+             |FROM lineitem
+             |WHERE l_quantity >= 48 AND l_returnflag = 'R'""".stripMargin),
+      survey = Seq("P7", "P10")),
+
+    // Left-semi join (the reference's query-vocabulary prefilter pattern,
+    // TrecRun.java:131).
+    Decl(
+      "q05_semi_join",
+      (s, dir) =>
+        Tables(s, dir, "customer")
+          .join(Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT c_mktsegment, count(*) AS n FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_mktsegment""".stripMargin),
+      survey = Seq("J1", "P9")),
+
+    // Left-anti join (the reference's stoplist pattern, §2.2 P9):
+    // orders with no high-quantity line item.
+    Decl(
+      "q06_anti_join",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .join(
+            Tables(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+              .select(col("l_orderkey").as("o_orderkey")),
+            Seq("o_orderkey"), "left_anti")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+             |                  WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+             |GROUP BY o_orderstatus""".stripMargin),
+      survey = Seq("P9")),
+
+    // A9: distinct.
+    Decl(
+      "q07_distinct",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").select("l_returnflag", "l_linestatus").distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"),
+      survey = Seq("A9")),
+
+    // T3: global sort + limit — Spark plans TakeOrderedAndProject (partial
+    // top-k per partition, no full sort shuffle).
+    Decl(
+      "q08_sort_limit",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+          .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+             |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""".stripMargin),
+      survey = Seq("T3")),
+
+    // §2.6 set ops: union-all + aggregate.
+    Decl(
+      "q09_union_agg",
+      (s, dir) =>
+        Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+          .unionByName(Tables(s, dir, "supplier").select(col("s_nationkey").as("nk")))
+          .groupBy("nk").agg(count(lit(1)).as("n")),
+      Some("""SELECT nk, count(*) AS n FROM (
+             |  SELECT c_nationkey AS nk FROM customer
+             |  UNION ALL SELECT s_nationkey FROM supplier) u GROUP BY nk""".stripMargin),
+      survey = Seq("SET")),
+
+    // A3: global counters (reference Hadoop counters → one-row agg).
+    Decl(
+      "q10_global_stats",
+      (s, dir) =>
+        Tables(s, dir, "lineitem").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          expr(decSum("l_quantity")).as("sum_qty")),
+      Some(s"""SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts,
+              |  ${decSum("l_quantity")} AS sum_qty FROM lineitem""".stripMargin),
+      survey = Seq("A3")),
+
+    // §2.7 parameter sweeps: aggregate once, THEN cross-join the λ grid
+    // (the reference recomputes per λ; aggregating first is the scale win).
+    Decl(
+      "q11_param_sweep",
+      (s, dir) => {
+        val agg = Tables(s, dir, "events")
+          .groupBy("event_type")
+          .agg(expr(decSum("value")).as("sum_value"))
+        val grid = s.range(0, 5).select(
+          (col("id").cast("double") * 0.2 + 0.1).as("lam"))
+        agg.crossJoin(broadcast(grid))
+          .select(col("event_type"), col("lam"),
+            (col("sum_value") * col("lam")).as("weighted"))
+      },
+      Some(s"""SELECT event_type, lam, sum_value * lam AS weighted FROM (
+              |  SELECT event_type, ${decSum("value")} AS sum_value
+              |  FROM events GROUP BY event_type) a
+              |CROSS JOIN (SELECT unnest([0,1,2,3,4]) * CAST(0.2 AS DOUBLE)
+              |            + CAST(0.1 AS DOUBLE) AS lam) g""".stripMargin),
+      survey = Seq("GRID")),
+
+    // Batch twin of a streaming tumbling-window aggregation (§2.8).
+    Decl(
+      "q12_time_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+          .agg(count(lit(1)).as("n"), expr(decSum("value")).as("sum_value")),
+      Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+              |  count(*) AS n, ${decSum("value")} AS sum_value
+              |FROM events GROUP BY 1, 2""".stripMargin),
+      survey = Seq("STREAM-WINDOW")),
+
+    // Gap-based sessionization: lag + conditional cumsum — the batch twin
+    // of flatMapGroupsWithState sessionization.
+    Decl(
+      "q13_sessionize",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables(s, dir, "events")
+          .withColumn("prev", lag(col("ts"), 1).over(w))
+          .withColumn("is_new",
+            when(col("prev").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, ts,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events)
+             |SELECT user_id,
+             |  CAST(sum(CASE WHEN prev IS NULL
+             |       OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_sessions,
+             |  count(*) AS n_events
+             |FROM e GROUP BY user_id""".stripMargin),
+      survey = Seq("STREAM-STATE")),
+
+    // JSON scalar extraction (events.props).
+    Decl(
+      "q14_json_extract",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(sum(col("k")).cast("bigint").as("sum_k"), count(lit(1)).as("n")),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type""".stripMargin),
+      survey = Seq("JSON"))
+  )
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tokenization and document-vector primitives.
+  *
+  * The reference tokenizes by splitting on `[^0-9A-Za-z]+` after
+  * lowercasing (`nl/utwente/mirex/TrecRun.java:76,127-136`,
+  * `QueryTermCount.java:79`, `ClueWebCollectionStats.java:69,84-93`).
+  * We express the identical semantics as codegen'd column functions —
+  * no UDFs — so the whole tokenize→explode→aggregate path stays inside
+  * whole-stage codegen and scales linearly with input bytes.
+  */
+object TextOps {
+
+  /** `[^0-9a-z]+` split of the lowercased text; may contain "" entries
+    * at the edges (filter after explode).
+    */
+  def tokensCol(text: Column): Column =
+    split(lower(text), "[^0-9a-z]+")
+
+  /** (doc_id, term) rows, empty tokens dropped.
+    * One narrow pass over the corpus: no shuffle until the caller
+    * aggregates.
+    */
+  def tokens(docs: DataFrame, idCol: String = "doc_id",
+             textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), explode(tokensCol(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document term frequencies: (doc_id, term, tf).
+    * Partial aggregation (map-side combine) is automatic in Catalyst's
+    * HashAggregate, mirroring the reference's combiners.
+    */
+  def termFreqs(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Document lengths: (doc_id, dl) — token count per doc. */
+  def docLengths(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      size(filter_tokens(tokensCol(col(textCol)))).cast("long").as("dl"))
+
+  private def filter_tokens(arr: Column): Column =
+    filter(arr, t => t =!= "")
+
+  /** k-token shingles joined by a single space: Array[String] column.
+    * Docs shorter than k tokens yield an empty array (guard needed:
+    * Spark's `sequence(0, -1)` counts DOWN rather than being empty).
+    */
+  def shinglesCol(text: Column, k: Int): Column = {
+    val toks = filter_tokens(tokensCol(text))
+    val n = size(toks)
+    when(n >= k,
+      transform(
+        sequence(lit(0), n - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Default stoplist used by the stopword-filter operator (a stand-in
+    * for the reference's side-loaded stoplist, `TrecQueryStats.java:40`).
+    */
+  val stopwords: Seq[String] = Seq("a", "the")
+
+  // ---- DuckDB oracle fragments (kept adjacent so the two engines can
+  // never drift apart) ----
+
+  /** CTE producing (doc_id, term) from `documents`. */
+  val duckTokens: String =
+    """SELECT doc_id, t AS term FROM (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS t
+      |  FROM documents) u WHERE t <> ''""".stripMargin
+
+  /** CTE producing (doc_id, term, tf). */
+  val duckTermFreqs: String =
+    s"SELECT doc_id, term, count(*) AS tf FROM ($duckTokens) tk GROUP BY doc_id, term"
+
+  /** CTE producing (doc_id, dl). */
+  val duckDocLengths: String =
+    s"SELECT doc_id, count(*) AS dl FROM ($duckTokens) tk GROUP BY doc_id"
+}
