@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** All declared operator queries, in registration order. */
   def decls: Seq[Decl] =
-    RelationalQueries.all ++ IrQueries.all
+    RelationalQueries.all ++ IrQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

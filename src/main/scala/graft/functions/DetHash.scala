@@ -27,6 +27,10 @@ object DetHash {
   def h60(c: Column, seed: Int): Column =
     h60(concat(lit(seed.toString), lit("|"), c))
 
+  /** Spark SQL string form of [[h60]], for use inside expr() strings. */
+  def sparkH60Sql(e: String): String =
+    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+
   /** DuckDB SQL fragment for the same hash, for oracle authoring. */
   def duckH60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"

@@ -1,0 +1,431 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.DetHash
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** LLM-training-data pipeline operators (builder-prompt mandate):
+  * deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard /
+  * embedding-cosine), similarity search (brute-force + LSH-bucketed),
+  * and text analysis (language-ID, quality, token counting,
+  * fingerprinting) over the `documents` / `embeddings` tables.
+  *
+  * Scale design (100 TB):
+  *  - Every dedup primitive is a narrow map (hashing) + one keyed
+  *    shuffle (groupBy doc/signature). Candidate generation is always
+  *    signature-bucketed (LSH banding) — never all-pairs; the quadratic
+  *    joins below are explicitly bounded (doc_id/vec_id < k) and exist
+  *    to oracle-check the *scoring* math that the bucketed path reuses.
+  *  - All hashes are md5-derived (DetHash) so DuckDB can replay them;
+  *    sign/bit extraction uses pure integer arithmetic (mod/pow), no
+  *    engine-specific bit operators.
+  *  - Embedding kernels cast float→double before multiplying: both
+  *    engines then do identical IEEE ops, and `round(…, 6)` absorbs
+  *    sum-order noise.
+  */
+object PipelineQueries {
+
+  private val H = (e: String) => DetHash.duckH60(e) // duck-side h60
+
+  /** Duck CTEs: filtered token LIST per doc + distinct 3-token shingles. */
+  private val duckToksList =
+    """tk AS (SELECT doc_id, list_filter(
+      |  string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+      |  FROM documents)""".stripMargin
+  private val duckShingles =
+    s"""$duckToksList,
+       |sh AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 0)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM tk),
+       |ds AS (SELECT DISTINCT doc_id, s FROM sh)""".stripMargin
+
+  /** Spark twin: distinct (doc_id, shingle) rows. */
+  private def shinglesDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), 3)).as("s"))
+      .distinct()
+
+  /** MinHash signatures, long form (doc_id, i, mh), i ∈ 0..15. */
+  private def minhashDf(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), 3)).as("s"))
+      .crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
+      .select(col("doc_id"), col("i"),
+        DetHash.h60(concat(col("i").cast("string"), lit("|"), col("s"))).as("h"))
+      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+
+  private val duckMinhash =
+    s"""$duckToksList,
+       |sh AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 2, 0)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM tk),
+       |seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
+       |mh AS (SELECT doc_id, i,
+       |         min(${H("CAST(i AS VARCHAR) || '|' || s")}) AS mh
+       |       FROM sh CROSS JOIN seeds GROUP BY doc_id, i)""".stripMargin
+
+  /** Embedding long form for the oracle: (vid, i, x). */
+  private def duckEmb(filter: String): String =
+    s"""(SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS i,
+       |  CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings $filter)""".stripMargin
+
+  /** Spark dot product of two float arrays as exact-double fold. */
+  private val dotExpr =
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val normExpr =
+    "aggregate(transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  val all: Seq[Decl] = Seq(
+
+    // ---- deduplication ----
+
+    // Exact dedup: content-hash groups, min-id survivor. One shuffle on
+    // the hash; at 100 TB, hash first so the shuffle moves 32-byte keys
+    // instead of documents.
+    Decl(
+      "px01_dedup_exact",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_dups
+             |FROM documents GROUP BY 1""".stripMargin),
+      survey = Seq("DEDUP-EXACT")),
+
+    // MinHash signatures (16 hashes over 3-token shingles).
+    Decl(
+      "px02_minhash_sig",
+      (s, dir) => minhashDf(s, dir),
+      Some(s"WITH $duckMinhash\nSELECT doc_id, i, mh FROM mh"),
+      survey = Seq("DEDUP-MINHASH")),
+
+    // MinHash → LSH banding (4 bands × 4 rows): candidate pairs are docs
+    // sharing a full band signature. This is the scale path — candidate
+    // count ∝ collisions, never n².
+    Decl(
+      "px03_lsh_candidates",
+      (s, dir) => {
+        val bands = minhashDf(s, dir)
+          .withColumn("band", expr("i div 4"))
+          .groupBy("doc_id", "band")
+          .agg(expr(
+            "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
+              " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
+        bands.alias("a")
+          .join(bands.alias("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+      },
+      Some(s"""WITH $duckMinhash,
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+              |          FROM mh GROUP BY doc_id, i // 4)
+              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
+      survey = Seq("DEDUP-LSH")),
+
+    // n-gram Jaccard: top-20 most-similar doc pairs by exact shingle
+    // Jaccard (inter from a shingle equi-join — the verification kernel
+    // the LSH candidates feed at scale).
+    Decl(
+      "px04_jaccard_top",
+      (s, dir) => {
+        val ds = shinglesDf(s, dir)
+        val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = ds.alias("a")
+          .join(ds.alias("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        inter
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), Seq("d2"))
+          .withColumn("jac", expr("round(inter / (sa + sb - inter), 6)"))
+          .orderBy(desc("jac"), asc("d1"), asc("d2"))
+          .limit(20)
+          .select("d1", "d2", "inter", "jac")
+      },
+      Some(s"""WITH $duckShingles,
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2),
+              |j AS (SELECT d1, d2, inter,
+              |        round(inter / (sa.sz + sb.sz - inter), 6) AS jac
+              |      FROM inter JOIN sizes sa ON d1 = sa.doc_id
+              |      JOIN sizes sb ON d2 = sb.doc_id)
+              |SELECT d1, d2, inter, jac FROM j
+              |ORDER BY jac DESC, d1, d2 LIMIT 20""".stripMargin),
+      survey = Seq("DEDUP-JACCARD")),
+
+    // SimHash (16-bit): per-bit weighted vote over term hashes. Bit
+    // extraction via integer mod/pow — exact in both engines. Pure
+    // map + two keyed aggregations; linear at any scale.
+    Decl(
+      "px05_simhash",
+      (s, dir) =>
+        TextOps.termFreqs(Tables(s, dir, "documents"))
+          .withColumn("h", DetHash.h60(col("term")))
+          .crossJoin(broadcast(s.range(0, 16).select(col("id").as("b"))))
+          .withColumn("vote", expr(
+            "CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT)) >= CAST(pow(2, b) AS BIGINT)" +
+              " THEN tf ELSE -tf END"))
+          .groupBy("doc_id", "b").agg(sum("vote").as("sv"))
+          .groupBy("doc_id")
+          .agg(expr(
+            "CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)")
+            .as("simhash")),
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |th AS (SELECT doc_id, tf, ${H("term")} AS h FROM tf),
+              |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
+              |votes AS (
+              |  SELECT doc_id, b,
+              |    CAST(sum(CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT))
+              |         >= CAST(pow(2, b) AS BIGINT)
+              |         THEN tf ELSE -tf END) AS BIGINT) AS sv
+              |  FROM th CROSS JOIN bits GROUP BY doc_id, b)
+              |SELECT doc_id,
+              |  CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+              |    AS simhash
+              |FROM votes GROUP BY doc_id""".stripMargin),
+      survey = Seq("DEDUP-SIMHASH")),
+
+    // Embedding near-dup: top-20 most-similar pairs among vec_id < 200
+    // (bounded all-pairs validates the cosine kernel; the scale path is
+    // px08's LSH buckets).
+    Decl(
+      "px06_embed_dups",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding").as("emb"))
+          .withColumn("nrm", expr(normExpr))
+        val a = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
+        val b = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .withColumn("dot", expr(dotExpr))
+          .withColumn("cos", expr("round(dot / (sqrt(na) * sqrt(nb)), 6)"))
+          .orderBy(desc("cos"), asc("a"), asc("b"))
+          .limit(20)
+          .select("a", "b", "cos")
+      },
+      Some(s"""WITH e AS ${duckEmb("WHERE vec_id < 200")},
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |dots AS (SELECT a.vid AS a, b.vid AS b, sum(a.x * b.x) AS dot
+              |         FROM e a JOIN e b ON a.i = b.i AND a.vid < b.vid
+              |         GROUP BY 1, 2),
+              |c AS (SELECT a, b, round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+              |      FROM dots JOIN nrm na ON a = na.vid JOIN nrm nb ON b = nb.vid)
+              |SELECT a, b, cos FROM c ORDER BY cos DESC, a, b LIMIT 20""".stripMargin),
+      survey = Seq("DEDUP-EMBED")),
+
+    // ---- similarity search ----
+
+    // Brute-force cosine top-k: queries vec_id < 20 against the full
+    // table; per-row array fold keeps the whole kernel in codegen (no
+    // explode of the candidate side).
+    Decl(
+      "px07_cosine_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("emb"))
+          .withColumn("nrm", expr(normExpr))
+        val q = e.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("emb").as("ea"), col("nrm").as("na"))
+        val c = e.select(col("vec_id").as("vid"), col("emb").as("eb"), col("nrm").as("nb"))
+        q.crossJoin(c).filter(col("qid") =!= col("vid"))
+          .withColumn("dot", expr(dotExpr))
+          .withColumn("cos", expr("round(dot / (sqrt(na) * sqrt(nb)), 6)"))
+          .withColumn("rank",
+            expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+          .filter(col("rank") <= 10)
+          .select("qid", "vid", "cos", "rank")
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |q AS (SELECT * FROM e WHERE vid < 20),
+              |dots AS (SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
+              |         FROM q JOIN e c ON q.i = c.i AND q.vid <> c.vid
+              |         GROUP BY 1, 2),
+              |cosv AS (SELECT dots.qid, dots.vid,
+              |           round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+              |         FROM dots JOIN nrm na ON dots.qid = na.vid
+              |         JOIN nrm nb ON dots.vid = nb.vid),
+              |r AS (SELECT qid, vid, cos,
+              |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+              |      FROM cosv)
+              |SELECT qid, vid, cos, rank FROM r WHERE rank <= 10""".stripMargin),
+      survey = Seq("SIM-BRUTE")),
+
+    // Random-hyperplane LSH buckets (4 planes → 16 buckets): the ANN
+    // scale path — bucket on sign pattern, search within bucket only.
+    // Hyperplane components are ±1 derived from md5 (replayable).
+    Decl(
+      "px08_lsh_buckets",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double"))
+          .crossJoin(broadcast(s.range(0, 4).select(col("id").as("p"))))
+          .withColumn("r", expr(
+            s"CASE WHEN ${DetHash.sparkH60Sql("CAST(p AS STRING) || ':' || CAST(i AS STRING)")} % 2 = 1" +
+              " THEN 1e0 ELSE -1e0 END"))
+          .groupBy("vid", "p").agg(sum(expr("x * r")).as("sp"))
+          .groupBy("vid")
+          .agg(expr(
+            "CAST(sum(CASE WHEN sp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)")
+            .as("bucket")),
+      Some(s"""WITH e AS ${duckEmb("")},
+              |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
+              |proj AS (
+              |  SELECT vid, p, sum(x * CASE WHEN
+              |    ${H("CAST(p AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} % 2 = 1
+              |    THEN 1e0 ELSE -1e0 END) AS sp
+              |  FROM e CROSS JOIN planes GROUP BY vid, p)
+              |SELECT vid,
+              |  CAST(sum(CASE WHEN sp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+              |    AS bucket
+              |FROM proj GROUP BY vid""".stripMargin),
+      survey = Seq("SIM-LSH")),
+
+    // ---- text analysis ----
+
+    // Language-ID by marker-token vote (n-gram-profile stand-in with a
+    // deterministic, oracle-checkable profile table).
+    Decl(
+      "px10_langid",
+      (s, dir) => {
+        import s.implicits._
+        val markers = Seq(
+          ("en", "the"), ("en", "a"), ("es", "data"), ("es", "table"),
+          ("de", "window"), ("de", "row"), ("fr", "merge"), ("fr", "sort"),
+          ("zh", "spark"), ("zh", "join")).toDF("lang", "term")
+        val votes = TextOps.tokens(Tables(s, dir, "documents"))
+          .join(broadcast(markers), Seq("term"))
+          .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
+          .withColumn("r",
+            expr("row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang)"))
+          .filter(col("r") === 1)
+        Tables(s, dir, "documents").select("doc_id")
+          .join(votes.select("doc_id", "lang", "cnt"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("pred_lang"),
+            coalesce(col("cnt"), lit(0L)).as("n_markers"))
+      },
+      Some(s"""WITH tokens AS (${TextOps.duckTokens}),
+              |markers AS (SELECT * FROM (VALUES ('en','the'),('en','a'),
+              |  ('es','data'),('es','table'),('de','window'),('de','row'),
+              |  ('fr','merge'),('fr','sort'),('zh','spark'),('zh','join')) m(lang, term)),
+              |votes AS (SELECT doc_id, lang, count(*) AS cnt
+              |          FROM tokens JOIN markers USING (term) GROUP BY doc_id, lang),
+              |top AS (SELECT doc_id, lang, cnt,
+              |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS r
+              |        FROM votes)
+              |SELECT d.doc_id, coalesce(t.lang, 'und') AS pred_lang,
+              |  coalesce(t.cnt, 0) AS n_markers
+              |FROM documents d LEFT JOIN (SELECT * FROM top WHERE r = 1) t
+              |  ON d.doc_id = t.doc_id""".stripMargin),
+      survey = Seq("TEXT-LANGID")),
+
+    // Quality scoring: type-token ratio + stopword ratio composite.
+    Decl(
+      "px11_quality",
+      (s, dir) => {
+        val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+        TextOps.tokens(Tables(s, dir, "documents"))
+          .groupBy("doc_id")
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            countDistinct(col("term")).as("n_types"),
+            expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
+          .join(Tables(s, dir, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
+          .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
+          .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
+          .withColumn("quality", expr(
+            "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"))
+          .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
+            "stop_ratio", "quality")
+      },
+      Some {
+        val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+        s"""WITH tokens AS (${TextOps.duckTokens}),
+           |agg AS (SELECT doc_id, count(*) AS n_tokens,
+           |          count(DISTINCT term) AS n_types,
+           |          CAST(sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+           |        FROM tokens GROUP BY doc_id)
+           |SELECT a.doc_id, d.n_chars, a.n_tokens, a.n_types,
+           |  round(n_types / n_tokens, 6) AS ttr,
+           |  round(n_stop / n_tokens, 6) AS stop_ratio,
+           |  round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6) AS quality
+           |FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin
+      },
+      survey = Seq("TEXT-QUALITY")),
+
+    // Token counting: whitespace tokens + BPE-ish regex tokens.
+    Decl(
+      "px12_tokencount",
+      (s, dir) =>
+        Tables(s, dir, "documents").select(
+          col("doc_id"),
+          expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("bigint")
+            .as("n_ws"),
+          expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+            .cast("bigint").as("n_re")),
+      Some("""SELECT doc_id,
+             |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_re
+             |FROM documents""".stripMargin),
+      survey = Seq("TEXT-TOKENCOUNT")),
+
+    // Document fingerprint: position-weighted rolling hash over filtered
+    // tokens — pure bigint arithmetic (h40 · pos fits in 58 bits).
+    Decl(
+      "px13_fingerprint",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(expr(
+              "filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')"))
+              .as(Seq("pos", "term")))
+          .withColumn("h40",
+            expr("CAST(conv(substring(md5(term), 1, 10), 16, 10) AS BIGINT)"))
+          .groupBy("doc_id")
+          .agg(expr("CAST(sum(h40 * (pos + 1)) AS BIGINT)").as("fp")),
+      Some(s"""WITH $duckToksList,
+              |pt AS (SELECT doc_id, unnest(tk) AS term,
+              |         generate_subscripts(tk, 1) AS pos1 FROM tk)
+              |SELECT doc_id,
+              |  CAST(sum(('0x' || substr(md5(term), 1, 10))::BIGINT * pos1) AS BIGINT) AS fp
+              |FROM pt GROUP BY doc_id""".stripMargin),
+      survey = Seq("TEXT-FINGERPRINT")),
+
+    // Multimodal metadata: documents as opaque binary blobs with typed,
+    // deterministic pseudo-decoded metadata (real decode is stubbed —
+    // see graft.multimodal; the Spark-side schema/plumbing is what runs
+    // at scale).
+    Decl(
+      "px14_multimodal_meta",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("n_bytes", expr("octet_length(CAST(text AS BINARY))").cast("bigint"))
+          .withColumn("h", DetHash.h60(col("text")))
+          .select(col("doc_id"), col("n_bytes"),
+            expr("320 + h % 1280").as("width"),
+            expr("240 + h % 720").as("height"),
+            expr("round((320 + h % 1280) / (240 + h % 720), 6)").as("aspect"),
+            expr("1 + (n_bytes div 1024)").as("n_frames")),
+      Some(s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+              |  320 + h % 1280 AS width, 240 + h % 720 AS height,
+              |  round((320 + h % 1280) / (240 + h % 720), 6) AS aspect,
+              |  1 + (octet_length(encode(text)) // 1024) AS n_frames
+              |FROM (SELECT doc_id, text, ${H("text")} AS h FROM documents) t""".stripMargin),
+      survey = Seq("MM-META"))
+  )
+}
