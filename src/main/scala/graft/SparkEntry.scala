@@ -13,11 +13,14 @@ object SparkEntry {
 
   /** All declared operator queries, in registration order. */
   def decls: Seq[Decl] =
-    RelationalQueries.all ++ IrQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ IrQueries.all ++ PipelineQueries.all ++
+      TemporalQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query (sequential-scan LM-Dirichlet retrieval, SURVEY
+    * §3.1) on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_agg_sums")(spark, "/root/testdata/sf0.001")
+    queries("ir14_score_lmdir")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -75,35 +75,46 @@ object Retrieval {
       " * ln((n_docs - df + 5e-1) / (df + 5e-1))"
   val bm25Final = "round(score_sum, 6)"
 
-  /** The matched (qid, doc, term) rows with all scoring stats attached.
+  /** The matched (qid, doc, term) rows with all scoring stats attached,
+    * for any corpus DataFrame with (doc_id, text) columns and query
+    * DataFrame with (qid, term) rows.
     * Broadcast sides: the query set (tiny) and the per-query-term stats
     * (|query vocab| rows). The corpus side streams.
     */
-  def matchedTerms(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
-    val docs = Tables(spark, sfDir, "documents")
-    val tf = TextOps.termFreqs(docs)
-    val dl = TextOps.docLengths(docs)
-    val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
-      .toDF("qid", "term")
+  def matchedTermsFor(docs: DataFrame, q: DataFrame,
+                      idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val tf = TextOps.termFreqs(docs, idCol, textCol)
+    val dl = TextOps.docLengths(docs, idCol, textCol)
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val tstats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .join(q.select("term").distinct(), Seq("term"), "left_semi")
     val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
     tf.join(broadcast(q), Seq("term"))
-      .join(dl, Seq("doc_id"))
+      .join(dl, Seq(idCol))
       .join(broadcast(tstats), Seq("term"))
       .join(broadcast(qlen), Seq("qid"))
       .crossJoin(broadcast(cs))
   }
 
-  /** Full scoring pipeline → (qid, doc_id, score, rank), top-k per qid. */
-  def score(spark: SparkSession, sfDir: String, partExpr: String,
-            finalExpr: String, conjunctive: Boolean, k: Int): DataFrame = {
-    val grouped = matchedTerms(spark, sfDir)
+  /** [[matchedTermsFor]] bound to the testdata corpus + [[querySet]]. */
+  def matchedTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    matchedTermsFor(Tables(spark, sfDir, "documents"), q)
+  }
+
+  /** Generic scoring pipeline → (qid, <idCol>, score, rank), top-k per
+    * qid, for any (doc_id, text) corpus and (qid, term) query set.
+    */
+  def scoreFor(docs: DataFrame, q: DataFrame, partExpr: String,
+               finalExpr: String, conjunctive: Boolean, k: Int,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grouped = matchedTermsFor(docs, q, idCol, textCol)
       .withColumn("part", expr(partExpr))
-      .groupBy("qid", "doc_id", "dl", "qlen")
+      .groupBy(col("qid"), col(idCol), col("dl"), col("qlen"))
       .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
     val gated =
       if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
@@ -111,9 +122,19 @@ object Retrieval {
     gated
       .withColumn("score", expr(finalExpr))
       .withColumn("rank",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
+        expr(s"row_number() OVER (PARTITION BY qid ORDER BY score DESC, $idCol)"))
       .filter(col("rank") <= k)
-      .select("qid", "doc_id", "score", "rank")
+      .select("qid", idCol, "score", "rank")
+  }
+
+  /** [[scoreFor]] bound to the testdata corpus + [[querySet]]. */
+  def score(spark: SparkSession, sfDir: String, partExpr: String,
+            finalExpr: String, conjunctive: Boolean, k: Int): DataFrame = {
+    import spark.implicits._
+    val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    scoreFor(Tables(spark, sfDir, "documents"), q, partExpr, finalExpr,
+      conjunctive, k)
   }
 
   /** DuckDB oracle for the same pipeline; `partExpr`/`finalExpr` are the

@@ -1,0 +1,72 @@
+package graft.multimodal
+
+import graft.functions.DetHash
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (builder-prompt mandate).
+  *
+  * Images/audio/video are opaque `binary` columns with typed metadata.
+  * The actual codec step is STUBBED (this container ships no image or
+  * audio libraries): [[decodeStub]] produces a deterministic fake
+  * (width, height, n_frames) from a content hash. Everything around
+  * the stub — the schema, the batch-shaped partition-local decode
+  * loop, the feature column layout — is the real Spark plumbing that
+  * would run at 100 TB with a real codec dropped in.
+  *
+  * Scale: `mapPartitions` processes each partition as one batch (codec
+  * init amortized per-partition, the Scala twin of a Pandas-UDF
+  * `mapInPandas` batch); decode is a narrow map — no shuffle; blobs
+  * never leave their input partition.
+  */
+object Multimodal {
+
+  final case class MediaBlob(doc_id: Long, media_type: String,
+                             bytes: Array[Byte])
+  final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** REAL CODEC GOES HERE. Deterministic fake: dimensions derived from
+    * the md5 of the payload (stable across engines and runs).
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val h = java.math.BigInteger.valueOf(
+      ((md(0) & 0x7fL) << 48) | ((md(1) & 0xffL) << 40) |
+        ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
+        ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL))
+      .longValue()
+    (320 + (h % 1280).toInt, 240 + (h % 720).toInt,
+      1 + (bytes.length / 1024))
+  }
+
+  /** Partition-local batched decode: blobs → typed metadata. */
+  def extractMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition decoder/codec init would happen here, once
+      it.map { b =>
+        val (w, h, f) = decodeStub(b.bytes)
+        MediaMeta(b.doc_id, b.media_type, b.bytes.length.toLong, w, h, f)
+      }
+    }
+  }
+
+  /** Frame-sampling stub: every k-th fake frame index of a video blob —
+    * the partitioning/explode shape of real frame extraction.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
+    meta.toDF()
+      .filter(col("media_type") === "video")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
+          .as("frame_idx"))
+
+  /** Column-level pseudo-embedding of a binary payload: 8 deterministic
+    * float features from seeded content hashes (the layout a real
+    * image-encoder UDF would emit).
+    */
+  def fakeEmbedding(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until 8).map(i =>
+      (DetHash.h60(base64(bin), i) % 1000).cast("float") / 1000f): _*)
+}

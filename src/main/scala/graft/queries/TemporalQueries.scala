@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.ir.Retrieval._
+import org.apache.spark.sql.functions._
+
+/** Temporal KDE re-ranking (SURVEY.md §2.7; reference
+  * `edu/gslis/hbase/trec/RKernelDensity.java:22-69` +
+  * `RunQueryKDEHBase.java:82-113`).
+  *
+  * The reference ships top-k epochs to an external R process (Rserve)
+  * and fits a weighted Gaussian KDE with `density(bw="SJ-dpi",
+  * n=1024)`. We replace the process boundary with native column math:
+  * per query, kde(e_j) = (1/(k·bw))·Σ_i φ((e_j − e_i)/bw) over the
+  * top-k result epochs, Silverman's rule bandwidth (1.06·sd·k^(−1/5);
+  * SJ needs an iterative solver — documented divergence, rank-level
+  * equivalence is the target per SURVEY §7.3), then rescore
+  * α·ln(kde) + (1−α)·score, α = 0.5.
+  *
+  * Scale: the k×k kernel matrix is per-query (k=10 → 100 rows) — the
+  * self-join is partitioned by qid and never grows with corpus size.
+  * Document epochs are synthesized deterministically from doc_id
+  * (the corpus has no timestamp column).
+  */
+object TemporalQueries {
+
+  private val epochExpr = "1700000000 + (doc_id % 365) * 86400"
+  private val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
+  private val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
+  private val rescoreExpr = "round(5e-1 * ln(kde) + 5e-1 * score, 6)"
+  private val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
+
+  val all: Seq[Decl] = Seq(
+    Decl(
+      "ir20_kde_rerank",
+      (s, dir) => {
+        val top = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+          .withColumn("ep", expr(epochExpr))
+        val stats = top.groupBy("qid")
+          .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"))
+          .withColumn("bw", expr(bwExpr))
+        val kde = top.alias("a")
+          .join(top.alias("b").select(col("b.qid").as("qid"),
+            col("b.ep").as("ep2")), Seq("qid"))
+          .join(stats.select("qid", "bw", "k"), Seq("qid"))
+          .groupBy(col("qid"), col("a.doc_id").as("doc_id"), col("a.score").as("score"),
+            col("ep"), col("bw"), col("k"))
+          .agg(sum(expr(kdeTerm)).as("ksum"))
+          .withColumn("kde", expr(kdeFinal))
+        kde
+          .withColumn("new_score", expr(rescoreExpr))
+          .withColumn("new_rank",
+            expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
+          .select("qid", "doc_id", "new_score", "new_rank")
+      },
+      Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
+        s""",
+           |top AS (SELECT qid, doc_id, score, $epochExpr AS ep
+           |        FROM ranked WHERE rank <= 10),
+           |stats AS (SELECT qid, stddev_samp(ep) AS sd, count(*) AS k
+           |          FROM top GROUP BY qid),
+           |bws AS (SELECT qid, k, $bwExpr AS bw FROM stats),
+           |kdes AS (
+           |  SELECT a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k,
+           |         sum($kdeTerm) AS ksum
+           |  FROM top a
+           |  JOIN (SELECT qid, ep AS ep2 FROM top) b USING (qid)
+           |  JOIN bws USING (qid)
+           |  GROUP BY a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k),
+           |rescored AS (
+           |  SELECT qid, doc_id, $kdeFinal AS kde, score FROM kdes)
+           |SELECT qid, doc_id, $rescoreExpr AS new_score,
+           |  row_number() OVER (PARTITION BY qid
+           |    ORDER BY $rescoreExpr DESC, doc_id) AS new_rank
+           |FROM rescored""".stripMargin),
+      survey = Seq("KDE"))
+  )
+}

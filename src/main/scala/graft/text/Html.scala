@@ -1,0 +1,77 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML→text projection and anchor extraction.
+  *
+  * Re-expresses the reference's regex chains as column expressions
+  * (codegen'd, no UDF) and its anchor mapper as a flatMap:
+  *  - HTML cleanup: `edu/gslis/hadoop/trec/TrecUtils.java:18-26` and
+  *    `nl/utwente/mirex/util/WarcTextConverterInputFormat.java:25-32,
+  *    100-103` (strip pre-HTML header, script blocks, all tags,
+  *    collapse whitespace, lowercase).
+  *  - Anchor extraction + URL normalization:
+  *    `nl/utwente/mirex/AnchorExtract.java:79-135`.
+  */
+object Html {
+
+  /** Strip leading non-HTML (e.g. the HTTP response header) up to the
+    * first tag, drop script blocks and all tags, collapse whitespace.
+    */
+  def htmlToText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?s)^[^<]*", " "),
+        "(?is)<script.*?</script>", " "),
+      "(?s)<[^>]*>|\\s+", " "))
+
+  def htmlToTextLower(c: Column): Column = lower(htmlToText(c))
+
+  // ---- anchor extraction (driver-side Scala, used from flatMap) ----
+
+  private val scriptPat = "(?is)<script(.*?)</script>".r
+  private val anchorPat = "(?is)<a ([^>]*)href=[\"']?([^> '\"]+)([^>]*)>(.*?)</a>".r
+  private val nofollowPat = "(?i)rel=[\"']?nofollow".r
+  private val absUrlPat = "^[a-z]+://".r
+  /** Suffixes treated as the directory default page (dropped). */
+  private val noIndexHtml = "/$|/index\\.[a-z][a-z][a-z][a-z]?$"
+
+  /** Normalize a page URL: drop `/index.html`-style default pages. */
+  def normalizePageUrl(url: String): String =
+    url.replaceFirst(noIndexHtml, "")
+
+  /** Resolve an href against the page URL and normalize — same
+    * semantics as `AnchorExtract.makeAbsoluteUrl` (strip protocol,
+    * root-relative onto the host, path-relative onto the directory,
+    * collapse `..`/`//`, drop default-page suffix, re-prefix http://).
+    */
+  def makeAbsoluteUrl(pageUrl: String, href0: String): String = {
+    val page = absUrlPat.replaceAllIn(pageUrl, "")
+    val href = href0.replaceAll("[ \n\r\t]", "")
+    val joined =
+      if (href.startsWith("/")) page.replaceAll("/.*$", "") + href
+      else if (absUrlPat.findFirstIn(href).isDefined)
+        absUrlPat.replaceAllIn(href, "")
+      else page.replaceAll("/[^/]+$", "") + "/" + href
+    "http://" + joined.replaceAll("/.[^/]+/\\.\\./|//", "/")
+      .replaceFirst(noIndexHtml, "")
+  }
+
+  /** All (absolute URL, anchor text) pairs of one page; skips
+    * rel=nofollow links; strips tags/newlines inside the anchor text;
+    * truncates the page at `maxHtml` bytes (AnchorExtract.java:71-72).
+    */
+  def extractAnchors(pageUrl: String, html0: String,
+                     maxHtml: Int = 50000): Seq[(String, String)] = {
+    val html = scriptPat.replaceAllIn(
+      if (html0.length > maxHtml) html0.substring(0, maxHtml) else html0, " ")
+    anchorPat.findAllMatchIn(html).flatMap { m =>
+      val attrs = m.group(1) + m.group(3)
+      if (nofollowPat.findFirstIn(attrs).isDefined) None
+      else Some((
+        makeAbsoluteUrl(pageUrl, m.group(2)),
+        m.group(4).replaceAll("<[^>]+>|[ \n\t\r]+", " ")))
+    }.toSeq
+  }
+}

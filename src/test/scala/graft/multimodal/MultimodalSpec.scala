@@ -1,0 +1,32 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary blob metadata pipeline: schema, determinism, batching") {
+    import spark.implicits._
+    val blobs = Seq(
+      MediaBlob(1L, "image", "fake-image-bytes".getBytes),
+      MediaBlob(2L, "video", Array.fill(4096)(7.toByte)),
+      MediaBlob(3L, "audio", Array[Byte]())).toDS()
+    val meta = extractMeta(blobs).collect().sortBy(_.doc_id)
+    assert(meta.map(_.n_bytes).toSeq == Seq(16L, 4096L, 0L))
+    assert(meta.forall(m => m.width >= 320 && m.width < 1600))
+    assert(meta.forall(m => m.height >= 240 && m.height < 960))
+    // deterministic: same bytes → same decode
+    val again = extractMeta(blobs).collect().sortBy(_.doc_id)
+    assert(meta.toSeq == again.toSeq)
+  }
+
+  test("frame sampling explodes only video rows") {
+    import spark.implicits._
+    val meta = Seq(
+      MediaMeta(1L, "video", 4096L, 640, 480, 5),
+      MediaMeta(2L, "image", 100L, 640, 480, 1)).toDS()
+    val frames = sampleFrames(meta, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(frames.toSet == Set((1L, 0), (1L, 2), (1L, 4)))
+  }
+}
