@@ -75,6 +75,21 @@ object Retrieval {
       " * ln((n_docs - df + 5e-1) / (df + 5e-1))"
   val bm25Final = "round(score_sum, 6)"
 
+  /** Two-stage smoothing (λ·cp mixed into Dirichlet), λ=0.3, µ=2500.
+    * Ref: `RunQueryHBase.java:212-224`.
+    */
+  val twoStagePart =
+    "ln((1 - 3e-1) * (tf + 2500 * (cf / n_tokens)) / (dl + 2500) + 3e-1 * (cf / n_tokens))"
+  val twoStageFinal = "round(score_sum, 6)"
+
+  /** Cross-entropy scoring (query-normalized log-ratio of the
+    * Dirichlet-smoothed doc model to the collection model).
+    * Ref: `RunQueryHBase.java:226-245`.
+    */
+  val xentPart =
+    "(1e0 / qlen) * ln(((tf + 2500 * (cf / n_tokens)) / (dl + 2500)) / (cf / n_tokens))"
+  val xentFinal = "round(score_sum, 6)"
+
   /** The matched (qid, doc, term) rows with all scoring stats attached,
     * for any corpus DataFrame with (doc_id, text) columns and query
     * DataFrame with (qid, term) rows.

@@ -362,6 +362,53 @@ object IrQueries {
         "\nSELECT qid, term, wn, frank FROM normed WHERE frank <= 10"),
       survey = Seq("RM1", "P11")),
 
+    // Two-stage smoothing (RunQueryHBase.java:212-224).
+    Decl(
+      "ir22_score_twostage",
+      (s, dir) => score(s, dir, twoStagePart, twoStageFinal, conjunctive = false, 10),
+      Some(duckScore(twoStagePart, twoStageFinal, conjunctive = false, 10)),
+      survey = Seq("TWOSTAGE")),
+
+    // Cross-entropy scoring (RunQueryHBase.java:226-245).
+    Decl(
+      "ir23_score_xent",
+      (s, dir) => score(s, dir, xentPart, xentFinal, conjunctive = false, 10),
+      Some(duckScore(xentPart, xentFinal, conjunctive = false, 10)),
+      survey = Seq("XENT")),
+
+    // A7: query-term × doc-term co-occurrence stats — per pair, count of
+    // docs and Σ min(tf_q, tf_d), stopwords dropped
+    // (TrecQueryStats.java:128-186).
+    Decl(
+      "ir21_querystats",
+      (s, dir) => {
+        import s.implicits._
+        val tf = TextOps.termFreqs(docsT(s, dir))
+        val qterms = querySet.flatMap(_._2).distinct.toDF("term")
+        val tq = tf.join(broadcast(qterms), Seq("term"))
+          .select(col("doc_id"), col("term").as("qterm"), col("tf").as("tfq"))
+        val td = tf
+          .filter(!col("term").isin(TextOps.stopwords: _*))
+          .select(col("doc_id"), col("term").as("dterm"), col("tf").as("tfd"))
+        tq.join(td, Seq("doc_id"))
+          .groupBy("qterm", "dterm")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(least(tfq, tfd)) AS BIGINT)").as("sum_minf"))
+      },
+      Some {
+        val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+        s"""WITH tf AS (${TextOps.duckTermFreqs}),
+           |qterms AS (SELECT DISTINCT term FROM $duckQueryValues),
+           |tq AS (SELECT doc_id, term AS qterm, tf AS tfq
+           |       FROM tf JOIN qterms USING (term)),
+           |td AS (SELECT doc_id, term AS dterm, tf AS tfd FROM tf
+           |       WHERE term NOT IN ($stop))
+           |SELECT qterm, dterm, count(*) AS n_docs,
+           |  CAST(sum(least(tfq, tfd)) AS BIGINT) AS sum_minf
+           |FROM tq JOIN td USING (doc_id) GROUP BY qterm, dterm""".stripMargin
+      },
+      survey = Seq("A7", "P9")),
+
     // RM3 interpolation λ·q + (1−λ)·RM1clip, λ=0.5
     // (FeatureVector.interpolate:173-190, clip:66-84, normalize:86-107).
     Decl(

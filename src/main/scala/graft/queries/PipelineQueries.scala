@@ -41,30 +41,39 @@ object PipelineQueries {
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM tk),
        |ds AS (SELECT DISTINCT doc_id, s FROM sh)""".stripMargin
 
-  /** Spark twin: distinct (doc_id, shingle) rows. */
-  private def shinglesDf(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), 3)).as("s"))
-      .distinct()
-
-  /** MinHash signatures, long form (doc_id, i, mh), i ∈ 0..15. */
-  private def minhashDf(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), explode(TextOps.shinglesCol(col("text"), 3)).as("s"))
-      .crossJoin(broadcast(s.range(0, 16).select(col("id").as("i"))))
-      .select(col("doc_id"), col("i"),
-        DetHash.h60(concat(col("i").cast("string"), lit("|"), col("s"))).as("h"))
-      .groupBy("doc_id", "i").agg(min("h").as("mh"))
+  /** MinHash signatures, long form (doc_id, i, mh), i ∈ 0..15.
+    *
+    * One md5 per shingle, not 16: the hash family is Kirsch-
+    * Mitzenmacher double hashing h_i = h1 + i·h2 over two independent
+    * slices of the digest (h1 60 bits, h2 56 bits — the sum stays in
+    * 61 bits, overflow-free). At 100 TB, hashing is the dominant cost
+    * of minhashing; this is a 16× cut with standard guarantees.
+    * The 16 per-seed minima are computed in ONE aggregation pass
+    * (16 min() columns, then stack to long form) — no 16× row blowup.
+    */
+  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
+    val hs = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+      .withColumn("m", md5(col("s")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until 16).map(i => min(expr(s"h1 + $i * h2")).as(s"m$i"))
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id",
+        s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
+  }
 
   private val duckMinhash =
     s"""$duckToksList,
        |sh AS (SELECT doc_id, unnest(list_transform(
        |    generate_series(1, greatest(len(tk) - 2, 0)),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s FROM tk),
+       |hs AS (SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 15))::BIGINT AS h1,
+       |         ('0x' || substr(md5(s), 17, 14))::BIGINT AS h2 FROM sh),
        |seeds AS (SELECT unnest(generate_series(0, 15)) AS i),
-       |mh AS (SELECT doc_id, i,
-       |         min(${H("CAST(i AS VARCHAR) || '|' || s")}) AS mh
-       |       FROM sh CROSS JOIN seeds GROUP BY doc_id, i)""".stripMargin
+       |mh AS (SELECT doc_id, i, min(h1 + i * h2) AS mh
+       |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i)""".stripMargin
 
   /** Embedding long form for the oracle: (vid, i, x). */
   private def duckEmb(filter: String): String =
@@ -132,17 +141,21 @@ object PipelineQueries {
               |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
       survey = Seq("DEDUP-LSH")),
 
-    // n-gram Jaccard: top-20 most-similar doc pairs by exact shingle
-    // Jaccard (inter from a shingle equi-join — the verification kernel
-    // the LSH candidates feed at scale).
+    // n-gram Jaccard: top-20 most-similar doc pairs by shingle-hash
+    // Jaccard (the verification kernel the LSH candidates feed at
+    // scale). Shingles are h60-hashed before the self-join: the shuffle
+    // moves 8-byte keys instead of strings (hash-collision probability
+    // over 60 bits is negligible at any corpus size).
     Decl(
       "px04_jaccard_top",
       (s, dir) => {
-        val ds = shinglesDf(s, dir)
+        val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+          .distinct()
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         val inter = ds.alias("a")
           .join(ds.alias("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter"))
         inter
@@ -154,9 +167,10 @@ object PipelineQueries {
           .select("d1", "d2", "inter", "jac")
       },
       Some(s"""WITH $duckShingles,
-              |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+              |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
               |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-              |          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+              |          FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
               |j AS (SELECT d1, d2, inter,
               |        round(inter / (sa.sz + sb.sz - inter), 6) AS jac
@@ -405,6 +419,85 @@ object PipelineQueries {
               |  CAST(sum(('0x' || substr(md5(term), 1, 10))::BIGINT * pos1) AS BIGINT) AS fp
               |FROM pt GROUP BY doc_id""".stripMargin),
       survey = Seq("TEXT-FINGERPRINT")),
+
+    // P4/P5: stemmed word count. The reference uses a Krovetz
+    // (dictionary) stemmer from an external lib
+    // (`TrecWordCount2.java:57-79`); we declare a rule-based S-stemmer
+    // (ies→y, es→ε, s→ε) — documented divergence per SURVEY §7.4 risk 6,
+    // same dataflow shape.
+    Decl(
+      "px15_stem_wordcount", {
+        val stem =
+          "CASE WHEN length(term) >= 5 AND substr(term, length(term) - 2, 3) = 'ies'" +
+            " THEN substr(term, 1, length(term) - 3) || 'y'" +
+            " WHEN length(term) >= 4 AND substr(term, length(term) - 1, 2) = 'es'" +
+            " THEN substr(term, 1, length(term) - 2)" +
+            " WHEN length(term) >= 4 AND substr(term, length(term), 1) = 's'" +
+            " THEN substr(term, 1, length(term) - 1) ELSE term END"
+        (s: SparkSession, dir: String) =>
+          TextOps.tokens(Tables(s, dir, "documents"))
+            .withColumn("stem", expr(stem))
+            .groupBy("stem").agg(count(lit(1)).as("n"))
+      },
+      Some {
+        val stem =
+          "CASE WHEN length(term) >= 5 AND substr(term, length(term) - 2, 3) = 'ies'" +
+            " THEN substr(term, 1, length(term) - 3) || 'y'" +
+            " WHEN length(term) >= 4 AND substr(term, length(term) - 1, 2) = 'es'" +
+            " THEN substr(term, 1, length(term) - 2)" +
+            " WHEN length(term) >= 4 AND substr(term, length(term), 1) = 's'" +
+            " THEN substr(term, 1, length(term) - 1) ELSE term END"
+        s"""SELECT $stem AS stem, count(*) AS n
+           |FROM (${TextOps.duckTokens}) t GROUP BY 1""".stripMargin
+      },
+      survey = Seq("P4", "P5")),
+
+    // P8 + A3: spam-score predicate with kept/filtered counters
+    // (ClueWebSpamFilter.java:100-120; percentile ≥ 70 kept). The spam
+    // table becomes a computed column here; at scale it is a broadcast
+    // join against the Waterloo score table instead of a per-doc RPC.
+    Decl(
+      "px16_spam_filter",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("pct", DetHash.h60(col("text")) % 100)
+          .groupBy("source")
+          .agg(
+            expr("CAST(sum(CASE WHEN pct >= 70 THEN 1 ELSE 0 END) AS BIGINT)").as("n_kept"),
+            expr("CAST(sum(CASE WHEN pct < 70 THEN 1 ELSE 0 END) AS BIGINT)").as("n_filtered")),
+      Some(s"""SELECT source,
+              |  CAST(sum(CASE WHEN pct >= 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN pct < 70 THEN 1 ELSE 0 END) AS BIGINT) AS n_filtered
+              |FROM (SELECT source, ${H("text")} % 100 AS pct FROM documents) t
+              |GROUP BY source""".stripMargin),
+      survey = Seq("P8", "A3")),
+
+    // A8 + KBA linear-combination filter: score = value + w·hour, sweep
+    // w, threshold at 100, report pass counts + exact mean
+    // (KBAStaticFilter.java:216-277 shape: grid × filter × per-cell agg).
+    Decl(
+      "px17_kba_threshold",
+      (s, dir) => {
+        val grid = s.range(0, 3).select(expr("CAST(pow(2, id) AS DOUBLE)").as("w"))
+        Tables(s, dir, "events")
+          .select(col("value"), expr("hour(ts)").as("hr"))
+          .crossJoin(broadcast(grid))
+          .withColumn("score", expr("value + w * hr"))
+          .filter(col("score") >= 100)
+          .groupBy("w")
+          .agg(count(lit(1)).as("n_pass"),
+            expr("CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE)").as("sum_score"))
+          .withColumn("mean_score", expr("round(sum_score / n_pass, 6)"))
+          .select("w", "n_pass", "mean_score")
+      },
+      Some("""WITH grid AS (SELECT CAST(pow(2, unnest([0, 1, 2])) AS DOUBLE) AS w),
+             |scored AS (SELECT w, value + w * hour(ts) AS score
+             |           FROM events CROSS JOIN grid)
+             |SELECT w, count(*) AS n_pass,
+             |  round(CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6)
+             |    AS mean_score
+             |FROM scored WHERE score >= 100 GROUP BY w""".stripMargin),
+      survey = Seq("A8", "KBA")),
 
     // Multimodal metadata: documents as opaque binary blobs with typed,
     // deterministic pseudo-decoded metadata (real decode is stubbed —

@@ -53,9 +53,13 @@ object TextOps {
   /** k-token shingles joined by a single space: Array[String] column.
     * Docs shorter than k tokens yield an empty array (guard needed:
     * Spark's `sequence(0, -1)` counts DOWN rather than being empty).
+    *
+    * PERF: pass a MATERIALIZED token-array column (see [[shingleRows]]),
+    * not an inline `split(...)` expression — the token subtree is
+    * referenced 3k+ times here, and inlining it re-tokenizes the
+    * document per element access (measured ~1.5× whole-query cost).
     */
-  def shinglesCol(text: Column, k: Int): Column = {
-    val toks = filter_tokens(tokensCol(text))
+  def shinglesFromToks(toks: Column, k: Int): Column = {
     val n = size(toks)
     when(n >= k,
       transform(
@@ -63,6 +67,21 @@ object TextOps {
         i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>"))
   }
+
+  /** Legacy convenience: shingles directly from a text column. */
+  def shinglesCol(text: Column, k: Int): Column =
+    shinglesFromToks(filter_tokens(tokensCol(text)), k)
+
+  /** (idCol, s) shingle rows with the token array materialized in its
+    * own projection — two Projects that CollapseProject keeps separate
+    * (the array is referenced many times, so inlining is blocked),
+    * guaranteeing one tokenization per document.
+    */
+  def shingleRows(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), filter_tokens(tokensCol(col(textCol))).as("toks"))
+      .select(col(idCol), explode(shinglesFromToks(col("toks"), k)).as("s"))
 
   /** Default stoplist used by the stopword-filter operator (a stand-in
     * for the reference's side-loaded stoplist, `TrecQueryStats.java:40`).
