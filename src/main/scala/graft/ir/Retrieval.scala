@@ -46,6 +46,22 @@ object Retrieval {
       .flatMap { case (qid, ts) => ts.map(t => s"('$qid','$t')") }
       .mkString("(VALUES ", ",", ") v(qid, term)")
 
+  /** Weighted query set (FIXTURES.md §4 weighted-topic semantics,
+    * reference reader `RunQueryHBase.java:138-161`): explicit
+    * per-term weights, e-notation literals for cross-engine parity.
+    */
+  val weightedQuerySet: Seq[(String, Seq[(String, Double)])] = Seq(
+    "61" -> Seq("spark" -> 0.7, "join" -> 0.3),
+    "62" -> Seq("window" -> 0.5, "filter" -> 0.25, "sort" -> 0.25),
+    "63" -> Seq("stream" -> 0.9, "batch" -> 0.1))
+
+  val duckWeightedQueryValues: String =
+    weightedQuerySet
+      .flatMap { case (qid, ts) =>
+        ts.map { case (t, w) => s"('$qid','$t',CAST($w AS DOUBLE))" }
+      }
+      .mkString("(VALUES ", ",", ") v(qid, term, w)")
+
   // ---- scoring formulas (identical strings on both engines) ----
   // Row context: tf, dl, df, cf, qlen, n_docs, n_tokens (all BIGINT).
 
@@ -164,19 +180,22 @@ object Retrieval {
     * oracles that post-process retrieval output (eval, feedback).
     */
   def duckScoreCtes(partExpr: String, finalExpr: String,
-                    conjunctive: Boolean): String = {
+                    conjunctive: Boolean,
+                    qValues: String = duckQueryValues,
+                    weighted: Boolean = false): String = {
     val gate = if (conjunctive) "WHERE n_matched = qlen" else ""
+    val wCol = if (weighted) ", q.w" else ""
     s"""WITH tokens AS (${TextOps.duckTokens}),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
        |cs AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
-       |q AS (SELECT * FROM $duckQueryValues),
+       |q AS (SELECT * FROM $qValues),
        |qlen AS (SELECT qid, count(*) AS qlen FROM q GROUP BY qid),
        |tstats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
        |           FROM tf GROUP BY term),
        |matched AS (
        |  SELECT q.qid, tf.doc_id, tf.tf, dl.dl, tstats.df, tstats.cf,
-       |         qlen.qlen, cs.n_docs, cs.n_tokens
+       |         qlen.qlen, cs.n_docs, cs.n_tokens$wCol
        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
        |  JOIN tstats USING (term) JOIN qlen USING (qid) CROSS JOIN cs),
        |grouped AS (

@@ -362,6 +362,65 @@ object IrQueries {
         "\nSELECT qid, term, wn, frank FROM normed WHERE frank <= 10"),
       survey = Seq("RM1", "P11")),
 
+    // Weighted-topic retrieval (FIXTURES §4; RunQueryHBase weighted
+    // reader :138-161, feedback-query consumption loop): per-term
+    // weights multiply the Dirichlet contribution.
+    Decl(
+      "ir24_score_weighted",
+      (s, dir) => {
+        import s.implicits._
+        val q = weightedQuerySet
+          .flatMap { case (qid, ts) => ts.map { case (t, w) => (qid, t, w) } }
+          .toDF("qid", "term", "w")
+        scoreFor(Tables(s, dir, "documents"), q,
+          s"w * ($lmdirPart)", lmdirFinal, conjunctive = false, 10)
+      },
+      Some(duckScoreCtes(s"w * ($lmdirPart)", lmdirFinal, conjunctive = false,
+        qValues = duckWeightedQueryValues, weighted = true) +
+        "\nSELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 10"),
+      survey = Seq("WEIGHTED-Q")),
+
+    // µ sweep over Dirichlet (RunQueryHBase.java:46-47 sweeps µ from
+    // 100..2500), top-3 per (qid, µ).
+    Decl(
+      "ir25_sweep_mu",
+      (s, dir) => {
+        val grid = s.range(0, 4).select(
+          expr("CAST(element_at(array(100, 500, 1000, 2500), CAST(id AS INT) + 1) AS DOUBLE)")
+            .as("mu"))
+        matchedTerms(s, dir)
+          .crossJoin(broadcast(grid))
+          .withColumn("part", expr("ln(tf * (n_tokens / cf) + mu) - ln(dl + mu)"))
+          .groupBy("qid", "doc_id", "mu")
+          .agg(sum("part").as("score_sum"))
+          .withColumn("score", expr("round(score_sum, 6)"))
+          .withColumn("rank",
+            expr("row_number() OVER (PARTITION BY qid, mu ORDER BY score DESC, doc_id)"))
+          .filter(col("rank") <= 3)
+          .select("qid", "mu", "doc_id", "score", "rank")
+      },
+      Some(s"""WITH tokens AS (${TextOps.duckTokens}),
+              |tf AS (SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY doc_id, term),
+              |dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+              |cs AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS n_tokens FROM dl),
+              |q AS (SELECT * FROM $duckQueryValues),
+              |tstats AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+              |           FROM tf GROUP BY term),
+              |grid AS (SELECT CAST(unnest([100, 500, 1000, 2500]) AS DOUBLE) AS mu),
+              |grouped AS (
+              |  SELECT q.qid, tf.doc_id, grid.mu,
+              |         sum(ln(tf * (n_tokens / cf) + mu) - ln(dl + mu)) AS score_sum
+              |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+              |  JOIN tstats USING (term) CROSS JOIN cs CROSS JOIN grid
+              |  GROUP BY q.qid, tf.doc_id, grid.mu),
+              |ranked AS (
+              |  SELECT qid, mu, doc_id, round(score_sum, 6) AS score,
+              |         row_number() OVER (PARTITION BY qid, mu
+              |           ORDER BY round(score_sum, 6) DESC, doc_id) AS rank
+              |  FROM grouped)
+              |SELECT qid, mu, doc_id, score, rank FROM ranked WHERE rank <= 3""".stripMargin),
+      survey = Seq("GRID", "LMdi")),
+
     // Two-stage smoothing (RunQueryHBase.java:212-224).
     Decl(
       "ir22_score_twostage",

@@ -310,6 +310,70 @@ object PipelineQueries {
               |FROM proj GROUP BY vid""".stripMargin),
       survey = Seq("SIM-LSH")),
 
+    // IVF-style ANN (the other scale path): coarse centroids (one per
+    // label partition), assign the query to its nearest centroid, then
+    // search only that partition — at 100 TB the candidate side is
+    // bucket-pruned by a partition filter instead of scanned.
+    Decl(
+      "px09_ivf_topk",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        val lab = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("label"))
+        val cent = e.join(lab, Seq("vid"))
+          .groupBy("label", "i").agg(expr("sum(x) / count(x)").as("c"))
+        val q = e.filter(col("vid") < 20)
+          .select(col("vid").as("qid"), col("i"), col("x").as("qx"))
+        val assign = q.join(cent, Seq("i"))
+          .withColumn("d", expr("(qx - c) * (qx - c)"))
+          .groupBy("qid", "label").agg(sum("d").as("dist2"))
+          .withColumn("r",
+            expr("row_number() OVER (PARTITION BY qid ORDER BY round(dist2, 6), label)"))
+          .filter(col("r") === 1).select("qid", "label")
+        val nrm = e.groupBy("vid").agg(expr("sum(x * x)").as("nrm"))
+        val cand = lab.join(assign, Seq("label")).filter(col("vid") =!= col("qid"))
+        val dots = cand.join(e, Seq("vid")).join(q, Seq("qid", "i"))
+          .groupBy("qid", "vid").agg(expr("sum(qx * x)").as("dot"))
+        dots
+          .join(nrm.select(col("vid").as("qid"), col("nrm").as("na")), Seq("qid"))
+          .join(nrm.select(col("vid"), col("nrm").as("nb")), Seq("vid"))
+          .withColumn("cos", expr("round(dot / (sqrt(na) * sqrt(nb)), 6)"))
+          .withColumn("rank",
+            expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+          .filter(col("rank") <= 5)
+          .select("qid", "vid", "cos", "rank")
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+              |cent AS (SELECT label, i, sum(x) / count(x) AS c
+              |         FROM e JOIN lab USING (vid) GROUP BY label, i),
+              |q AS (SELECT vid AS qid, i, x AS qx FROM e WHERE vid < 20),
+              |assign AS (
+              |  SELECT qid, label FROM (
+              |    SELECT qid, label,
+              |      row_number() OVER (PARTITION BY qid
+              |        ORDER BY round(sum((qx - c) * (qx - c)), 6), label) AS r
+              |    FROM q JOIN cent USING (i) GROUP BY qid, label) t WHERE r = 1),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |cand AS (SELECT qid, vid FROM lab JOIN assign USING (label)
+              |         WHERE vid <> qid),
+              |dots AS (SELECT c.qid, c.vid, sum(q.qx * e.x) AS dot
+              |         FROM cand c JOIN e ON c.vid = e.vid
+              |         JOIN q ON c.qid = q.qid AND e.i = q.i
+              |         GROUP BY c.qid, c.vid),
+              |cosv AS (SELECT dots.qid, dots.vid,
+              |           round(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS cos
+              |         FROM dots JOIN nrm na ON dots.qid = na.vid
+              |         JOIN nrm nb ON dots.vid = nb.vid)
+              |SELECT qid, vid, cos, rank FROM (
+              |  SELECT qid, vid, cos,
+              |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rank
+              |  FROM cosv) r WHERE rank <= 5""".stripMargin),
+      survey = Seq("SIM-IVF")),
+
     // ---- text analysis ----
 
     // Language-ID by marker-token vote (n-gram-profile stand-in with a

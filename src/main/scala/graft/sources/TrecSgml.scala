@@ -35,7 +35,7 @@ object TrecSgml {
           .as("text"))
 }
 
-/** Topic-file readers (FIXTURES.md §2/§3). */
+/** Topic-file readers/writers (FIXTURES.md §2–§5). */
 object Topics {
 
   /** Plain `qid:term term …` topics → (qid, term) rows, reference
@@ -48,4 +48,74 @@ object Topics {
         explode(split(lower(split(col("value"), ":", 2).getItem(1)),
           "[^0-9a-z]+")).as("term"))
       .filter(col("term") =!= "")
+
+  /** Stats-augmented topic format (FIXTURES §3): `#MIREX-LENGTH:`/
+    * `#MIREX-NDOCS:` headers + `qid:term=qtf=df=cf …` rows — writer
+    * `QueryTermCount.java:283-318`, parser
+    * `TrecRunBaselines.java:105-136`. The "driver interlude" that
+    * rewrites the topic file becomes a tiny collect + single-file
+    * write (stats are |query vocab|-sized).
+    */
+  def writeAugmented(stats: DataFrame, collLength: Long, nDocs: Long,
+                     path: String): Unit = {
+    // stats: (qid, term, qtf, df, cf)
+    val lines = stats
+      .groupBy("qid")
+      .agg(concat_ws(" ", collect_list(
+        concat_ws("=", col("term"), col("qtf"), col("df"), col("cf"))))
+        .as("terms"))
+      .select(concat_ws(":", col("qid"), col("terms")).as("value"))
+      .collect().map(_.getString(0)).sorted
+    val header = Seq(s"#MIREX-LENGTH:$collLength", s"#MIREX-NDOCS:$nDocs")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      String.join("\n", (header ++ lines): _*).getBytes)
+  }
+
+  /** Parse the augmented format back → header (length, ndocs) +
+    * (qid, term, qtf, df, cf) rows.
+    */
+  def readAugmented(spark: SparkSession, path: String)
+      : ((Long, Long), DataFrame) = {
+    val raw = spark.read.text(path).cache()
+    val header = raw.filter(col("value").startsWith("#MIREX-"))
+      .collect().map(_.getString(0))
+    def h(k: String): Long = header.collectFirst {
+      case l if l.startsWith(s"#MIREX-$k:") => l.substring(k.length + 8).toLong
+    }.getOrElse(0L)
+    val rows = raw.filter(!col("value").startsWith("#"))
+      .select(
+        split(col("value"), ":", 2).getItem(0).as("qid"),
+        explode(split(split(col("value"), ":", 2).getItem(1), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .select(col("qid"),
+        split(col("t"), "=").getItem(0).as("term"),
+        expr("try_cast(split(t, '=')[1] AS BIGINT)").as("qtf"),
+        expr("try_cast(split(t, '=')[2] AS BIGINT)").as("df"),
+        expr("try_cast(split(t, '=')[3] AS BIGINT)").as("cf"))
+    ((h("LENGTH"), h("NDOCS")), rows)
+  }
+
+  /** Weighted topic format (FIXTURES §4): `qid<TAB>term:w term:w …` —
+    * parser `RunQueryHBase.java:138-161`, writer
+    * `GenerateFeedbackQueriesHBase.java:309-354`.
+    */
+  def readWeighted(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("sep", "\t").csv(path)
+      .toDF("qid", "terms")
+      .select(col("qid"), explode(split(col("terms"), " ")).as("tw"))
+      .filter(col("tw") =!= "")
+      .select(col("qid"),
+        split(col("tw"), ":").getItem(0).as("term"),
+        expr("try_cast(split(tw, ':')[1] AS DOUBLE)").as("w"))
+
+  /** KEYVAL parsed-document format (FIXTURES §5): gz TSV
+    * `TREC-ID \t URL \t text…` — AnchorExtract output, TrecRun KEYVAL
+    * input (`TrecRun.java:242-244`).
+    */
+  def readKeyval(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(
+        split(col("value"), "\t", 3).getItem(0).as("doc_id"),
+        split(col("value"), "\t", 3).getItem(1).as("url"),
+        split(col("value"), "\t", 3).getItem(2).as("text"))
 }
