@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expression: Hamming distance between two 64-bit
+  * signatures (`Long.bitCount(a ^ b)`).
+  *
+  * This is the hot comparator of SimHash near-dup detection — at
+  * 100 TB it runs once per candidate pair, so it is implemented as a
+  * codegen'd `Expression` (stays inside whole-stage codegen, two JVM
+  * intrinsics per row) rather than a Scala UDF (which would box both
+  * longs and break the codegen stage). Preference order per the build
+  * brief: compose built-ins > native Expression > UDF; Spark has no
+  * built-in popcount-of-xor, so this is the Expression tier.
+  */
+case class Hamming64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming64"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Long.bitCount($a ^ $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Hamming64 =
+    copy(left = newLeft, right = newRight)
+}
+
+object Hamming64 {
+  /** Column-API form (resolves through the extension-registered
+    * function, so it works in any GraftSession).
+    */
+  def hamming64(a: Column, b: Column): Column =
+    call_function("hamming64", a, b)
+}
+
+/** Session extensions: registers graft's native functions so they are
+  * usable from SQL text (`expr("hamming64(a, b)")`) in any session
+  * built by GraftSession.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("hamming64"),
+      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
+      (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
+  }
+}

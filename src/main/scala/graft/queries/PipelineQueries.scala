@@ -75,6 +75,37 @@ object PipelineQueries {
        |mh AS (SELECT doc_id, i, min(h1 + i * h2) AS mh
        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i)""".stripMargin
 
+  /** SimHash with `bits` output bits: per-bit weighted vote over term
+    * hashes; bit extraction via integer mod/pow (exact, engine-
+    * portable). (doc_id, simhash).
+    */
+  private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame =
+    TextOps.termFreqs(Tables(s, dir, "documents"))
+      .withColumn("h", DetHash.h60(col("term")))
+      .crossJoin(broadcast(s.range(0, bits).select(col("id").as("b"))))
+      .withColumn("vote", expr(
+        "CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT)) >= CAST(pow(2, b) AS BIGINT)" +
+          " THEN tf ELSE -tf END"))
+      .groupBy("doc_id", "b").agg(sum("vote").as("sv"))
+      .groupBy("doc_id")
+      .agg(expr(
+        "CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)")
+        .as("simhash"))
+
+  private def duckSimhash(bits: Int): String =
+    s"""tf AS (${TextOps.duckTermFreqs}),
+       |th AS (SELECT doc_id, tf, ${H("term")} AS h FROM tf),
+       |bits AS (SELECT unnest(generate_series(0, ${bits - 1})) AS b),
+       |votes AS (SELECT doc_id, b,
+       |    CAST(sum(CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT))
+       |         >= CAST(pow(2, b) AS BIGINT)
+       |         THEN tf ELSE -tf END) AS BIGINT) AS sv
+       |  FROM th CROSS JOIN bits GROUP BY doc_id, b),
+       |sim AS (SELECT doc_id,
+       |    CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+       |      AS simhash
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
   /** Embedding long form for the oracle: (vid, i, x). */
   private def duckEmb(filter: String): String =
     s"""(SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS i,
@@ -185,32 +216,48 @@ object PipelineQueries {
     // map + two keyed aggregations; linear at any scale.
     Decl(
       "px05_simhash",
-      (s, dir) =>
-        TextOps.termFreqs(Tables(s, dir, "documents"))
-          .withColumn("h", DetHash.h60(col("term")))
-          .crossJoin(broadcast(s.range(0, 16).select(col("id").as("b"))))
-          .withColumn("vote", expr(
-            "CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT)) >= CAST(pow(2, b) AS BIGINT)" +
-              " THEN tf ELSE -tf END"))
-          .groupBy("doc_id", "b").agg(sum("vote").as("sv"))
-          .groupBy("doc_id")
-          .agg(expr(
-            "CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)")
-            .as("simhash")),
-      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
-              |th AS (SELECT doc_id, tf, ${H("term")} AS h FROM tf),
-              |bits AS (SELECT unnest(generate_series(0, 15)) AS b),
-              |votes AS (
-              |  SELECT doc_id, b,
-              |    CAST(sum(CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT))
-              |         >= CAST(pow(2, b) AS BIGINT)
-              |         THEN tf ELSE -tf END) AS BIGINT) AS sv
-              |  FROM th CROSS JOIN bits GROUP BY doc_id, b)
-              |SELECT doc_id,
-              |  CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
-              |    AS simhash
-              |FROM votes GROUP BY doc_id""".stripMargin),
+      (s, dir) => simhashDf(s, dir, 16),
+      Some(s"WITH ${duckSimhash(16)}\nSELECT doc_id, simhash FROM sim"),
       survey = Seq("DEDUP-SIMHASH")),
+
+    // SimHash near-dup pairs at scale: 48-bit signatures, candidates
+    // from 3×16-bit band equality (three equi-joins — never an OR-join
+    // or n² scan), final filter with the NATIVE Catalyst expression
+    // hamming64 (functions/Hamming64.scala, codegen'd popcount-of-xor,
+    // registered via SparkSessionExtensions).
+    Decl(
+      "px18_simhash_dups",
+      (s, dir) => {
+        val sim = simhashDf(s, dir, 48)
+        val withBands = sim.select(col("doc_id"), col("simhash"),
+          expr("simhash % 65536").as("b0"),
+          expr("(simhash div 65536) % 65536").as("b1"),
+          expr("simhash div 4294967296").as("b2"))
+        val cands = Seq("b0", "b1", "b2").map { b =>
+          withBands.alias("a")
+            .join(withBands.alias("c"),
+              col(s"a.$b") === col(s"c.$b") && col("a.doc_id") < col("c.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
+              col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
+        }.reduce(_ unionByName _).distinct()
+        cands
+          .withColumn("hd", expr("hamming64(s1, s2)"))
+          .filter(col("hd") <= 3)
+          .select("d1", "d2", "hd")
+      },
+      Some(s"""WITH ${duckSimhash(48)},
+              |wb AS (SELECT doc_id, simhash, simhash % 65536 AS b0,
+              |         (simhash // 65536) % 65536 AS b1,
+              |         simhash // 4294967296 AS b2 FROM sim),
+              |cand AS (
+              |  SELECT DISTINCT a.doc_id AS d1, a.simhash AS s1,
+              |         c.doc_id AS d2, c.simhash AS s2
+              |  FROM wb a JOIN wb c
+              |    ON a.doc_id < c.doc_id
+              |   AND (a.b0 = c.b0 OR a.b1 = c.b1 OR a.b2 = c.b2))
+              |SELECT d1, d2, CAST(bit_count(xor(s1, s2)) AS INTEGER) AS hd
+              |FROM cand WHERE bit_count(xor(s1, s2)) <= 3""".stripMargin),
+      survey = Seq("DEDUP-SIMHASH", "EXPR-NATIVE")),
 
     // Embedding near-dup: top-20 most-similar pairs among vec_id < 200
     // (bounded all-pairs validates the cosine kernel; the scale path is
