@@ -76,35 +76,38 @@ object PipelineQueries {
        |       FROM hs CROSS JOIN seeds GROUP BY doc_id, i)""".stripMargin
 
   /** SimHash with `bits` output bits: per-bit weighted vote over term
-    * hashes; bit extraction via integer mod/pow (exact, engine-
-    * portable). (doc_id, simhash).
+    * hashes; bit extraction via integer mod against precomputed powers
+    * of two (exact, engine-portable). (doc_id, simhash).
+    *
+    * All `bits` votes are computed in ONE aggregation pass (one sum
+    * expression per bit) — no bits× row blowup/shuffle, same trick as
+    * the minhash signature pass.
     */
-  private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame =
+  private def voteExpr(b: Int): String =
+    s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
+
+  private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame = {
+    val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))
+    val packed = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     TextOps.termFreqs(Tables(s, dir, "documents"))
       .withColumn("h", DetHash.h60(col("term")))
-      .crossJoin(broadcast(s.range(0, bits).select(col("id").as("b"))))
-      .withColumn("vote", expr(
-        "CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT)) >= CAST(pow(2, b) AS BIGINT)" +
-          " THEN tf ELSE -tf END"))
-      .groupBy("doc_id", "b").agg(sum("vote").as("sv"))
-      .groupBy("doc_id")
-      .agg(expr(
-        "CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)")
-        .as("simhash"))
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(packed).as("simhash"))
+  }
 
-  private def duckSimhash(bits: Int): String =
+  private def duckSimhash(bits: Int): String = {
+    val votes = (0 until bits)
+      .map(b => s"CAST(sum(${voteExpr(b)}) AS BIGINT) AS v$b").mkString(", ")
+    val packed = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
     s"""tf AS (${TextOps.duckTermFreqs}),
        |th AS (SELECT doc_id, tf, ${H("term")} AS h FROM tf),
-       |bits AS (SELECT unnest(generate_series(0, ${bits - 1})) AS b),
-       |votes AS (SELECT doc_id, b,
-       |    CAST(sum(CASE WHEN (h % CAST(pow(2, b + 1) AS BIGINT))
-       |         >= CAST(pow(2, b) AS BIGINT)
-       |         THEN tf ELSE -tf END) AS BIGINT) AS sv
-       |  FROM th CROSS JOIN bits GROUP BY doc_id, b),
-       |sim AS (SELECT doc_id,
-       |    CAST(sum(CASE WHEN sv > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
-       |      AS simhash
-       |  FROM votes GROUP BY doc_id)""".stripMargin
+       |votes AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $packed AS simhash FROM votes)""".stripMargin
+  }
 
   /** Embedding long form for the oracle: (vid, i, x). */
   private def duckEmb(filter: String): String =

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface (SURVEY.md §2.8).
@@ -46,6 +46,62 @@ object EventStream {
   /** Batch execution of the shared transformation. */
   def batch(spark: SparkSession, eventsDir: String): DataFrame =
     hourlyAgg(spark.read.schema(eventsSchema).parquet(eventsDir))
+
+  // ---- stateful sessionization (flatMapGroupsWithState) ----
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class OpenSession(start_us: Long, last_us: Long, n: Int)
+  final case class ClosedSession(user_id: Long, start_us: Long,
+                                 end_us: Long, n_events: Int)
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 min, as q13_sessionize
+
+  /** Per-user gap-based sessionization with explicit state — the
+    * Structured Streaming twin of the batch lag/cumsum query
+    * (q13_sessionize). Sessions CLOSE when a later event arrives past
+    * the 30-minute gap; the trailing open session stays in state (a
+    * production deployment would add an event-time timeout to flush
+    * it — finite replays in tests assert on closed sessions).
+    *
+    * Scale: state is one (start, last, n) triple per user — bounded;
+    * the shuffle partitions by user_id exactly like the batch window.
+    */
+  def sessionize(evs: Dataset[Ev]): Dataset[ClosedSession] = {
+    import evs.sparkSession.implicits._
+    evs.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
+          val sorted = it.map(_.ts_us).toArray.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { ts =>
+            open match {
+              case Some(s) if ts - s.last_us > SessionGapUs =>
+                closed += ClosedSession(uid, s.start_us, s.last_us, s.n)
+                open = Some(OpenSession(ts, ts, 1))
+              case Some(s) =>
+                open = Some(s.copy(last_us = ts, n = s.n + 1))
+              case None =>
+                open = Some(OpenSession(ts, ts, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming sessionization from a parquet directory into a memory
+    * sink.
+    */
+  def sessionizeToMemory(spark: SparkSession, eventsDir: String,
+                         queryName: String): StreamingQuery = {
+    import spark.implicits._
+    val evs = spark.readStream.schema(eventsSchema).parquet(eventsDir)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+    sessionize(evs)
+      .writeStream.outputMode("append").format("memory")
+      .queryName(queryName).trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Streaming execution into an in-memory sink named `queryName`;
     * caller drives with `processAllAvailable()` and reads

@@ -25,4 +25,31 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("stateful sessionization: closed sessions == batch sessions - open tail") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events2").toString
+    Files.copy(Paths.get(s"$sfTiny/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+
+    val q = EventStream.sessionizeToMemory(spark, dir, "sess_out")
+    q.awaitTermination(120000)
+    val closedPerUser = spark.table("sess_out")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // batch truth: q13's n_sessions; the trailing session per user is
+    // still open in state, so closed = n_sessions - 1
+    val batch = graft.SparkEntry.queries("q13_sessionize")(spark, sfTiny)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - 1)).toMap
+    val expected = batch.filter(_._2 > 0)
+    assert(closedPerUser == expected)
+    assert(closedPerUser.nonEmpty)
+
+    // session integrity: start <= end, n_events >= 1
+    spark.table("sess_out").collect().foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getInt(3) >= 1)
+    }
+  }
 }
