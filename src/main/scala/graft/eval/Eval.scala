@@ -1,0 +1,78 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relevance judgments (trec_eval format: `qid 0 docid rel`, columns
+  * 0/2/3 — `edu/gslis/hbase/trec/Qrels.java:23-130`).
+  */
+object Qrels {
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(split(col("value"), "\\s+").as("f"))
+      .filter(size(col("f")) >= 4)
+      .select(
+        col("f").getItem(0).as("qid"),
+        col("f").getItem(2).as("doc_id"),
+        expr("try_cast(f[3] AS INT)").as("rel"))
+}
+
+/** TREC evaluation metrics as DataFrame aggregations
+  * (`edu/gslis/hbase/trec/Eval.java:23-194`): P, P@k, R, F1, Fβ,
+  * utility, AP/MAP. Semantics notes:
+  *  - AP divides by the qrels relevant count (`Eval.map`,
+  *    `Eval.java:159-170`) — the reference's `avgPrecision` divides by
+  *    retrieved count instead; we implement the `map` semantics and
+  *    expose the divergence in this doc (SURVEY §4 quirk list).
+  *  - utility = max(−100, w·TP − FP) (`Eval.java:118-127`).
+  *
+  * Scale: one join on (qid, doc_id) + windowed cumsum partitioned by
+  * qid; no per-query driver loops.
+  */
+object Eval {
+
+  /** results (qid, doc_id, rank) × qrels (qid, doc_id, rel>0) →
+    * judged rows with rel ∈ {0,1} and the running relevant count.
+    */
+  def judge(results: DataFrame, qrels: DataFrame): DataFrame =
+    results
+      .join(qrels.filter(col("rel") > 0).select("qid", "doc_id")
+        .withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0)))
+      .withColumn("cum_rel",
+        expr("sum(rel) OVER (PARTITION BY qid ORDER BY rank)"))
+
+  /** Per-query metric table. `w` is the utility TP weight. */
+  def metrics(results: DataFrame, qrels: DataFrame, k: Int = 10,
+              beta: Double = 1.0, w: Double = 2.0): DataFrame = {
+    val nrel = qrels.filter(col("rel") > 0)
+      .groupBy("qid").agg(count(lit(1)).as("n_rel"))
+    val b2 = beta * beta
+    judge(results, qrels)
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("n_ret"),
+        sum("rel").as("tp"),
+        expr(s"sum(CASE WHEN rank <= $k THEN rel ELSE 0 END)").as(s"rel_at_k"),
+        expr("sum(CASE WHEN rel = 1 THEN cum_rel / CAST(rank AS DOUBLE) ELSE 0 END)")
+          .as("ap_num"))
+      .join(nrel, Seq("qid"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
+      .select(
+        col("qid"),
+        expr(s"rel_at_k / CAST($k AS DOUBLE)").as("p_at_k"),
+        expr("tp / CAST(n_ret AS DOUBLE)").as("precision"),
+        expr("CASE WHEN n_rel > 0 THEN tp / CAST(n_rel AS DOUBLE) ELSE 0e0 END")
+          .as("recall"),
+        expr(("CASE WHEN tp > 0 THEN (1 + " + b2 + ") * (tp / CAST(n_ret AS DOUBLE))" +
+          " * (tp / CAST(n_rel AS DOUBLE)) / (" + b2 +
+          " * (tp / CAST(n_ret AS DOUBLE)) + (tp / CAST(n_rel AS DOUBLE)))" +
+          " ELSE 0e0 END")).as("f_beta"),
+        expr(s"greatest(-100e0, $w * tp - (n_ret - tp))").as("utility"),
+        expr("CASE WHEN n_rel > 0 THEN ap_num / n_rel ELSE 0e0 END").as("ap"))
+  }
+
+  /** MAP over queries. */
+  def map(results: DataFrame, qrels: DataFrame): Double =
+    metrics(results, qrels).agg(avg("ap")).head().getDouble(0)
+}

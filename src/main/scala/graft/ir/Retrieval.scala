@@ -158,6 +158,40 @@ object Retrieval {
       .select("qid", idCol, "score", "rank")
   }
 
+  /** Scoring with stats PROVIDED by an augmented topic file (the
+    * TrecRunBaselines dataflow: QueryTermCount precomputes df/cf and
+    * the collection header, job 2 never re-aggregates them —
+    * `TrecRunBaselines.java:78-136`).
+    *
+    * @param qAug (qid, term, qtf, df, cf) rows from
+    *             `Topics.readAugmented`
+    */
+  def scoreWithStats(docs: DataFrame, qAug: DataFrame, collLength: Long,
+                     nDocs: Long, partExpr: String, finalExpr: String,
+                     conjunctive: Boolean, k: Int,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = TextOps.termFreqs(docs, idCol, textCol)
+    val dl = TextOps.docLengths(docs, idCol, textCol)
+    val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val grouped = tf.join(broadcast(qAug), Seq("term"))
+      .join(dl, Seq(idCol))
+      .join(broadcast(qlen), Seq("qid"))
+      .withColumn("n_tokens", lit(collLength))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("part", expr(partExpr))
+      .groupBy(col("qid"), col(idCol), col("dl"), col("qlen"))
+      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
+    val gated =
+      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
+      else grouped
+    gated
+      .withColumn("score", expr(finalExpr))
+      .withColumn("rank",
+        expr(s"row_number() OVER (PARTITION BY qid ORDER BY score DESC, $idCol)"))
+      .filter(col("rank") <= k)
+      .select("qid", idCol, "score", "rank")
+  }
+
   /** [[scoreFor]] bound to the testdata corpus + [[querySet]]. */
   def score(spark: SparkSession, sfDir: String, partExpr: String,
             finalExpr: String, conjunctive: Boolean, k: Int): DataFrame = {

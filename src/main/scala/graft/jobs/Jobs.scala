@@ -1,0 +1,171 @@
+package graft.jobs
+
+import graft.GraftSession
+import graft.ir.{AnchorExtractJob, Index, Retrieval}
+import graft.sources.{Topics, TrecSgml, Warc}
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Runnable job surface with CLI parity to the reference's entry
+  * points (SURVEY §7.1 item 10): a user of `hadoop jar hadoop-ir.jar
+  * <JobClass> in out …` runs `graft.jobs.Jobs <JobName> in out …`
+  * instead. One linear Spark program replaces each MapReduce chain;
+  * job-to-job handoff happens through files exactly as in the
+  * reference (`test/test.sh` flow).
+  *
+  * Supported: AnchorExtract, TrecRun (KEYVAL|WARC), QueryTermCount,
+  * TrecRunBaselines, WordCount, CollectionStats, MutualInfo,
+  * IndexDocVectors, RunQueryIndex.
+  */
+object Jobs {
+
+  val TopK = 1000 // reference top-k (TrecRun.java:158)
+
+  /** Load a document collection: `warc:<path>`, `keyval:<path>` or
+    * `trec:<path>` (SGML). → (doc_id, text)
+    */
+  def loadDocs(spark: SparkSession, spec: String): DataFrame = {
+    import spark.implicits._
+    spec.split(":", 2) match {
+      case Array("warc", p) =>
+        AnchorExtractJob.run(spark, p)
+          .select(col("docid").as("doc_id"), col("anchortext").as("text"))
+      case Array("keyval", p) =>
+        Topics.readKeyval(spark, p).select("doc_id", "text")
+      case Array("trec", p) =>
+        TrecSgml.read(spark, p)
+          .select(col("docno").as("doc_id"), col("text"))
+      case _ =>
+        throw new IllegalArgumentException(
+          s"input spec '$spec' must be warc:|keyval:|trec:<path>")
+    }
+  }
+
+  /** TREC run format: `qid Q0 docid rank score tag`. */
+  def writeRun(ranked: DataFrame, out: String, tag: String): Unit =
+    ranked
+      .select(concat_ws(" ", col("qid"), lit("Q0"), col("doc_id"),
+        col("rank"), col("score"), lit(tag)).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+
+  def anchorExtract(spark: SparkSession, warcIn: String, out: String): Unit =
+    AnchorExtractJob.run(spark, warcIn)
+      .select(concat_ws("\t", col("docid"), col("url"), col("anchortext"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite")
+      .option("compression", "gzip").text(out)
+
+  /** MIREX sequential-scan retrieval, LMno conjunctive
+    * (`nl/utwente/mirex/TrecRun.java`).
+    */
+  def trecRun(spark: SparkSession, in: String, out: String,
+              topics: String): Unit =
+    writeRun(
+      Retrieval.scoreFor(loadDocs(spark, in), Topics.readPlain(spark, topics),
+        Retrieval.lmnoPart, Retrieval.lmnoFinal, conjunctive = true, TopK),
+      out, "graft-lmno")
+
+  /** Job 1 of the baselines chain: collection stats + per-query-term
+    * df/cf → stats-augmented topic file
+    * (`nl/utwente/mirex/QueryTermCount.java`).
+    */
+  def queryTermCount(spark: SparkSession, in: String, outTopics: String,
+                     topics: String): Unit = {
+    val docs = loadDocs(spark, in)
+    val tf = TextOps.termFreqs(docs)
+    val dl = TextOps.docLengths(docs)
+    val q = Topics.readPlain(spark, topics)
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val tstats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+    val stats = q.join(tstats, Seq("term"), "left")
+      .select(col("qid"), col("term"), col("qtf"),
+        coalesce(col("df"), lit(0L)).as("df"),
+        coalesce(col("cf"), lit(0L)).as("cf"))
+    val Array(len, nd) = dl.agg(sum("dl"), count(lit(1))).head()
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    Topics.writeAugmented(stats, len, nd, outTopics)
+  }
+
+  /** Job 2: four models from the augmented topic file, keys
+    * `qid:model` (`nl/utwente/mirex/TrecRunBaselines.java`). Terms
+    * with cf ≤ 0 are dropped (`TrecRunBaselines.java:129-130`).
+    */
+  def trecRunBaselines(spark: SparkSession, in: String, out: String,
+                       augTopics: String): Unit = {
+    val ((len, nd), rows) = Topics.readAugmented(spark, augTopics)
+    val qAug = rows.filter(col("cf") > 0).cache()
+    val docs = loadDocs(spark, in)
+    import Retrieval._
+    val models = Seq(
+      ("LMno", s"qtf * ($lmnoPart)", lmnoFinal, true),
+      ("LMs", s"qtf * (${lmjmPart()})", lmjmFinal, false),
+      ("LMdi", s"qtf * ($lmdirPart)", lmdirFinal, false),
+      ("BM25", s"qtf * ($bm25Part)", bm25Final, false))
+    val ranked = models.map { case (name, part, fin, conj) =>
+      scoreWithStats(docs, qAug, len, nd, part, fin, conj, TopK)
+        .withColumn("qid", concat_ws(":", col("qid"), lit(name)))
+    }.reduce(_ unionByName _)
+    writeRun(ranked, out, "graft-baselines")
+  }
+
+  def wordCount(spark: SparkSession, in: String, out: String): Unit =
+    TextOps.tokens(loadDocs(spark, in))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .select(concat_ws("\t", col("term"), col("n")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+
+  def collectionStats(spark: SparkSession, in: String, out: String): Unit = {
+    val tf = TextOps.termFreqs(loadDocs(spark, in))
+    val header = tf.agg(
+      countDistinct(col("doc_id")).as("docs"),
+      countDistinct(col("term")).as("terms"),
+      sum("tf").as("tokens")).head()
+    val lines = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .select(concat_ws("\t", col("term"),
+        concat_ws(",", col("df"), col("cf"))).as("value"))
+    // #DOCS/#TERMS/#TOKENS header + term rows (ClueWebCollectionStats
+    // .java:157-174); header via driver, body via executors.
+    import spark.implicits._
+    Seq(s"#DOCS:${header.getLong(0)}", s"#TERMS:${header.getLong(1)}",
+      s"#TOKENS:${header.getLong(2)}").toDF("value")
+      .unionByName(lines)
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
+  def mutualInfo(spark: SparkSession, in: String, out: String): Unit = {
+    val dt = TextOps.tokens(loadDocs(spark, in)).distinct()
+    dt.alias("a")
+      .join(dt.alias("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+      .agg(count(lit(1)).as("n11"))
+      .select(concat_ws("\t", col("w1"), col("w2"), col("n11")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local()
+    try args.toList match {
+      case "AnchorExtract" :: in :: out :: Nil => anchorExtract(spark, in, out)
+      case "TrecRun" :: in :: out :: topics :: Nil => trecRun(spark, in, out, topics)
+      case "QueryTermCount" :: in :: out :: topics :: Nil =>
+        queryTermCount(spark, in, out, topics)
+      case "TrecRunBaselines" :: in :: out :: aug :: Nil =>
+        trecRunBaselines(spark, in, out, aug)
+      case "WordCount" :: in :: out :: Nil => wordCount(spark, in, out)
+      case "CollectionStats" :: in :: out :: Nil => collectionStats(spark, in, out)
+      case "MutualInfo" :: in :: out :: Nil => mutualInfo(spark, in, out)
+      case "IndexDocVectors" :: in :: out :: Nil =>
+        Index.write(loadDocs(spark, in), out)
+      case "RunQueryIndex" :: idx :: out :: topics :: Nil =>
+        writeRun(Index.scoreFromIndex(Index.load(spark, idx),
+          Topics.readPlain(spark, topics), Retrieval.lmdirPart,
+          Retrieval.lmdirFinal, conjunctive = false, TopK), out, "graft-lmdi")
+      case other => sys.error(
+        s"unknown job ${other.headOption.getOrElse("")}; see scaladoc")
+    } finally spark.stop()
+  }
+}

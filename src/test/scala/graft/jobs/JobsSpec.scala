@@ -1,0 +1,79 @@
+package graft.jobs
+
+import graft.SparkSpec
+import graft.eval.{Eval, Qrels}
+import java.nio.file.{Files, Paths}
+
+/** End-to-end job chain mirroring the reference's `test/test.sh`:
+  * AnchorExtract → TrecRun (KEYVAL) → QueryTermCount →
+  * TrecRunBaselines, all through the CLI-parity entry points, with
+  * trec_eval-style evaluation on top.
+  */
+class JobsSpec extends SparkSpec {
+
+  lazy val work: String = Files.createTempDirectory("jobs").toString
+  lazy val warc: String = resource("test.warc.gz")
+  lazy val topics: String = resource("wt2010-topics.queries-only")
+
+  private def runLines(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("part-") && !n.endsWith(".crc") && !n.endsWith(".gz")
+      }
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+  }
+
+  test("test.sh chain: AnchorExtract -> TrecRun finds query 53") {
+    Jobs.anchorExtract(spark, warc, s"$work/anchors")
+    val anchors = spark.read.text(s"$work/anchors").collect()
+      .map(_.getString(0))
+    assert(anchors.exists(l =>
+      l.startsWith("test2\t") && l.contains("discovery channel store")))
+
+    Jobs.trecRun(spark, s"keyval:$work/anchors", s"$work/run", topics)
+    val run = runLines(s"$work/run")
+    val q53 = run.filter(_.startsWith("53 Q0 "))
+    assert(q53.length == 1)
+    assert(q53.head.split(" ")(2) == "test2")
+    assert(q53.head.split(" ")(3) == "1")
+  }
+
+  test("test.sh chain: QueryTermCount -> TrecRunBaselines, 4 models") {
+    Jobs.anchorExtract(spark, warc, s"$work/anchors2")
+    Jobs.queryTermCount(spark, s"keyval:$work/anchors2",
+      s"$work/aug.topics", topics)
+    val aug = Files.readAllLines(Paths.get(s"$work/aug.topics"))
+    assert(aug.get(0).startsWith("#MIREX-LENGTH:"))
+    assert(aug.get(1).startsWith("#MIREX-NDOCS:"))
+
+    Jobs.trecRunBaselines(spark, s"keyval:$work/anchors2",
+      s"$work/baselines", s"$work/aug.topics")
+    val run = runLines(s"$work/baselines")
+    val models = run.map(_.split(" ")(0).split(":")(1)).distinct.sorted
+    assert(models == Seq("BM25", "LMdi", "LMno", "LMs"))
+    // conjunctive LMno for q53 finds only the anchor-complete doc
+    assert(run.count(_.startsWith("53:LMno ")) == 1)
+    assert(run.filter(_.startsWith("53:LMdi ")).nonEmpty)
+  }
+
+  test("eval library: perfect run scores 1.0, judged against qrels file") {
+    import spark.implicits._
+    val qrelsPath = Files.createTempDirectory("qrels").toString
+    Files.writeString(Paths.get(qrelsPath, "qrels.txt"),
+      "53 0 test2 1\n53 0 test3 0\n99 0 nothing 1\n")
+    val qrels = Qrels.read(spark, qrelsPath)
+    assert(qrels.count() == 3)
+
+    val results = Seq(("53", "test2", 1)).toDF("qid", "doc_id", "rank")
+    val m = Eval.metrics(results, qrels, k = 1).head()
+    assert(m.getAs[Double]("p_at_k") == 1.0)
+    assert(m.getAs[Double]("precision") == 1.0)
+    assert(m.getAs[Double]("recall") == 1.0)
+    assert(m.getAs[Double]("f_beta") == 1.0)
+    assert(m.getAs[Double]("ap") == 1.0)
+    assert(m.getAs[Double]("utility") == 2.0)
+  }
+}
