@@ -146,6 +146,59 @@ object Jobs {
       .coalesce(1).write.mode("overwrite").text(out)
   }
 
+  /** RM3 feedback-query generation (the reference's
+    * `GenerateFeedbackQueriesHBase` → weighted-topic file → rerun
+    * loop, §3.3): initial Dirichlet retrieval, RM1 over the top
+    * fbDocs, P11 term cleaning, clip to fbTerms, RM3 interpolation,
+    * written in the weighted-topic format `RunQueryHBase` consumes.
+    */
+  def generateFeedbackQueries(spark: SparkSession, in: String, out: String,
+                              topics: String, fbDocs: Int = 10,
+                              fbTerms: Int = 10, lambda: Double = 0.5): Unit = {
+    val docs = loadDocs(spark, in)
+    val q = Topics.readPlain(spark, topics)
+    val fb = Retrieval.scoreFor(docs, q, Retrieval.lmdirPart,
+      Retrieval.lmdirFinal, conjunctive = false, fbDocs)
+      .select("qid", "doc_id", "score")
+    val tf = TextOps.termFreqs(docs)
+    val dl = TextOps.docLengths(docs)
+    val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
+      .withColumn("contrib", expr("(tf / dl) * exp(score)"))
+      .groupBy("qid", "term").agg(sum("contrib").as("w"))
+    val clip = fbterm
+      .withColumn("frank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY w DESC, term)"))
+      .filter(col("frank") <= fbTerms)
+    val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
+    val clipn = clip.join(cliptot, Seq("qid"))
+      .select(col("qid"), col("term"), (col("w") / col("cliptot")).as("wc"))
+    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val rm3 = q.join(qlen, Seq("qid"))
+      .join(clipn, Seq("qid", "term"), "full_outer")
+      .select(col("qid"), col("term"),
+        (coalesce(lit(lambda) * (lit(1.0) / col("qlen")), lit(0.0)) +
+          coalesce(lit(1 - lambda) * col("wc"), lit(0.0))).as("w3"))
+    // weighted-topic format: qid<TAB>term:w term:w …
+    rm3.groupBy("qid")
+      .agg(concat_ws(" ", collect_list(
+        concat_ws(":", col("term"), col("w3")))).as("tw"))
+      .select(concat_ws("\t", col("qid"), col("tw")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
+  /** Weighted-topic retrieval (`RunQueryHBase` consuming feedback
+    * queries): per-term weights multiply Dirichlet contributions.
+    */
+  def runQueryWeighted(spark: SparkSession, in: String, out: String,
+                       weightedTopics: String): Unit =
+    writeRun(
+      Retrieval.scoreFor(loadDocs(spark, in),
+        Topics.readWeighted(spark, weightedTopics),
+        s"w * (${Retrieval.lmdirPart})", Retrieval.lmdirFinal,
+        conjunctive = false, TopK),
+      out, "graft-rm3")
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     try args.toList match {
@@ -160,6 +213,10 @@ object Jobs {
       case "MutualInfo" :: in :: out :: Nil => mutualInfo(spark, in, out)
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
+      case "GenerateFeedbackQueries" :: in :: out :: topics :: Nil =>
+        generateFeedbackQueries(spark, in, out, topics)
+      case "RunQueryWeighted" :: in :: out :: wtopics :: Nil =>
+        runQueryWeighted(spark, in, out, wtopics)
       case "RunQueryIndex" :: idx :: out :: topics :: Nil =>
         writeRun(Index.scoreFromIndex(Index.load(spark, idx),
           Topics.readPlain(spark, topics), Retrieval.lmdirPart,

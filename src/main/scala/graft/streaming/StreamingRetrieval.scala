@@ -1,0 +1,68 @@
+package graft.streaming
+
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming sequential-scan retrieval.
+  *
+  * The reference's MIREX model ("scan the whole collection, score all
+  * queries against each document", SURVEY §0) is embarrassingly
+  * streaming: each arriving document is scored against the broadcast
+  * query set independently. This module runs the SAME scoring
+  * expression strings as the batch engine over a document stream —
+  * collection statistics are provided (from a stats file or a prior
+  * batch pass), exactly like the reference's side-loaded stats jobs
+  * (`ClueWebRunQueriesSideLoad`).
+  *
+  * Scale: stateless per-document scoring (narrow ops + broadcast
+  * joins) until the final per-(qid, doc) aggregation, whose state is
+  * bounded by matched pairs in flight; rankings update as the corpus
+  * streams in (complete-mode top-k in the memory demo; at production
+  * scale, sink score rows and rank downstream).
+  */
+object StreamingRetrieval {
+
+  /** Score a (doc_id, text) document stream against (qid, term[, w…])
+    * queries with provided collection stats. Emits one row per
+    * (qid, doc_id) with the aggregated score — append-safe input side,
+    * aggregation runs in update/complete mode.
+    */
+  def scoreStream(docsStream: DataFrame, qAug: DataFrame, collLength: Long,
+                  nDocs: Long, partExpr: String, finalExpr: String): DataFrame = {
+    // tf is computed per-document from the token ARRAY (distinct terms
+    // + count-in-array), not via a groupBy — Structured Streaming
+    // forbids chained aggregations, and this keeps every operator
+    // before the final score aggregation narrow/stateless.
+    val tf = docsStream
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), "[^0-9a-z]+"), t => t =!= "").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), col("toks"),
+        explode(array_distinct(col("toks"))).as("term"))
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === col("term"))).cast("long"))
+      .drop("toks")
+    val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    tf
+      .join(broadcast(qAug), Seq("term"))
+      .join(broadcast(qlen), Seq("qid"))
+      .withColumn("n_tokens", lit(collLength))
+      .withColumn("n_docs", lit(nDocs))
+      .withColumn("part", expr(partExpr))
+      .groupBy("qid", "doc_id", "dl", "qlen")
+      .agg(sum("part").as("score_sum"))
+      .withColumn("score", expr(finalExpr))
+      .select("qid", "doc_id", "score")
+  }
+
+  /** Demo driver: stream into an in-memory sink in complete mode. */
+  def toMemory(scored: DataFrame, queryName: String): StreamingQuery =
+    scored.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

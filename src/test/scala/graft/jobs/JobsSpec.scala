@@ -59,6 +59,23 @@ class JobsSpec extends SparkSpec {
     assert(run.filter(_.startsWith("53:LMdi ")).nonEmpty)
   }
 
+  test("feedback loop: GenerateFeedbackQueries -> RunQueryWeighted") {
+    Jobs.anchorExtract(spark, warc, s"$work/anchors3")
+    Jobs.generateFeedbackQueries(spark, s"keyval:$work/anchors3",
+      s"$work/fb.topics", topics)
+    val fb = runLines(s"$work/fb.topics")
+    val q53 = fb.filter(_.startsWith("53\t"))
+    assert(q53.length == 1)
+    // RM3 keeps the original query terms with weight λ/qlen > 0
+    assert(q53.head.contains("discovery:"))
+
+    Jobs.runQueryWeighted(spark, s"keyval:$work/anchors3",
+      s"$work/rm3run", s"$work/fb.topics")
+    val run = runLines(s"$work/rm3run").filter(_.startsWith("53 Q0 "))
+    assert(run.nonEmpty)
+    assert(run.head.split(" ")(2) == "test2") // feedback keeps the true hit on top
+  }
+
   test("eval library: perfect run scores 1.0, judged against qrels file") {
     import spark.implicits._
     val qrelsPath = Files.createTempDirectory("qrels").toString
