@@ -362,6 +362,32 @@ object IrQueries {
         "\nSELECT qid, term, wn, frank FROM normed WHERE frank <= 10"),
       survey = Seq("RM1", "P11")),
 
+    // The TrecRunBaselines multi-model run (§3.2): all four models in
+    // one output, keyed by model — the reference's `qid:model` keying
+    // as a typed column.
+    Decl(
+      "ir26_baselines_grid",
+      (s, dir) => {
+        val models = Seq(
+          ("LMno", lmnoPart, lmnoFinal, true),
+          ("LMs", lmjmPart(), lmjmFinal, false),
+          ("LMdi", lmdirPart, lmdirFinal, false),
+          ("BM25", bm25Part, bm25Final, false))
+        models.map { case (name, part, fin, conj) =>
+          score(s, dir, part, fin, conj, 5).withColumn("model", lit(name))
+        }.reduce(_ unionByName _)
+      },
+      Some(Seq(
+        ("LMno", lmnoPart, lmnoFinal, true),
+        ("LMs", lmjmPart(), lmjmFinal, false),
+        ("LMdi", lmdirPart, lmdirFinal, false),
+        ("BM25", bm25Part, bm25Final, false))
+        .map { case (name, part, fin, conj) =>
+          s"SELECT *, '$name' AS model FROM (\n${duckScore(part, fin, conj, 5)}\n) t_$name"
+        }
+        .mkString("\nUNION ALL\n")),
+      survey = Seq("BASELINES-GRID")),
+
     // Weighted-topic retrieval (FIXTURES §4; RunQueryHBase weighted
     // reader :138-161, feedback-query consumption loop): per-term
     // weights multiply the Dirichlet contribution.

@@ -243,6 +243,20 @@ object RelationalQueries {
              |FROM e GROUP BY user_id""".stripMargin),
       survey = Seq("STREAM-STATE")),
 
+    // Hierarchical subtotals (beyond the reference — no grouping sets
+    // exist there, SURVEY §2.4; standard engine surface).
+    Decl(
+      "q15_rollup",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("cnt"),
+            expr(decSum("l_extendedprice")).as("sum_base")),
+      Some(s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+              |  ${decSum("l_extendedprice")} AS sum_base
+              |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      survey = Seq("ROLLUP")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
