@@ -146,6 +146,36 @@ object Jobs {
       .coalesce(1).write.mode("overwrite").text(out)
   }
 
+  /** Temporal KDE re-ranked retrieval (`RunQueryKDEHBase`): Dirichlet
+    * retrieval over a TREC-SGML collection, re-scored by a native
+    * Gaussian KDE over each query's top-k `<EPOCH>`s.
+    */
+  def runQueryKde(spark: SparkSession, trecIn: String, out: String,
+                  topics: String, k: Int = 100): Unit = {
+    val sgml = TrecSgml.read(spark, trecIn).cache()
+    val docs = sgml.select(col("docno").as("doc_id"), col("text"))
+    val ranked = Retrieval.scoreFor(docs, Topics.readPlain(spark, topics),
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, k)
+    val withEp = ranked.join(
+      sgml.select(col("docno").as("doc_id"),
+        coalesce(col("epoch"), lit(0L)).as("ep")), Seq("doc_id"))
+    writeRun(graft.temporal.Kde.rescore(withEp)
+      .withColumnRenamed("new_score", "score")
+      .withColumnRenamed("new_rank", "rank"), out, "graft-kde")
+  }
+
+  /** Format converters (`TrecToMallet` / `TrecToSequence` analogues;
+    * Parquet is the SequenceFile replacement per SURVEY §2.1 S12).
+    */
+  def trecToMallet(spark: SparkSession, trecIn: String, out: String): Unit =
+    TrecSgml.read(spark, trecIn)
+      .select(concat_ws("\t", col("docno"), lit("doc"),
+        regexp_replace(col("text"), "[\\n\\r\\t]+", " ")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+
+  def trecToParquet(spark: SparkSession, trecIn: String, out: String): Unit =
+    TrecSgml.read(spark, trecIn).write.mode("overwrite").parquet(out)
+
   /** RM3 feedback-query generation (the reference's
     * `GenerateFeedbackQueriesHBase` → weighted-topic file → rerun
     * loop, §3.3): initial Dirichlet retrieval, RM1 over the top
@@ -213,6 +243,10 @@ object Jobs {
       case "MutualInfo" :: in :: out :: Nil => mutualInfo(spark, in, out)
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
+      case "RunQueryKDE" :: in :: out :: topics :: Nil =>
+        runQueryKde(spark, in, out, topics)
+      case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)
+      case "TrecToParquet" :: in :: out :: Nil => trecToParquet(spark, in, out)
       case "GenerateFeedbackQueries" :: in :: out :: topics :: Nil =>
         generateFeedbackQueries(spark, in, out, topics)
       case "RunQueryWeighted" :: in :: out :: wtopics :: Nil =>

@@ -23,35 +23,21 @@ import org.apache.spark.sql.functions._
   */
 object TemporalQueries {
 
+  import graft.temporal.Kde
+
   private val epochExpr = "1700000000 + (doc_id % 365) * 86400"
-  private val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
-  private val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
-  private val rescoreExpr = "round(5e-1 * ln(kde) + 5e-1 * score, 6)"
-  private val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
+  private val kdeTerm = Kde.kdeTerm
+  private val kdeFinal = Kde.kdeFinal
+  private val rescoreExpr = Kde.rescoreExpr()
+  private val bwExpr = Kde.bwExpr
 
   val all: Seq[Decl] = Seq(
     Decl(
       "ir20_kde_rerank",
-      (s, dir) => {
-        val top = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
-          .withColumn("ep", expr(epochExpr))
-        val stats = top.groupBy("qid")
-          .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"))
-          .withColumn("bw", expr(bwExpr))
-        val kde = top.alias("a")
-          .join(top.alias("b").select(col("b.qid").as("qid"),
-            col("b.ep").as("ep2")), Seq("qid"))
-          .join(stats.select("qid", "bw", "k"), Seq("qid"))
-          .groupBy(col("qid"), col("a.doc_id").as("doc_id"), col("a.score").as("score"),
-            col("ep"), col("bw"), col("k"))
-          .agg(sum(expr(kdeTerm)).as("ksum"))
-          .withColumn("kde", expr(kdeFinal))
-        kde
-          .withColumn("new_score", expr(rescoreExpr))
-          .withColumn("new_rank",
-            expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
-          .select("qid", "doc_id", "new_score", "new_rank")
-      },
+      (s, dir) =>
+        Kde.rescore(
+          score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+            .withColumn("ep", expr(epochExpr))),
       Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
         s""",
            |top AS (SELECT qid, doc_id, score, $epochExpr AS ep

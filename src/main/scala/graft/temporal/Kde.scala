@@ -1,0 +1,48 @@
+package graft.temporal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Native Gaussian KDE temporal re-scoring (reference
+  * `RKernelDensity.java:22-69` + `RunQueryKDEHBase.java:82-113`,
+  * which round-trip each query's top-k epochs to an external R
+  * process; here it is pure column math per SURVEY §7.1 item 9).
+  *
+  * kde(e_j) = (1/(k·bw))·Σ_i φ((e_j − e_i)/bw) over the group's
+  * epochs; Silverman's-rule bandwidth (SJ-dpi needs an iterative
+  * solver — documented divergence; rank-level equivalence is the
+  * target); rescore = α·ln(kde) + (1−α)·score.
+  *
+  * Scale: the kernel matrix is k×k per query (k = top-k, bounded),
+  * partitioned by qid — independent of corpus size.
+  */
+object Kde {
+
+  val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
+  val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
+  val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
+  def rescoreExpr(alpha: String = "5e-1") =
+    s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
+
+  /** @param ranked (qid, doc_id, score, ep) rows — one per retained
+    *               result, `ep` an epoch-seconds long
+    * @return (qid, doc_id, new_score, new_rank)
+    */
+  def rescore(ranked: DataFrame, alpha: String = "5e-1"): DataFrame = {
+    val stats = ranked.groupBy("qid")
+      .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"))
+      .withColumn("bw", expr(bwExpr))
+    ranked.alias("a")
+      .join(ranked.alias("b").select(col("b.qid").as("qid"),
+        col("b.ep").as("ep2")), Seq("qid"))
+      .join(stats.select("qid", "bw", "k"), Seq("qid"))
+      .groupBy(col("qid"), col("a.doc_id").as("doc_id"),
+        col("a.score").as("score"), col("ep"), col("bw"), col("k"))
+      .agg(sum(expr(kdeTerm)).as("ksum"))
+      .withColumn("kde", expr(kdeFinal))
+      .withColumn("new_score", expr(rescoreExpr(alpha)))
+      .withColumn("new_rank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
+      .select("qid", "doc_id", "new_score", "new_rank")
+  }
+}

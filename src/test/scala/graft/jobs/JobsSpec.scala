@@ -76,6 +76,29 @@ class JobsSpec extends SparkSpec {
     assert(run.head.split(" ")(2) == "test2") // feedback keeps the true hit on top
   }
 
+  test("RunQueryKDE: SGML epochs drive the rerank; converters round-trip") {
+    val trecDir = Files.createTempDirectory("trec").toString
+    val docsSgml = (1 to 6).map { i =>
+      val ep = 1700000000L + i * 86400L
+      val words = if (i <= 3) "discovery channel store extra" else "other words here"
+      s"<DOC><DOCNO>D$i</DOCNO><EPOCH>$ep</EPOCH><TEXT>$words</TEXT></DOC>"
+    }.mkString("\n")
+    Files.writeString(Paths.get(trecDir, "c.trectext"), docsSgml)
+
+    Jobs.runQueryKde(spark, trecDir, s"$work/kderun", topics)
+    val run = runLines(s"$work/kderun").filter(_.startsWith("53 Q0 "))
+    assert(run.length == 3) // the three docs containing the q53 terms
+    assert(run.map(_.split(" ")(3)).sorted == Seq("1", "2", "3"))
+
+    Jobs.trecToMallet(spark, trecDir, s"$work/mallet")
+    val mallet = runLines(s"$work/mallet")
+    assert(mallet.length == 6)
+    assert(mallet.forall(_.split("\t").length == 3))
+
+    Jobs.trecToParquet(spark, trecDir, s"$work/trecpq")
+    assert(spark.read.parquet(s"$work/trecpq").count() == 6)
+  }
+
   test("eval library: perfect run scores 1.0, judged against qrels file") {
     import spark.implicits._
     val qrelsPath = Files.createTempDirectory("qrels").toString
