@@ -26,6 +26,8 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        sys.props("java.io.tmpdir") + "/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's µs-based
       // TimestampType cannot scan ([PARQUET_TYPE_ILLEGAL]); read the raw
       // int64 and convert with `timestamp_micros(ts div 1000)` (floor —
