@@ -58,6 +58,49 @@ object TemporalQueries {
            |  row_number() OVER (PARTITION BY qid
            |    ORDER BY $rescoreExpr DESC, doc_id) AS new_rank
            |FROM rescored""".stripMargin),
-      survey = Seq("KDE"))
+      survey = Seq("KDE")),
+
+    // α-sweep over the KDE mix (RunQueryKDEHBase.java:30): density
+    // computed once, top-3 per (qid, α).
+    Decl(
+      "ir27_kde_alpha_sweep",
+      (s, dir) => {
+        val grid = s.range(0, 5).select(
+          (col("id").cast("double") * 0.2 + 0.1).as("alpha"))
+        Kde.rescoreSweep(
+          score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+            .withColumn("ep", expr(epochExpr)),
+          grid)
+          .filter(col("new_rank") <= 3)
+      },
+      Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
+        s""",
+           |top AS (SELECT qid, doc_id, score, $epochExpr AS ep
+           |        FROM ranked WHERE rank <= 10),
+           |stats AS (SELECT qid, stddev_samp(ep) AS sd, count(*) AS k
+           |          FROM top GROUP BY qid),
+           |bws AS (SELECT qid, k, $bwExpr AS bw FROM stats),
+           |kdes AS (
+           |  SELECT a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k,
+           |         sum($kdeTerm) AS ksum
+           |  FROM top a
+           |  JOIN (SELECT qid, ep AS ep2 FROM top) b USING (qid)
+           |  JOIN bws USING (qid)
+           |  GROUP BY a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k),
+           |dens AS (SELECT qid, doc_id, score, $kdeFinal AS kde FROM kdes),
+           |grid AS (SELECT unnest([0,1,2,3,4]) * CAST(0.2 AS DOUBLE)
+           |         + CAST(0.1 AS DOUBLE) AS alpha),
+           |mixed AS (
+           |  SELECT qid, alpha, doc_id,
+           |         ${Kde.rescoreExpr("alpha")} AS new_score
+           |  FROM dens CROSS JOIN grid),
+           |rr AS (
+           |  SELECT qid, alpha, doc_id, new_score,
+           |         row_number() OVER (PARTITION BY qid, alpha
+           |           ORDER BY new_score DESC, doc_id) AS new_rank
+           |  FROM mixed)
+           |SELECT qid, alpha, doc_id, new_score, new_rank
+           |FROM rr WHERE new_rank <= 3""".stripMargin),
+      survey = Seq("KDE", "GRID"))
   )
 }

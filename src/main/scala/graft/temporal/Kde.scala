@@ -24,11 +24,8 @@ object Kde {
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
 
-  /** @param ranked (qid, doc_id, score, ep) rows — one per retained
-    *               result, `ep` an epoch-seconds long
-    * @return (qid, doc_id, new_score, new_rank)
-    */
-  def rescore(ranked: DataFrame, alpha: String = "5e-1"): DataFrame = {
+  /** Density per result row: (qid, doc_id, score, kde). */
+  def withDensity(ranked: DataFrame): DataFrame = {
     val stats = ranked.groupBy("qid")
       .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"))
       .withColumn("bw", expr(bwExpr))
@@ -40,9 +37,28 @@ object Kde {
         col("a.score").as("score"), col("ep"), col("bw"), col("k"))
       .agg(sum(expr(kdeTerm)).as("ksum"))
       .withColumn("kde", expr(kdeFinal))
+      .select("qid", "doc_id", "score", "kde")
+  }
+
+  /** @param ranked (qid, doc_id, score, ep) rows — one per retained
+    *               result, `ep` an epoch-seconds long
+    * @return (qid, doc_id, new_score, new_rank)
+    */
+  def rescore(ranked: DataFrame, alpha: String = "5e-1"): DataFrame =
+    withDensity(ranked)
       .withColumn("new_score", expr(rescoreExpr(alpha)))
       .withColumn("new_rank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
       .select("qid", "doc_id", "new_score", "new_rank")
-  }
+
+  /** α-sweep rescoring (`RunQueryKDEHBase.java:30` sweeps α 0.1..0.9):
+    * the k×k density is computed ONCE, the α grid only re-mixes it.
+    */
+  def rescoreSweep(ranked: DataFrame, alphas: DataFrame): DataFrame =
+    withDensity(ranked)
+      .crossJoin(broadcast(alphas))
+      .withColumn("new_score", expr(rescoreExpr("alpha")))
+      .withColumn("new_rank",
+        expr("row_number() OVER (PARTITION BY qid, alpha ORDER BY new_score DESC, doc_id)"))
+      .select("qid", "alpha", "doc_id", "new_score", "new_rank")
 }
