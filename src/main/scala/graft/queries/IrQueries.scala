@@ -494,6 +494,50 @@ object IrQueries {
       },
       survey = Seq("A7", "P9")),
 
+    // RM3 sweep (GenerateFeedbackQueriesHBase.java:56-59 sweeps
+    // fbTerms and λ): RM1 weights are computed ONCE; each grid point
+    // only re-clips and re-interpolates (the reference recomputes the
+    // whole model per cell).
+    Decl(
+      "ir28_rm3_sweep",
+      (s, dir) => {
+        import s.implicits._
+        val rm1 = rm1Spark(s, dir).select("qid", "term", "w", "frank")
+        val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("qid", "term")
+        val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+        val qq = q.join(qlen, Seq("qid"))
+        val grid = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
+        grid.map { case (ft, lam) =>
+          val clip = rm1.filter(col("frank") <= ft)
+          val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
+          val clipn = clip.join(cliptot, Seq("qid"))
+            .select(col("qid"), col("term"), expr("w / cliptot").as("wc"))
+          qq.join(clipn, Seq("qid", "term"), "full_outer")
+            .select(col("qid"), lit(ft).as("fb_terms"),
+              expr(s"CAST($lam AS DOUBLE)").as("lam"), col("term"),
+              expr(s"round(coalesce($lam * (1e0 / qlen), 0) + coalesce((1 - $lam) * wc, 0), 6)")
+                .as("w3"))
+        }.reduce(_ unionByName _)
+      },
+      Some {
+        val branches = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
+          .map { case (ft, lam) =>
+            s"""SELECT qid, $ft AS fb_terms, CAST($lam AS DOUBLE) AS lam, term,
+               |  round(coalesce($lam * (1e0 / qlen), 0) + coalesce((1 - $lam) * wc, 0), 6) AS w3
+               |FROM qq FULL JOIN (
+               |  SELECT qid, term, w / cliptot AS wc
+               |  FROM (SELECT qid, term, w FROM normed WHERE frank <= $ft) c
+               |  JOIN (SELECT qid, sum(w) AS cliptot FROM normed
+               |        WHERE frank <= $ft GROUP BY qid) ct USING (qid)
+               |) clipn USING (qid, term)""".stripMargin
+          }
+        duckRm1Ctes +
+          ",\nqq AS (SELECT q.qid, q.term, qlen.qlen FROM q JOIN qlen USING (qid))\n" +
+          branches.mkString("\nUNION ALL\n")
+      },
+      survey = Seq("RM3", "GRID")),
+
     // RM3 interpolation λ·q + (1−λ)·RM1clip, λ=0.5
     // (FeatureVector.interpolate:173-190, clip:66-84, normalize:86-107).
     Decl(
