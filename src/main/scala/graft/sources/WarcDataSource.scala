@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 provider for WARC files: `spark.read.format("warc")
+  * .load(path)` (SURVEY §2.1 S1's DSv2 option; parser shared with
+  * [[Warc]]).
+  *
+  * One InputPartition per file — the correct granularity for a
+  * non-splittable gzipped container: a 100 TB crawl of ~1 GB WARC
+  * files yields ~100k parallel partitions, and Spark schedules them
+  * like any other scan. Pushdown is structurally impossible for this
+  * format (whole-file framing), so the ScanBuilder is deliberately
+  * plain; column pruning still happens in the Project above the scan.
+  *
+  * Local-filesystem paths (file:// or bare). A production build would
+  * thread the Hadoop configuration through a SerializableConfiguration
+  * for HDFS/S3 — the connector surface is identical.
+  */
+class WarcDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "warc"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WarcDataSource.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new WarcTable(properties.get("path"))
+}
+
+object WarcDataSource {
+  val schema: StructType = StructType(Seq(
+    StructField("recordType", StringType),
+    StructField("targetUri", StringType),
+    StructField("trecId", StringType),
+    StructField("date", StringType),
+    StructField("contentType", StringType),
+    StructField("headers", MapType(StringType, StringType)),
+    StructField("content", StringType)))
+
+  /** Expand a path spec (file or directory) into concrete files. */
+  def listFiles(path: String): Seq[String] = {
+    val f = new java.io.File(path.stripPrefix("file:"))
+    if (f.isDirectory)
+      f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
+    else Seq(f.getAbsolutePath)
+  }
+}
+
+final class WarcTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"warc:$path"
+  override def schema(): StructType = WarcDataSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = WarcDataSource.schema
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] =
+        WarcDataSource.listFiles(path).map(WarcFilePartition(_): InputPartition)
+          .toArray
+      override def createReaderFactory(): PartitionReaderFactory =
+        new WarcReaderFactory
+    }
+}
+
+final case class WarcFilePartition(file: String) extends InputPartition
+
+final class WarcReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[WarcFilePartition].file
+    new PartitionReader[InternalRow] {
+      private val it = Warc
+        .parseRecords(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(file)))
+        .iterator
+      private var cur: WarcDoc = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = {
+        def s(v: String) = UTF8String.fromString(v)
+        // one entry traversal for both arrays — mapping `Map.keys` (a
+        // Set) to UTF8String would re-hash and scramble the key order
+        // independently of the values
+        val kvs = cur.headers.toArray
+        val keys = new GenericArrayData(kvs.map(kv => s(kv._1): Any))
+        val vals = new GenericArrayData(kvs.map(kv => s(kv._2): Any))
+        InternalRow(s(cur.recordType), s(cur.targetUri), s(cur.trecId),
+          s(cur.date), s(cur.contentType), new ArrayBasedMapData(keys, vals),
+          s(cur.content))
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -55,6 +55,21 @@ class WarcSpec extends SparkSpec {
     assert(pairs.last._2 == " MIREX  rocks")
   }
 
+  test("DSv2: spark.read.format(\"warc\") matches the programmatic reader") {
+    val viaDsv2 = spark.read.format("warc").load(resource("test.warc.gz"))
+      .collect()
+    assert(viaDsv2.length == 4)
+    val dsv2Set = viaDsv2.map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(6).length)).toSet
+    val apiSet = all.map(d => (d.recordType, d.targetUri, d.trecId,
+      d.content.length)).toSet
+    assert(dsv2Set == apiSet)
+    // headers survive as a typed map column
+    val hm = viaDsv2.find(_.getString(2) == "test1").get
+      .getMap[String, String](5)
+    assert(hm("WARC-Type") == "response")
+  }
+
   test("anchor job: anchors reach their target TREC docs") {
     val out = AnchorExtractJob.run(spark, resource("test.warc.gz"))
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
