@@ -1,0 +1,65 @@
+package graft
+
+import graft.ir.Retrieval
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input robustness: empty corpora, all-stopword docs,
+  * unmatched queries — paths a 100 TB pipeline hits daily (empty
+  * partitions, filtered-out shards) and must survive quietly.
+  */
+class EdgeCaseSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("retrieval on an empty corpus returns empty, not an error") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val q = Seq(("q1", "spark")).toDF("qid", "term")
+    assert(Retrieval.scoreFor(docs, q, Retrieval.lmdirPart,
+      Retrieval.lmdirFinal, conjunctive = false, 10).count() == 0)
+  }
+
+  test("query with no matching terms yields no results (zero-floor)") {
+    val docs = Seq((1L, "spark join window")).toDF("doc_id", "text")
+    val q = Seq(("q1", "zzzznotaword")).toDF("qid", "term")
+    assert(Retrieval.scoreFor(docs, q, Retrieval.bm25Part,
+      Retrieval.bm25Final, conjunctive = false, 10).count() == 0)
+  }
+
+  test("docs of only separators tokenize to nothing and drop out") {
+    val docs = Seq((1L, "!!! ... ---"), (2L, "real words here"))
+      .toDF("doc_id", "text")
+    val toks = TextOps.tokens(docs)
+    assert(toks.filter(col("doc_id") === 1).count() == 0)
+    assert(TextOps.docLengths(docs).filter(col("doc_id") === 1)
+      .head().getLong(1) == 0L)
+  }
+
+  test("shingles/minhash path survives empty and sub-k docs") {
+    val docs = Seq((1L, ""), (2L, "one two"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+    val sh = TextOps.shingleRows(docs, 3).collect()
+    assert(sh.map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("eval metrics on a query with zero relevant docs stay defined") {
+    val results = Seq(("q1", "d1", 1), ("q1", "d2", 2))
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q2", "dx", 1)).toDF("qid", "doc_id", "rel")
+    val m = graft.eval.Eval.metrics(results, qrels).head()
+    assert(m.getAs[Double]("recall") == 0.0)
+    assert(m.getAs[Double]("ap") == 0.0)
+    assert(!m.anyNull)
+  }
+
+  test("kde rescore with a single result per query (sd undefined) holds") {
+    val ranked = Seq(("q1", 7L, -3.5, 1700000000L))
+      .toDF("qid", "doc_id", "score", "ep")
+    val out = graft.temporal.Kde.rescore(ranked).collect()
+    assert(out.length == 1)
+    // stddev of one row is NULL; greatest(…, 1.0) must rescue the
+    // bandwidth so the score stays finite
+    assert(!out.head.isNullAt(2) && !out.head.getDouble(2).isNaN)
+    assert(out.head.getInt(3) == 1)
+  }
+}
