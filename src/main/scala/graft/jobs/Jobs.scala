@@ -110,11 +110,21 @@ object Jobs {
     writeRun(ranked, out, "graft-baselines")
   }
 
-  def wordCount(spark: SparkSession, in: String, out: String): Unit =
-    TextOps.tokens(loadDocs(spark, in))
+  /** Word count with optional skip-pattern scrubbing (P12,
+    * `edu/gslis/hadoop/WordCount.java:36-66`: configured regexes are
+    * removed from the text before counting).
+    */
+  def wordCount(spark: SparkSession, in: String, out: String,
+                skipPatterns: Seq[String] = Nil): Unit = {
+    val docs = loadDocs(spark, in)
+    val scrubbed = skipPatterns.foldLeft(docs) { (df, pat) =>
+      df.withColumn("text", regexp_replace(col("text"), pat, " "))
+    }
+    TextOps.tokens(scrubbed)
       .groupBy("term").agg(count(lit(1)).as("n"))
       .select(concat_ws("\t", col("term"), col("n")).as("value"))
       .coalesce(1).write.mode("overwrite").text(out)
+  }
 
   def collectionStats(spark: SparkSession, in: String, out: String): Unit = {
     val tf = TextOps.termFreqs(loadDocs(spark, in))
@@ -238,7 +248,7 @@ object Jobs {
         queryTermCount(spark, in, out, topics)
       case "TrecRunBaselines" :: in :: out :: aug :: Nil =>
         trecRunBaselines(spark, in, out, aug)
-      case "WordCount" :: in :: out :: Nil => wordCount(spark, in, out)
+      case "WordCount" :: in :: out :: rest => wordCount(spark, in, out, rest)
       case "CollectionStats" :: in :: out :: Nil => collectionStats(spark, in, out)
       case "MutualInfo" :: in :: out :: Nil => mutualInfo(spark, in, out)
       case "IndexDocVectors" :: in :: out :: Nil =>

@@ -243,6 +243,30 @@ object RelationalQueries {
              |FROM e GROUP BY user_id""".stripMargin),
       survey = Seq("STREAM-STATE")),
 
+    // Explicit window frame: running order count + exact running
+    // revenue per customer (frames beyond the default appear nowhere
+    // else in the gated surface).
+    Decl(
+      "q16_running_sum",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .withColumn("run_n", expr(
+            "count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey" +
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+          .withColumn("run_rev", expr(
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))" +
+              " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey" +
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+          .select("o_custkey", "o_orderkey", "run_n", "run_rev"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n,
+             |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev
+             |FROM orders""".stripMargin),
+      survey = Seq("WINDOW-FRAME")),
+
     // Hierarchical subtotals (beyond the reference — no grouping sets
     // exist there, SURVEY §2.4; standard engine surface).
     Decl(
