@@ -109,6 +109,33 @@ object PipelineQueries {
        |sim AS (SELECT doc_id, $packed AS simhash FROM votes)""".stripMargin
   }
 
+  /** LSH banding candidates (4 bands × 4 rows over the 16 minhashes):
+    * (d1, d2) pairs sharing a full band signature.
+    */
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val bands = minhashDf(s, dir)
+      .withColumn("band", expr("i div 4"))
+      .groupBy("doc_id", "band")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
+          " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  private val duckLshCtes: String =
+    s"""$duckMinhash,
+       |bands AS (SELECT doc_id, i // 4 AS band,
+       |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+       |          FROM mh GROUP BY doc_id, i // 4),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |         FROM bands a JOIN bands b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
   /** Embedding long form for the oracle: (vid, i, x). */
   private def duckEmb(filter: String): String =
     s"""(SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS i,
@@ -152,28 +179,55 @@ object PipelineQueries {
     // count ∝ collisions, never n².
     Decl(
       "px03_lsh_candidates",
-      (s, dir) => {
-        val bands = minhashDf(s, dir)
-          .withColumn("band", expr("i div 4"))
-          .groupBy("doc_id", "band")
-          .agg(expr(
-            "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
-              " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
-        bands.alias("a")
-          .join(bands.alias("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-      },
-      Some(s"""WITH $duckMinhash,
-              |bands AS (SELECT doc_id, i // 4 AS band,
-              |            string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
-              |          FROM mh GROUP BY doc_id, i // 4)
-              |SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-              |FROM bands a JOIN bands b
-              |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin),
+      (s, dir) => lshCandidates(s, dir),
+      Some(s"WITH $duckLshCtes\nSELECT d1, d2 FROM cand"),
       survey = Seq("DEDUP-LSH")),
+
+    // Dedup cluster assignment: iterative min-label propagation over
+    // the LSH candidate graph (3 fixed rounds — enough for the small
+    // near-dup components LSH emits; a production run iterates to a
+    // fixpoint). The connected-components step every dedup pipeline
+    // needs between candidate generation and survivor selection; pure
+    // joins + min aggregations, shuffle keyed on doc_id each round.
+    Decl(
+      "px19_dup_clusters",
+      (s, dir) => {
+        val edges = lshCandidates(s, dir)
+        val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
+          .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
+        var labels = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("doc_id").as("lbl"))
+        for (_ <- 1 to 3) {
+          val nbrMin = bi
+            .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+              Seq("other"))
+            .groupBy(col("node").as("doc_id"))
+            .agg(min("olbl").as("nm"))
+          labels = labels.join(nbrMin, Seq("doc_id"), "left")
+            .select(col("doc_id"),
+              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        }
+        labels.select(col("doc_id"), col("lbl").as("cluster"))
+      },
+      Some {
+        def step(prev: String, cur: String) =
+          s"""$cur AS (
+             |  SELECT p.doc_id,
+             |         least(p.lbl, coalesce(min(lx.lbl), p.lbl)) AS lbl
+             |  FROM $prev p
+             |  LEFT JOIN bi ON p.doc_id = bi.node
+             |  LEFT JOIN $prev lx ON bi.other = lx.doc_id
+             |  GROUP BY p.doc_id, p.lbl)"""
+        s"""WITH $duckLshCtes,
+           |bi AS (SELECT d1 AS node, d2 AS other FROM cand
+           |       UNION ALL SELECT d2, d1 FROM cand),
+           |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+           |${step("l0", "l1")},
+           |${step("l1", "l2")},
+           |${step("l2", "l3")}
+           |SELECT doc_id, lbl AS cluster FROM l3""".stripMargin
+      },
+      survey = Seq("DEDUP-CLUSTER")),
 
     // n-gram Jaccard: top-20 most-similar doc pairs by shingle-hash
     // Jaccard (the verification kernel the LSH candidates feed at
