@@ -516,6 +516,60 @@ object PipelineQueries {
               |  ON d.doc_id = t.doc_id""".stripMargin),
       survey = Seq("TEXT-LANGID")),
 
+    // Language-ID, n-gram profile method: learn top-5 char trigrams
+    // per language from the labeled corpus, predict by profile-overlap
+    // vote. Two aggregation passes + a broadcast profile join — the
+    // textbook scalable langid shape (profiles are tiny, the corpus
+    // side streams).
+    Decl(
+      "px20_langid_ngram",
+      (s, dir) => {
+        val grams = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr(
+              "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2)," +
+                " i -> substring(t, i, 3)) ELSE array() END")).as("g"))
+        val profiles = grams.groupBy("lang", "g")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("r",
+            expr("row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g)"))
+          .filter(col("r") <= 5)
+          .select(col("lang").as("plang"), col("g"))
+        val votes = grams.select("doc_id", "g")
+          .join(broadcast(profiles), Seq("g"))
+          .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+          .withColumn("rr",
+            expr("row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang)"))
+          .filter(col("rr") === 1)
+        Tables(s, dir, "documents").select("doc_id")
+          .join(votes.select("doc_id", "plang", "score"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"),
+            coalesce(col("score"), lit(0L)).as("score"))
+      },
+      Some("""WITH grams AS (
+             |  SELECT doc_id, lang, unnest(
+             |    CASE WHEN length(t) >= 3 THEN list_transform(
+             |      generate_series(1, length(t) - 2), i -> substring(t, i, 3))
+             |    ELSE [] END) AS g
+             |  FROM (SELECT doc_id, lang, lower(text) AS t FROM documents) d),
+             |profiles AS (
+             |  SELECT lang AS plang, g FROM (
+             |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+             |      ORDER BY count(*) DESC, g) AS r
+             |    FROM grams GROUP BY lang, g) p WHERE r <= 5),
+             |votes AS (
+             |  SELECT doc_id, plang, score FROM (
+             |    SELECT doc_id, plang, count(*) AS score,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY count(*) DESC, plang) AS rr
+             |    FROM grams JOIN profiles USING (g)
+             |    GROUP BY doc_id, plang) v WHERE rr = 1)
+             |SELECT d.doc_id, coalesce(v.plang, 'und') AS pred_lang,
+             |  coalesce(v.score, 0) AS score
+             |FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id""".stripMargin),
+      survey = Seq("TEXT-LANGID-NGRAM")),
+
     // Quality scoring: type-token ratio + stopword ratio composite.
     Decl(
       "px11_quality",
