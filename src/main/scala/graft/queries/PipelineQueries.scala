@@ -136,6 +136,51 @@ object PipelineQueries {
        |         FROM bands a JOIN bands b
        |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Min-label propagation over the LSH candidate graph, 3 fixed
+    * rounds: (doc_id, lbl) — lbl is the component-minimum doc_id for
+    * the small components LSH emits.
+    */
+  private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = lshCandidates(s, dir)
+    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
+      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
+    var labels = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to 3) {
+      val nbrMin = bi
+        .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+          Seq("other"))
+        .groupBy(col("node").as("doc_id"))
+        .agg(min("olbl").as("nm"))
+      labels = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+    }
+    labels
+  }
+
+  /** Oracle CTE chain through `l3` (the 3-round labels) + a caller-
+    * supplied final SELECT.
+    */
+  private def duckDupClustersSql(finalSelect: String): String = {
+    def step(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT p.doc_id,
+         |         least(p.lbl, coalesce(min(lx.lbl), p.lbl)) AS lbl
+         |  FROM $prev p
+         |  LEFT JOIN bi ON p.doc_id = bi.node
+         |  LEFT JOIN $prev lx ON bi.other = lx.doc_id
+         |  GROUP BY p.doc_id, p.lbl)"""
+    s"""WITH $duckLshCtes,
+       |bi AS (SELECT d1 AS node, d2 AS other FROM cand
+       |       UNION ALL SELECT d2, d1 FROM cand),
+       |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+       |${step("l0", "l1")},
+       |${step("l1", "l2")},
+       |${step("l2", "l3")}
+       |$finalSelect""".stripMargin
+  }
+
   /** Embedding long form for the oracle: (vid, i, x). */
   private def duckEmb(filter: String): String =
     s"""(SELECT vec_id AS vid, generate_subscripts(embedding, 1) AS i,
@@ -191,43 +236,27 @@ object PipelineQueries {
     // joins + min aggregations, shuffle keyed on doc_id each round.
     Decl(
       "px19_dup_clusters",
-      (s, dir) => {
-        val edges = lshCandidates(s, dir)
-        val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
-          .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
-        var labels = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("doc_id").as("lbl"))
-        for (_ <- 1 to 3) {
-          val nbrMin = bi
-            .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
-              Seq("other"))
-            .groupBy(col("node").as("doc_id"))
-            .agg(min("olbl").as("nm"))
-          labels = labels.join(nbrMin, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
-        }
-        labels.select(col("doc_id"), col("lbl").as("cluster"))
-      },
-      Some {
-        def step(prev: String, cur: String) =
-          s"""$cur AS (
-             |  SELECT p.doc_id,
-             |         least(p.lbl, coalesce(min(lx.lbl), p.lbl)) AS lbl
-             |  FROM $prev p
-             |  LEFT JOIN bi ON p.doc_id = bi.node
-             |  LEFT JOIN $prev lx ON bi.other = lx.doc_id
-             |  GROUP BY p.doc_id, p.lbl)"""
-        s"""WITH $duckLshCtes,
-           |bi AS (SELECT d1 AS node, d2 AS other FROM cand
-           |       UNION ALL SELECT d2, d1 FROM cand),
-           |l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
-           |${step("l0", "l1")},
-           |${step("l1", "l2")},
-           |${step("l2", "l3")}
-           |SELECT doc_id, lbl AS cluster FROM l3""".stripMargin
-      },
+      (s, dir) =>
+        dupClusters(s, dir).select(col("doc_id"), col("lbl").as("cluster")),
+      Some(duckDupClustersSql("SELECT doc_id, lbl AS cluster FROM l3")),
       survey = Seq("DEDUP-CLUSTER")),
+
+    // Dedup survivor selection: the final pipeline step — keep the
+    // min-id doc of every cluster, count what each survivor absorbs.
+    // (candidates → clusters → survivors; at 100 TB the drop set joins
+    // back against the corpus as an anti-join filter.)
+    Decl(
+      "px21_dedup_survivors",
+      (s, dir) => {
+        dupClusters(s, dir)
+          .groupBy(col("lbl").as("cluster"))
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
+          .filter(col("n_members") > 1)
+      },
+      Some(duckDupClustersSql(
+        "SELECT lbl AS cluster, min(doc_id) AS keeper, count(*) AS n_members " +
+          "FROM l3 GROUP BY lbl HAVING count(*) > 1")),
+      survey = Seq("DEDUP-SURVIVOR")),
 
     // n-gram Jaccard: top-20 most-similar doc pairs by shingle-hash
     // Jaccard (the verification kernel the LSH candidates feed at
