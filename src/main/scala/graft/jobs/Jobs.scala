@@ -239,6 +239,20 @@ object Jobs {
         conjunctive = false, TopK),
       out, "graft-rm3")
 
+  /** Exact-dedup a corpus: keep the min-id doc per content hash,
+    * write the deduplicated corpus as parquet (the LSH/near-dup
+    * variants are the px02/px03/px19/px21 query pipeline).
+    */
+  def dedupCorpus(spark: SparkSession, in: String, out: String): Unit = {
+    val docs = loadDocs(spark, in)
+    val keepers = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    docs.join(keepers, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     try args.toList match {
@@ -253,6 +267,7 @@ object Jobs {
       case "MutualInfo" :: in :: out :: Nil => mutualInfo(spark, in, out)
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
+      case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "RunQueryKDE" :: in :: out :: topics :: Nil =>
         runQueryKde(spark, in, out, topics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)

@@ -750,6 +750,81 @@ object PipelineQueries {
              |FROM scored WHERE score >= 100 GROUP BY w""".stripMargin),
       survey = Seq("A8", "KBA")),
 
+    // BPE-style merge induction, step 1: the most frequent ADJACENT
+    // token pairs (the statistic every tokenizer-training pipeline
+    // computes first). Adjacency via a positional self-join per doc.
+    Decl(
+      "px22_bpe_merges",
+      (s, dir) => {
+        val pt = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(expr(
+              "filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')"))
+              .as(Seq("pos", "term")))
+        pt.alias("a")
+          .join(pt.alias("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("a.pos") + 1 === col("b.pos"))
+          .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+          .limit(20)
+      },
+      Some(s"""WITH $duckToksList,
+              |pt AS (SELECT doc_id, unnest(tk) AS term,
+              |         generate_subscripts(tk, 1) AS pos FROM tk)
+              |SELECT a.term AS w1, b.term AS w2, count(*) AS cnt
+              |FROM pt a JOIN pt b
+              |  ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+              |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin),
+      survey = Seq("TEXT-BPE")),
+
+    // Corpus length profiling: 100-char histogram buckets + exact
+    // per-bucket token mass (integer arithmetic only).
+    Decl(
+      "px23_length_histogram",
+      (s, dir) =>
+        TextOps.docLengths(Tables(s, dir, "documents"))
+          .join(Tables(s, dir, "documents").select("doc_id", "n_chars"),
+            Seq("doc_id"))
+          .groupBy(expr("(n_chars div 100) * 100").as("bucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(dl) AS BIGINT)").as("n_tokens")),
+      Some(s"""WITH dl AS (${TextOps.duckDocLengths})
+              |SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n_docs,
+              |  CAST(sum(dl) AS BIGINT) AS n_tokens
+              |FROM dl JOIN documents USING (doc_id)
+              |GROUP BY 1""".stripMargin),
+      survey = Seq("TEXT-PROFILE")),
+
+    // Train/test contamination: corpus docs sharing a 5-token shingle
+    // with the benchmark set (doc_id < 50) — the overlap sweep every
+    // LLM data pipeline runs before training. Hash-shingle semi-join;
+    // at 100 TB the benchmark side is the broadcast side.
+    Decl(
+      "px24_contamination",
+      (s, dir) => {
+        val sh = TextOps.shingleRows(Tables(s, dir, "documents"), 5)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+        val bench = sh.filter(col("doc_id") < 50)
+          .select(col("sh")).distinct()
+        sh.filter(col("doc_id") >= 50)
+          .join(broadcast(bench), Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(s"""WITH $duckToksList,
+              |sh AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(tk) - 4, 0)),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+              |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+              |hs AS (SELECT doc_id, ${H("s")} AS sh FROM sh),
+              |bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id < 50)
+              |SELECT doc_id, count(*) AS n_shared
+              |FROM hs JOIN bench USING (sh)
+              |WHERE doc_id >= 50 GROUP BY doc_id""".stripMargin),
+      survey = Seq("TEXT-CONTAMINATION")),
+
     // Multimodal metadata: documents as opaque binary blobs with typed,
     // deterministic pseudo-decoded metadata (real decode is stubbed —
     // see graft.multimodal; the Spark-side schema/plumbing is what runs

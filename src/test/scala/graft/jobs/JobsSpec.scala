@@ -99,6 +99,18 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/trecpq").count() == 6)
   }
 
+  test("DedupCorpus drops exact duplicates, keeps min-id survivor") {
+    val kvDir = Files.createTempDirectory("kv").toString
+    Files.writeString(Paths.get(kvDir, "docs.tsv"),
+      "d1\thttp://a\tsame text here\n" +
+        "d2\thttp://b\tsame text here\n" +
+        "d3\thttp://c\tunique text\n")
+    Jobs.dedupCorpus(spark, s"keyval:$kvDir", s"$work/deduped")
+    val kept = spark.read.parquet(s"$work/deduped")
+      .select("doc_id").collect().map(_.getString(0)).sorted
+    assert(kept.toSeq == Seq("d1", "d3"))
+  }
+
   test("eval library: perfect run scores 1.0, judged against qrels file") {
     import spark.implicits._
     val qrelsPath = Files.createTempDirectory("qrels").toString
