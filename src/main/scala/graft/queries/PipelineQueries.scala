@@ -507,6 +507,51 @@ object PipelineQueries {
               |  FROM cosv) r WHERE rank <= 5""".stripMargin),
       survey = Seq("SIM-IVF")),
 
+    // Embedding int8 quantization: per-vector symmetric scale
+    // (max |x| / 127), quantized array output — the storage-side op of
+    // every large ANN index build. Integer outputs are exact; the
+    // scale rounds like every other irrational.
+    Decl(
+      "px25_quantize_int8",
+      (s, dir) =>
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr("aggregate(embedding, CAST(0 AS DOUBLE)," +
+              " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("mx"))
+          .join(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+            Seq("vec_id"))
+          .select(col("vec_id"),
+            expr("round(mx / 127, 6)").as("scale"),
+            expr("transform(embedding," +
+              " x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT))")
+              .as("qvec")),
+      Some("""SELECT vec_id, round(mx / 127, 6) AS scale,
+             |  list_transform(embedding,
+             |    x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT)) AS qvec
+             |FROM (SELECT vec_id, embedding,
+             |        list_aggregate(list_transform(embedding,
+             |          x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+             |      FROM embeddings) t""".stripMargin),
+      survey = Seq("EMB-QUANTIZE")),
+
+    // Deterministic stratified sampling: top-20 docs per language by
+    // hash order — reproducible downsampling, the mixing/sampling op
+    // of dataset curation (hash order ≡ uniform, and replayable).
+    Decl(
+      "px26_stratified_sample",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("hk", DetHash.h60(expr("CAST(doc_id AS STRING)")))
+          .withColumn("r",
+            expr("row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)"))
+          .filter(col("r") <= 20)
+          .select("lang", "doc_id", "r"),
+      Some(s"""SELECT lang, doc_id, r FROM (
+              |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+              |    ORDER BY ${H("CAST(doc_id AS VARCHAR)")}, doc_id) AS r
+              |  FROM documents) t WHERE r <= 20""".stripMargin),
+      survey = Seq("SAMPLE-STRATIFIED")),
+
     // ---- text analysis ----
 
     // Language-ID by marker-token vote (n-gram-profile stand-in with a

@@ -26,6 +26,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact-dedup: dropDuplicates on a doc stream") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs3").toString
+    Files.copy(Paths.get(s"$sfTiny/documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$sfTiny/documents.parquet").schema
+    val q = spark.readStream.schema(schema).parquet(dir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .dropDuplicates("h")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dd_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedDistinct = spark.table("dd_out").count()
+    val batchDistinct = spark.read.parquet(s"$sfTiny/documents.parquet")
+      .select(md5(col("text"))).distinct().count()
+    assert(streamedDistinct == batchDistinct)
+  }
+
   test("stateful sessionization: closed sessions == batch sessions - open tail") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("events2").toString
