@@ -297,6 +297,63 @@ object PipelineQueries {
               |ORDER BY jac DESC, d1, d2 LIMIT 20""".stripMargin),
       survey = Seq("DEDUP-JACCARD")),
 
+    // MinHash Jaccard ESTIMATE vs exact, per LSH candidate pair: the
+    // estimator quality check (est = matching signature components /
+    // 16) run entirely in-engine — integer ratios, fully exact.
+    Decl(
+      "px27_minhash_estimate",
+      (s, dir) => {
+        val cands = lshCandidates(s, dir)
+        val mh = minhashDf(s, dir)
+        val agree = cands
+          .join(mh.select(col("doc_id").as("d1"), col("i"), col("mh").as("m1")),
+            Seq("d1"))
+          .join(mh.select(col("doc_id").as("d2"), col("i"), col("mh").as("m2")),
+            Seq("d2", "i"))
+          .groupBy("d1", "d2")
+          .agg(expr("CAST(sum(CASE WHEN m1 = m2 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_agree"))
+        val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+          .distinct()
+        val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val inter = ds.alias("a")
+          .join(ds.alias("b"),
+            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(count(lit(1)).as("inter"))
+        agree
+          .join(inter, Seq("d1", "d2"), "left")
+          .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))
+          .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), Seq("d2"))
+          .select(col("d1"), col("d2"),
+            expr("round(n_agree / 16e0, 6)").as("jac_est"),
+            expr("round(coalesce(inter, 0) / (sa + sb - coalesce(inter, 0)), 6)")
+              .as("jac_exact"))
+      },
+      Some(s"""WITH $duckLshCtes,
+              |agree AS (
+              |  SELECT c.d1, c.d2,
+              |    CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+              |  FROM cand c
+              |  JOIN mh a ON a.doc_id = c.d1
+              |  JOIN mh b ON b.doc_id = c.d2 AND a.i = b.i
+              |  GROUP BY c.d1, c.d2),
+              |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+              |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+              |          FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          GROUP BY 1, 2)
+              |SELECT agree.d1, agree.d2,
+              |  round(n_agree / 16e0, 6) AS jac_est,
+              |  round(coalesce(inter, 0) / (sa.sz + sb.sz - coalesce(inter, 0)), 6)
+              |    AS jac_exact
+              |FROM agree
+              |LEFT JOIN inter ON agree.d1 = inter.d1 AND agree.d2 = inter.d2
+              |JOIN sizes sa ON agree.d1 = sa.doc_id
+              |JOIN sizes sb ON agree.d2 = sb.doc_id""".stripMargin),
+      survey = Seq("DEDUP-MINHASH", "ESTIMATOR")),
+
     // SimHash (16-bit): per-bit weighted vote over term hashes. Bit
     // extraction via integer mod/pow — exact in both engines. Pure
     // map + two keyed aggregations; linear at any scale.
