@@ -281,6 +281,45 @@ object RelationalQueries {
               |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
       survey = Seq("ROLLUP")),
 
+    // Sequential-pattern funnel: users progressing view → click →
+    // purchase in strict time order (min-timestamp chaining — three
+    // keyed aggregations, no window state).
+    Decl(
+      "q17_funnel",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") > col("tv"))
+          .groupBy("user_id").agg(min("ts").as("tc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts") > col("tc"))
+          .groupBy("user_id").agg(min("ts").as("tp"))
+        v.select(lit("1_view").as("stage"), col("user_id"))
+          .unionByName(c.select(lit("2_click").as("stage"), col("user_id")))
+          .unionByName(p.select(lit("3_purchase").as("stage"), col("user_id")))
+          .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+             |           WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (SELECT e.user_id, min(e.ts) AS tc
+             |      FROM events e JOIN v ON e.user_id = v.user_id
+             |      WHERE e.event_type = 'click' AND e.ts > v.tv
+             |      GROUP BY e.user_id),
+             |p AS (SELECT e.user_id, min(e.ts) AS tp
+             |      FROM events e JOIN c ON e.user_id = c.user_id
+             |      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+             |      GROUP BY e.user_id),
+             |stages AS (
+             |  SELECT '1_view' AS stage, user_id FROM v
+             |  UNION ALL SELECT '2_click', user_id FROM c
+             |  UNION ALL SELECT '3_purchase', user_id FROM p)
+             |SELECT stage, count(*) AS n_users FROM stages GROUP BY stage""".stripMargin),
+      survey = Seq("FUNNEL")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
