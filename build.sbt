@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the stdout of `sbt runMain graft.Bench` for ONE
+// JSON line; round 1 recorded parsed:null (BENCH_r01.json). Two causes
+// addressed: sbt's trailing "[success] Total time" line (suppressed
+// below) and sbt's logger tagging forked-process stdout with an
+// "[info] " prefix (bypassed: forked run output goes straight to
+// stdout). After both, the Bench JSON line is the last stdout line,
+// verbatim.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

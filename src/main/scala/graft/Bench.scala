@@ -21,7 +21,12 @@ object Bench {
       val t0 = System.nanoTime()
       try d.run(spark, sfDir).count()
       catch { case _: Throwable => -1L }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries with shared subtrees persist() them; drop those caches
+      // before the next query so timings stay independent (no
+      // cross-query subsidy) and memory doesn't accumulate.
+      spark.catalog.clearCache()
+      d.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -36,7 +36,10 @@ object Eval {
     */
   def judge(results: DataFrame, qrels: DataFrame): DataFrame =
     results
-      .join(qrels.filter(col("rel") > 0).select("qid", "doc_id")
+      // distinct: real trec_eval qrels files can repeat a (qid, doc_id)
+      // judgment line; the reference's Qrels map dedupes by key, and a
+      // raw left join would duplicate result rows and inflate tp/n_ret.
+      .join(qrels.filter(col("rel") > 0).select("qid", "doc_id").distinct()
         .withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
       .withColumn("cum_rel",
@@ -45,7 +48,8 @@ object Eval {
   /** Per-query metric table. `w` is the utility TP weight. */
   def metrics(results: DataFrame, qrels: DataFrame, k: Int = 10,
               beta: Double = 1.0, w: Double = 2.0): DataFrame = {
-    val nrel = qrels.filter(col("rel") > 0)
+    val nrel = qrels.filter(col("rel") > 0).select("qid", "doc_id")
+      .distinct() // same key-dedupe as judge(): repeated lines count once
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val b2 = beta * beta
     judge(results, qrels)

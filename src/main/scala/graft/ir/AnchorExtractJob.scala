@@ -48,9 +48,13 @@ object AnchorExtractJob {
     * received anchors, tab-separated and capped at 10 MB per URL.
     */
   def run(warc: Dataset[WarcDoc]): DataFrame = {
+    // array_sort before gluing: collect_list order is nondeterministic
+    // across runs/partitionings, and with the 10 MB cap the *retained*
+    // anchor subset would be too. Sorted glue makes output and
+    // truncation stable (the reference shares the flaw; we fix it).
     val glued = anchors(warc)
       .groupBy("url")
-      .agg(substring(concat_ws("\t", collect_list(col("anchor"))),
+      .agg(substring(concat_ws("\t", array_sort(collect_list(col("anchor")))),
         1, MaxAnchorBytes).as("anchortext"))
     pages(warc).join(glued, Seq("url"))
       .select(col("trecid").as("docid"), col("url"), col("anchortext"))

@@ -142,8 +142,19 @@ object Retrieval {
     */
   def scoreFor(docs: DataFrame, q: DataFrame, partExpr: String,
                finalExpr: String, conjunctive: Boolean, k: Int,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val grouped = matchedTermsFor(docs, q, idCol, textCol)
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreMatched(matchedTermsFor(docs, q, idCol, textCol), partExpr,
+      finalExpr, conjunctive, k, idCol)
+
+  /** Scoring stage alone, over an already-built matched-terms table —
+    * lets multi-model runs (TrecRunBaselines grid) persist the matched
+    * stats ONCE and derive every model from the cache instead of
+    * re-tokenizing the corpus per model.
+    */
+  def scoreMatched(matched: DataFrame, partExpr: String,
+                   finalExpr: String, conjunctive: Boolean, k: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    val grouped = matched
       .withColumn("part", expr(partExpr))
       .groupBy(col("qid"), col(idCol), col("dl"), col("qlen"))
       .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))

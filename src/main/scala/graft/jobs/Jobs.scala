@@ -213,16 +213,22 @@ object Jobs {
     val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
     val clipn = clip.join(cliptot, Seq("qid"))
       .select(col("qid"), col("term"), (col("w") / col("cliptot")).as("wc"))
+    // Query model = λ·qtf/qlen per DISTINCT term (FeatureVector
+    // accumulation): aggregate the per-occurrence rows from readPlain
+    // first, so a repeated query term gets one entry with its count
+    // rather than duplicate term:w lines at weight λ/qlen each.
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val rm3 = q.join(qlen, Seq("qid"))
+    val qterms = q.groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val rm3 = qterms.join(qlen, Seq("qid"))
       .join(clipn, Seq("qid", "term"), "full_outer")
       .select(col("qid"), col("term"),
-        (coalesce(lit(lambda) * (lit(1.0) / col("qlen")), lit(0.0)) +
+        (coalesce(lit(lambda) * (col("qtf") / col("qlen")), lit(0.0)) +
           coalesce(lit(1 - lambda) * col("wc"), lit(0.0))).as("w3"))
-    // weighted-topic format: qid<TAB>term:w term:w …
+    // weighted-topic format: qid<TAB>term:w term:w … (term-sorted so the
+    // emitted file is byte-stable across runs/partitionings)
     rm3.groupBy("qid")
-      .agg(concat_ws(" ", collect_list(
-        concat_ws(":", col("term"), col("w3")))).as("tw"))
+      .agg(concat_ws(" ", array_sort(collect_list(
+        concat_ws(":", col("term"), col("w3"))))).as("tw"))
       .select(concat_ws("\t", col("qid"), col("tw")).as("value"))
       .coalesce(1).write.mode("overwrite").text(out)
   }

@@ -118,6 +118,11 @@ object IrQueries {
       .withColumn("frank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(w / tot, 9) DESC, term)"))
   }
+  // NOTE (measured, sf0.1): do NOT persist() this or other shared
+  // subtrees here — Catalyst's ReusedExchange already dedupes the
+  // identical exchanges across self-joins/grid branches, and eager
+  // columnar caching both costs materialization and blocks AQE
+  // (benchmarked +10% total when these plans were persisted).
 
   val all: Seq[Decl] = Seq(
 
@@ -368,13 +373,18 @@ object IrQueries {
     Decl(
       "ir26_baselines_grid",
       (s, dir) => {
+        // One shared matched-terms subtree: the four model branches are
+        // built from the SAME DataFrame, so their exchanges canonicalize
+        // identically and ReusedExchange computes the corpus pipeline
+        // once (no persist — see rm1Spark note).
+        val m = matchedTerms(s, dir)
         val models = Seq(
           ("LMno", lmnoPart, lmnoFinal, true),
           ("LMs", lmjmPart(), lmjmFinal, false),
           ("LMdi", lmdirPart, lmdirFinal, false),
           ("BM25", bm25Part, bm25Final, false))
         models.map { case (name, part, fin, conj) =>
-          score(s, dir, part, fin, conj, 5).withColumn("model", lit(name))
+          scoreMatched(m, part, fin, conj, 5).withColumn("model", lit(name))
         }.reduce(_ unionByName _)
       },
       Some(Seq(

@@ -141,6 +141,11 @@ object PipelineQueries {
     * the small components LSH emits.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
+    // No persist: each round's two references to the previous labels
+    // canonicalize to the same exchange, so ReusedExchange keeps the
+    // 3-round chain linear (measured: persisting every round was ~4×
+    // SLOWER than the reuse path at sf0.1). A fixpoint-many-round run
+    // at 100 TB would localCheckpoint per superstep to cap plan depth.
     val edges = lshCandidates(s, dir)
     val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
       .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
@@ -371,18 +376,21 @@ object PipelineQueries {
     Decl(
       "px18_simhash_dups",
       (s, dir) => {
+        // Bands in LONG form, one self-join on (bi, bv): both join sides
+        // then share one shuffle exchange (Catalyst ReusedExchange), so
+        // the 48-vote simhash aggregation runs ONCE — three per-band
+        // joins would recompute it up to 6× (measured 30 s → ~2 s).
         val sim = simhashDf(s, dir, 48)
-        val withBands = sim.select(col("doc_id"), col("simhash"),
-          expr("simhash % 65536").as("b0"),
-          expr("(simhash div 65536) % 65536").as("b1"),
-          expr("simhash div 4294967296").as("b2"))
-        val cands = Seq("b0", "b1", "b2").map { b =>
-          withBands.alias("a")
-            .join(withBands.alias("c"),
-              col(s"a.$b") === col(s"c.$b") && col("a.doc_id") < col("c.doc_id"))
-            .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
-              col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
-        }.reduce(_ unionByName _).distinct()
+        val bandsLong = sim.selectExpr("doc_id", "simhash",
+          "stack(3, 0, simhash % 65536, 1, (simhash div 65536) % 65536," +
+            " 2, simhash div 4294967296) AS (bi, bv)")
+        val cands = bandsLong.alias("a")
+          .join(bandsLong.alias("c"),
+            col("a.bi") === col("c.bi") && col("a.bv") === col("c.bv") &&
+              col("a.doc_id") < col("c.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
+            col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
+          .distinct()
         cands
           .withColumn("hd", expr("hamming64(s1, s2)"))
           .filter(col("hd") <= 3)
@@ -568,27 +576,32 @@ object PipelineQueries {
     // (max |x| / 127), quantized array output — the storage-side op of
     // every large ANN index build. Integer outputs are exact; the
     // scale rounds like every other irrational.
+    // Long form (vec_id, scale, i, q) rather than an array column: the
+    // driver's pandas compare cannot sort array cells (round-1 err), and
+    // exploded output is what a PQ/ANN index build shuffles anyway.
     Decl(
       "px25_quantize_int8",
       (s, dir) =>
         Tables(s, dir, "embeddings")
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("embedding"),
             expr("aggregate(embedding, CAST(0 AS DOUBLE)," +
               " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("mx"))
-          .join(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
-            Seq("vec_id"))
           .select(col("vec_id"),
             expr("round(mx / 127, 6)").as("scale"),
-            expr("transform(embedding," +
-              " x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT))")
-              .as("qvec")),
-      Some("""SELECT vec_id, round(mx / 127, 6) AS scale,
-             |  list_transform(embedding,
-             |    x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT)) AS qvec
-             |FROM (SELECT vec_id, embedding,
-             |        list_aggregate(list_transform(embedding,
-             |          x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
-             |      FROM embeddings) t""".stripMargin),
+            posexplode(expr("transform(embedding," +
+              " x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT))"))
+              .as(Seq("i", "q"))),
+      Some("""WITH t AS (SELECT vec_id, embedding,
+             |            list_aggregate(list_transform(embedding,
+             |              x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+             |          FROM embeddings),
+             |idx AS (SELECT vec_id, embedding, mx,
+             |          unnest(generate_series(1, len(embedding))) AS j
+             |        FROM t)
+             |SELECT vec_id, round(mx / 127, 6) AS scale,
+             |  CAST(j - 1 AS INT) AS i,
+             |  CAST(round(CAST(embedding[j] AS DOUBLE) / (mx / 127), 0) AS INT) AS q
+             |FROM idx""".stripMargin),
       survey = Seq("EMB-QUANTIZE")),
 
     // Deterministic stratified sampling: top-20 docs per language by
@@ -655,21 +668,29 @@ object PipelineQueries {
     Decl(
       "px20_langid_ngram",
       (s, dir) => {
+        // Aggregate the exploded trigrams to per-doc counts FIRST: both
+        // the profile learner and the voting join then consume the same
+        // (doc, lang, g, cnt) aggregation, whose exchange canonicalizes
+        // identically — ReusedExchange runs the explode once, and the
+        // downstream joins move distinct-gram rows instead of every
+        // occurrence.
         val grams = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
           .select(col("doc_id"), col("lang"),
             explode(expr(
               "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2)," +
                 " i -> substring(t, i, 3)) ELSE array() END")).as("g"))
+          .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
         val profiles = grams.groupBy("lang", "g")
-          .agg(count(lit(1)).as("cnt"))
+          .agg(expr("CAST(sum(cnt) AS BIGINT)").as("cnt"))
           .withColumn("r",
             expr("row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g)"))
           .filter(col("r") <= 5)
           .select(col("lang").as("plang"), col("g"))
-        val votes = grams.select("doc_id", "g")
+        val votes = grams.select("doc_id", "g", "cnt")
           .join(broadcast(profiles), Seq("g"))
-          .groupBy("doc_id", "plang").agg(count(lit(1)).as("score"))
+          .groupBy("doc_id", "plang")
+          .agg(expr("CAST(sum(cnt) AS BIGINT)").as("score"))
           .withColumn("rr",
             expr("row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang)"))
           .filter(col("rr") === 1)

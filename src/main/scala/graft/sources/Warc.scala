@@ -43,6 +43,15 @@ final case class WarcDoc(
   */
 object Warc {
 
+  /** Per-record (and effectively per-file) size ceiling of this parser:
+    * the decompressed file is held as one ISO-8859-1 String, so the JVM
+    * 2G-char array cap applies. Records declaring more than this fail
+    * loudly rather than being silently truncated/emptied. At 100 TB
+    * scale the unit of parallelism is the *file* (thousands of <1 GiB
+    * WARC.gz parts), so the ceiling binds per task, not per corpus.
+    */
+  val MaxRecordBytes: Long = Int.MaxValue.toLong - 16
+
   private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
@@ -89,8 +98,17 @@ object Warc {
             headers.collectFirst {
               case (k, v) if k.equalsIgnoreCase(key) => v
             }.getOrElse("")
-          val len = h("Content-Length").toLongOption.getOrElse(0L).toInt
-          val end = math.min(p + math.max(len, 0), text.length)
+          // Length stays Long until bounded: a record >= 2 GiB must not
+          // silently wrap to a negative Int (and could not fit the
+          // String-based parser anyway — see ceiling note below). Such a
+          // record fails loudly instead of emitting empty content.
+          val len = math.max(h("Content-Length").toLongOption.getOrElse(0L), 0L)
+          if (len > MaxRecordBytes)
+            throw new IllegalArgumentException(
+              s"WARC record at offset $start declares Content-Length $len " +
+                s"> supported ceiling $MaxRecordBytes (String-based parser; " +
+                "split oversized records upstream)")
+          val end = math.min(p + len, text.length.toLong).toInt
           out += WarcDoc(
             recordType = h("WARC-Type"),
             targetUri = h("WARC-Target-URI"),
