@@ -968,6 +968,91 @@ object PipelineQueries {
               |  round((320 + h % 1280) / (240 + h % 720), 6) AS aspect,
               |  1 + (octet_length(encode(text)) // 1024) AS n_frames
               |FROM (SELECT doc_id, text, ${H("text")} AS h FROM documents) t""".stripMargin),
-      survey = Seq("MM-META"))
+      survey = Seq("MM-META")),
+
+    // KMV (k-minimum-values) distinct-count sketch vs exact, over the
+    // corpus 3-shingle set: est = (k−1)·2^60 / h_k with h_k the k-th
+    // smallest 60-bit hash. The mergeable-sketch primitive of corpus
+    // profiling — per-partition bottom-k sets merge associatively, so
+    // at 100 TB the estimate needs one tree-reduce of k values per
+    // partition while the exact count needs a global shuffle. Both
+    // paths computed here; md5-derived hashes make the "sketch"
+    // deterministic and oracle-checkable.
+    Decl(
+      "px28_kmv_distinct",
+      (s, dir) => {
+        val hs = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+          .select(DetHash.h60(col("s")).as("h")).distinct()
+        val top = hs.orderBy("h").limit(64)
+          .agg(max("h").as("hk"), count(lit(1)).as("ksz"))
+        val exact = hs.agg(count(lit(1)).as("exact_nd"))
+        top.crossJoin(exact)
+          .select(col("ksz"),
+            expr("round((ksz - 1) * (1152921504606846976e0 / hk), 6)")
+              .as("est_nd"),
+            col("exact_nd"))
+      },
+      Some(s"""WITH $duckShingles,
+              |dsh AS (SELECT DISTINCT ${H("s")} AS h FROM sh),
+              |top AS (SELECT h FROM dsh ORDER BY h LIMIT 64),
+              |agg AS (SELECT max(h) AS hk, count(*) AS ksz FROM top),
+              |ex AS (SELECT count(*) AS exact_nd FROM dsh)
+              |SELECT ksz,
+              |  round((ksz - 1) * (1152921504606846976e0 / hk), 6) AS est_nd,
+              |  exact_nd
+              |FROM agg CROSS JOIN ex""".stripMargin),
+      survey = Seq("SKETCH-KMV")),
+
+    // Unigram-LM perplexity per document (the CCNet/C4 quality-filter
+    // signal): cross-entropy of each doc under the collection unigram
+    // model, ppl = exp(xent). One tf aggregation + a per-term stats
+    // join + one per-doc aggregation — the same shuffle skeleton as
+    // retrieval scoring, reused as a data-curation op.
+    Decl(
+      "px29_perplexity",
+      (s, dir) => {
+        val tf = TextOps.termFreqs(Tables(s, dir, "documents"))
+        val cf = tf.groupBy("term")
+          .agg(expr("CAST(sum(tf) AS BIGINT)").as("cf"))
+        val cs = tf.agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"))
+        tf.join(cf, Seq("term")).crossJoin(broadcast(cs))
+          .groupBy("doc_id")
+          .agg(expr("CAST(sum(tf) AS BIGINT)").as("dl"),
+            sum(expr("tf * ln(cf / n_tokens)")).as("ll"))
+          .select(col("doc_id"), col("dl"),
+            expr("round(-(ll) / dl, 6)").as("xent"),
+            expr("round(exp(-(ll) / dl), 6)").as("ppl"))
+      },
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+              |       FROM tf GROUP BY term),
+              |cs AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf),
+              |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+              |        sum(tf * ln(cf / n_tokens)) AS ll
+              |      FROM tf JOIN cf USING (term) CROSS JOIN cs
+              |      GROUP BY doc_id)
+              |SELECT doc_id, dl, round(-(ll) / dl, 6) AS xent,
+              |  round(exp(-(ll) / dl), 6) AS ppl
+              |FROM g""".stripMargin),
+      survey = Seq("TEXT-PERPLEXITY")),
+
+    // Within-document repetition ratio (the Gopher repetition filter):
+    // 1 − distinct/total 3-shingles per doc. Docs shorter than one
+    // shingle emit no row (identically in both engines).
+    Decl(
+      "px30_repetition",
+      (s, dir) =>
+        TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            countDistinct(col("s")).as("d_sh"))
+          .select(col("doc_id"), col("n_sh"), col("d_sh"),
+            expr("round(1 - d_sh / n_sh, 6)").as("rep_ratio")),
+      Some(s"""WITH $duckShingles
+              |SELECT doc_id, count(*) AS n_sh,
+              |  count(DISTINCT s) AS d_sh,
+              |  round(1 - count(DISTINCT s) / count(*), 6) AS rep_ratio
+              |FROM sh GROUP BY doc_id""".stripMargin),
+      survey = Seq("TEXT-REPETITION"))
   )
 }

@@ -320,6 +320,80 @@ object RelationalQueries {
              |SELECT stage, count(*) AS n_users FROM stages GROUP BY stage""".stripMargin),
       survey = Seq("FUNNEL")),
 
+    // As-of join: for every purchase, the latest click by the same user
+    // at-or-before the purchase time. Spark lacks a native ASOF JOIN —
+    // the scale-correct composition is union-tag + one windowed
+    // last_value(IGNORE NULLS) pass: ONE shuffle on user_id, no
+    // per-row range probe, no n² candidate join (a time-bucketed join
+    // would shuffle twice and still need a residual top-1).
+    Decl(
+      "q18_asof_join",
+      (s, dir) => {
+        val t = Tables(s, dir, "events")
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t_us"), col("event_type"))
+          .withColumn("last_click", expr(
+            "last_value(CASE WHEN event_type = 'click' THEN event_id END, true)" +
+              " OVER (PARTITION BY user_id ORDER BY t_us," +
+              " CASE WHEN event_type = 'click' THEN 0 ELSE 1 END, event_id" +
+              " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        t.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "t_us", "last_click")
+      },
+      Some("""WITH t AS (
+             |  SELECT event_id, user_id, epoch_us(ts) AS t_us, event_type,
+             |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+             |        IGNORE NULLS)
+             |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts),
+             |            CASE WHEN event_type = 'click' THEN 0 ELSE 1 END,
+             |            event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS last_click
+             |  FROM events WHERE event_type IN ('click', 'purchase'))
+             |SELECT event_id, user_id, t_us, last_click FROM t
+             |WHERE event_type = 'purchase'""".stripMargin),
+      survey = Seq("ASOF-JOIN")),
+
+    // Range (interval) join: clicks by the same user in the 5 minutes
+    // before each error. Spark-first shape: time-BUCKET both sides
+    // (bucket width = window width, so each probe covers exactly two
+    // buckets) and equi-join on (user_id, bucket) + residual range
+    // filter — a pure hash join whose fan-out is bounded by bucket
+    // population, never the O(|A|·|B|) interval cross product a naive
+    // range predicate degenerates to at 100 TB.
+    Decl(
+      "q19_range_join",
+      (s, dir) => {
+        val W = 300000000L // 5 min in µs == bucket width
+        val ev = Tables(s, dir, "events")
+        val err = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("t0"))
+        val probe = err.withColumn("wk",
+          explode(expr(s"array(t0 div $W - 1, t0 div $W)")))
+        val clk = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("tc"))
+          .withColumn("wk", expr(s"tc div $W"))
+        val n = probe.join(clk, Seq("user_id", "wk"))
+          .filter(col("tc") >= col("t0") - W && col("tc") < col("t0"))
+          .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        err.join(n, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+      },
+      Some("""WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS t0
+             |            FROM events WHERE event_type = 'error'),
+             |clk AS (SELECT user_id, epoch_us(ts) AS tc
+             |        FROM events WHERE event_type = 'click')
+             |SELECT e.event_id, e.user_id,
+             |  CAST(count(c.tc) AS BIGINT) AS n_clicks
+             |FROM err e LEFT JOIN clk c
+             |  ON c.user_id = e.user_id
+             | AND c.tc >= e.t0 - 300000000 AND c.tc < e.t0
+             |GROUP BY e.event_id, e.user_id""".stripMargin),
+      survey = Seq("RANGE-JOIN")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",

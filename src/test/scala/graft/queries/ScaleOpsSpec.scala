@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry, Tables}
+import org.apache.spark.sql.functions._
+
+/** Brute-force cross-checks for the scale-shaped operators (as-of join,
+  * bucketed range join, KMV sketch, perplexity, repetition): each
+  * optimized plan must equal the obvious quadratic/naive formulation on
+  * the tiny corpus.
+  */
+class ScaleOpsSpec extends SparkSpec {
+
+  test("q18 as-of join equals brute-force latest-click-at-or-before") {
+    val got = SparkEntry.queries("q18_asof_join")(spark, sfTiny)
+    val ev = Tables(spark, sfTiny, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("ce"),
+        unix_micros(col("ts")).as("tc"))
+    // winner among clicks with tc <= purchase time: max (tc, event_id)
+    // — exactly the (time, kind, event_id) tail of the window order.
+    val brute = p.join(c, Seq("user_id"), "left")
+      .withColumn("cand",
+        when(col("tc") <= col("t_us"), struct(col("tc"), col("ce"))))
+      .groupBy("event_id", "user_id", "t_us")
+      .agg(max(col("cand")).getField("ce").as("last_click"))
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    // sanity: at least one purchase actually has a preceding click
+    assert(got.filter(col("last_click").isNotNull).count() > 0)
+  }
+
+  test("q19 bucketed range join equals naive per-user range filter") {
+    val got = SparkEntry.queries("q19_range_join")(spark, sfTiny)
+    val ev = Tables(spark, sfTiny, "events")
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t0"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("tc"))
+    val brute = err.join(clk, Seq("user_id"), "left")
+      .withColumn("hit",
+        when(col("tc") >= col("t0") - 300000000L && col("tc") < col("t0"), 1L)
+          .otherwise(0L))
+      .groupBy("event_id", "user_id")
+      .agg(sum("hit").as("n_clicks"))
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty)
+    assert(got.agg(sum("n_clicks")).head().getLong(0) > 0)
+  }
+
+  test("px28 KMV estimate lands near the exact distinct count") {
+    val r = SparkEntry.queries("px28_kmv_distinct")(spark, sfTiny).head()
+    val ksz = r.getAs[Long]("ksz")
+    val est = r.getAs[Double]("est_nd")
+    val exact = r.getAs[Long]("exact_nd")
+    assert(ksz == 64, s"expected full sketch, got k=$ksz")
+    // KMV stderr ≈ 1/√(k−2) ≈ 13% at k=64; 3σ bound with slack.
+    assert(math.abs(est - exact) / exact < 0.5, s"est=$est exact=$exact")
+  }
+
+  test("px29 perplexity: ppl == exp(xent), and bounded below by vocab") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("px29_perplexity")(spark, sfTiny)
+      .select("xent", "ppl").as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (xent, ppl) =>
+      assert(math.abs(ppl - math.exp(xent)) / ppl < 1e-4)
+      assert(ppl >= 1.0) // exp of a nonneg cross-entropy
+    }
+  }
+
+  test("px30 repetition ratio in [0,1], distinct <= total") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("px30_repetition")(spark, sfTiny)
+      .select("n_sh", "d_sh", "rep_ratio").as[(Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, d, r) =>
+      assert(d <= n)
+      assert(r >= 0.0 && r <= 1.0)
+      assert(math.abs(r - (1.0 - d.toDouble / n)) < 1e-5)
+    }
+  }
+}
