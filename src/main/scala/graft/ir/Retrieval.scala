@@ -116,7 +116,11 @@ object Retrieval {
                       idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
     val tf = TextOps.termFreqs(docs, idCol, textCol)
-    val dl = TextOps.docLengths(docs, idCol, textCol)
+    // dl = Σ tf per doc (== token count): derived from tf instead of
+    // re-aggregating the token explode, so the expensive tokenize+
+    // explode subtree appears ONCE in the plan and its exchange is
+    // reused by every downstream branch (tf, dl, tstats, cs).
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val tstats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
@@ -182,7 +186,7 @@ object Retrieval {
                      conjunctive: Boolean, k: Int,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = TextOps.termFreqs(docs, idCol, textCol)
-    val dl = TextOps.docLengths(docs, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl")) // see above
     val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val grouped = tf.join(broadcast(qAug), Seq("term"))
       .join(dl, Seq(idCol))

@@ -74,7 +74,7 @@ object Jobs {
                      topics: String): Unit = {
     val docs = loadDocs(spark, in)
     val tf = TextOps.termFreqs(docs)
-    val dl = TextOps.docLengths(docs)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
     val q = Topics.readPlain(spark, topics)
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
     val tstats = tf.groupBy("term")
@@ -201,7 +201,7 @@ object Jobs {
       Retrieval.lmdirFinal, conjunctive = false, fbDocs)
       .select("qid", "doc_id", "score")
     val tf = TextOps.termFreqs(docs)
-    val dl = TextOps.docLengths(docs)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
     val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
       .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
       .withColumn("contrib", expr("(tf / dl) * exp(score)"))

@@ -107,7 +107,7 @@ object IrQueries {
     val fb = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
       .select("qid", "doc_id", "score")
     val tf = TextOps.termFreqs(docsT(s, dir))
-    val dl = TextOps.docLengths(docsT(s, dir))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
     val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
       .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
       .withColumn("contrib", expr(rm1Contrib))

@@ -1053,6 +1053,51 @@ object PipelineQueries {
               |  count(DISTINCT s) AS d_sh,
               |  round(1 - count(DISTINCT s) / count(*), 6) AS rep_ratio
               |FROM sh GROUP BY doc_id""".stripMargin),
-      survey = Seq("TEXT-REPETITION"))
+      survey = Seq("TEXT-REPETITION")),
+
+    // Product-quantization codes (the storage layout of large ANN
+    // indexes): embeddings split into 4 sub-blocks of 16 dims; the
+    // per-block codebook is the label-partition centroid set (a
+    // deterministic, oracle-checkable stand-in for a trained k-means
+    // codebook — the assignment math is identical); each vector's code
+    // is its nearest sub-centroid per block. At scale: codebooks are
+    // tiny and broadcast; vectors stream through one narrow
+    // assignment pass.
+    Decl(
+      "px31_pq_codes",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        val lab = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("label"))
+        val blocked = e.withColumn("blk", expr("CAST(i div 16 AS BIGINT)"))
+        val cb = blocked.join(lab, Seq("vid"))
+          .groupBy("label", "blk", "i")
+          .agg(expr("sum(x) / count(x)").as("c"))
+        blocked.join(cb, Seq("blk", "i"))
+          .withColumn("d", expr("(x - c) * (x - c)"))
+          .groupBy("vid", "blk", "label").agg(sum("d").as("dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), label)"))
+          .filter(col("r") === 1)
+          .select(col("vid"), col("blk"), col("label").as("code"))
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+              |b AS (SELECT vid, CAST((i - 1) // 16 AS BIGINT) AS blk, i, x
+              |      FROM e),
+              |cb AS (SELECT label, blk, i, sum(x) / count(x) AS c
+              |       FROM b JOIN lab USING (vid) GROUP BY label, blk, i),
+              |d AS (SELECT b.vid, b.blk, cb.label,
+              |        sum((x - c) * (x - c)) AS dist2
+              |      FROM b JOIN cb ON b.blk = cb.blk AND b.i = cb.i
+              |      GROUP BY b.vid, b.blk, cb.label)
+              |SELECT vid, blk, label AS code FROM (
+              |  SELECT vid, blk, label, row_number() OVER (
+              |    PARTITION BY vid, blk ORDER BY round(dist2, 6), label) AS r
+              |  FROM d) t WHERE r = 1""".stripMargin),
+      survey = Seq("EMB-PQ"))
   )
 }

@@ -394,6 +394,50 @@ object RelationalQueries {
              |GROUP BY e.event_id, e.user_id""".stripMargin),
       survey = Seq("RANGE-JOIN")),
 
+    // Set intersection/difference (§2.6 beyond union): repeat customers
+    // of 1995∩1996 minus anyone with a finalized order. INTERSECT binds
+    // tighter than EXCEPT in standard SQL — the Spark composition
+    // mirrors (A ∩ B) ∖ C explicitly. Both ops hash-aggregate to
+    // distinct keys before comparing — one shuffle each, no sort.
+    Decl(
+      "q20_intersect_except",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val a = o.filter(expr("year(o_orderdate) = 1995")).select("o_custkey")
+        val b = o.filter(expr("year(o_orderdate) = 1996")).select("o_custkey")
+        val c = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        a.intersect(b).except(c)
+      },
+      Some("""SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+             |INTERSECT
+             |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             |EXCEPT
+             |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin),
+      survey = Seq("SET-INTERSECT", "SET-EXCEPT")),
+
+    // Pivot (long→wide reshape over a known value set). Spark's
+    // relational pivot compiles to one aggregation with per-value
+    // branches — same plan the FILTER-aggregation oracle describes; a
+    // dynamic-values pivot would first collect the distinct set (one
+    // extra small job), which is why the value list is declared.
+    Decl(
+      "q21_pivot",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .select(col("o_orderpriority"),
+            coalesce(col("F"), lit(0L)).as("n_f"),
+            coalesce(col("O"), lit(0L)).as("n_o"),
+            coalesce(col("P"), lit(0L)).as("n_p")),
+      Some("""SELECT o_orderpriority,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             |  CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      survey = Seq("PIVOT")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
