@@ -322,9 +322,12 @@ object IrQueries {
             expr("CASE WHEN doc_id % (CAST(qid AS INT) - 40) = 0 THEN 1 ELSE 0 END"))
           .withColumn("cum_rel",
             expr("sum(rel) OVER (PARTITION BY qid ORDER BY rank)"))
-        val qids = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
-          .select("qid").distinct()
-        val nrel = docsT(s, dir).select("doc_id").crossJoin(qids)
+        // qrels qids come from the QUERY SET (as in the oracle's
+        // `SELECT DISTINCT qid FROM q`) — not from a second retrieval
+        // run, which would recompute the whole scoring pipeline.
+        import s.implicits._
+        val qids = querySet.map(_._1).distinct.toDF("qid")
+        val nrel = docsT(s, dir).select("doc_id").crossJoin(broadcast(qids))
           .filter(expr("doc_id % (CAST(qid AS INT) - 40) = 0"))
           .groupBy("qid").agg(count(lit(1)).as("n_rel"))
         judged.groupBy("qid")
@@ -512,23 +515,30 @@ object IrQueries {
       "ir28_rm3_sweep",
       (s, dir) => {
         import s.implicits._
+        // ONE grid-expanded plan, not one branch per grid cell: the RM1
+        // model cross-joins the (fb_terms, λ) grid and every cell's clip
+        // is a filter over the same expanded table, so the expensive
+        // retrieval+feedback subtree appears once (its two references —
+        // cliptot and clipn — share a reused exchange). Four separate
+        // branches re-ran it up to 8×.
         val rm1 = rm1Spark(s, dir).select("qid", "term", "w", "frank")
         val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("qid", "term")
         val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-        val qq = q.join(qlen, Seq("qid"))
         val grid = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
-        grid.map { case (ft, lam) =>
-          val clip = rm1.filter(col("frank") <= ft)
-          val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
-          val clipn = clip.join(cliptot, Seq("qid"))
-            .select(col("qid"), col("term"), expr("w / cliptot").as("wc"))
-          qq.join(clipn, Seq("qid", "term"), "full_outer")
-            .select(col("qid"), lit(ft).as("fb_terms"),
-              expr(s"CAST($lam AS DOUBLE)").as("lam"), col("term"),
-              expr(s"round(coalesce($lam * (1e0 / qlen), 0) + coalesce((1 - $lam) * wc, 0), 6)")
-                .as("w3"))
-        }.reduce(_ unionByName _)
+          .toDF("fb_terms", "lam")
+        val qq = q.join(qlen, Seq("qid")).crossJoin(broadcast(grid))
+        val clip = rm1.crossJoin(broadcast(grid))
+          .filter(col("frank") <= col("fb_terms"))
+        val cliptot = clip.groupBy("qid", "fb_terms", "lam")
+          .agg(sum("w").as("cliptot"))
+        val clipn = clip.join(cliptot, Seq("qid", "fb_terms", "lam"))
+          .select(col("qid"), col("fb_terms"), col("lam"), col("term"),
+            expr("w / cliptot").as("wc"))
+        qq.join(clipn, Seq("qid", "fb_terms", "lam", "term"), "full_outer")
+          .select(col("qid"), col("fb_terms"), col("lam"), col("term"),
+            expr("round(coalesce(lam * (1e0 / qlen), 0) + coalesce((1 - lam) * wc, 0), 6)")
+              .as("w3"))
       },
       Some {
         val branches = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
