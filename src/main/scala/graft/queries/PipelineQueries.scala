@@ -1098,6 +1098,36 @@ object PipelineQueries {
               |  SELECT vid, blk, label, row_number() OVER (
               |    PARTITION BY vid, blk ORDER BY round(dist2, 6), label) AS r
               |  FROM d) t WHERE r = 1""".stripMargin),
-      survey = Seq("EMB-PQ"))
+      survey = Seq("EMB-PQ")),
+
+    // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
+    // the vector-space weighting the LM-era reference skips, still the
+    // default doc-summary/keyword op of corpus tooling. Rank on the
+    // 9-digit rounding, surface the 6-digit one (round-then-rank rule).
+    Decl(
+      "px32_tfidf_topterms",
+      (s, dir) => {
+        val tf = TextOps.termFreqs(Tables(s, dir, "documents"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+        tf.join(df, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("tfidf", expr("round(tf * ln(n_docs / df), 6)"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY doc_id" +
+              " ORDER BY round(tf * ln(n_docs / df), 9) DESC, term)"))
+          .filter(col("r") <= 3)
+          .select("doc_id", "term", "tfidf", "r")
+      },
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |nd AS (SELECT count(*) AS n_docs FROM documents),
+              |x AS (SELECT doc_id, term, tf, df, n_docs
+              |      FROM tf JOIN df USING (term) CROSS JOIN nd)
+              |SELECT doc_id, term, round(tf * ln(n_docs / df), 6) AS tfidf, r
+              |FROM (SELECT doc_id, term, tf, df, n_docs,
+              |        row_number() OVER (PARTITION BY doc_id
+              |          ORDER BY round(tf * ln(n_docs / df), 9) DESC, term) AS r
+              |      FROM x) t WHERE r <= 3""".stripMargin),
+      survey = Seq("TEXT-TFIDF"))
   )
 }

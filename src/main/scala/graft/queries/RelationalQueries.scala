@@ -438,6 +438,34 @@ object RelationalQueries {
              |FROM orders GROUP BY o_orderpriority""".stripMargin),
       survey = Seq("PIVOT")),
 
+    // lag + ntile window coverage: per-customer inter-order gap in days
+    // and order-recency quartile — one shuffle on the partition key,
+    // both functions evaluated in the same Window operator.
+    Decl(
+      "q22_ntile_lag",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            // o_orderdate is TIMESTAMP_NTZ; session tz is UTC, so the
+            // cast reads the naive value as UTC — exactly DuckDB's
+            // epoch_us on a naive timestamp.
+            expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("t"))
+          .withColumn("prev_t", expr(
+            "lag(t, 1) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey)"))
+          .withColumn("gap_days", expr("(t - prev_t) div 86400000000"))
+          .withColumn("quartile", expr(
+            "CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey) AS BIGINT)"))
+          .select("o_custkey", "o_orderkey", "gap_days", "quartile"),
+      Some("""SELECT o_custkey, o_orderkey,
+             |  (epoch_us(o_orderdate) - lag(epoch_us(o_orderdate), 1)
+             |     OVER (PARTITION BY o_custkey
+             |           ORDER BY epoch_us(o_orderdate), o_orderkey))
+             |    // 86400000000 AS gap_days,
+             |  ntile(4) OVER (PARTITION BY o_custkey
+             |    ORDER BY epoch_us(o_orderdate), o_orderkey) AS quartile
+             |FROM orders""".stripMargin),
+      survey = Seq("WINDOW-LAG", "WINDOW-NTILE")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
