@@ -71,4 +71,45 @@ class EventStreamSpec extends SparkSpec {
       assert(r.getInt(3) >= 1)
     }
   }
+
+  test("stream-static enrichment join matches batch join") {
+    import org.apache.spark.sql.functions._
+    // static dim derived from the same data: per-user home event_type
+    // (mode by count). The stream side joins it row-by-row — the
+    // standard enrichment topology: static side is re-read per
+    // micro-batch, no state, no watermark needed.
+    val dir = Files.createTempDirectory("events3").toString
+    Files.copy(Paths.get(s"$sfTiny/events.parquet"),
+      Paths.get(dir, "events.parquet"))
+    val batchEvents = spark.read.parquet(s"$sfTiny/events.parquet")
+    val dim = batchEvents.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type)"))
+      .filter(col("r") === 1)
+      .select(col("user_id"), col("event_type").as("home_type"))
+    val q = spark.readStream.schema(EventStream.eventsSchema).parquet(dir)
+      .select("event_id", "user_id", "event_type")
+      .join(dim, Seq("user_id"))
+      .withColumn("is_home",
+        (col("event_type") === col("home_type")).cast("int"))
+      .select("event_id", "user_id", "event_type", "home_type", "is_home")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enrich_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enrich_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4))).toSet
+    val batch = batchEvents.select("event_id", "user_id", "event_type")
+      .join(dim, Seq("user_id"))
+      .withColumn("is_home",
+        (col("event_type") === col("home_type")).cast("int"))
+      .select("event_id", "user_id", "event_type", "home_type", "is_home")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
+        r.getInt(4))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
