@@ -55,5 +55,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hamming64"),
       new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
       (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
+      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("norm2_f64"),
+      new ExpressionInfo(classOf[Norm2F64].getName, "norm2_f64"),
+      (exprs: Seq[Expression]) => Norm2F64(exprs(0))))
   }
 }

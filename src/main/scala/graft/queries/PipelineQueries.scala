@@ -192,13 +192,14 @@ object PipelineQueries {
        |  CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings $filter)""".stripMargin
 
-  /** Spark dot product of two float arrays as exact-double fold. */
-  private val dotExpr =
-    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-  private val normExpr =
-    "aggregate(transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  /** Spark dot product / squared norm of float arrays: NATIVE codegen'd
+    * expressions (functions/VecOps.scala) with the same IEEE operation
+    * sequence as the `aggregate(zip_with(...))` fold they replace — the
+    * lambda interpreter of higher-order functions falls out of
+    * whole-stage codegen, and these kernels run once per candidate pair.
+    */
+  private val dotExpr = "dot_f64(ea, eb)"
+  private val normExpr = "norm2_f64(emb)"
 
   val all: Seq[Decl] = Seq(
 

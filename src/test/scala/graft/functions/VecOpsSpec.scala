@@ -1,0 +1,51 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The native vector kernels must be BIT-IDENTICAL to the higher-order
+  * lambda folds they replace (same IEEE op sequence), on real testdata
+  * embeddings — otherwise oracle hash-matches would silently drift.
+  */
+class VecOpsSpec extends SparkSpec {
+
+  private val lambdaDot =
+    "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+  private val lambdaNorm =
+    "aggregate(transform(emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  test("dot_f64 == lambda fold, bit for bit, on testdata embeddings") {
+    val e = Tables(spark, sfTiny, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("eb")))
+      .filter(col("a") < col("b") && col("b") < 40)
+    val diff = pairs
+      .select(expr("dot_f64(ea, eb)").as("fast"), expr(lambdaDot).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    assert(pairs.count() > 100)
+  }
+
+  test("norm2_f64 == lambda fold, bit for bit; nonneg") {
+    val e = Tables(spark, sfTiny, "embeddings")
+      .select(col("embedding").as("emb"))
+    val rows = e.select(expr("norm2_f64(emb)").as("fast"),
+      expr(lambdaNorm).as("ref")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(r.getDouble(0) >= 0.0)
+    }
+  }
+
+  test("null vector yields null (nullIntolerant)") {
+    val r = spark.sql(
+      "SELECT dot_f64(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS FLOAT)))," +
+        " norm2_f64(CAST(NULL AS ARRAY<FLOAT>))").head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}
