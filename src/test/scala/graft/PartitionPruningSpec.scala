@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Partition-pruned layout — the 100 TB table design (SURVEY §7,
+  * builder brief "partition pruning"): a corpus written partitioned by
+  * a predicate column is scanned with only the matching directories
+  * touched, and the pruning is visible in the scan node.
+  */
+class PartitionPruningSpec extends SparkSpec {
+
+  test("lang-partitioned corpus scan prunes to the filtered partition") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_bylang").toString
+    Tables(spark, sfTiny, "documents")
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+
+    val langs = Tables(spark, sfTiny, "documents")
+      .select("lang").distinct().count()
+    assert(langs > 1, "need >1 partition for pruning to mean anything")
+
+    // AQE wraps executed stages in leaf QueryStageExec nodes that hide
+    // the scan from plan traversal; turn it off for this inspection.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val scan =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q = spark.read.parquet(dir).filter(col("lang") === "en")
+          .groupBy("source").agg(count(lit(1)).as("n"))
+        // collect() drives THIS queryExecution so its scan metrics
+        // populate (count() would spawn a separate execution).
+        assert(q.collect().nonEmpty)
+        q.queryExecution.executedPlan
+          .collect { case s: FileSourceScanExec => s }.head
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // partitionFilters carries the lang predicate...
+    assert(scan.partitionFilters.nonEmpty,
+      "lang filter must be a partition filter, not a data filter")
+    // ...and the scan's numFiles metric (populated by the count above)
+    // shows only the lang=en directory was read.
+    def countFiles(sub: String): Int = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(f => sub.isEmpty || f.getName.startsWith(sub))
+        .flatMap(f => if (f.isDirectory) f.listFiles() else Array(f))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val enFiles = countFiles("lang=en")
+    val allFiles = countFiles("")
+    assert(allFiles > enFiles, "other lang partitions must exist")
+    assert(scan.metrics("numFiles").value == enFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected only the $enFiles lang=en files (of $allFiles)")
+  }
+}
