@@ -669,29 +669,31 @@ object PipelineQueries {
     Decl(
       "px20_langid_ngram",
       (s, dir) => {
-        // Aggregate the exploded trigrams to per-doc counts FIRST: both
-        // the profile learner and the voting join then consume the same
-        // (doc, lang, g, cnt) aggregation, whose exchange canonicalizes
-        // identically — ReusedExchange runs the explode once, and the
-        // downstream joins move distinct-gram rows instead of every
-        // occurrence.
+        // Two passes over the exploded trigrams, each shuffle-tiny:
+        // profiles aggregate straight to (lang, g) — the trigram
+        // vocabulary is bounded, so map-side partial aggregation
+        // compresses ~10M occurrence rows to ~10k groups before the
+        // exchange; votes join the 25-row broadcast profile set BEFORE
+        // aggregating, so the doc-granularity shuffle carries only
+        // profile-gram hits. (A shared (doc,lang,g) pre-aggregation was
+        // measured SLOWER — its exchange moves every distinct
+        // (doc, gram) pair, ~7.5M rows.)
         val grams = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
           .select(col("doc_id"), col("lang"),
             explode(expr(
               "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2)," +
                 " i -> substring(t, i, 3)) ELSE array() END")).as("g"))
-          .groupBy("doc_id", "lang", "g").agg(count(lit(1)).as("cnt"))
         val profiles = grams.groupBy("lang", "g")
-          .agg(expr("CAST(sum(cnt) AS BIGINT)").as("cnt"))
+          .agg(count(lit(1)).as("cnt"))
           .withColumn("r",
             expr("row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g)"))
           .filter(col("r") <= 5)
           .select(col("lang").as("plang"), col("g"))
-        val votes = grams.select("doc_id", "g", "cnt")
+        val votes = grams.select("doc_id", "g")
           .join(broadcast(profiles), Seq("g"))
           .groupBy("doc_id", "plang")
-          .agg(expr("CAST(sum(cnt) AS BIGINT)").as("score"))
+          .agg(count(lit(1)).as("score"))
           .withColumn("rr",
             expr("row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang)"))
           .filter(col("rr") === 1)

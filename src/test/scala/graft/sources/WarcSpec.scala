@@ -32,6 +32,18 @@ class WarcSpec extends SparkSpec {
     assert(t1.content.length == 452)
   }
 
+  test("oversize Content-Length fails loudly instead of truncating") {
+    val rec = ("WARC/0.18\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${Int.MaxValue.toLong + 5}\r\n\r\nbody")
+      .getBytes("ISO-8859-1")
+    val e = intercept[IllegalArgumentException](Warc.parseRecords(rec))
+    assert(e.getMessage.contains("Content-Length"))
+    // negative / garbage lengths clamp to 0 (empty content), no crash
+    val neg = ("WARC/0.18\r\nWARC-Type: response\r\n" +
+      "Content-Length: -7\r\n\r\nbody").getBytes("ISO-8859-1")
+    assert(Warc.parseRecords(neg).head.content.isEmpty)
+  }
+
   test("anchor extraction resolves and normalizes URLs (AnchorExtract semantics)") {
     // page /index.html → normalized host; absolute hrefs keep their host
     assert(Html.makeAbsoluteUrl("http://test1.com/index.html",
