@@ -466,6 +466,65 @@ object RelationalQueries {
              |FROM orders""".stripMargin),
       survey = Seq("WINDOW-LAG", "WINDOW-NTILE")),
 
+    // Exact per-group median WITHOUT an engine median() (whose
+    // interpolation rules differ across engines): row_number to the
+    // one/two middle positions, average them. Integer position math
+    // (div) is engine-portable; the value average touches ≤2 doubles.
+    Decl(
+      "q23_group_median",
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", expr(
+            "row_number() OVER (PARTITION BY o_orderpriority" +
+              " ORDER BY o_totalprice, o_orderkey)"))
+          .withColumn("n", expr(
+            "count(*) OVER (PARTITION BY o_orderpriority)"))
+          .filter(expr("rn = (n + 1) div 2 OR rn = (n + 2) div 2"))
+          .groupBy("o_orderpriority")
+          .agg(expr("round(avg(o_totalprice), 6)").as("median_price"),
+            expr("CAST(max(n) AS BIGINT)").as("n")),
+      Some("""SELECT o_orderpriority, round(avg(o_totalprice), 6) AS median_price,
+             |  CAST(max(n) AS BIGINT) AS n
+             |FROM (SELECT o_orderpriority, o_totalprice,
+             |        row_number() OVER (PARTITION BY o_orderpriority
+             |          ORDER BY o_totalprice, o_orderkey) AS rn,
+             |        count(*) OVER (PARTITION BY o_orderpriority) AS n
+             |      FROM orders) t
+             |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+             |GROUP BY o_orderpriority""".stripMargin),
+      survey = Seq("MEDIAN-EXACT")),
+
+    // Skew-salted join (builder brief: "salting for skew"): the fact
+    // side carries a deterministic salt, the dimension is replicated
+    // once per salt, and the join key becomes (user_id, salt) — a
+    // heavy-hitter user's rows now spread across 8 reducers instead of
+    // one. The oracle is the UNSALTED join: salting must be a pure
+    // execution rewrite with identical results. (AQE skew-join handles
+    // moderate skew automatically; explicit salting is the tool when
+    // one key exceeds a single executor.)
+    Decl(
+      "q24_salted_join",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select("event_id", "user_id", "event_type")
+        val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user"))
+        val salted = ev.withColumn("salt", expr("CAST(event_id % 8 AS INT)"))
+        val dimx = dim.crossJoin(
+          broadcast(s.range(0, 8).select(col("id").cast("int").as("salt"))))
+        salted.join(dimx, Seq("user_id", "salt"))
+          .groupBy("event_type")
+          .agg(expr("CAST(sum(n_user) AS BIGINT)").as("sum_weight"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH dim AS (SELECT user_id, count(*) AS n_user
+             |            FROM events GROUP BY user_id)
+             |SELECT event_type, CAST(sum(n_user) AS BIGINT) AS sum_weight,
+             |  count(*) AS n
+             |FROM events e JOIN dim USING (user_id)
+             |GROUP BY event_type""".stripMargin),
+      survey = Seq("SKEW-SALT")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
