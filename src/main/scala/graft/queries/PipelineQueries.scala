@@ -141,25 +141,27 @@ object PipelineQueries {
     * the small components LSH emits.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    // No persist: each round's two references to the previous labels
-    // canonicalize to the same exchange, so ReusedExchange keeps the
-    // 3-round chain linear (measured: persisting every round was ~4×
-    // SLOWER than the reuse path at sf0.1). A fixpoint-many-round run
-    // at 100 TB would localCheckpoint per superstep to cap plan depth.
+    // IDENTITY-EDGE formulation: bi carries a self-loop per doc, so one
+    // round is a single join + min — the previous labels are referenced
+    // ONCE (labels'(d) = min over labels of d and its neighbors), and
+    // the 3-round plan stays linear by construction instead of relying
+    // on exchange reuse to dedupe a twice-referenced subtree. (persist
+    // per round measured ~4× slower; see the rm1Spark note.) A
+    // fixpoint-many-round run at 100 TB would localCheckpoint per
+    // superstep to cap plan depth.
     val edges = lshCandidates(s, dir)
+    val docs = Tables(s, dir, "documents").select("doc_id")
     val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
       .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
-    var labels = Tables(s, dir, "documents")
-      .select(col("doc_id"), col("doc_id").as("lbl"))
+      .unionByName(docs.select(col("doc_id").as("node"),
+        col("doc_id").as("other")))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to 3) {
-      val nbrMin = bi
+      labels = bi
         .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
           Seq("other"))
         .groupBy(col("node").as("doc_id"))
-        .agg(min("olbl").as("nm"))
-      labels = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nm"), col("lbl"))).as("lbl"))
+        .agg(min("olbl").as("lbl"))
     }
     labels
   }
