@@ -1105,6 +1105,31 @@ object PipelineQueries {
               |  FROM d) t WHERE r = 1""".stripMargin),
       survey = Seq("EMB-PQ")),
 
+    // Cross-source duplicate overlap: for every source pair, how many
+    // content hashes they share — the corpus-mixing diagnostic (e.g.
+    // "how much of source A is already in source B") run before
+    // weighting sources in a training mix. Hash first: the self-join
+    // moves 32-char keys, grouped per pair.
+    Decl(
+      "px33_source_overlap",
+      (s, dir) => {
+        val hs = Tables(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h"))
+          .distinct()
+        hs.alias("a")
+          .join(hs.alias("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+          .agg(count(lit(1)).as("shared_hashes"))
+      },
+      Some("""WITH hs AS (SELECT DISTINCT source, md5(text) AS h
+             |            FROM documents)
+             |SELECT a.source AS s1, b.source AS s2,
+             |  count(*) AS shared_hashes
+             |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+             |GROUP BY 1, 2""".stripMargin),
+      survey = Seq("DEDUP-SOURCE-OVERLAP")),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
     // the vector-space weighting the LM-era reference skips, still the
     // default doc-summary/keyword op of corpus tooling. Rank on the

@@ -525,6 +525,35 @@ object RelationalQueries {
              |GROUP BY event_type""".stripMargin),
       survey = Seq("SKEW-SALT")),
 
+    // Exponential time-decay aggregation: per-user decayed value mass
+    // with a 7-day half-life-style kernel anchored at the corpus max
+    // timestamp — the recency-weighted feature aggregation of
+    // behavioral pipelines. One broadcast of the single-row anchor,
+    // one keyed aggregation; exp() noise absorbed by round-6.
+    Decl(
+      "q25_decay_sum",
+      (s, dir) => {
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("value"),
+            unix_micros(col("ts")).as("t"))
+        val ref = ev.agg(max("t").as("tref"))
+        ev.crossJoin(broadcast(ref))
+          .groupBy("user_id")
+          .agg(
+            expr("round(sum(value * exp(-((tref - t) / 86400000000e0) / 7e0)), 6)")
+              .as("decayed"),
+            count(lit(1)).as("n"))
+      },
+      Some("""WITH ev AS (SELECT user_id, value, epoch_us(ts) AS t
+             |            FROM events),
+             |ref AS (SELECT max(t) AS tref FROM ev)
+             |SELECT user_id,
+             |  round(sum(value * exp(-((tref - t) / 86400000000e0) / 7e0)), 6)
+             |    AS decayed,
+             |  count(*) AS n
+             |FROM ev CROSS JOIN ref GROUP BY user_id""".stripMargin),
+      survey = Seq("DECAY-AGG")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",

@@ -37,4 +37,20 @@ class SinkSpec extends SparkSpec {
     val m = row.getMap[String, Long](0)
     assert(m.values.sum == row.getLong(1)) // Σ tf == doc length
   }
+
+  test("JSONL sink round-trips the corpus (LLM-data interchange)") {
+    val dir = Files.createTempDirectory("jsonl").toString + "/docs"
+    val docs = graft.Tables(spark, sfTiny, "documents")
+    // gzip JSONL is the de-facto training-data interchange format;
+    // per-file gzip keeps files atomic-splittable at the FILE level
+    // (one task per file at scale, like WARC).
+    docs.write.option("compression", "gzip").json(dir)
+    assert(Files.list(java.nio.file.Paths.get(dir)).toArray
+      .exists(_.toString.endsWith(".json.gz")))
+    val back = spark.read.schema(docs.schema).json(dir)
+    assert(back.count() == docs.count())
+    val a = docs.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
 }
