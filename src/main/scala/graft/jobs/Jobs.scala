@@ -36,9 +36,11 @@ object Jobs {
       case Array("trec", p) =>
         TrecSgml.read(spark, p)
           .select(col("docno").as("doc_id"), col("text"))
+      case Array("parquet", p) =>
+        spark.read.parquet(p).select("doc_id", "text")
       case _ =>
         throw new IllegalArgumentException(
-          s"input spec '$spec' must be warc:|keyval:|trec:<path>")
+          s"input spec '$spec' must be warc:|keyval:|trec:|parquet:<path>")
     }
   }
 
@@ -259,6 +261,40 @@ object Jobs {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** End-to-end training-data curation: exact dedup → near-dup removal
+    * (MinHash LSH + min-label clusters, keep cluster minimum) → quality
+    * filters (token-count floor, Gopher repetition-ratio cap). Writes
+    * the kept corpus as parquet plus a one-line text report of per-stage
+    * counts — the pipeline a 100 TB pretraining corpus runs before
+    * tokenization (each stage is one keyed shuffle; nothing collects).
+    */
+  def curateCorpus(spark: SparkSession, in: String, out: String,
+                   minTokens: Int = 5, maxRep: Double = 0.2): Unit = {
+    import graft.pipeline.Dedup
+    val docs = loadDocs(spark, in)
+    val n0 = docs.count()
+    val exact = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
+    val n1 = exact.count()
+    val near = exact.join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
+    val n2 = near.count()
+    val sh = TextOps.shingleRows(near, 3)
+    val rep = sh.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"), countDistinct(col("s")).as("d_sh"))
+      .select(col("doc_id"),
+        (lit(1.0) - col("d_sh") / col("n_sh")).as("rep"))
+    val dl = TextOps.docLengths(near)
+    val kept = near.join(dl, Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .filter(col("dl") >= minTokens &&
+        coalesce(col("rep"), lit(0.0)) <= maxRep)
+      .select("doc_id", "text")
+    kept.write.mode("overwrite").parquet(out)
+    val n3 = spark.read.parquet(out).count()
+    import spark.implicits._
+    Seq(s"input=$n0 exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     try args.toList match {
@@ -274,6 +310,7 @@ object Jobs {
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
+      case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)
       case "RunQueryKDE" :: in :: out :: topics :: Nil =>
         runQueryKde(spark, in, out, topics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)

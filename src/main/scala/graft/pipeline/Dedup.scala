@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import graft.functions.DetHash
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Public dedup API over any (doc_id, text) corpus — the library
+  * surface behind the px02/px03/px19/px21 gated queries (which remain
+  * the oracle-checked contract for this math).
+  *
+  * Scale design: hashing is a narrow map; every join/agg is keyed by
+  * signature or doc id; candidate generation is LSH-bucketed (never
+  * all-pairs). All hashes are md5-derived (DetHash) so results are
+  * reproducible across engines and runs.
+  */
+object Dedup {
+
+  /** MinHash signatures, long form (doc_id, i, mh), i ∈ 0..15 — one
+    * md5 per 3-shingle, Kirsch-Mitzenmacher double hashing for the
+    * 16-member family, minima in ONE aggregation pass.
+    */
+  def minhash(docs: DataFrame): DataFrame = {
+    val hs = TextOps.shingleRows(docs, 3)
+      .withColumn("m", md5(col("s")))
+      .select(col("doc_id"),
+        expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("h2"))
+    val mins = (0 until 16).map(i => min(expr(s"h1 + $i * h2")).as(s"m$i"))
+    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .selectExpr("doc_id",
+        s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
+  }
+
+  /** LSH banding candidates (4 bands × 4 rows): (d1, d2) pairs sharing
+    * a full band signature, d1 < d2.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame = {
+    val bands = minhash(docs)
+      .withColumn("band", expr("i div 4"))
+      .groupBy("doc_id", "band")
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
+          " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** Min-label propagation over a candidate edge list, `rounds` fixed
+    * supersteps → (doc_id, lbl). Identity-edge formulation: each round
+    * references the previous labels once, so the plan stays linear.
+    */
+  def clusters(docs: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val ids = docs.select("doc_id")
+    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
+      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
+      .unionByName(ids.select(col("doc_id").as("node"),
+        col("doc_id").as("other")))
+    var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
+    for (_ <- 1 to rounds) {
+      labels = bi
+        .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+          Seq("other"))
+        .groupBy(col("node").as("doc_id"))
+        .agg(min("olbl").as("lbl"))
+    }
+    labels
+  }
+
+  /** Near-dup survivor filter: keep each cluster's min-id doc.
+    * → the kept (doc_id) set as a one-column frame for a semi-join.
+    */
+  def nearDupKeepers(docs: DataFrame, rounds: Int = 3): DataFrame =
+    clusters(docs, lshCandidates(docs), rounds)
+      .groupBy("lbl").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  /** Exact-dup survivor filter: keep the min-id doc per content hash. */
+  def exactKeepers(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+
+  /** 60-bit h60 content fingerprint column (engine-portable). */
+  def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    DetHash.h60(text)
+}

@@ -51,17 +51,8 @@ object PipelineQueries {
     * The 16 per-seed minima are computed in ONE aggregation pass
     * (16 min() columns, then stack to long form) — no 16× row blowup.
     */
-  private def minhashDf(s: SparkSession, dir: String): DataFrame = {
-    val hs = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
-      .withColumn("m", md5(col("s")))
-      .select(col("doc_id"),
-        expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("h2"))
-    val mins = (0 until 16).map(i => min(expr(s"h1 + $i * h2")).as(s"m$i"))
-    hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .selectExpr("doc_id",
-        s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
-  }
+  private def minhashDf(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.minhash(Tables(s, dir, "documents"))
 
   private val duckMinhash =
     s"""$duckToksList,
@@ -112,20 +103,8 @@ object PipelineQueries {
   /** LSH banding candidates (4 bands × 4 rows over the 16 minhashes):
     * (d1, d2) pairs sharing a full band signature.
     */
-  private def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val bands = minhashDf(s, dir)
-      .withColumn("band", expr("i div 4"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
-          " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-  }
+  private def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.pipeline.Dedup.lshCandidates(Tables(s, dir, "documents"))
 
   private val duckLshCtes: String =
     s"""$duckMinhash,
@@ -141,29 +120,13 @@ object PipelineQueries {
     * the small components LSH emits.
     */
   private def dupClusters(s: SparkSession, dir: String): DataFrame = {
-    // IDENTITY-EDGE formulation: bi carries a self-loop per doc, so one
-    // round is a single join + min — the previous labels are referenced
-    // ONCE (labels'(d) = min over labels of d and its neighbors), and
-    // the 3-round plan stays linear by construction instead of relying
-    // on exchange reuse to dedupe a twice-referenced subtree. (persist
-    // per round measured ~4× slower; see the rm1Spark note.) A
-    // fixpoint-many-round run at 100 TB would localCheckpoint per
-    // superstep to cap plan depth.
-    val edges = lshCandidates(s, dir)
-    val docs = Tables(s, dir, "documents").select("doc_id")
-    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
-      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
-      .unionByName(docs.select(col("doc_id").as("node"),
-        col("doc_id").as("other")))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-    for (_ <- 1 to 3) {
-      labels = bi
-        .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
-          Seq("other"))
-        .groupBy(col("node").as("doc_id"))
-        .agg(min("olbl").as("lbl"))
-    }
-    labels
+    // Identity-edge min-label propagation (graft.pipeline.Dedup): each
+    // round references the previous labels ONCE, so the 3-round plan is
+    // linear by construction. (persist per round measured ~4× slower;
+    // see the rm1Spark note.) A fixpoint-many-round run at 100 TB would
+    // localCheckpoint per superstep to cap plan depth.
+    val docs = Tables(s, dir, "documents")
+    graft.pipeline.Dedup.clusters(docs, lshCandidates(s, dir))
   }
 
   /** Oracle CTE chain through `l3` (the 3-round labels) + a caller-

@@ -3,6 +3,7 @@ package graft.jobs
 import graft.SparkSpec
 import graft.eval.{Eval, Qrels}
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.{col, md5}
 
 /** End-to-end job chain mirroring the reference's `test/test.sh`:
   * AnchorExtract → TrecRun (KEYVAL) → QueryTermCount →
@@ -109,6 +110,32 @@ class JobsSpec extends SparkSpec {
     val kept = spark.read.parquet(s"$work/deduped")
       .select("doc_id").collect().map(_.getString(0)).sorted
     assert(kept.toSeq == Seq("d1", "d3"))
+  }
+
+  test("CurateCorpus: exact+near dedup, length and repetition filters") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("curate").toString
+    val base = graft.Tables(spark, sfTiny, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    val crafted = Seq(
+      (1000L, base.filter(col("doc_id") === 0).head().getString(1)), // exact dup
+      (1001L, "tiny doc"),                                           // < 5 tokens
+      (1002L, Seq.fill(40)("spam spam spam").mkString(" ")))         // repetitive
+      .toDF("doc_id", "text")
+    base.unionByName(crafted).write.mode("overwrite")
+      .parquet(s"$work/in")
+    Jobs.curateCorpus(spark, s"parquet:$work/in", s"$work/out")
+    val kept = spark.read.parquet(s"$work/out")
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1000L), "exact duplicate must drop (min-id kept)")
+    assert(ids.contains(0L))
+    assert(!ids.contains(1001L), "short doc must drop")
+    assert(!ids.contains(1002L), "repetitive doc must drop")
+    assert(kept.count() > 0 && kept.count() <= 53)
+    // no surviving content-hash duplicates
+    assert(kept.select(md5(col("text"))).distinct().count() == kept.count())
+    val report = spark.read.text(s"$work/out_report").head().getString(0)
+    assert(report.startsWith("input=53 "))
   }
 
   test("eval library: perfect run scores 1.0, judged against qrels file") {
