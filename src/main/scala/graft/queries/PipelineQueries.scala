@@ -1093,6 +1093,52 @@ object PipelineQueries {
              |GROUP BY 1, 2""".stripMargin),
       survey = Seq("DEDUP-SOURCE-OVERLAP")),
 
+    // k-means, two fixed Lloyd iterations over the embeddings
+    // (deterministic seeds = vectors 0..3): assign → recompute means →
+    // reassign, entirely as keyed joins/aggs — the codebook-training
+    // loop that px31's PQ and px09's IVF consume. Each iteration is
+    // |vectors|×k distance pairs, shuffled on (vid); centroids are k×dim
+    // rows (broadcastable at any corpus size). Distances are rounded
+    // before the argmin rank so cross-engine sum-order noise cannot
+    // flip an assignment tie.
+    Decl(
+      "px34_kmeans_iter",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        def assign(cent: DataFrame): DataFrame = e.join(cent, Seq("i"))
+          .withColumn("d", expr("(x - c) * (x - c)"))
+          .groupBy("vid", "cid").agg(sum("d").as("dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
+          .filter(col("r") === 1).select("vid", "cid")
+        val c0 = e.filter(col("vid") < 4)
+          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+        val a1 = assign(c0)
+        val c1 = e.join(a1, Seq("vid"))
+          .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
+        assign(c1)
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
+              |d1 AS (SELECT e.vid, c0.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c0 USING (i) GROUP BY e.vid, c0.cid),
+              |a1 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d1) t
+              |       WHERE r = 1),
+              |c1 AS (SELECT cid, i, sum(x) / count(x) AS c
+              |       FROM e JOIN a1 USING (vid) GROUP BY cid, i),
+              |d2 AS (SELECT e.vid, c1.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c1 USING (i) GROUP BY e.vid, c1.cid)
+              |SELECT vid, cid FROM (
+              |  SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |    ORDER BY round(dist2, 6), cid) AS r FROM d2) t
+              |WHERE r = 1""".stripMargin),
+      survey = Seq("EMB-KMEANS")),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
     // the vector-space weighting the LM-era reference skips, still the
     // default doc-summary/keyword op of corpus tooling. Rank on the
