@@ -44,6 +44,66 @@ object Index {
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
 
+  /** Inverted postings layout: one row per term carrying its full
+    * postings list (doc_id-sorted) plus precomputed df/cf, with doc
+    * lengths in a small side table. This is the SELECTIVE-query scale
+    * path the doc-vector layout can't offer: a query touches only its
+    * own terms' rows, and because the postings file is term-sorted the
+    * literal `term IN (...)` predicate prunes parquet row groups at the
+    * scan (`PushedFilters`, asserted in IndexSpec) — the Spark analog
+    * of an HBase point-Get per term (SURVEY §3.3), without the RPC.
+    */
+  def writeInverted(docs: DataFrame, path: String): Unit = {
+    val tf = TextOps.termFreqs(docs)
+    tf.groupBy("term")
+      .agg(
+        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"),
+        count(lit(1)).as("df"), sum("tf").as("cf"))
+      .repartition(1).sortWithinPartitions("term") // term-sorted row groups
+      .write.mode("overwrite").parquet(s"$path/postings")
+    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
+  }
+
+  /** Retrieval from the inverted layout. The query-term set is driver
+    * material (topics files are tiny) — inlining it as a LITERAL IN
+    * predicate is what lets the parquet reader prune; a join could not
+    * push down. Everything else streams: no per-term RPC, one explode
+    * of exactly the matched postings.
+    */
+  def scoreFromInverted(spark: SparkSession, path: String, q: DataFrame,
+                        partExpr: String, finalExpr: String,
+                        conjunctive: Boolean, k: Int): DataFrame = {
+    val terms = q.select("term").distinct().collect().map(_.getString(0)).toSeq
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(terms: _*))
+    val tf = post
+      .select(col("term"), col("df"), col("cf"),
+        explode(col("postings")).as("p"))
+      .select(col("term"), col("df"), col("cf"),
+        col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val dl = spark.read.parquet(s"$path/doclen")
+    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
+    val grouped = tf.join(broadcast(q), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .join(broadcast(qlen), Seq("qid"))
+      .crossJoin(broadcast(cs))
+      .withColumn("part", expr(partExpr))
+      .groupBy("qid", "doc_id", "dl", "qlen")
+      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
+    val gated =
+      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
+      else grouped
+    gated
+      .withColumn("score", expr(finalExpr))
+      .withColumn("rank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
+      .filter(col("rank") <= k)
+      .select("qid", "doc_id", "score", "rank")
+  }
+
   /** Retrieval from the materialized index — identical semantics to
     * [[Retrieval.scoreFor]] on the raw corpus (asserted in IndexSpec),
     * without re-tokenizing.

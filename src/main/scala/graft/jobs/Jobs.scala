@@ -323,6 +323,12 @@ object Jobs {
         writeRun(Index.scoreFromIndex(Index.load(spark, idx),
           Topics.readPlain(spark, topics), Retrieval.lmdirPart,
           Retrieval.lmdirFinal, conjunctive = false, TopK), out, "graft-lmdi")
+      case "IndexInverted" :: in :: out :: Nil =>
+        Index.writeInverted(loadDocs(spark, in), out)
+      case "RunQueryInverted" :: idx :: out :: topics :: Nil =>
+        writeRun(Index.scoreFromInverted(spark, idx,
+          Topics.readPlain(spark, topics), Retrieval.lmdirPart,
+          Retrieval.lmdirFinal, conjunctive = false, TopK), out, "graft-lmdi")
       case other => sys.error(
         s"unknown job ${other.headOption.getOrElse("")}; see scaladoc")
     } finally spark.stop()

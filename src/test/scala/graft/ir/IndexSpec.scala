@@ -32,6 +32,29 @@ class IndexSpec extends SparkSpec {
     assert(key(direct).nonEmpty)
   }
 
+  test("inverted index: scoreFromInverted == scoreFor, term filter pushed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("inv").toString + "/idx"
+    val docs = Tables(spark, sfTiny, "documents")
+    Index.writeInverted(docs, dir)
+    val q = Retrieval.querySet
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val direct = Retrieval.scoreFor(docs, q,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    val inverted = Index.scoreFromInverted(spark, dir, q,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    assert(key(inverted) == key(direct))
+    assert(key(inverted).nonEmpty)
+    // the literal term predicate must reach the parquet scan
+    val explained = inverted.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(explained.contains("PushedFilters: [In(term"),
+      "term IN (...) must appear in PushedFilters")
+  }
+
   test("index term stats match direct stats") {
     val dir = Files.createTempDirectory("dv2").toString + "/idx"
     val docs = Tables(spark, sfTiny, "documents")
