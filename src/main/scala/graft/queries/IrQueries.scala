@@ -558,6 +558,63 @@ object IrQueries {
       },
       survey = Seq("RM3", "GRID")),
 
+    // Vector-space cosine retrieval (tf·idf weights, full-document norm
+    // — the pre-LM scoring family the reference era benchmarked
+    // against; completes the §2.7 model coverage). The doc-norm pass
+    // touches every (doc, term) pair once — at scale it is precomputed
+    // at index time next to the doc length; here it shares the tf
+    // aggregation with the matched-pair pass via exchange reuse.
+    Decl(
+      "ir29_vsm_cosine",
+      (s, dir) => {
+        import s.implicits._
+        val tf = TextOps.termFreqs(docsT(s, dir))
+        val nd = docsT(s, dir).agg(count(lit(1)).as("n_docs"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("wdt", expr("tf * ln(n_docs / df)"))
+        val dnorm = w.groupBy("doc_id")
+          .agg(expr("sqrt(sum(wdt * wdt))").as("dn"))
+        val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("qid", "term")
+        val qw = q.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("wqt", expr("ln(n_docs / df)"))
+        val qnorm = qw.groupBy("qid")
+          .agg(expr("sqrt(sum(wqt * wqt))").as("qn"))
+        w.join(broadcast(qw.select("qid", "term", "wqt")), Seq("term"))
+          .groupBy("qid", "doc_id").agg(sum(expr("wdt * wqt")).as("dotp"))
+          .join(dnorm, Seq("doc_id"))
+          .join(broadcast(qnorm), Seq("qid"))
+          .withColumn("score", expr("round(dotp / (dn * qn), 6)"))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
+          .filter(col("rank") <= 10)
+          .select("qid", "doc_id", "score", "rank")
+      },
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |nd AS (SELECT count(*) AS n_docs FROM documents),
+              |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |w AS (SELECT doc_id, term, tf * ln(n_docs / df) AS wdt
+              |      FROM tf JOIN dft USING (term) CROSS JOIN nd),
+              |dnorm AS (SELECT doc_id, sqrt(sum(wdt * wdt)) AS dn
+              |          FROM w GROUP BY doc_id),
+              |q AS (SELECT * FROM $duckQueryValues),
+              |qw AS (SELECT qid, term, ln(n_docs / df) AS wqt
+              |       FROM q JOIN dft USING (term) CROSS JOIN nd),
+              |qnorm AS (SELECT qid, sqrt(sum(wqt * wqt)) AS qn
+              |          FROM qw GROUP BY qid),
+              |dots AS (SELECT qid, doc_id, sum(wdt * wqt) AS dotp
+              |         FROM w JOIN qw USING (term) GROUP BY qid, doc_id),
+              |scored AS (SELECT qid, doc_id,
+              |             round(dotp / (dn * qn), 6) AS score
+              |           FROM dots JOIN dnorm USING (doc_id)
+              |           JOIN qnorm USING (qid))
+              |SELECT qid, doc_id, score, rank FROM (
+              |  SELECT qid, doc_id, score, row_number() OVER (
+              |    PARTITION BY qid ORDER BY score DESC, doc_id) AS rank
+              |  FROM scored) t WHERE rank <= 10""".stripMargin),
+      survey = Seq("VSM-COSINE")),
+
     // RM3 interpolation λ·q + (1−λ)·RM1clip, λ=0.5
     // (FeatureVector.interpolate:173-190, clip:66-84, normalize:86-107).
     Decl(
