@@ -1139,6 +1139,76 @@ object PipelineQueries {
               |WHERE r = 1""".stripMargin),
       survey = Seq("EMB-KMEANS")),
 
+    // Corpus-mix profile: per-language doc/char shares + the mix's
+    // Shannon entropy — the balance diagnostic checked before setting
+    // sampling weights in a training mixture. Two tiny aggregations;
+    // the entropy is a full-frame window over ~|languages| rows.
+    Decl(
+      "px35_mix_entropy",
+      (s, dir) => {
+        val per = Tables(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(n_chars) AS BIGINT)").as("n_chars"))
+        val tot = per.agg(expr("CAST(sum(n_docs) AS BIGINT)").as("td"),
+          expr("CAST(sum(n_chars) AS BIGINT)").as("tc"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("doc_share", expr("round(n_docs / CAST(td AS DOUBLE), 6)"))
+          .withColumn("char_share", expr("round(n_chars / CAST(tc AS DOUBLE), 6)"))
+          .withColumn("mix_entropy", expr(
+            "round(sum(-(n_docs / CAST(td AS DOUBLE))" +
+              " * ln(n_docs / CAST(td AS DOUBLE))) OVER (), 6)"))
+          .select("lang", "n_docs", "doc_share", "char_share", "mix_entropy")
+      },
+      Some("""WITH per AS (SELECT lang, count(*) AS n_docs,
+             |              CAST(sum(n_chars) AS BIGINT) AS n_chars
+             |            FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             |          CAST(sum(n_chars) AS BIGINT) AS tc FROM per)
+             |SELECT lang, n_docs,
+             |  round(n_docs / CAST(td AS DOUBLE), 6) AS doc_share,
+             |  round(n_chars / CAST(tc AS DOUBLE), 6) AS char_share,
+             |  round(sum(-(n_docs / CAST(td AS DOUBLE))
+             |    * ln(n_docs / CAST(td AS DOUBLE))) OVER (), 6) AS mix_entropy
+             |FROM per CROSS JOIN tot""".stripMargin),
+      survey = Seq("MIX-ENTROPY")),
+
+    // Exact nearest-rank length percentiles per language (p50/p90/p99
+    // of n_chars): row_number to ceil(n·k/100) positions — pure integer
+    // arithmetic, so the outputs are exact BIGINTs in both engines (no
+    // engine-specific quantile interpolation). The profiling twin of
+    // q23's two-position median.
+    Decl(
+      "px36_length_percentiles",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", expr(
+            "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)"))
+          .withColumn("n", expr("count(*) OVER (PARTITION BY lang)"))
+          .filter(expr("rn = (n * 50 + 99) div 100" +
+            " OR rn = (n * 90 + 99) div 100 OR rn = (n * 99 + 99) div 100"))
+          .groupBy("lang")
+          .agg(
+            expr("max(CASE WHEN rn = (n * 50 + 99) div 100 THEN n_chars END)").as("p50"),
+            expr("max(CASE WHEN rn = (n * 90 + 99) div 100 THEN n_chars END)").as("p90"),
+            expr("max(CASE WHEN rn = (n * 99 + 99) div 100 THEN n_chars END)").as("p99"),
+            expr("CAST(max(n) AS BIGINT)").as("n")),
+      Some("""SELECT lang,
+             |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,
+             |  max(CASE WHEN rn = (n * 90 + 99) // 100 THEN n_chars END) AS p90,
+             |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END) AS p99,
+             |  CAST(max(n) AS BIGINT) AS n
+             |FROM (SELECT lang, n_chars, doc_id,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY n_chars, doc_id) AS rn,
+             |        count(*) OVER (PARTITION BY lang) AS n
+             |      FROM documents) t
+             |WHERE rn = (n * 50 + 99) // 100 OR rn = (n * 90 + 99) // 100
+             |   OR rn = (n * 99 + 99) // 100
+             |GROUP BY lang""".stripMargin),
+      survey = Seq("LENGTH-PERCENTILES")),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
     // the vector-space weighting the LM-era reference skips, still the
     // default doc-summary/keyword op of corpus tooling. Rank on the
