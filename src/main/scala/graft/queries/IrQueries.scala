@@ -615,6 +615,64 @@ object IrQueries {
               |  FROM scored) t WHERE rank <= 10""".stripMargin),
       survey = Seq("VSM-COSINE")),
 
+    // Rocchio feedback — the vector-space cousin of RM3 (completes the
+    // feedback family): q' = α·w_q + β·mean(top-10 docs' tf·idf
+    // vectors), P11-cleaned, top-10 expansion terms per query.
+    // α=1, β=0.75 (the classic defaults).
+    Decl(
+      "ir30_rocchio",
+      (s, dir) => {
+        import s.implicits._
+        val tf = TextOps.termFreqs(docsT(s, dir))
+        val nd = docsT(s, dir).agg(count(lit(1)).as("n_docs"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .withColumn("wdt", expr("tf * ln(n_docs / df)"))
+        val fb = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+          .select("qid", "doc_id")
+        val centroid = fb.join(w, Seq("doc_id"))
+          .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
+          .groupBy("qid", "term")
+          .agg(expr("sum(wdt) / 10e0").as("cterm"))
+        val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("qid", "term")
+        val qw = q.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+          .select(col("qid"), col("term"),
+            expr("ln(n_docs / df)").as("wqt"))
+        centroid.join(qw, Seq("qid", "term"), "full_outer")
+          .select(col("qid"), col("term"),
+            expr("round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 6)")
+              .as("rocchio"),
+            expr("row_number() OVER (PARTITION BY qid ORDER BY" +
+              " round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 9)" +
+              " DESC, term)").as("r"))
+          .filter(col("r") <= 10)
+      },
+      Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
+        s""",
+           |nd2 AS (SELECT count(*) AS n_docs FROM documents),
+           |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |w AS (SELECT doc_id, term, tf * ln(nd2.n_docs / df) AS wdt
+           |      FROM tf JOIN dft USING (term) CROSS JOIN nd2),
+           |fb AS (SELECT qid, doc_id FROM ranked WHERE rank <= 10),
+           |cent AS (SELECT qid, term, sum(wdt) / 10e0 AS cterm
+           |         FROM fb JOIN w USING (doc_id)
+           |         WHERE length(term) >= 3
+           |           AND NOT regexp_matches(term, '[0-9]')
+           |         GROUP BY qid, term),
+           |qw AS (SELECT qid, q.term, ln(nd2.n_docs / df) AS wqt
+           |       FROM q JOIN dft ON q.term = dft.term CROSS JOIN nd2)
+           |SELECT qid, term, rocchio, r FROM (
+           |  SELECT qid, term,
+           |    round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 6)
+           |      AS rocchio,
+           |    row_number() OVER (PARTITION BY qid ORDER BY
+           |      round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 9)
+           |      DESC, term) AS r
+           |  FROM cent FULL JOIN qw USING (qid, term)) t
+           |WHERE r <= 10""".stripMargin),
+      survey = Seq("ROCCHIO")),
+
     // RM3 interpolation λ·q + (1−λ)·RM1clip, λ=0.5
     // (FeatureVector.interpolate:173-190, clip:66-84, normalize:86-107).
     Decl(

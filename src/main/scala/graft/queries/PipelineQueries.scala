@@ -1209,6 +1209,34 @@ object PipelineQueries {
              |GROUP BY lang""".stripMargin),
       survey = Seq("LENGTH-PERCENTILES")),
 
+    // Weighted sampling without replacement (Efraimidis–Spirakis keys,
+    // deterministic): per language, pick 5 docs with probability ∝
+    // n_chars via key = −ln(u)/w, u = (h60(doc_id)+1)/2^60 ∈ (0,1] —
+    // the replayable weighted downsampler of mixture construction
+    // (sample ∝ quality/length without a global sort: rank keys per
+    // partition group). round-then-rank keeps cross-engine order exact.
+    Decl(
+      "px37_weighted_sample",
+      (s, dir) =>
+        Tables(s, dir, "documents")
+          .withColumn("h", DetHash.h60(expr("CAST(doc_id AS STRING)")))
+          .withColumn("k",
+            expr("-ln((h + 1) / 1152921504606846976e0) / n_chars"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY lang ORDER BY round(k, 9), doc_id)"))
+          .filter(col("r") <= 5)
+          .select(col("lang"), col("doc_id"), col("r"),
+            expr("round(k, 6)").as("key")),
+      Some(s"""SELECT lang, doc_id, r, round(k, 6) AS key FROM (
+              |  SELECT lang, doc_id,
+              |    -ln((${H("CAST(doc_id AS VARCHAR)")} + 1)
+              |        / 1152921504606846976e0) / n_chars AS k,
+              |    row_number() OVER (PARTITION BY lang ORDER BY
+              |      round(-ln((${H("CAST(doc_id AS VARCHAR)")} + 1)
+              |        / 1152921504606846976e0) / n_chars, 9), doc_id) AS r
+              |  FROM documents) t WHERE r <= 5""".stripMargin),
+      survey = Seq("SAMPLE-WEIGHTED")),
+
     // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
     // the vector-space weighting the LM-era reference skips, still the
     // default doc-summary/keyword op of corpus tooling. Rank on the
