@@ -20,7 +20,10 @@ object Bench {
     val results = SparkEntry.decls.map { d =>
       val t0 = System.nanoTime()
       try d.run(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+        -1L
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Queries with shared subtrees persist() them; drop those caches
       // before the next query so timings stay independent (no
