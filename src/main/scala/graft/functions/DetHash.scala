@@ -19,17 +19,18 @@ import org.apache.spark.sql.functions._
   */
 object DetHash {
 
-  /** 60-bit non-negative hash of a string column. */
-  def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
+  /** 60-bit non-negative hash of a string column — the NATIVE
+    * [[H60]] expression (digest bytes straight to long; bit-identical
+    * to the conv/substring formula, asserted in VecOpsSpec).
+    */
+  def h60(c: Column): Column = call_function("h60", c)
 
   /** Seeded variant: independent hash family member i (for minhash). */
   def h60(c: Column, seed: Int): Column =
     h60(concat(lit(seed.toString), lit("|"), c))
 
   /** Spark SQL string form of [[h60]], for use inside expr() strings. */
-  def sparkH60Sql(e: String): String =
-    s"CAST(conv(substring(md5($e), 1, 15), 16, 10) AS BIGINT)"
+  def sparkH60Sql(e: String): String = s"h60($e)"
 
   /** DuckDB SQL fragment for the same hash, for oracle authoring. */
   def duckH60(expr: String): String =

@@ -63,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("norm2_f64"),
       new ExpressionInfo(classOf[Norm2F64].getName, "norm2_f64"),
       (exprs: Seq[Expression]) => Norm2F64(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("h60"),
+      new ExpressionInfo(classOf[H60].getName, "h60"),
+      (exprs: Seq[Expression]) => H60(exprs(0))))
   }
 }

@@ -48,4 +48,23 @@ class VecOpsSpec extends SparkSpec {
         " norm2_f64(CAST(NULL AS ARRAY<FLOAT>))").head()
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
+
+  test("native h60 == conv(substring(md5)) formula, bit for bit") {
+    // the native digest-byte path must be indistinguishable from the
+    // hex-string formula (which is what the DuckDB oracle replays)
+    val diff = Tables(spark, sfTiny, "documents")
+      .selectExpr("text",
+        "h60(text) AS fast",
+        "CAST(conv(substring(md5(text), 1, 15), 16, 10) AS BIGINT) AS ref")
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    // known constant (DuckDB-verified in QuerySuiteSpec) + edge cases
+    val edge = spark.sql(
+      "SELECT h60('abc'), h60(''), h60('ü ☃ 漢字')," +
+        " CAST(conv(substring(md5(''), 1, 15), 16, 10) AS BIGINT)," +
+        " CAST(conv(substring(md5('ü ☃ 漢字'), 1, 15), 16, 10) AS BIGINT)").head()
+    assert(edge.getLong(0) == 648541476951500027L)
+    assert(edge.getLong(1) == edge.getLong(3))
+    assert(edge.getLong(2) == edge.getLong(4))
+  }
 }
