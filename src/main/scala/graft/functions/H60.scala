@@ -39,15 +39,61 @@ object H60 {
   private val md = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
-  /** First 60 bits of md5 over the string's UTF-8 bytes. */
-  def hash(s: UTF8String): Long = {
+  private[functions] def digest(s: UTF8String): Array[Byte] = {
     val d = md.get()
     d.reset()
-    val b = d.digest(s.getBytes)
+    d.digest(s.getBytes)
+  }
+
+  /** First 60 bits of md5 over the string's UTF-8 bytes. */
+  def hash(s: UTF8String): Long = {
+    val b = digest(s)
     val top =
       (b(0) & 0xffL) << 56 | (b(1) & 0xffL) << 48 | (b(2) & 0xffL) << 40 |
         (b(3) & 0xffL) << 32 | (b(4) & 0xffL) << 24 | (b(5) & 0xffL) << 16 |
         (b(6) & 0xffL) << 8 | (b(7) & 0xffL)
     top >>> 4
+  }
+}
+
+/** Both minhash base hashes from ONE digest: h1 = hex chars 1..15
+  * (60 bits, digest bytes 0..7 >>> 4), h2 = hex chars 17..30 (56 bits,
+  * digest bytes 8..14) — bit-identical to the two conv(substring(...))
+  * parses of the same md5 hex string, without materializing it. This
+  * runs once per shingle in every minhash/LSH operator, the hottest
+  * expression in the dedup family.
+  */
+case class Md5H1H2(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h2", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_h1h2"
+
+  override protected def nullSafeEval(a: Any): Any =
+    Md5H1H2.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5H1H2.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5H1H2 =
+    copy(child = newChild)
+}
+
+object Md5H1H2 {
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = H60.digest(s)
+    val h1 =
+      ((b(0) & 0xffL) << 56 | (b(1) & 0xffL) << 48 | (b(2) & 0xffL) << 40 |
+        (b(3) & 0xffL) << 32 | (b(4) & 0xffL) << 24 | (b(5) & 0xffL) << 16 |
+        (b(6) & 0xffL) << 8 | (b(7) & 0xffL)) >>> 4
+    val h2 =
+      (b(8) & 0xffL) << 48 | (b(9) & 0xffL) << 40 | (b(10) & 0xffL) << 32 |
+        (b(11) & 0xffL) << 24 | (b(12) & 0xffL) << 16 | (b(13) & 0xffL) << 8 |
+        (b(14) & 0xffL)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](h1, h2))
   }
 }

@@ -67,5 +67,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("h60"),
       new ExpressionInfo(classOf[H60].getName, "h60"),
       (exprs: Seq[Expression]) => H60(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("md5_h1h2"),
+      new ExpressionInfo(classOf[Md5H1H2].getName, "md5_h1h2"),
+      (exprs: Seq[Expression]) => Md5H1H2(exprs(0))))
   }
 }

@@ -21,11 +21,12 @@ object Dedup {
     * 16-member family, minima in ONE aggregation pass.
     */
   def minhash(docs: DataFrame): DataFrame = {
+    // md5_h1h2: both digest slices in one native expression (no hex
+    // string materialization; bit-equality asserted in VecOpsSpec)
     val hs = TextOps.shingleRows(docs, 3)
-      .withColumn("m", md5(col("s")))
+      .withColumn("hh", expr("md5_h1h2(s)"))
       .select(col("doc_id"),
-        expr("CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT)").as("h2"))
+        col("hh.h1").as("h1"), col("hh.h2").as("h2"))
     val mins = (0 until 16).map(i => min(expr(s"h1 + $i * h2")).as(s"m$i"))
     hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .selectExpr("doc_id",

@@ -67,4 +67,14 @@ class VecOpsSpec extends SparkSpec {
     assert(edge.getLong(1) == edge.getLong(3))
     assert(edge.getLong(2) == edge.getLong(4))
   }
+
+  test("md5_h1h2 == the two conv(substring(md5)) slices, bit for bit") {
+    val diff = Tables(spark, sfTiny, "documents")
+      .selectExpr("text", "md5_h1h2(text) AS hh", "md5(text) AS m")
+      .selectExpr("hh.h1 AS f1", "hh.h2 AS f2",
+        "CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT) AS r1",
+        "CAST(conv(substring(m, 17, 14), 16, 10) AS BIGINT) AS r2")
+      .filter(col("f1") =!= col("r1") || col("f2") =!= col("r2"))
+    assert(diff.count() == 0)
+  }
 }
