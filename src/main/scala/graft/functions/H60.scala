@@ -82,6 +82,46 @@ case class Md5H1H2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All overlapping character trigrams of a string as one array —
+  * equivalent to `transform(sequence(1, length(s)-2), i ->
+  * substring(s, i, 3))` (empty below 3 chars) but built in a single
+  * pass over the char positions instead of re-evaluating a substring
+  * expression per index. Used by the language-ID profile/vote path,
+  * which explodes ~|corpus chars| of these.
+  */
+case class CharTrigrams(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_trigrams"
+
+  override protected def nullSafeEval(a: Any): Any =
+    CharTrigrams.compute(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharTrigrams.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharTrigrams =
+    copy(child = newChild)
+}
+
+object CharTrigrams {
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = s.numChars()
+    if (n < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      out(i) = s.substringSQL(i + 1, 3)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object Md5H1H2 {
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val b = H60.digest(s)

@@ -71,5 +71,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_h1h2"),
       new ExpressionInfo(classOf[Md5H1H2].getName, "md5_h1h2"),
       (exprs: Seq[Expression]) => Md5H1H2(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
+      (exprs: Seq[Expression]) => CharTrigrams(exprs(0))))
   }
 }

@@ -646,9 +646,9 @@ object PipelineQueries {
         val grams = Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), lower(col("text")).as("t"))
           .select(col("doc_id"), col("lang"),
-            explode(expr(
-              "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2)," +
-                " i -> substring(t, i, 3)) ELSE array() END")).as("g"))
+            // native one-pass trigram array (functions/CharTrigrams;
+            // ≡ transform(sequence(...), substring), VecOpsSpec)
+            explode(expr("char_trigrams(t)")).as("g"))
         val profiles = grams.groupBy("lang", "g")
           .agg(count(lit(1)).as("cnt"))
           .withColumn("r",

@@ -68,6 +68,23 @@ class VecOpsSpec extends SparkSpec {
     assert(edge.getLong(2) == edge.getLong(4))
   }
 
+  test("char_trigrams == transform(sequence, substring) formula") {
+    val diff = Tables(spark, sfTiny, "documents")
+      .selectExpr("lower(text) AS t")
+      .selectExpr("char_trigrams(t) AS fast",
+        "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2)," +
+          " i -> substring(t, i, 3)) ELSE array() END AS ref")
+      .filter(expr("fast != ref"))
+    assert(diff.count() == 0)
+    val edge = spark.sql(
+      "SELECT char_trigrams(''), char_trigrams('ab'), char_trigrams('abc')," +
+        " char_trigrams('héllo')").head()
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.getSeq[String](1).isEmpty)
+    assert(edge.getSeq[String](2) == Seq("abc"))
+    assert(edge.getSeq[String](3) == Seq("hél", "éll", "llo"))
+  }
+
   test("md5_h1h2 == the two conv(substring(md5)) slices, bit for bit") {
     val diff = Tables(spark, sfTiny, "documents")
       .selectExpr("text", "md5_h1h2(text) AS hh", "md5(text) AS m")
