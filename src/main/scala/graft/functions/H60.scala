@@ -122,6 +122,58 @@ object CharTrigrams {
   }
 }
 
+/** All overlapping k-token shingles of a string array, space-joined —
+  * equivalent to `transform(sequence(0, n-k), i -> concat_ws(' ',
+  * element_at(a, i+1), …, element_at(a, i+k)))` (empty below k tokens)
+  * but built in one pass: k array reads + one concat per shingle,
+  * instead of k interpreted element_at lambda evaluations. The
+  * entry-point expression of every MinHash/Jaccard/fingerprint
+  * operator — it touches every token of the corpus.
+  */
+case class TokenShingles(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StringType}
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_shingles"
+
+  override protected def nullSafeEval(a: Any, k: Any): Any =
+    TokenShingles.compute(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, k) => s"graft.functions.TokenShingles.compute($a, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenShingles {
+  private val SP = UTF8String.fromString(" ")
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData, k: Int)
+      : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = a.numElements()
+    if (k <= 0 || n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](0))
+    val out = new Array[Any](n - k + 1)
+    val parts = new Array[UTF8String](k)
+    var i = 0
+    while (i <= n - k) {
+      var j = 0
+      while (j < k) { parts(j) = a.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(SP, parts: _*)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object Md5H1H2 {
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
     val b = H60.digest(s)

@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("char_trigrams"),
       new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
       (exprs: Seq[Expression]) => CharTrigrams(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("token_shingles"),
+      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
+      (exprs: Seq[Expression]) => TokenShingles(exprs(0), exprs(1))))
   }
 }

@@ -59,14 +59,11 @@ object TextOps {
     * referenced 3k+ times here, and inlining it re-tokenizes the
     * document per element access (measured ~1.5× whole-query cost).
     */
-  def shinglesFromToks(toks: Column, k: Int): Column = {
-    val n = size(toks)
-    when(n >= k,
-      transform(
-        sequence(lit(0), n - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shinglesFromToks(toks: Column, k: Int): Column =
+    // NATIVE one-pass expression (functions/TokenShingles; equality
+    // with the transform/element_at formulation asserted in VecOpsSpec)
+    org.apache.spark.sql.functions.call_function(
+      "token_shingles", toks, lit(k))
 
   /** Legacy convenience: shingles directly from a text column. */
   def shinglesCol(text: Column, k: Int): Column =

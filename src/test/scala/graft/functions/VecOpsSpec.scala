@@ -85,6 +85,28 @@ class VecOpsSpec extends SparkSpec {
     assert(edge.getSeq[String](3) == Seq("hél", "éll", "llo"))
   }
 
+  test("token_shingles == transform(sequence, concat_ws(element_at))") {
+    def ref(k: Int) =
+      s"CASE WHEN size(toks) >= $k THEN transform(sequence(0, size(toks) - $k)," +
+        s" i -> concat_ws(' ', ${(0 until k).map(j => s"element_at(toks, i + $j + 1)").mkString(", ")}))" +
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    val base = Tables(spark, sfTiny, "documents")
+      .selectExpr("filter(split(lower(text), '[^0-9a-z]+'), t -> t != '') AS toks")
+    Seq(3, 5).foreach { k =>
+      val diff = base
+        .selectExpr(s"token_shingles(toks, $k) AS fast", s"${ref(k)} AS refv")
+        .filter(expr("fast != refv"))
+      assert(diff.count() == 0, s"k=$k")
+    }
+    val edge = spark.sql(
+      "SELECT token_shingles(array('a','b'), 3)," +
+        " token_shingles(array('a','b','c','d'), 3)," +
+        " token_shingles(CAST(array() AS ARRAY<STRING>), 3)").head()
+    assert(edge.getSeq[String](0).isEmpty)
+    assert(edge.getSeq[String](1) == Seq("a b c", "b c d"))
+    assert(edge.getSeq[String](2).isEmpty)
+  }
+
   test("md5_h1h2 == the two conv(substring(md5)) slices, bit for bit") {
     val diff = Tables(spark, sfTiny, "documents")
       .selectExpr("text", "md5_h1h2(text) AS hh", "md5(text) AS m")
