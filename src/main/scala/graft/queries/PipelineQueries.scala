@@ -1265,6 +1265,83 @@ object PipelineQueries {
               |        row_number() OVER (PARTITION BY doc_id
               |          ORDER BY round(tf * ln(n_docs / df), 9) DESC, term) AS r
               |      FROM x) t WHERE r <= 3""".stripMargin),
-      survey = Seq("TEXT-TFIDF"))
+      survey = Seq("TEXT-TFIDF")),
+
+    // Bigram LM training counts: c(w1,w2), c(w1), and the conditional
+    // P(w2|w1) — the n-gram-LM estimation pass (and the KenLM-style
+    // filter signal) over a tokenized corpus. One narrow tokenize+lead
+    // pass per doc, then a keyed aggregation; the final global top-100
+    // ranking runs on the ~|V|² aggregated table, not the corpus.
+    Decl(
+      "px38_bigram_lm",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TextOps.tokensCol(col("text"))).as(Seq("pos", "term")))
+          .filter(col("term") =!= "")
+        val big = toks
+          .withColumn("w2",
+            expr("lead(term, 1) OVER (PARTITION BY doc_id ORDER BY pos)"))
+          .filter(col("w2").isNotNull)
+          .groupBy(col("term").as("w1"), col("w2"))
+          .agg(count(lit(1)).as("n12"))
+        val tot = big.groupBy("w1").agg(sum("n12").as("n1"))
+        big.join(tot, Seq("w1"))
+          .withColumn("p", expr("round(CAST(n12 AS DOUBLE) / n1, 6)"))
+          .withColumn("r",
+            expr("row_number() OVER (ORDER BY n12 DESC, w1, w2)"))
+          .filter(col("r") <= 100)
+          .select("w1", "w2", "n12", "n1", "p", "r")
+      },
+      Some("""WITH tok AS (SELECT doc_id, i, t FROM (
+             |  SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '[^0-9a-z]+')) AS t,
+             |    generate_subscripts(string_split_regex(lower(text), '[^0-9a-z]+'), 1) AS i
+             |  FROM documents) u WHERE t <> ''),
+             |bg AS (SELECT t AS w1,
+             |         lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+             |       FROM tok),
+             |c AS (SELECT w1, w2, count(*) AS n12 FROM bg
+             |      WHERE w2 IS NOT NULL GROUP BY w1, w2),
+             |tot AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c GROUP BY w1)
+             |SELECT w1, w2, n12, n1, round(CAST(n12 AS DOUBLE) / n1, 6) AS p, r
+             |FROM (SELECT w1, w2, n12, n1,
+             |        row_number() OVER (ORDER BY n12 DESC, w1, w2) AS r
+             |      FROM c JOIN tot USING (w1)) t WHERE r <= 100""".stripMargin),
+      survey = Seq("TEXT-NGRAM-LM")),
+
+    // Sequence packing: concatenate each source's docs in doc_id order
+    // and chunk into 512-token training windows; a doc belongs to the
+    // window holding its first token. THE pretraining batch-prep op.
+    // Packing is per-source (PARTITION BY) — the global-order variant
+    // would serialize on one partition at 100 TB, whereas per-shard
+    // packing is how real pipelines run it (pack within a shard, name
+    // sequences (shard, seq_id)).
+    Decl(
+      "px39_pack_sequences",
+      (s, dir) => {
+        val n = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            expr("size(filter(split(lower(text), '[^0-9a-z]+'), x -> x <> ''))")
+              .cast("bigint").as("n_tok"))
+        n.withColumn("cum0", expr(
+          "coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id" +
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
+          .withColumn("seq_id", expr("cum0 div 512"))
+          .groupBy("source", "seq_id")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      },
+      Some("""WITH n AS (SELECT source, doc_id,
+             |  len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
+             |      x -> x <> '')) AS n_tok
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tok,
+             |  coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0
+             |  FROM n)
+             |SELECT source, CAST(cum0 // 512 AS BIGINT) AS seq_id,
+             |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+             |FROM c GROUP BY 1, 2""".stripMargin),
+      survey = Seq("PACK-SEQUENCES"))
   )
 }

@@ -554,6 +554,59 @@ object RelationalQueries {
              |FROM ev CROSS JOIN ref GROUP BY user_id""".stripMargin),
       survey = Seq("DECAY-AGG")),
 
+    // Time-RANGE window frame: rolling 1-hour event count/sum per user.
+    // Complements q16 (ROWS frame): RANGE frames are the shape of every
+    // "activity in the trailing window" feature at scale — one shuffle
+    // on the partition key, frame evaluated by ordinal scan within the
+    // sorted partition, never a self-join on the time predicate.
+    // Deterministic: the frame is defined by the t VALUE (peers always
+    // all-in under RANGE/CURRENT ROW), so ties can't reorder results.
+    Decl(
+      "q26_rolling_time_window",
+      (s, dir) =>
+        Tables(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("value"),
+            unix_micros(col("ts")).as("t"))
+          .withColumn("roll_n", expr(
+            "count(*) OVER (PARTITION BY user_id ORDER BY t" +
+              " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"))
+          .withColumn("roll_v", expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2)))" +
+              " OVER (PARTITION BY user_id ORDER BY t" +
+              " RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)"))
+          .select("user_id", "event_id", "roll_n", "roll_v"),
+      Some("""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS t
+             |            FROM events)
+             |SELECT user_id, event_id,
+             |  count(*) OVER (PARTITION BY user_id ORDER BY t
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS roll_n,
+             |  CAST(sum(CAST(value AS DECIMAL(18,2)))
+             |    OVER (PARTITION BY user_id ORDER BY t
+             |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |    AS roll_v
+             |FROM e""".stripMargin),
+      survey = Seq("WINDOW-FRAME", "STREAM-WINDOW")),
+
+    // CUBE grouping sets with grouping_id (q15 covers ROLLUP): all four
+    // (flag, status) aggregation lattice cells in ONE pass — Catalyst
+    // expands the grouping sets before the partial aggregate, so the
+    // input is still read once at 100 TB.
+    Decl(
+      "q27_cube_grouping",
+      (s, dir) =>
+        Tables(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(grouping_id().cast("bigint").as("gid"),
+            count(lit(1)).as("cnt"),
+            expr(decSum("l_extendedprice")).as("sum_base")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+              |  count(*) AS cnt,
+              |  ${decSum("l_extendedprice")} AS sum_base
+              |FROM lineitem
+              |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      survey = Seq("A1", "A2")),
+
     // JSON scalar extraction (events.props).
     Decl(
       "q14_json_extract",
