@@ -1288,9 +1288,13 @@ object PipelineQueries {
         val tot = big.groupBy("w1").agg(sum("n12").as("n1"))
         big.join(tot, Seq("w1"))
           .withColumn("p", expr("round(CAST(n12 AS DOUBLE) / n1, 6)"))
+          // top-100 via orderBy+limit = distributed TakeOrderedAndProject
+          // (a global row_number window would single-partition the ~|V|²
+          // bigram table); the rank column is then derived on ≤100 rows.
+          .orderBy(desc("n12"), col("w1"), col("w2"))
+          .limit(100)
           .withColumn("r",
             expr("row_number() OVER (ORDER BY n12 DESC, w1, w2)"))
-          .filter(col("r") <= 100)
           .select("w1", "w2", "n12", "n1", "p", "r")
       },
       Some("""WITH tok AS (SELECT doc_id, i, t FROM (
