@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column —
+  * the similarity-search surface of the pipeline mandate, as a public
+  * API (the declared oracle queries px07/px09 carry the same math in
+  * DuckDB-replayable exploded form; this API is the array-native
+  * production shape).
+  *
+  * Scale design (100 TB):
+  *  - [[cosineTopK]] is the exact baseline: queries broadcast, the
+  *    corpus side streams through one codegen'd kernel pass
+  *    (`dot_f64`/`norm2_f64`, functions/VecOps.scala) — a
+  *    BroadcastNestedLoopJoin whose cost is #corpus × #queries kernel
+  *    calls, the right tool only for small query batches.
+  *  - [[ivfTopK]] is the scale path: a k-means codebook ([[
+  *    kmeansCentroids]], built once, tiny, broadcast), corpus vectors
+  *    pre-assigned to their nearest centroid ([[ivfAssign]], one
+  *    narrow pass, persisted as a partition column in practice), and
+  *    each query scanning only its `nprobe` nearest inverted lists —
+  *    the candidate set shrinks by ~kClusters/nprobe versus brute
+  *    force while the per-candidate kernel stays identical.
+  */
+object Ann {
+
+  /** Squared L2 distance between a float-array column and a
+    * double-array column (centroid), elementwise in DOUBLE.
+    * Higher-order form — only used on (vector × centroid) pairs,
+    * never on the candidate hot path.
+    */
+  private def l2sq(vec: String, cent: String): String =
+    s"aggregate(zip_with($vec, $cent, (a, b) ->" +
+      s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
+      " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Exact cosine top-k: for each query vector, the k nearest corpus
+    * vectors by cosine similarity (self-pairs excluded when ids
+    * collide). Queries are broadcast; the corpus streams.
+    *
+    * @param corpus  (id, embedding: array&lt;float&gt;)
+    * @param queries (id, embedding: array&lt;float&gt;)
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
+      .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+      .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .withColumn("rank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
+  /** Lloyd's k-means over the embedding column: deterministic seeding
+    * (the first `kClusters` vectors by id), `iters` assign+update
+    * rounds. Returns (cid, centroid: array&lt;double&gt;) — tiny, meant
+    * to be broadcast. Build-phase op: runs in exploded long form so the
+    * mean update is one keyed aggregation (no elementwise array agg
+    * exists, and the build runs once per index, not per query).
+    */
+  def kmeansCentroids(corpus: DataFrame, kClusters: Int, iters: Int,
+                      idCol: String = "vec_id",
+                      embCol: String = "embedding"): DataFrame = {
+    val e = corpus
+      .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
+      .withColumn("x", col("x0").cast("double")).drop("x0")
+    def assign(cent: DataFrame): DataFrame = e.join(broadcast(cent), Seq("i"))
+      .withColumn("d", expr("(x - c) * (x - c)"))
+      .groupBy("vid", "cid").agg(sum("d").as("dist2"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid ORDER BY dist2, cid)"))
+      .filter(col("r") === 1).select("vid", "cid")
+    var cent = e.filter(col("vid") < kClusters)
+      .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+    for (_ <- 1 to iters)
+      cent = e.join(assign(cent), Seq("vid"))
+        .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
+    cent.groupBy("cid")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("centroid"))
+  }
+
+  /** Nearest-centroid assignment for every corpus vector: one narrow
+    * pass against the broadcast codebook → (vid, cid). At scale this
+    * is written once as the IVF partition key.
+    */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+                idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("r",
+        expr("row_number() OVER (PARTITION BY vid ORDER BY d2, cid)"))
+      .filter(col("r") === 1)
+      .select("vid", "cid")
+
+  /** IVF search: each query probes its `nprobe` nearest centroids and
+    * ranks only the corpus vectors assigned to those lists. With
+    * `nprobe == kClusters` this is exactly [[cosineTopK]]; smaller
+    * `nprobe` trades recall for a ~kClusters/nprobe candidate cut.
+    *
+    * @param assignment precomputed [[ivfAssign]] output (vid, cid)
+    */
+  def ivfTopK(corpus: DataFrame, centroids: DataFrame,
+              assignment: DataFrame, queries: DataFrame,
+              nprobe: Int, k: Int,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+      .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("qe", "centroid")))
+      .withColumn("pr",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY d2, cid)"))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qe", "qn", "cid")
+    val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
+      .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+      .join(assignment, Seq("vid"))
+    c.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .withColumn("rank",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+}

