@@ -1,0 +1,30 @@
+package graft
+
+/** Results must be bit-identical under different parallelism — the
+  * property the cross-engine rules (DECIMAL sums, round-then-rank,
+  * md5-derived hashes; Decl.scala) exist to guarantee. A raw
+  * double-sum plan would fail this under a different partition count.
+  */
+class DeterminismSpec extends SparkSpec {
+
+  // one query per determinism-sensitive family: decimal money sums,
+  // float scoring + rank, hash-ordered sampling, iterative dedup labels
+  private val names = Seq("q01_agg_sums", "ir14_score_lmdir",
+    "px26_stratified_sample", "px19_dup_clusters")
+
+  private def rows(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, sfTiny)
+      .collect().map(_.toString).sorted.toSeq
+
+  for (name <- names)
+    test(s"$name is identical under shuffle.partitions 4 vs 13") {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val a = rows(name)
+        spark.conf.set("spark.sql.shuffle.partitions", "13")
+        val b = rows(name)
+        assert(a.nonEmpty && a === b)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+}
