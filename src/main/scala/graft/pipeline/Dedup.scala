@@ -80,6 +80,46 @@ object Dedup {
       .groupBy("lbl").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
+  /** SimHash signatures: `bits`-bit (≤ 63) fingerprints from
+    * tf-weighted per-term hash-bit votes → (doc_id, simhash BIGINT).
+    * One term-frequency aggregation; all `bits` votes accumulate in the
+    * SAME groupBy pass (bits sum columns), never a per-bit shuffle.
+    */
+  def simhash(docs: DataFrame, bits: Int): DataFrame = {
+    require(bits <= 63, s"simhash bits must fit a BIGINT, got $bits")
+    def voteExpr(b: Int): String =
+      s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
+    val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))
+    val packed = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    TextOps.termFreqs(docs)
+      .withColumn("h", DetHash.h60(col("term")))
+      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), expr(packed).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: 48-bit signatures, candidates from
+    * 3×16-bit band equality in LONG form (ONE self-join whose sides
+    * share a reused exchange), verified with the native codegen'd
+    * `hamming64` ≤ `maxHd` → (d1, s1, d2, s2, hd).
+    */
+  def simhashNearDups(docs: DataFrame, maxHd: Int = 3): DataFrame = {
+    val sim = simhash(docs, 48)
+    val bandsLong = sim.selectExpr("doc_id", "simhash",
+      "stack(3, 0, simhash % 65536, 1, (simhash div 65536) % 65536," +
+        " 2, simhash div 4294967296) AS (bi, bv)")
+    bandsLong.alias("a")
+      .join(bandsLong.alias("c"),
+        col("a.bi") === col("c.bi") && col("a.bv") === col("c.bv") &&
+          col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
+        col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
+      .distinct()
+      .withColumn("hd", expr("hamming64(s1, s2)"))
+      .filter(col("hd") <= maxHd)
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

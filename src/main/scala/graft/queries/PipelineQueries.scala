@@ -77,16 +77,8 @@ object PipelineQueries {
   private def voteExpr(b: Int): String =
     s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
 
-  private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame = {
-    val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))
-    val packed = (0 until bits)
-      .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
-      .mkString("CAST(", " + ", " AS BIGINT)")
-    TextOps.termFreqs(Tables(s, dir, "documents"))
-      .withColumn("h", DetHash.h60(col("term")))
-      .groupBy("doc_id").agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), expr(packed).as("simhash"))
-  }
+  private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame =
+    graft.pipeline.Dedup.simhash(Tables(s, dir, "documents"), bits)
 
   private def duckSimhash(bits: Int): String = {
     val votes = (0 until bits)
@@ -341,27 +333,14 @@ object PipelineQueries {
     // registered via SparkSessionExtensions).
     Decl(
       "px18_simhash_dups",
-      (s, dir) => {
+      (s, dir) =>
         // Bands in LONG form, one self-join on (bi, bv): both join sides
         // then share one shuffle exchange (Catalyst ReusedExchange), so
         // the 48-vote simhash aggregation runs ONCE — three per-band
         // joins would recompute it up to 6× (measured 30 s → ~2 s).
-        val sim = simhashDf(s, dir, 48)
-        val bandsLong = sim.selectExpr("doc_id", "simhash",
-          "stack(3, 0, simhash % 65536, 1, (simhash div 65536) % 65536," +
-            " 2, simhash div 4294967296) AS (bi, bv)")
-        val cands = bandsLong.alias("a")
-          .join(bandsLong.alias("c"),
-            col("a.bi") === col("c.bi") && col("a.bv") === col("c.bv") &&
-              col("a.doc_id") < col("c.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
-            col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
-          .distinct()
-        cands
-          .withColumn("hd", expr("hamming64(s1, s2)"))
-          .filter(col("hd") <= 3)
-          .select("d1", "d2", "hd")
-      },
+        graft.pipeline.Dedup
+          .simhashNearDups(Tables(s, dir, "documents"), maxHd = 3)
+          .select("d1", "d2", "hd"),
       Some(s"""WITH ${duckSimhash(48)},
               |wb AS (SELECT doc_id, simhash, simhash % 65536 AS b0,
               |         (simhash // 65536) % 65536 AS b1,
