@@ -62,6 +62,20 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
           .as("frame_idx"))
 
+  /** Resize plan: clamp the longer side to `maxDim`, preserving aspect
+    * ratio with integer floor math (the metadata transform of a real
+    * resize; the pixel op itself belongs in the stubbed codec). Narrow
+    * map — resize never shuffles.
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame =
+    meta.toDF()
+      .withColumn("scale", expr(
+        s"CASE WHEN greatest(width, height) <= $maxDim THEN CAST(1.0 AS DOUBLE)" +
+          s" ELSE CAST($maxDim AS DOUBLE) / greatest(width, height) END"))
+      .withColumn("out_w", expr("CAST(floor(width * scale) AS INT)"))
+      .withColumn("out_h", expr("CAST(floor(height * scale) AS INT)"))
+      .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
+
   /** Column-level pseudo-embedding of a binary payload: 8 deterministic
     * float features from seeded content hashes (the layout a real
     * image-encoder UDF would emit).

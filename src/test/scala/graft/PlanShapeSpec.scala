@@ -1,0 +1,58 @@
+package graft
+
+/** The PLANS.md scale claims, asserted against the actual physical
+  * plans (so they cannot silently rot): shuffle counts, reused
+  * exchanges, distributed top-k, pushed filters.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Static physical plan (AQE disabled for the snapshot): the shape
+    * assertions below need the pre-adaptive tree, where ReusedExchange
+    * and Exchange nodes print plainly. Production sessions keep AQE on.
+    */
+  private def plan(name: String): String = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q18_asof_join: exactly one shuffle Exchange (the window partition)") {
+    val p = plan("q18_asof_join")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(!p.contains("NestedLoop"), "as-of join must not be a range NLJ")
+  }
+
+  test("q26_rolling_time_window: one shuffle, RANGE frame, no self-join") {
+    val p = plan("q26_rolling_time_window")
+    assert(countOf(p, "Exchange hashpartitioning") === 1, p)
+    assert(p.contains("RangeFrame"), p)
+    assert(!p.contains("Join"), "trailing window must not expand to a join")
+  }
+
+  test("px18_simhash_dups: the banded self-join reuses ONE exchange") {
+    val p = plan("px18_simhash_dups")
+    assert(p.contains("ReusedExchange"), p)
+  }
+
+  test("px38_bigram_lm: global top-100 is TakeOrderedAndProject, not a window") {
+    val p = plan("px38_bigram_lm")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q02_join_multiway: dimension joins broadcast (no fact-side shuffle)") {
+    val p = plan("q02_join_multiway")
+    assert(countOf(p, "BroadcastHashJoin") >= 2, p)
+  }
+
+  test("q04_filter_project: predicate reaches the parquet scan") {
+    val p = plan("q04_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.contains("PushedFilters: []"), p)
+  }
+}

@@ -20,6 +20,17 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.toSeq == again.toSeq)
   }
 
+  test("resize plan clamps the long side and preserves aspect") {
+    import spark.implicits._
+    val meta = Seq(
+      MediaMeta(1L, "image", 100L, 1600, 800, 1),  // downscale 2x
+      MediaMeta(2L, "image", 100L, 320, 240, 1),   // untouched
+      MediaMeta(3L, "image", 100L, 600, 900, 1)).toDS() // portrait
+    val out = resizePlan(meta, 800).collect()
+      .map(r => (r.getLong(0), r.getInt(4), r.getInt(5))).toSet
+    assert(out === Set((1L, 800, 400), (2L, 320, 240), (3L, 533, 800)))
+  }
+
   test("frame sampling explodes only video rows") {
     import spark.implicits._
     val meta = Seq(
