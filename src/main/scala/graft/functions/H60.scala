@@ -108,14 +108,27 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
 
 object CharTrigrams {
   def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val n = s.numChars()
+    // True O(n): one byte walk collects code-point start offsets
+    // (UTF-8 continuation bytes are 10xxxxxx), then each trigram is a
+    // 3-code-point byte slice. substringSQL-per-position would re-scan
+    // from the string head for every index — O(n²) on long documents.
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val starts = new Array[Int](s.numChars() + 1)
+    var n = 0
+    var b = 0
+    while (b < nb) {
+      if ((bytes(b) & 0xc0) != 0x80) { starts(n) = b; n += 1 }
+      b += 1
+    }
+    starts(n) = nb
     if (n < 3)
       return new org.apache.spark.sql.catalyst.util.GenericArrayData(
         new Array[Any](0))
     val out = new Array[Any](n - 2)
     var i = 0
     while (i < n - 2) {
-      out(i) = s.substringSQL(i + 1, 3)
+      out(i) = UTF8String.fromBytes(bytes, starts(i), starts(i + 3) - starts(i))
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Float semantics are IDENTICAL to the lambda formulation they
   * replace: each float is widened to double, products accumulate left
   * to right — the same IEEE operation sequence, so oracle-matched
-  * results are unchanged bit for bit. Null ELEMENTS inside a vector are
+  * results are unchanged bit for bit. Unequal-length inputs yield NULL
+  * (zip_with's null padding would poison the lambda fold) — never a
+  * silently-truncated prefix product. Null ELEMENTS inside a vector are
   * not supported (testdata embeddings are dense); a null vector yields
   * null via nullIntolerant.
   */
@@ -26,12 +28,18 @@ case class DotF64(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // result can be null even on non-null inputs (length mismatch)
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_f64"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // unequal lengths → NULL, matching aggregate(zip_with(...)): the
+    // lambda form pads with nulls and null*x poisons the whole fold —
+    // a truncated prefix dot product would be a silently-wrong cosine
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -47,12 +55,16 @@ case class DotF64(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -270,29 +270,35 @@ object Jobs {
     */
   def curateCorpus(spark: SparkSession, in: String, out: String,
                    minTokens: Int = 5, maxRep: Double = 0.2): Unit = {
-    import graft.pipeline.Dedup
+    import graft.pipeline.{Dedup, TextMetrics}
     val docs = loadDocs(spark, in)
     val n0 = docs.count()
     val exact = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
     val n1 = exact.count()
-    val near = exact.join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
-    val n2 = near.count()
-    val sh = TextOps.shingleRows(near, 3)
-    val rep = sh.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_sh"), countDistinct(col("s")).as("d_sh"))
-      .select(col("doc_id"),
-        (lit(1.0) - col("d_sh") / col("n_sh")).as("rep"))
-    val dl = TextOps.docLengths(near)
-    val kept = near.join(dl, Seq("doc_id"))
-      .join(rep, Seq("doc_id"), "left")
-      .filter(col("dl") >= minTokens &&
-        coalesce(col("rep"), lit(0.0)) <= maxRep)
-      .select("doc_id", "text")
-    kept.write.mode("overwrite").parquet(out)
-    val n3 = spark.read.parquet(out).count()
-    import spark.implicits._
-    Seq(s"input=$n0 exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
-      .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    // persist across the MULTIPLE ACTIONS below (n2 count + the final
+    // write would otherwise each re-run the LSH self-join and the label
+    // propagation from scratch — the intra-query no-persist rule
+    // [IrQueries note] is about shared subtrees inside ONE action,
+    // where ReusedExchange already dedupes; it does not span actions)
+    val near = exact
+      .join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
+      .persist()
+    try {
+      val n2 = near.count()
+      val rep = TextMetrics.repetitionRatio(near, 3)
+        .select(col("doc_id"), (lit(1.0) - col("d_sh") / col("n_sh")).as("rep"))
+      val dl = TextOps.docLengths(near)
+      val kept = near.join(dl, Seq("doc_id"))
+        .join(rep, Seq("doc_id"), "left")
+        .filter(col("dl") >= minTokens &&
+          coalesce(col("rep"), lit(0.0)) <= maxRep)
+        .select("doc_id", "text")
+      kept.write.mode("overwrite").parquet(out)
+      val n3 = spark.read.parquet(out).count()
+      import spark.implicits._
+      Seq(s"input=$n0 exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
+        .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    } finally { near.unpersist(); () }
   }
 
   def main(args: Array[String]): Unit = {

@@ -69,11 +69,17 @@ object Multimodal {
     */
   def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame =
     meta.toDF()
-      .withColumn("scale", expr(
-        s"CASE WHEN greatest(width, height) <= $maxDim THEN CAST(1.0 AS DOUBLE)" +
-          s" ELSE CAST($maxDim AS DOUBLE) / greatest(width, height) END"))
-      .withColumn("out_w", expr("CAST(floor(width * scale) AS INT)"))
-      .withColumn("out_h", expr("CAST(floor(height * scale) AS INT)"))
+      // pure integer math: (side * maxDim) div long — the longer side
+      // lands on maxDim EXACTLY (a double multiply can floor to
+      // maxDim-1), the shorter floors, aspect is preserved.
+      .withColumn("out_w", expr(
+        s"CASE WHEN greatest(width, height) <= $maxDim THEN width" +
+          s" ELSE CAST((CAST(width AS BIGINT) * $maxDim)" +
+          " div greatest(width, height) AS INT) END"))
+      .withColumn("out_h", expr(
+        s"CASE WHEN greatest(width, height) <= $maxDim THEN height" +
+          s" ELSE CAST((CAST(height AS BIGINT) * $maxDim)" +
+          " div greatest(width, height) AS INT) END"))
       .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
 
   /** Column-level pseudo-embedding of a binary payload: 8 deterministic

@@ -52,8 +52,9 @@ object Ann {
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
-      .withColumn("rank",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+      // round-then-rank: stable ordering under FP noise, vid tiebreak
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)
       .select("qid", "vid", "cos", "rank")
   }
@@ -71,14 +72,23 @@ object Ann {
     val e = corpus
       .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
       .withColumn("x", col("x0").cast("double")).drop("x0")
+    // round-then-rank (repo determinism rule, as in px34): dist2 is a
+    // parallel double sum; ranking the rounded value keeps assignments
+    // stable across partitionings, the cid tiebreak settles exact ties.
     def assign(cent: DataFrame): DataFrame = e.join(broadcast(cent), Seq("i"))
       .withColumn("d", expr("(x - c) * (x - c)"))
       .groupBy("vid", "cid").agg(sum("d").as("dist2"))
       .withColumn("r", expr(
-        "row_number() OVER (PARTITION BY vid ORDER BY dist2, cid)"))
+        "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
       .filter(col("r") === 1).select("vid", "cid")
-    var cent = e.filter(col("vid") < kClusters)
-      .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+    // seed = the first kClusters vectors by id RANK (works for any id
+    // space, not just dense 0-based ids)
+    val seedIds = corpus.select(col(idCol).as("vid"))
+      .orderBy("vid").limit(kClusters)
+    var cent = e.join(broadcast(seedIds), Seq("vid"))
+      .withColumn("cid",
+        expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))
+      .select(col("cid"), col("i"), col("x").as("c"))
     for (_ <- 1 to iters)
       cent = e.join(assign(cent), Seq("vid"))
         .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
@@ -98,7 +108,7 @@ object Ann {
       .crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("ve", "centroid")))
       .withColumn("r",
-        expr("row_number() OVER (PARTITION BY vid ORDER BY d2, cid)"))
+        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
       .select("vid", "cid")
 
@@ -119,7 +129,7 @@ object Ann {
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY d2, cid)"))
+        expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
       .select("qid", "qe", "qn", "cid")
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
@@ -128,8 +138,8 @@ object Ann {
     c.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
-      .withColumn("rank",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)
       .select("qid", "vid", "cos", "rank")
   }

@@ -86,7 +86,10 @@ object Dedup {
     * SAME groupBy pass (bits sum columns), never a per-bit shuffle.
     */
   def simhash(docs: DataFrame, bits: Int): DataFrame = {
-    require(bits <= 63, s"simhash bits must fit a BIGINT, got $bits")
+    // h60 carries 60 hash bits — beyond that the vote thresholds can't
+    // be reached (and 1L<<63 overflows), so higher bits would silently
+    // be constant zero
+    require(bits <= 60, s"simhash bits must fit h60's 60 hash bits, got $bits")
     def voteExpr(b: Int): String =
       s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
     val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))

@@ -31,8 +31,8 @@ class AnnSpec extends SparkSpec {
         .join(nrm.select(col("vid").as("qid"), col("nrm").as("na")), Seq("qid"))
         .join(nrm.select(col("vid"), col("nrm").as("nb")), Seq("vid"))
         .withColumn("cos", expr("dot / (sqrt(na) * sqrt(nb))"))
-        .withColumn("rank",
-          expr("row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid)"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
         .filter(col("rank") <= 10)
     }
     assert(topkSet(api) === topkSet(brute))

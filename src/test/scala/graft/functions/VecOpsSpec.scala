@@ -49,6 +49,13 @@ class VecOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("dot_f64 on unequal-length vectors is NULL, not a prefix product") {
+    val r = spark.sql(
+      "SELECT dot_f64(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +
+        " array(CAST(3.0 AS FLOAT)))").head()
+    assert(r.isNullAt(0))
+  }
+
   test("native h60 == conv(substring(md5)) formula, bit for bit") {
     // the native digest-byte path must be indistinguishable from the
     // hex-string formula (which is what the DuckDB oracle replays)
