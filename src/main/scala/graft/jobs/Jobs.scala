@@ -301,6 +301,86 @@ object Jobs {
     } finally { near.unpersist(); () }
   }
 
+  /** Spam-score filter (`ClueWebSpamFilter.java:46-120`): join the
+    * side-loaded percentile table (the reference's per-row H2 lookup
+    * becomes one broadcast join, SURVEY S9/J4), keep docs scoring
+    * ≥ threshold, write the filtered corpus plus the reference's three
+    * counters (kept / filtered / missing) as a report line. Missing
+    * scores drop the doc, as in the reference (it only emits on a
+    * successful lookup).
+    */
+  def spamFilter(spark: SparkSession, in: String, out: String,
+                 scoresPath: String, threshold: Int = 70): Unit = {
+    val docs = loadDocs(spark, in)
+    val scores = spark.read.parquet(scoresPath).select("doc_id", "score")
+    val joined = docs.join(broadcast(scores), Seq("doc_id"), "left")
+    joined.filter(col("score") >= threshold)
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(out)
+    val c = joined.agg(
+      sum(when(col("score") >= threshold, 1L).otherwise(0L)).as("kept"),
+      sum(when(col("score") < threshold, 1L).otherwise(0L)).as("filtered"),
+      sum(when(col("score").isNull, 1L).otherwise(0L)).as("missing")).head()
+    import spark.implicits._
+    Seq(s"kept=${c.getLong(0)} filtered=${c.getLong(1)} missing=${c.getLong(2)}")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+  }
+
+  /** Query-term co-occurrence statistics (`TrecQueryStats.java`):
+    * per (query term, doc term) pair over co-occurring docs — doc
+    * count and Σ min(tf_q, tf_d) — doc side stoplist-filtered; TAB
+    * output `qterm dterm n_docs sum_minf` (FIXTURES §7 shape).
+    */
+  def queryStats(spark: SparkSession, in: String, out: String,
+                 topics: String): Unit = {
+    val tf = TextOps.termFreqs(loadDocs(spark, in))
+    val qterms = Topics.readPlain(spark, topics).select("term").distinct()
+    val tq = tf.join(broadcast(qterms), Seq("term"))
+      .select(col("doc_id"), col("term").as("qterm"), col("tf").as("tfq"))
+    val td = tf
+      .filter(!col("term").isin(TextOps.stopwords: _*))
+      .select(col("doc_id"), col("term").as("dterm"), col("tf").as("tfd"))
+    tq.join(td, Seq("doc_id"))
+      .groupBy("qterm", "dterm")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(least(tfq, tfd)) AS BIGINT)").as("sum_minf"))
+      .select(concat_ws("\t", col("qterm"), col("dterm"), col("n_docs"),
+        col("sum_minf")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
+  /** KBA linear-combination grid filter (`KBAStaticFilter.java:216-277`
+    * shape): sweep the weight grid over `score = value + w·hour(ts)`,
+    * threshold, report per-weight pass counts + mean passing score and
+    * the best weight by mean. Input: any parquet with (value, ts).
+    */
+  def kbaFilter(spark: SparkSession, in: String, out: String,
+                threshold: Double = 100.0): Unit = {
+    val grid = spark.range(0, 3)
+      .select(expr("CAST(pow(2, id) AS DOUBLE)").as("w"))
+    val raw = spark.read.parquet(in)
+    // TIMESTAMP(NANOS) parquet arrives as int64 under the session's
+    // nanosAsLong conf (GraftSession note) — floor-convert like Tables
+    val ev =
+      if (raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val table = ev
+      .select(col("value"), expr("hour(ts)").as("hr"))
+      .crossJoin(broadcast(grid))
+      .withColumn("score", expr("value + w * hr"))
+      .filter(col("score") >= threshold)
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_pass"),
+        expr("CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE)").as("sum_score"))
+      .withColumn("mean_score", expr("round(sum_score / n_pass, 6)"))
+    table
+      .select(concat_ws("\t", col("w"), col("n_pass"), col("mean_score"))
+        .as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local()
     try args.toList match {
@@ -317,6 +397,11 @@ object Jobs {
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)
+      case "SpamFilter" :: in :: out :: scores :: Nil =>
+        spamFilter(spark, in, out, scores)
+      case "QueryStats" :: in :: out :: topics :: Nil =>
+        queryStats(spark, in, out, topics)
+      case "KBAFilter" :: in :: out :: Nil => kbaFilter(spark, in, out)
       case "RunQueryKDE" :: in :: out :: topics :: Nil =>
         runQueryKde(spark, in, out, topics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)

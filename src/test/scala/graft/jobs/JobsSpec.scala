@@ -138,6 +138,45 @@ class JobsSpec extends SparkSpec {
     assert(report.startsWith("input=53 "))
   }
 
+  test("SpamFilter: threshold keeps/filters/missing counters and corpus") {
+    import spark.implicits._
+    Seq((1L, "keep me"), (2L, "filter me"), (3L, "no score"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$work/spam_in")
+    Seq((1L, 90), (2L, 10)).toDF("doc_id", "score")
+      .write.mode("overwrite").parquet(s"$work/spam_scores")
+    Jobs.spamFilter(spark, s"parquet:$work/spam_in", s"$work/spam_out",
+      s"$work/spam_scores")
+    val kept = spark.read.parquet(s"$work/spam_out").collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(1L))
+    val report = spark.read.text(s"$work/spam_out_report").head().getString(0)
+    assert(report == "kept=1 filtered=1 missing=1")
+  }
+
+  test("QueryStats: pair stats match the ir21 aggregation semantics") {
+    import spark.implicits._
+    Seq((1L, "spark join fast fast"), (2L, "spark the fast"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$work/qs_in")
+    Files.write(Paths.get(s"$work/qs_topics"), "51:spark\n".getBytes)
+    Jobs.queryStats(spark, s"parquet:$work/qs_in", s"$work/qs_out",
+      s"$work/qs_topics")
+    val rows = runLines(s"$work/qs_out").map(_.split("\t").toSeq).toSet
+    // 'the' is stoplisted; min-freq: spark(1)&fast -> doc1 min(1,2)=1,
+    // doc2 min(1,1)=1
+    assert(rows.contains(Seq("spark", "fast", "2", "2")))
+    assert(rows.contains(Seq("spark", "join", "1", "1")))
+    assert(!rows.exists(_(1) == "the"))
+  }
+
+  test("KBAFilter: weight grid report has one row per passing weight") {
+    Jobs.kbaFilter(spark, s"$sfTiny/events.parquet", s"$work/kba_out",
+      threshold = 100.0)
+    val rows = runLines(s"$work/kba_out").map(_.split("\t"))
+    assert(rows.nonEmpty && rows.forall(_.length == 3))
+    assert(rows.map(_(0)).toSet.subsetOf(Set("1.0", "2.0", "4.0")))
+  }
+
   test("eval library: perfect run scores 1.0, judged against qrels file") {
     import spark.implicits._
     val qrelsPath = Files.createTempDirectory("qrels").toString
