@@ -1283,6 +1283,66 @@ object PipelineQueries {
              |SELECT source, CAST(cum0 // 512 AS BIGINT) AS seq_id,
              |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
              |FROM c GROUP BY 1, 2""".stripMargin),
-      survey = Seq("PACK-SEQUENCES"))
+      survey = Seq("PACK-SEQUENCES")),
+
+    // Shingle novelty: the share of a doc's distinct 3-shingles whose
+    // FIRST occurrence (by doc_id order) is in that doc — the
+    // grow-the-corpus dedup signal ("how much of this doc is new
+    // text"). One distinct-shingle pass, one min-per-shingle
+    // aggregation, one per-doc ratio; first-occurrence via min(doc_id)
+    // is exactly how an incremental dedup ledger is bootstrapped.
+    Decl(
+      "px40_shingle_novelty",
+      (s, dir) => {
+        val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3).distinct()
+        val first = ds.groupBy("s").agg(min("doc_id").as("d0"))
+        ds.join(first, Seq("s"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            expr("CAST(sum(CASE WHEN d0 = doc_id THEN 1 ELSE 0 END) AS BIGINT)")
+              .as("n_new"))
+          .withColumn("novelty", expr("round(n_new / n_sh, 6)"))
+      },
+      Some(s"""WITH $duckShingles,
+              |first AS (SELECT s, min(doc_id) AS d0 FROM ds GROUP BY s)
+              |SELECT doc_id, count(*) AS n_sh,
+              |  CAST(sum(CASE WHEN d0 = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_new,
+              |  round(sum(CASE WHEN d0 = doc_id THEN 1 ELSE 0 END)
+              |    / count(*), 6) AS novelty
+              |FROM ds JOIN first USING (s) GROUP BY doc_id""".stripMargin),
+      survey = Seq("DEDUP-NOVELTY")),
+
+    // Zipf rank-frequency slope over the top-1000 terms: the corpus
+    // health diagnostic (natural text ≈ −1). Top-1000 selection is a
+    // distributed TakeOrderedAndProject; the OLS fit is four sums over
+    // ≤1000 rows. ln-space closed-form slope =
+    // (k·Σxy − Σx·Σy) / (k·Σxx − Σx²), x = ln rank, y = ln freq.
+    Decl(
+      "px41_zipf_slope",
+      (s, dir) => {
+        val top = TextOps.tokens(Tables(s, dir, "documents"))
+          .groupBy("term").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("term")).limit(1000)
+          .withColumn("r",
+            expr("row_number() OVER (ORDER BY n DESC, term)"))
+        top.select(expr("ln(r)").as("x"), expr("ln(n)").as("y"))
+          .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+          .select(col("k"),
+            expr("round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)")
+              .as("slope"))
+      },
+      Some(s"""WITH tokens AS (${TextOps.duckTokens}),
+              |tfreq AS (SELECT term, count(*) AS n FROM tokens
+              |          GROUP BY term ORDER BY n DESC, term LIMIT 1000),
+              |ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, term)
+              |             AS r FROM tfreq),
+              |xy AS (SELECT ln(r) AS x, ln(n) AS y FROM ranked),
+              |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+              |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+              |SELECT k, round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+              |  AS slope FROM s""".stripMargin),
+      survey = Seq("TEXT-ZIPF"))
   )
 }
