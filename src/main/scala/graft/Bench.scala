@@ -15,7 +15,24 @@ object Bench {
     val spark = GraftSession.builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Tables(spark, sfDir, "lineitem").count() // warmup: scan + codegen path
+    // Warmup: exercise the scan + hash-agg + window + broadcast-join +
+    // tokenize/explode + native-kernel codegen paths once, so JIT and
+    // Janino startup don't land on whichever queries run first (q01–q03
+    // measured ~1 s high with a bare count() warmup).
+    {
+      import org.apache.spark.sql.functions._
+      val li = Tables(spark, sfDir, "lineitem")
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("r", expr("row_number() OVER (ORDER BY n DESC)"))
+        .count()
+      Tables(spark, sfDir, "documents")
+        .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
+        .filter(col("t") =!= "").groupBy("t").count().count()
+      Tables(spark, sfDir, "embeddings")
+        .select(expr("norm2_f64(embedding)").as("n")).agg(sum("n")).count()
+      spark.catalog.clearCache()
+    }
 
     val results = SparkEntry.decls.map { d =>
       val t0 = System.nanoTime()
