@@ -26,6 +26,8 @@ object Bench {
         .agg(count(lit(1)).as("n"))
         .withColumn("r", expr("row_number() OVER (ORDER BY n DESC)"))
         .count()
+      li.join(broadcast(Tables(spark, sfDir, "orders").limit(1000)),
+        col("l_orderkey") === col("o_orderkey")).count()
       Tables(spark, sfDir, "documents")
         .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
         .filter(col("t") =!= "").groupBy("t").count().count()

@@ -114,7 +114,10 @@ object CharTrigrams {
     // from the string head for every index — O(n²) on long documents.
     val bytes = s.getBytes
     val nb = bytes.length
-    val starts = new Array[Int](s.numChars() + 1)
+    // sized by BYTE count, not numChars(): on malformed UTF-8 the two
+    // disagree (numChars() skips past truncated lead bytes) and a
+    // numChars()-sized array would overflow during the walk
+    val starts = new Array[Int](nb + 1)
     var n = 0
     var b = 0
     while (b < nb) {

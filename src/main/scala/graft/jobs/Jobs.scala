@@ -313,17 +313,24 @@ object Jobs {
                  scoresPath: String, threshold: Int = 70): Unit = {
     val docs = loadDocs(spark, in)
     val scores = spark.read.parquet(scoresPath).select("doc_id", "score")
-    val joined = docs.join(broadcast(scores), Seq("doc_id"), "left")
-    joined.filter(col("score") >= threshold)
-      .select("doc_id", "text")
-      .write.mode("overwrite").parquet(out)
-    val c = joined.agg(
-      sum(when(col("score") >= threshold, 1L).otherwise(0L)).as("kept"),
-      sum(when(col("score") < threshold, 1L).otherwise(0L)).as("filtered"),
-      sum(when(col("score").isNull, 1L).otherwise(0L)).as("missing")).head()
-    import spark.implicits._
-    Seq(s"kept=${c.getLong(0)} filtered=${c.getLong(1)} missing=${c.getLong(2)}")
-      .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    // persist: the write and the counters are two ACTIONS over the same
+    // join — without it the corpus scan + join runs twice (same pattern
+    // as curateCorpus; intra-query exchange reuse cannot span actions)
+    val joined = docs.join(broadcast(scores), Seq("doc_id"), "left").persist()
+    try {
+      joined.filter(col("score") >= threshold)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+      // count(when) not sum(when): count is 0 on an empty corpus where
+      // sum would be NULL and getLong would NPE
+      val c = joined.agg(
+        count(when(col("score") >= threshold, 1)).as("kept"),
+        count(when(col("score") < threshold, 1)).as("filtered"),
+        count(when(col("score").isNull, 1)).as("missing")).head()
+      import spark.implicits._
+      Seq(s"kept=${c.getLong(0)} filtered=${c.getLong(1)} missing=${c.getLong(2)}")
+        .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    } finally { joined.unpersist(); () }
   }
 
   /** Query-term co-occurrence statistics (`TrecQueryStats.java`):
@@ -366,7 +373,7 @@ object Jobs {
         org.apache.spark.sql.types.LongType)
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       else raw
-    val table = ev
+    val agg = ev
       .select(col("value"), expr("hour(ts)").as("hr"))
       .crossJoin(broadcast(grid))
       .withColumn("score", expr("value + w * hr"))
@@ -375,9 +382,21 @@ object Jobs {
       .agg(count(lit(1)).as("n_pass"),
         expr("CAST(sum(CAST(score AS DECIMAL(18,2))) AS DOUBLE)").as("sum_score"))
       .withColumn("mean_score", expr("round(sum_score / n_pass, 6)"))
-    table
-      .select(concat_ws("\t", col("w"), col("n_pass"), col("mean_score"))
-        .as("value"))
+    // every grid weight reports (n_pass=0, mean NA when nothing passes),
+    // plus the best-weight line the job contract promises
+    val table = grid.join(agg, Seq("w"), "left")
+      .select(col("w"),
+        coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+        col("mean_score"))
+    val rows = table
+      .select(col("w").as("k"),
+        concat_ws("\t", col("w"), col("n_pass"),
+          coalesce(col("mean_score").cast("string"), lit("NA"))).as("value"))
+    val best = table.filter(col("mean_score").isNotNull)
+      .orderBy(desc("mean_score"), col("w")).limit(1) // numeric order
+      .select(lit(Double.MaxValue).as("k"),
+        concat_ws("\t", lit("best"), col("w")).as("value"))
+    rows.unionByName(best).orderBy("k").select("value")
       .coalesce(1).write.mode("overwrite").text(out)
   }
 

@@ -80,7 +80,14 @@ object Dedup {
       .groupBy("lbl").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-  /** SimHash signatures: `bits`-bit (≤ 63) fingerprints from
+  /** Vote expression for simhash bit `b` over columns (h, tf) — ONE
+    * string reused by both the Spark plan and the px05/px18 DuckDB
+    * oracles (cross-engine rule: never two copies of a gated formula).
+    */
+  def voteExpr(b: Int): String =
+    s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
+
+  /** SimHash signatures: `bits`-bit (≤ 60) fingerprints from
     * tf-weighted per-term hash-bit votes → (doc_id, simhash BIGINT).
     * One term-frequency aggregation; all `bits` votes accumulate in the
     * SAME groupBy pass (bits sum columns), never a per-bit shuffle.
@@ -90,8 +97,6 @@ object Dedup {
     // be reached (and 1L<<63 overflows), so higher bits would silently
     // be constant zero
     require(bits <= 60, s"simhash bits must fit h60's 60 hash bits, got $bits")
-    def voteExpr(b: Int): String =
-      s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
     val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))
     val packed = (0 until bits)
       .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")

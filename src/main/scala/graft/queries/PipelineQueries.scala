@@ -75,7 +75,7 @@ object PipelineQueries {
     * the minhash signature pass.
     */
   private def voteExpr(b: Int): String =
-    s"CASE WHEN (h % ${1L << (b + 1)}) >= ${1L << b} THEN tf ELSE -tf END"
+    graft.pipeline.Dedup.voteExpr(b) // ONE formula string, both engines
 
   private def simhashDf(s: SparkSession, dir: String, bits: Int): DataFrame =
     graft.pipeline.Dedup.simhash(Tables(s, dir, "documents"), bits)

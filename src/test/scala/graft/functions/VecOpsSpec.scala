@@ -49,6 +49,15 @@ class VecOpsSpec extends SparkSpec {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("char_trigrams survives malformed UTF-8 (truncated lead byte)") {
+    // 0xC2 'A' 'B' 'C': numChars() disagrees with the byte-walk count
+    // here — the starts buffer must be byte-sized, not numChars-sized
+    val n = spark.sql(
+      "SELECT size(char_trigrams(CAST(unbase64('wkFCQw==') AS STRING)))")
+      .head().getInt(0)
+    assert(n >= 0)
+  }
+
   test("dot_f64 on unequal-length vectors is NULL, not a prefix product") {
     val r = spark.sql(
       "SELECT dot_f64(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))," +

@@ -169,12 +169,19 @@ class JobsSpec extends SparkSpec {
     assert(!rows.exists(_(1) == "the"))
   }
 
-  test("KBAFilter: weight grid report has one row per passing weight") {
+  test("KBAFilter: every grid weight reported plus a best-weight line") {
     Jobs.kbaFilter(spark, s"$sfTiny/events.parquet", s"$work/kba_out",
       threshold = 100.0)
     val rows = runLines(s"$work/kba_out").map(_.split("\t"))
-    assert(rows.nonEmpty && rows.forall(_.length == 3))
-    assert(rows.map(_(0)).toSet.subsetOf(Set("1.0", "2.0", "4.0")))
+    val (best, weights) = rows.partition(_(0) == "best")
+    assert(weights.map(_(0)).toSet == Set("1.0", "2.0", "4.0"))
+    assert(weights.forall(_.length == 3))
+    assert(best.length == 1 && Set("1.0", "2.0", "4.0").contains(best.head(1)))
+    // an impossible threshold still reports all weights, no best line
+    Jobs.kbaFilter(spark, s"$sfTiny/events.parquet", s"$work/kba_none",
+      threshold = 1e12)
+    val none = runLines(s"$work/kba_none").map(_.split("\t"))
+    assert(none.length == 3 && none.forall(r => r(1) == "0" && r(2) == "NA"))
   }
 
   test("eval library: perfect run scores 1.0, judged against qrels file") {
