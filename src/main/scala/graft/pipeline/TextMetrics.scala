@@ -31,12 +31,16 @@ object TextMetrics {
         countDistinct(col("term")).as("n_types"),
         expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
       .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+      .join(docs.select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '[^0-9a-zA-Z\\\\s]', 0))")
+          .cast("bigint").as("n_punct")), Seq("doc_id"))
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
       .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
+      .withColumn("punct_ratio", expr("round(n_punct / n_chars, 6)"))
       .withColumn("quality", expr(
         "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"))
       .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
-        "stop_ratio", "quality")
+        "stop_ratio", "punct_ratio", "quality")
   }
 
   /** Whitespace and regex token counts per doc. */

@@ -684,6 +684,8 @@ object PipelineQueries {
            |SELECT a.doc_id, d.n_chars, a.n_tokens, a.n_types,
            |  round(n_types / n_tokens, 6) AS ttr,
            |  round(n_stop / n_tokens, 6) AS stop_ratio,
+           |  round(len(regexp_extract_all(d.text, '[^0-9a-zA-Z\\s]'))
+           |    / d.n_chars, 6) AS punct_ratio,
            |  round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6) AS quality
            |FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin
       },
