@@ -45,6 +45,25 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedDistinct == batchDistinct)
   }
 
+  test("TextMetrics.tokenCounts is streaming-safe (per-row curation op)") {
+    val dir = Files.createTempDirectory("docs4").toString
+    Files.copy(Paths.get(s"$sfTiny/documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$sfTiny/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.pipeline.TextMetrics.tokenCounts(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tc_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tc_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.pipeline.TextMetrics
+      .tokenCounts(spark.read.parquet(s"$sfTiny/documents.parquet"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization: closed sessions == batch sessions - open tail") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("events2").toString
