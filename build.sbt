@@ -36,5 +36,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs 32 concurrent tasks in ONE JVM; 8g left
+  // little headroom over a ~100-query run (accumulated shuffle/broadcast
+  // state between periodic cleanups). 512m code cache: ~100 queries of
+  // whole-stage-codegen classes approach the 240m JIT default, and a
+  // full code cache silently disables compilation (multi-x slowdowns).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -36,24 +36,49 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // GC time per query: if the environment degrades over a ~100-query
+    // run (heap pressure, cleaner backlog), the gc column says so in the
+    // recorded artifact instead of leaving a per-query regression to be
+    // guessed at post-hoc (round-2 lesson: driver-run px tail measured
+    // ~6x a clean rerun of the same binary with no in-repo explanation).
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+
     val results = SparkEntry.decls.map { d =>
       val t0 = System.nanoTime()
+      val g0 = gcMs
       try d.run(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
         -1L
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gc = gcMs - g0
       // Queries with shared subtrees persist() them; drop those caches
       // before the next query so timings stay independent (no
       // cross-query subsidy) and memory doesn't accumulate.
       spark.catalog.clearCache()
-      d.name -> dt
+      (d.name, dt, gc)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalGc = results.map(_._3).sum / 1e3
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded stdout tail (the per-query map got
+    // truncated in rounds 1-2); the full record — including per-query GC
+    // time — also goes to a file readable whole. Forked `sbt run` cwd is
+    // the repo root.
+    val detail = results.map { case (k, v, g) =>
+      s"""  {"name":"$k","sec":$v,"gc_ms":$g}"""
+    }.mkString("[\n", ",\n", "\n]")
+    val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
+    try pw.println(
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"queries":$detail}""")
+    finally pw.close()
+    println(line)
     spark.stop()
   }
 }

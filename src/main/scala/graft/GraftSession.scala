@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Shuffle files and broadcast state are only reclaimed when their
+      // dependency objects are GC'd; a multi-query run with heap headroom
+      // may otherwise never collect, so local disk + driver metadata grow
+      // monotonically across ~100 queries (the default interval, 30min,
+      // never fires inside a bench run). 90s bounds the accumulation.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .config("spark.sql.warehouse.dir",
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's µs-based
