@@ -53,14 +53,25 @@ object Index {
     * scan (`PushedFilters`, asserted in IndexSpec) — the Spark analog
     * of an HBase point-Get per term (SURVEY §3.3), without the RPC.
     */
-  def writeInverted(docs: DataFrame, path: String): Unit = {
+  def writeInverted(docs: DataFrame, path: String, files: Int = 0): Unit = {
     val tf = TextOps.termFreqs(docs)
-    tf.groupBy("term")
+    val agged = tf.groupBy("term")
       .agg(
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"),
         count(lit(1)).as("df"), sum("tf").as("cf"))
-      .repartition(1).sortWithinPartitions("term") // term-sorted row groups
+    // Term-sorted row groups WITHOUT a single-task funnel: range
+    // partitioning keeps global term order across files (file k's
+    // terms all precede file k+1's), sortWithinPartitions orders
+    // inside each, so parquet min/max row-group pruning on `term IN`
+    // still applies — and the write parallelizes. (Round 2 used
+    // repartition(1): the whole postings table through one task is a
+    // driver-adjacent bottleneck at corpus vocabulary scale.)
+    // files=0 → spark.sql.shuffle.partitions, AQE-coalescible.
+    val ranged =
+      if (files > 0) agged.repartitionByRange(files, col("term"))
+      else agged.repartitionByRange(col("term"))
+    ranged.sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
     tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       .write.mode("overwrite").parquet(s"$path/doclen")

@@ -44,19 +44,34 @@ object Jobs {
     }
   }
 
-  /** TREC run format: `qid Q0 docid rank score tag`. */
-  def writeRun(ranked: DataFrame, out: String, tag: String): Unit =
-    ranked
-      .select(concat_ws(" ", col("qid"), lit("Q0"), col("doc_id"),
-        col("rank"), col("score"), lit(tag)).as("value"))
-      .coalesce(1).write.mode("overwrite").text(out)
+  /** Text sink. Partitioned (parallel) by default — the scale-safe
+    * shape for corpus-sized outputs (vocabulary tables, anchor maps).
+    * `merge = true` funnels through one task for the reference's
+    * single-file layout: reserve it for outputs that are small BY
+    * CONSTRUCTION (top-k run files, grid reports), never for anything
+    * that grows with the corpus.
+    */
+  private def writeText(df: DataFrame, out: String, merge: Boolean,
+                        gzip: Boolean = false): Unit = {
+    val w = (if (merge) df.coalesce(1) else df).write.mode("overwrite")
+    (if (gzip) w.option("compression", "gzip") else w).text(out)
+  }
 
-  def anchorExtract(spark: SparkSession, warcIn: String, out: String): Unit =
-    AnchorExtractJob.run(spark, warcIn)
+  /** TREC run format: `qid Q0 docid rank score tag` (top-k per topic —
+    * bounded, so the single-file merge is safe at any corpus size).
+    */
+  def writeRun(ranked: DataFrame, out: String, tag: String): Unit =
+    writeText(ranked
+      .select(concat_ws(" ", col("qid"), lit("Q0"), col("doc_id"),
+        col("rank"), col("score"), lit(tag)).as("value")),
+      out, merge = true)
+
+  def anchorExtract(spark: SparkSession, warcIn: String, out: String,
+                    merge: Boolean = false): Unit =
+    writeText(AnchorExtractJob.run(spark, warcIn)
       .select(concat_ws("\t", col("docid"), col("url"), col("anchortext"))
-        .as("value"))
-      .coalesce(1).write.mode("overwrite")
-      .option("compression", "gzip").text(out)
+        .as("value")),
+      out, merge, gzip = true)
 
   /** MIREX sequential-scan retrieval, LMno conjunctive
     * (`nl/utwente/mirex/TrecRun.java`).
@@ -117,18 +132,21 @@ object Jobs {
     * removed from the text before counting).
     */
   def wordCount(spark: SparkSession, in: String, out: String,
-                skipPatterns: Seq[String] = Nil): Unit = {
+                skipPatterns: Seq[String] = Nil,
+                merge: Boolean = false): Unit = {
     val docs = loadDocs(spark, in)
     val scrubbed = skipPatterns.foldLeft(docs) { (df, pat) =>
       df.withColumn("text", regexp_replace(col("text"), pat, " "))
     }
-    TextOps.tokens(scrubbed)
+    // vocabulary-sized output → partitioned write by default
+    writeText(TextOps.tokens(scrubbed)
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .select(concat_ws("\t", col("term"), col("n")).as("value"))
-      .coalesce(1).write.mode("overwrite").text(out)
+      .select(concat_ws("\t", col("term"), col("n")).as("value")),
+      out, merge)
   }
 
-  def collectionStats(spark: SparkSession, in: String, out: String): Unit = {
+  def collectionStats(spark: SparkSession, in: String, out: String,
+                      merge: Boolean = false): Unit = {
     val tf = TextOps.termFreqs(loadDocs(spark, in))
     val header = tf.agg(
       countDistinct(col("doc_id")).as("docs"),
@@ -141,21 +159,27 @@ object Jobs {
     // #DOCS/#TERMS/#TOKENS header + term rows (ClueWebCollectionStats
     // .java:157-174); header via driver, body via executors.
     import spark.implicits._
-    Seq(s"#DOCS:${header.getLong(0)}", s"#TERMS:${header.getLong(1)}",
-      s"#TOKENS:${header.getLong(2)}").toDF("value")
-      .unionByName(lines)
-      .coalesce(1).write.mode("overwrite").text(out)
+    // unmerged, the 3 header rows are their own (first) partition, so
+    // part files concatenated in name order reproduce the layout
+    writeText(
+      Seq(s"#DOCS:${header.getLong(0)}", s"#TERMS:${header.getLong(1)}",
+        s"#TOKENS:${header.getLong(2)}").toDF("value")
+        .unionByName(lines),
+      out, merge)
   }
 
-  def mutualInfo(spark: SparkSession, in: String, out: String): Unit = {
+  def mutualInfo(spark: SparkSession, in: String, out: String,
+                 merge: Boolean = false): Unit = {
     val dt = TextOps.tokens(loadDocs(spark, in)).distinct()
-    dt.alias("a")
+    // pair-count output (quadratic-ish in vocabulary) → never a
+    // single-task merge by default
+    writeText(dt.alias("a")
       .join(dt.alias("b"),
         col("a.doc_id") === col("b.doc_id") && col("a.term") < col("b.term"))
       .groupBy(col("a.term").as("w1"), col("b.term").as("w2"))
       .agg(count(lit(1)).as("n11"))
-      .select(concat_ws("\t", col("w1"), col("w2"), col("n11")).as("value"))
-      .coalesce(1).write.mode("overwrite").text(out)
+      .select(concat_ws("\t", col("w1"), col("w2"), col("n11")).as("value")),
+      out, merge)
   }
 
   /** Temporal KDE re-ranked retrieval (`RunQueryKDEHBase`): Dirichlet
@@ -179,11 +203,13 @@ object Jobs {
   /** Format converters (`TrecToMallet` / `TrecToSequence` analogues;
     * Parquet is the SequenceFile replacement per SURVEY §2.1 S12).
     */
-  def trecToMallet(spark: SparkSession, trecIn: String, out: String): Unit =
-    TrecSgml.read(spark, trecIn)
+  def trecToMallet(spark: SparkSession, trecIn: String, out: String,
+                   merge: Boolean = false): Unit =
+    // one line per document → corpus-sized → partitioned by default
+    writeText(TrecSgml.read(spark, trecIn)
       .select(concat_ws("\t", col("docno"), lit("doc"),
-        regexp_replace(col("text"), "[\\n\\r\\t]+", " ")).as("value"))
-      .coalesce(1).write.mode("overwrite").text(out)
+        regexp_replace(col("text"), "[\\n\\r\\t]+", " ")).as("value")),
+      out, merge)
 
   def trecToParquet(spark: SparkSession, trecIn: String, out: String): Unit =
     TrecSgml.read(spark, trecIn).write.mode("overwrite").parquet(out)
@@ -339,7 +365,7 @@ object Jobs {
     * output `qterm dterm n_docs sum_minf` (FIXTURES §7 shape).
     */
   def queryStats(spark: SparkSession, in: String, out: String,
-                 topics: String): Unit = {
+                 topics: String, merge: Boolean = false): Unit = {
     val tf = TextOps.termFreqs(loadDocs(spark, in))
     val qterms = Topics.readPlain(spark, topics).select("term").distinct()
     val tq = tf.join(broadcast(qterms), Seq("term"))
@@ -347,13 +373,14 @@ object Jobs {
     val td = tf
       .filter(!col("term").isin(TextOps.stopwords: _*))
       .select(col("doc_id"), col("term").as("dterm"), col("tf").as("tfd"))
-    tq.join(td, Seq("doc_id"))
+    // |query terms| × vocabulary pairs in the worst case → partitioned
+    writeText(tq.join(td, Seq("doc_id"))
       .groupBy("qterm", "dterm")
       .agg(count(lit(1)).as("n_docs"),
         expr("CAST(sum(least(tfq, tfd)) AS BIGINT)").as("sum_minf"))
       .select(concat_ws("\t", col("qterm"), col("dterm"), col("n_docs"),
-        col("sum_minf")).as("value"))
-      .coalesce(1).write.mode("overwrite").text(out)
+        col("sum_minf")).as("value")),
+      out, merge)
   }
 
   /** KBA linear-combination grid filter (`KBAStaticFilter.java:216-277`

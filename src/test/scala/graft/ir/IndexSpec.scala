@@ -36,7 +36,25 @@ class IndexSpec extends SparkSpec {
     import spark.implicits._
     val dir = Files.createTempDirectory("inv").toString + "/idx"
     val docs = Tables(spark, sfTiny, "documents")
-    Index.writeInverted(docs, dir)
+    Index.writeInverted(docs, dir, files = 4)
+    // parallel write: range partitioning must yield MULTIPLE part files
+    // (no single-task funnel) while keeping global term order across
+    // them — file k's max term below file k+1's min term is exactly the
+    // property parquet min/max row-group pruning needs.
+    val parts = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parts.length > 1, "expected a parallel multi-file postings write")
+    val ranges = parts.map { f =>
+      val t = spark.read.parquet(f.getPath).agg(
+        min("term"), max("term")).collect()(0)
+      (t.getString(0), t.getString(1))
+    }.filter(r => r._1 != null)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi <= lo, s"files out of global term order: $hi > $lo")
+      case _ =>
+    }
     val q = Retrieval.querySet
       .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
     def key(df: org.apache.spark.sql.DataFrame) =
