@@ -42,5 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole-stage-codegen classes approach the 240m JIT default, and a
   // full code cache silently disables compilation (multi-x slowdowns).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-  "-XX:ReservedCodeCacheSize=512m",
+  // env-overridable so the code-cache hypothesis for the round-2 px
+  // regressions stays testable (BENCH_NOTES has the control run)
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
 )

@@ -31,7 +31,8 @@ object GraftSession {
       // may otherwise never collect, so local disk + driver metadata grow
       // monotonically across ~100 queries (the default interval, 30min,
       // never fires inside a bench run). 90s bounds the accumulation.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
       .config("spark.sql.warehouse.dir",
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's µs-based

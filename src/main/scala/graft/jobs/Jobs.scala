@@ -359,6 +359,34 @@ object Jobs {
     } finally { joined.unpersist(); () }
   }
 
+  /** S9 made live: spam filter whose score table is read over JDBC
+    * (`ClueWebSpamFilter.java:46-79` reads percentiles from a
+    * relational store). Identical semantics to [[spamFilter]] —
+    * asserted in JdbcSpec — with `spark.read.jdbc` replacing the
+    * parquet scan; the lookup stays a broadcast join, never a per-doc
+    * query (scale note in [[graft.sources.JdbcSource]]).
+    */
+  def spamFilterJdbc(spark: SparkSession, in: String, out: String,
+                     jdbcUrl: String, table: String,
+                     threshold: Int = 70): Unit = {
+    val docs = loadDocs(spark, in)
+    val scores = graft.sources.JdbcSource.readTable(spark, jdbcUrl, table)
+      .select(col("doc_id"), col("score"))
+    val joined = docs.join(broadcast(scores), Seq("doc_id"), "left").persist()
+    try {
+      joined.filter(col("score") >= threshold)
+        .select("doc_id", "text")
+        .write.mode("overwrite").parquet(out)
+      val c = joined.agg(
+        count(when(col("score") >= threshold, 1)).as("kept"),
+        count(when(col("score") < threshold, 1)).as("filtered"),
+        count(when(col("score").isNull, 1)).as("missing")).head()
+      import spark.implicits._
+      Seq(s"kept=${c.getLong(0)} filtered=${c.getLong(1)} missing=${c.getLong(2)}")
+        .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    } finally { joined.unpersist(); () }
+  }
+
   /** Query-term co-occurrence statistics (`TrecQueryStats.java`):
     * per (query term, doc term) pair over co-occurring docs — doc
     * count and Σ min(tf_q, tf_d) — doc side stoplist-filtered; TAB

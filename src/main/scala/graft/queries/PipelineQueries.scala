@@ -779,36 +779,21 @@ object PipelineQueries {
               |FROM pt GROUP BY doc_id""".stripMargin),
       survey = Seq("TEXT-FINGERPRINT")),
 
-    // P4/P5: stemmed word count. The reference uses a Krovetz
-    // (dictionary) stemmer from an external lib
-    // (`TrecWordCount2.java:57-79`); we declare a rule-based S-stemmer
-    // (ies→y, es→ε, s→ε) — documented divergence per SURVEY §7.4 risk 6,
-    // same dataflow shape.
+    // P4/P5: stemmed word count with the Krovetz-style rule+exception
+    // stemmer (`TrecWordCount2.java:57-79`). Both engines run the SAME
+    // generated rule SQL (text/KrovetzStem.scala is the one source);
+    // divergence vs the dictionary-based original is documented in
+    // KrovetzStemSpec. The round-2 S-stemmer remains available as
+    // KrovetzStem.sStemSql.
     Decl(
-      "px15_stem_wordcount", {
-        val stem =
-          "CASE WHEN length(term) >= 5 AND substr(term, length(term) - 2, 3) = 'ies'" +
-            " THEN substr(term, 1, length(term) - 3) || 'y'" +
-            " WHEN length(term) >= 4 AND substr(term, length(term) - 1, 2) = 'es'" +
-            " THEN substr(term, 1, length(term) - 2)" +
-            " WHEN length(term) >= 4 AND substr(term, length(term), 1) = 's'" +
-            " THEN substr(term, 1, length(term) - 1) ELSE term END"
-        (s: SparkSession, dir: String) =>
-          TextOps.tokens(Tables(s, dir, "documents"))
-            .withColumn("stem", expr(stem))
-            .groupBy("stem").agg(count(lit(1)).as("n"))
-      },
-      Some {
-        val stem =
-          "CASE WHEN length(term) >= 5 AND substr(term, length(term) - 2, 3) = 'ies'" +
-            " THEN substr(term, 1, length(term) - 3) || 'y'" +
-            " WHEN length(term) >= 4 AND substr(term, length(term) - 1, 2) = 'es'" +
-            " THEN substr(term, 1, length(term) - 2)" +
-            " WHEN length(term) >= 4 AND substr(term, length(term), 1) = 's'" +
-            " THEN substr(term, 1, length(term) - 1) ELSE term END"
-        s"""SELECT $stem AS stem, count(*) AS n
-           |FROM (${TextOps.duckTokens}) t GROUP BY 1""".stripMargin
-      },
+      "px15_stem_wordcount",
+      (s: SparkSession, dir: String) =>
+        graft.text.KrovetzStem
+          .stem(TextOps.tokens(Tables(s, dir, "documents")), "term", "stem")
+          .groupBy("stem").agg(count(lit(1)).as("n")),
+      Some(s"""SELECT stem, count(*) AS n FROM (
+              |${graft.text.KrovetzStem.duckStemSql(TextOps.duckTokens, "term", "stem")}
+              |) kv GROUP BY 1""".stripMargin),
       survey = Seq("P4", "P5")),
 
     // P8 + A3: spam-score predicate with kept/filtered counters

@@ -1,0 +1,172 @@
+package graft.text
+
+/** Krovetz-style rule+exception stemmer (P5; the reference stems with
+  * the external Krovetz stemmer — `TrecWordCount2.java:57-79`,
+  * `TrecMutualInfo2.java:131-146`).
+  *
+  * The published algorithm (Krovetz, SIGIR 1993: inflectional
+  * morphology as plural → past-tense → -ing removal, with a dictionary
+  * deciding undoubling and e-restoration) is ported as its three-step
+  * rule skeleton; the dictionary is replaced by deterministic
+  * orthographic rules plus an explicit exception table. Everything is
+  * generated as ENGINE-NEUTRAL SQL (CASE/substr/length/`||`/IN — the
+  * dialect subset Spark and DuckDB share) from this ONE rule source, so
+  * the Spark plan and the DuckDB oracle execute identical logic
+  * (cross-engine rule: never two copies of a gated formula).
+  *
+  * Divergences from dictionary Krovetz are the cases where only a head
+  * word list can decide ('treated'→'treat' vs 'created'→'create': both
+  * end vowel+'t'); the exception table pins the frequent ones and
+  * KrovetzStemSpec documents examples. The light S-stemmer
+  * (round-2 stand-in) stays available as [[sStemSql]].
+  */
+object KrovetzStem {
+
+  /** Full-token exceptions, applied before any rule: irregular or
+    * dictionary-only cases the orthographic rules would mangle.
+    */
+  val exceptions: Seq[(String, String)] = Seq(
+    // not plurals / lexical '-s'
+    "news" -> "news", "series" -> "series", "species" -> "species",
+    "this" -> "this",
+    // '-oes'/'-ies' words whose singular keeps the e / differs
+    "movies" -> "movie", "shoes" -> "shoe", "toes" -> "toe",
+    // '-eed' / short '-ied' forms below the rule length guards
+    "agreed" -> "agree", "freed" -> "free", "indeed" -> "indeed",
+    "died" -> "die", "lied" -> "lie", "tied" -> "tie",
+    // short / irregular '-ing' and '-ed' forms
+    "dying" -> "die", "lying" -> "lie", "tying" -> "tie",
+    "going" -> "go", "doing" -> "do", "being" -> "being",
+    "using" -> "use", "used" -> "use",
+    "writing" -> "write", "coming" -> "come",
+    // vowel+'t' stems only a dictionary can restore
+    "created" -> "create", "creating" -> "create")
+
+  private val V = "('a','e','i','o','u')"
+
+  /** char `back` positions from the END of column `c` (0 = last). */
+  private def ch(c: String, back: Int): String =
+    s"substr($c, length($c) - $back, 1)"
+
+  /** `c` ends with literal `s` AND is at least `minLen` long. The
+    * length guard makes the conjunction false on short tokens before
+    * the substr can alias from the string head (both engines treat
+    * out-of-range starts leniently; AND-falsity is what protects us,
+    * not evaluation order).
+    */
+  private def ends(c: String, s: String, minLen: Int): String =
+    s"(length($c) >= $minLen AND " +
+      s"substr($c, length($c) - ${s.length - 1}, ${s.length}) = '$s')"
+
+  private def drop(c: String, n: Int): String =
+    s"substr($c, 1, length($c) - $n)"
+
+  /** Exception lookup: the mapped stem, or NULL when `c` is regular. */
+  def exceptionSql(c: String): String =
+    exceptions.map { case (k, v) => s"WHEN $c = '$k' THEN '$v'" }
+      .mkString("CASE ", " ", " ELSE NULL END")
+
+  /** Step 1 — plural removal (`-ies`→y, sibilant `-es`, `-s`; `-ss`,
+    * `-us`, `-is`, `-ics` protected).
+    */
+  def pluralSql(c: String): String =
+    s"""CASE
+       | WHEN ${ends(c, "ics", 4)} THEN $c
+       | WHEN ${ends(c, "ies", 5)} THEN ${drop(c, 3)} || 'y'
+       | WHEN ${ends(c, "zzes", 5)} THEN ${drop(c, 3)}
+       | WHEN ${ends(c, "sses", 5)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "shes", 5)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "ches", 5)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "xes", 4)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "oes", 4)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "ss", 2)} THEN $c
+       | WHEN ${ends(c, "us", 4)} THEN $c
+       | WHEN ${ends(c, "is", 4)} THEN $c
+       | WHEN ${ends(c, "s", 4)} THEN ${drop(c, 1)}
+       | ELSE $c END""".stripMargin.replaceAll("\\s+", " ").trim
+
+  /** Undoubling after suffix removal: stem ends in a doubled consonant
+    * that English only doubles before a suffix. `off` is the suffix
+    * length (2 for -ed, 3 for -ing); standard letters undouble at stem
+    * length ≥ 4 ('wedded'→'wed' but 'added' stays 'add'), 'l' only at
+    * stem length ≥ 6 ('controlled'→'control' but 'called' stays
+    * 'call' — 'll' is a common valid ending).
+    */
+  private def doubled(c: String, off: Int): String = {
+    val last = ch(c, off); val prev = ch(c, off + 1)
+    s"($last = $prev AND (" +
+      s"($last IN ('b','d','g','m','n','p','r','t') AND length($c) >= ${off + 4}) OR " +
+      s"($last = 'l' AND length($c) >= ${off + 6})))"
+  }
+
+  /** e-restoration after suffix removal: endings that essentially never
+    * close an English stem without a final 'e' ('c','v','u','g'
+    * always; 'k'/'z'/'s' after a single vowel; 'l' after a non-l
+    * consonant). Dictionary Krovetz decides by lookup; this is the
+    * orthographic approximation, with the table above catching the
+    * frequent words it gets wrong.
+    */
+  private def restoreE(c: String, off: Int): String = {
+    val l = ch(c, off); val p = ch(c, off + 1); val pp = ch(c, off + 2)
+    s"($l IN ('c','v','u','g') OR " +
+      s"($l = 'k' AND $p IN $V AND NOT $pp IN $V) OR " +
+      s"($l IN ('z','s') AND $p IN $V) OR " +
+      s"($l = 'l' AND NOT $p IN $V AND $p <> 'l'))"
+  }
+
+  /** Step 2 — past tense (`-eed` kept, `-ied`→y, `-ed` with
+    * undoubling / e-restoration).
+    */
+  def pastSql(c: String): String =
+    s"""CASE
+       | WHEN ${ends(c, "eed", 5)} THEN $c
+       | WHEN ${ends(c, "ied", 5)} THEN ${drop(c, 3)} || 'y'
+       | WHEN ${ends(c, "ed", 5)} THEN CASE
+       |   WHEN ${doubled(c, 2)} THEN ${drop(c, 3)}
+       |   WHEN ${restoreE(c, 2)} THEN ${drop(c, 2)} || 'e'
+       |   ELSE ${drop(c, 2)} END
+       | ELSE $c END""".stripMargin.replaceAll("\\s+", " ").trim
+
+  /** Step 3 — `-ing` removal with the same undoubling / e-restoration. */
+  def ingSql(c: String): String =
+    s"""CASE
+       | WHEN ${ends(c, "ing", 6)} THEN CASE
+       |   WHEN ${doubled(c, 3)} THEN ${drop(c, 4)}
+       |   WHEN ${restoreE(c, 3)} THEN ${drop(c, 3)} || 'e'
+       |   ELSE ${drop(c, 3)} END
+       | ELSE $c END""".stripMargin.replaceAll("\\s+", " ").trim
+
+  /** The round-2 S-stemmer (ies→y, es→ε, s→ε) — kept as the light
+    * fallback for callers that want suffix-s conflation only.
+    */
+  def sStemSql(c: String): String =
+    s"CASE WHEN ${ends(c, "ies", 5)} THEN ${drop(c, 3)} || 'y'" +
+      s" WHEN ${ends(c, "es", 4)} THEN ${drop(c, 2)}" +
+      s" WHEN ${ends(c, "s", 4)} THEN ${drop(c, 1)} ELSE $c END"
+
+  /** Spark pipeline: adds `out` to `df` as the Krovetz stem of `in`.
+    * Staged columns keep each generated CASE referencing a NAMED column
+    * (nesting the steps textually would explode the expression tree).
+    */
+  def stem(df: org.apache.spark.sql.DataFrame, in: String,
+           out: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    df.withColumn("_kx", expr(exceptionSql(in)))
+      .withColumn("_s1", expr(pluralSql(in)))
+      .withColumn("_s2", expr(pastSql("_s1")))
+      .withColumn("_s3", expr(ingSql("_s2")))
+      .withColumn(out, expr("coalesce(_kx, _s3)"))
+      .drop("_kx", "_s1", "_s2", "_s3")
+  }
+
+  /** DuckDB pipeline over an inner relation exposing `termCol`:
+    * same staged shape, same generated SQL strings.
+    */
+  def duckStemSql(innerSql: String, termCol: String, out: String): String =
+    s"""SELECT *, coalesce(kx, s3) AS $out FROM (
+       | SELECT *, ${ingSql("s2")} AS s3 FROM (
+       |  SELECT *, ${pastSql("s1")} AS s2 FROM (
+       |   SELECT *, ${pluralSql(termCol)} AS s1,
+       |          ${exceptionSql(termCol)} AS kx
+       |   FROM ($innerSql) _kv0)))""".stripMargin
+}
