@@ -55,4 +55,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("PushedFilters: ["), p)
     assert(!p.contains("PushedFilters: []"), p)
   }
+
+  test("px27_minhash_estimate: ONE minhash subtree, exact side candidate-pruned") {
+    // The r2 plan scanned documents 3x (17.3 s); the rewrite persists
+    // the wide minhash and prunes the exact side to candidate docs.
+    // Node-collect (NOT string matching: InMemoryRelation reprints its
+    // cached plan wherever referenced): the top-level tree must read
+    // from the caches, with at most the candidate-text pass touching
+    // parquet directly — more file scans means the shared subtree
+    // regressed.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val exec =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        SparkEntry.queries("px27_minhash_estimate")(spark, sfTiny)
+          .queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val fileScans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val cacheScans = exec.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s
+    }
+    assert(fileScans.length <= 1,
+      s"expected <=1 direct parquet scan, got ${fileScans.length}")
+    assert(cacheScans.length >= 2,
+      "wide minhash + candidate shingles must come from the persisted caches")
+  }
+
+  test("px04_jaccard_top: hot-shingle cap is a broadcast anti-join") {
+    val p = plan("px04_jaccard_top")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"df-capped intersection must anti-join the broadcast hot set\n$p")
+  }
 }
