@@ -20,23 +20,36 @@ object Kde {
 
   val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
   val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
+  val kdeFinalWeighted = "ksum / (wtot * bw * sqrt(2 * pi()))"
   val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
 
-  /** Density per result row: (qid, doc_id, score, kde). */
-  def withDensity(ranked: DataFrame): DataFrame = {
+  /** Density per result row: (qid, doc_id, score, kde).
+    *
+    * `weighted = true` is the reference's exact shape — each kernel
+    * weighted by its document's retrieval score, normalized per query
+    * (`RKernelDensity.java:28-30`: weights = weights/sum(weights));
+    * bandwidth stays score-independent, as R computes bw on the sample
+    * alone. On the committed R golden the weighted variant reproduces
+    * the reference ranking EXACTLY (KdeGoldenSpec); the unweighted
+    * default remains the oracle-gated ir20/ir27 semantics.
+    */
+  def withDensity(ranked: DataFrame, weighted: Boolean = false): DataFrame = {
     val stats = ranked.groupBy("qid")
-      .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"))
+      .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"),
+        sum("score").as("wtot"))
       .withColumn("bw", expr(bwExpr))
     ranked.alias("a")
       .join(ranked.alias("b").select(col("b.qid").as("qid"),
-        col("b.ep").as("ep2")), Seq("qid"))
-      .join(stats.select("qid", "bw", "k"), Seq("qid"))
+        col("b.ep").as("ep2"), col("b.score").as("w2")), Seq("qid"))
+      .join(stats.select("qid", "bw", "k", "wtot"), Seq("qid"))
       .groupBy(col("qid"), col("a.doc_id").as("doc_id"),
-        col("a.score").as("score"), col("ep"), col("bw"), col("k"))
-      .agg(sum(expr(kdeTerm)).as("ksum"))
-      .withColumn("kde", expr(kdeFinal))
+        col("a.score").as("score"), col("ep"), col("bw"), col("k"),
+        col("wtot"))
+      .agg(sum(expr(if (weighted) s"w2 * ($kdeTerm)" else kdeTerm))
+        .as("ksum"))
+      .withColumn("kde", expr(if (weighted) kdeFinalWeighted else kdeFinal))
       .select("qid", "doc_id", "score", "kde")
   }
 
@@ -44,8 +57,9 @@ object Kde {
     *               result, `ep` an epoch-seconds long
     * @return (qid, doc_id, new_score, new_rank)
     */
-  def rescore(ranked: DataFrame, alpha: String = "5e-1"): DataFrame =
-    withDensity(ranked)
+  def rescore(ranked: DataFrame, alpha: String = "5e-1",
+              weighted: Boolean = false): DataFrame =
+    withDensity(ranked, weighted)
       .withColumn("new_score", expr(rescoreExpr(alpha)))
       .withColumn("new_rank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
