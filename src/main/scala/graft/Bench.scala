@@ -93,7 +93,7 @@ object Bench {
     }.mkString("[\n", ",\n", "\n]")
     val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
     try pw.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":$cpus,"heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":"$cpus","heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"queries":$detail}""")
     finally pw.close()
     println(line)
     // The full line above is ~2.5k chars — a bounded tail capture cuts

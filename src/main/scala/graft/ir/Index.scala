@@ -54,12 +54,18 @@ object Index {
     * of an HBase point-Get per term (SURVEY §3.3), without the RPC.
     */
   def writeInverted(docs: DataFrame, path: String, files: Int = 0): Unit = {
-    val tf = TextOps.termFreqs(docs)
+    // persist both stages: the range partitioner's boundary-sampling
+    // job, the postings shuffle write, and the doclen write are THREE
+    // actions over the same tokenize subtree — uncached, the corpus
+    // would be tokenized three times (the repo's no-repeated-tokenize
+    // rule applies across actions exactly like curateCorpus/spamFilter)
+    val tf = TextOps.termFreqs(docs).persist()
     val agged = tf.groupBy("term")
       .agg(
         sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"),
         count(lit(1)).as("df"), sum("tf").as("cf"))
+      .persist()
     // Term-sorted row groups WITHOUT a single-task funnel: range
     // partitioning keeps global term order across files (file k's
     // terms all precede file k+1's), sortWithinPartitions orders
@@ -68,13 +74,15 @@ object Index {
     // repartition(1): the whole postings table through one task is a
     // driver-adjacent bottleneck at corpus vocabulary scale.)
     // files=0 → spark.sql.shuffle.partitions, AQE-coalescible.
-    val ranged =
-      if (files > 0) agged.repartitionByRange(files, col("term"))
-      else agged.repartitionByRange(col("term"))
-    ranged.sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
+    try {
+      val ranged =
+        if (files > 0) agged.repartitionByRange(files, col("term"))
+        else agged.repartitionByRange(col("term"))
+      ranged.sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(s"$path/postings")
+      tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+    } finally { agged.unpersist(); tf.unpersist(); () }
   }
 
   /** Retrieval from the inverted layout. The query-term set is driver

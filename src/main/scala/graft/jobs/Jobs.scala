@@ -335,10 +335,13 @@ object Jobs {
     * scores drop the doc, as in the reference (it only emits on a
     * successful lookup).
     */
-  def spamFilter(spark: SparkSession, in: String, out: String,
-                 scoresPath: String, threshold: Int = 70): Unit = {
+  /** Shared spam-filter body: the ONE copy of the threshold/counter/
+    * report semantics, whatever the score source (parquet or JDBC) —
+    * JdbcSpec asserts the two public entry points stay byte-equal.
+    */
+  private def spamFilterWith(spark: SparkSession, in: String, out: String,
+                             scores: DataFrame, threshold: Int): Unit = {
     val docs = loadDocs(spark, in)
-    val scores = spark.read.parquet(scoresPath).select("doc_id", "score")
     // persist: the write and the counters are two ACTIONS over the same
     // join — without it the corpus scan + join runs twice (same pattern
     // as curateCorpus; intra-query exchange reuse cannot span actions)
@@ -359,6 +362,11 @@ object Jobs {
     } finally { joined.unpersist(); () }
   }
 
+  def spamFilter(spark: SparkSession, in: String, out: String,
+                 scoresPath: String, threshold: Int = 70): Unit =
+    spamFilterWith(spark, in, out,
+      spark.read.parquet(scoresPath).select("doc_id", "score"), threshold)
+
   /** S9 made live: spam filter whose score table is read over JDBC
     * (`ClueWebSpamFilter.java:46-79` reads percentiles from a
     * relational store). Identical semantics to [[spamFilter]] —
@@ -368,24 +376,10 @@ object Jobs {
     */
   def spamFilterJdbc(spark: SparkSession, in: String, out: String,
                      jdbcUrl: String, table: String,
-                     threshold: Int = 70): Unit = {
-    val docs = loadDocs(spark, in)
-    val scores = graft.sources.JdbcSource.readTable(spark, jdbcUrl, table)
-      .select(col("doc_id"), col("score"))
-    val joined = docs.join(broadcast(scores), Seq("doc_id"), "left").persist()
-    try {
-      joined.filter(col("score") >= threshold)
-        .select("doc_id", "text")
-        .write.mode("overwrite").parquet(out)
-      val c = joined.agg(
-        count(when(col("score") >= threshold, 1)).as("kept"),
-        count(when(col("score") < threshold, 1)).as("filtered"),
-        count(when(col("score").isNull, 1)).as("missing")).head()
-      import spark.implicits._
-      Seq(s"kept=${c.getLong(0)} filtered=${c.getLong(1)} missing=${c.getLong(2)}")
-        .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
-    } finally { joined.unpersist(); () }
-  }
+                     threshold: Int = 70): Unit =
+    spamFilterWith(spark, in, out,
+      graft.sources.JdbcSource.readTable(spark, jdbcUrl, table)
+        .select(col("doc_id"), col("score")), threshold)
 
   /** Query-term co-occurrence statistics (`TrecQueryStats.java`):
     * per (query term, doc term) pair over co-occurring docs — doc

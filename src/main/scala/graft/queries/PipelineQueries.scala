@@ -251,9 +251,12 @@ object PipelineQueries {
         // exact). The hot set is tiny by construction → broadcast
         // anti-join. Cap is far above the corpus max df at the gated SFs
         // (7 @ sf0.01, 25 @ sf0.1), so results are unchanged there.
+        // (no broadcast hint on the hot set: tiny at the gated SFs but
+        // corpus-dependent at 100 TB — let AQE pick broadcast vs
+        // shuffle from the measured size, same rule as px27's pruning)
         val hot = ds.groupBy("sh").agg(count(lit(1)).as("dfs"))
           .filter(col("dfs") > MaxShingleDf).select("sh")
-        val dsc = ds.join(broadcast(hot), Seq("sh"), "left_anti")
+        val dsc = ds.join(hot, Seq("sh"), "left_anti")
         val inter = dsc.alias("a")
           .join(dsc.alias("b"),
             col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))

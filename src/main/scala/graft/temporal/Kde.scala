@@ -20,7 +20,14 @@ object Kde {
 
   val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
   val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
-  val kdeFinalWeighted = "ksum / (wtot * bw * sqrt(2 * pi()))"
+  // assert_true guards the weighted path: retrieval scores used as
+  // kernel weights must be positive (log-probability scorers emit
+  // negative scores; silently dividing by a nonpositive weight sum
+  // would NULL every ln(kde) and rank garbage without an error).
+  val kdeFinalWeighted =
+    "CASE WHEN assert_true(wtot > 0, 'weighted KDE requires positive " +
+      "scores as weights (use exp(log-score) or the unweighted variant)') " +
+      "IS NULL THEN ksum / (wtot * bw * sqrt(2 * pi())) END"
   val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"

@@ -65,27 +65,35 @@ class PlanShapeSpec extends SparkSpec {
     // parquet directly — more file scans means the shared subtree
     // regressed.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    val exec =
-      try {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        SparkEntry.queries("px27_minhash_estimate")(spark, sfTiny)
-          .queryExecution.executedPlan
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    val fileScans = exec.collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("px27_minhash_estimate")(spark, sfTiny)
+        .queryExecution.executedPlan
+      val fileScans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      val cacheScans = exec.collect {
+        case s if s.nodeName.contains("InMemoryTableScan") => s
+      }
+      assert(fileScans.length <= 1,
+        s"expected <=1 direct parquet scan, got ${fileScans.length}")
+      assert(cacheScans.length >= 2,
+        "wide minhash + candidate shingles must come from the persisted caches")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      // px27 registers persist()s while planning; drop them so later
+      // suites' identical subtrees don't silently read these caches
+      spark.catalog.clearCache()
     }
-    val cacheScans = exec.collect {
-      case s if s.nodeName.contains("InMemoryTableScan") => s
-    }
-    assert(fileScans.length <= 1,
-      s"expected <=1 direct parquet scan, got ${fileScans.length}")
-    assert(cacheScans.length >= 2,
-      "wide minhash + candidate shingles must come from the persisted caches")
   }
 
-  test("px04_jaccard_top: hot-shingle cap is a broadcast anti-join") {
-    val p = plan("px04_jaccard_top")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
-      s"df-capped intersection must anti-join the broadcast hot set\n$p")
+  test("px04_jaccard_top: hot-shingle cap anti-join is in the plan") {
+    // the cap must stay an anti-join against the df>cap set (unhinted:
+    // AQE sizes it to broadcast at runtime; the static snapshot here
+    // only proves the cap exists in the tree)
+    val p = try plan("px04_jaccard_top")
+    finally spark.catalog.clearCache() // px04 persists its shingle frame
+    assert(p.contains("LeftAnti"),
+      s"df-capped intersection must anti-join the hot set\n$p")
   }
 }
