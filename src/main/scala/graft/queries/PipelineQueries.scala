@@ -244,23 +244,26 @@ object PipelineQueries {
           .distinct()
           .persist()
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-        // Hot-shingle cap: a shingle shared by d docs contributes d²/2
-        // join pairs, so one boilerplate shingle at 10⁵ df is a 10¹⁰-pair
-        // key at 100 TB. Drop shingles with df > MaxShingleDf from the
-        // INTERSECTION side only (standard near-dup practice; sizes stay
-        // exact). The hot set is tiny by construction → broadcast
-        // anti-join. Cap is far above the corpus max df at the gated SFs
+        // Hot-shingle cap + pair generation in ONE grouped pass: a
+        // shingle shared by d docs contributes d²/2 join pairs, so one
+        // boilerplate shingle at 10⁵ df is a 10¹⁰-pair key at 100 TB.
+        // Collect each shingle's (sorted) doc list, DROP df > cap
+        // (sizes stay exact — standard near-dup practice), and expand
+        // ordered pairs as a narrow array expression. Same semantics as
+        // the hot-set anti-join + self-join shape, three exchanges
+        // fewer; per-group work is bounded by cap²/2 by construction.
+        // Cap is far above the corpus max df at the gated SFs
         // (7 @ sf0.01, 25 @ sf0.1), so results are unchanged there.
-        // (no broadcast hint on the hot set: tiny at the gated SFs but
-        // corpus-dependent at 100 TB — let AQE pick broadcast vs
-        // shuffle from the measured size, same rule as px27's pruning)
-        val hot = ds.groupBy("sh").agg(count(lit(1)).as("dfs"))
-          .filter(col("dfs") > MaxShingleDf).select("sh")
-        val dsc = ds.join(hot, Seq("sh"), "left_anti")
-        val inter = dsc.alias("a")
-          .join(dsc.alias("b"),
-            col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        val inter = ds.groupBy("sh")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            count(lit(1)).as("dfs"))
+          .filter(col("dfs") <= MaxShingleDf)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), " +
+              "y -> struct(x AS d1, y AS d2))))")).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .groupBy("d1", "d2")
           .agg(count(lit(1)).as("inter"))
         inter
           .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))

@@ -87,13 +87,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("px04_jaccard_top: hot-shingle cap anti-join is in the plan") {
-    // the cap must stay an anti-join against the df>cap set (unhinted:
-    // AQE sizes it to broadcast at runtime; the static snapshot here
-    // only proves the cap exists in the tree)
+  test("px04_jaccard_top: hot-shingle df cap gates the pair expansion") {
+    // the intersection pairs come from a per-shingle grouped expansion
+    // with the df cap as a direct filter — no uncapped self-join key
     val p = try plan("px04_jaccard_top")
     finally spark.catalog.clearCache() // px04 persists its shingle frame
-    assert(p.contains("LeftAnti"),
-      s"df-capped intersection must anti-join the hot set\n$p")
+    assert(p.contains("<= 1000"),
+      s"df cap must gate the pair expansion\n$p")
+    assert(!p.contains("SortMergeJoin Inner"),
+      "pair generation must be the grouped expansion, not a raw self-join")
   }
 }
