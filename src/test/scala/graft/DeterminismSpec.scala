@@ -8,13 +8,19 @@ package graft
 class DeterminismSpec extends SparkSpec {
 
   // one query per determinism-sensitive family: decimal money sums,
-  // float scoring + rank, hash-ordered sampling, iterative dedup labels
+  // float scoring + rank, hash-ordered sampling, iterative dedup
+  // labels, round-then-rank pair expansion, persisted-cache estimator
   private val names = Seq("q01_agg_sums", "ir14_score_lmdir",
-    "px26_stratified_sample", "px19_dup_clusters")
+    "px26_stratified_sample", "px19_dup_clusters", "px04_jaccard_top",
+    "px27_minhash_estimate")
 
   private def rows(name: String): Seq[String] =
-    SparkEntry.queries(name)(spark, sfTiny)
+    try SparkEntry.queries(name)(spark, sfTiny)
       .collect().map(_.toString).sorted.toSeq
+    // px04/px27 persist() subtrees: drop them so the second
+    // partition-count run actually recomputes instead of reading the
+    // first run's cache (which would make the comparison vacuous)
+    finally spark.catalog.clearCache()
 
   for (name <- names)
     test(s"$name is identical under shuffle.partitions 4 vs 13") {
