@@ -96,6 +96,43 @@ object Dedup {
     labels
   }
 
+  /** EXACT connected components over a candidate edge list: min-label
+    * propagation to FIXPOINT, `localCheckpoint` per superstep so the
+    * plan stays bounded however many rounds convergence takes — the
+    * scale-correct upgrade of [[clusters]]' fixed-round approximation
+    * (a 3-round pass mislabels any component of diameter > 3; dup
+    * chains A≈B≈C≈… arbitrarily long arise from near-dup transitivity).
+    * Each superstep is one join + one groupBy — the standard
+    * hash-join CC shape; rounds = graph diameter ≤ `maxIter`.
+    * → (doc_id, lbl) with lbl = component minimum doc_id.
+    */
+  def connectedComponents(docs: DataFrame, edges: DataFrame,
+                          maxIter: Int = 50): DataFrame = {
+    val ids = docs.select("doc_id")
+    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
+      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
+      .unionByName(ids.select(col("doc_id").as("node"),
+        col("doc_id").as("other")))
+      .localCheckpoint()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val next = bi
+        .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+          Seq("other"))
+        .groupBy(col("node").as("doc_id"))
+        .agg(min("olbl").as("lbl"))
+        .localCheckpoint() // truncate lineage: plan depth stays O(1)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("doc_id"))
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** Near-dup survivor filter: keep each cluster's min-id doc.
     * → the kept (doc_id) set as a one-column frame for a semi-join.
     */

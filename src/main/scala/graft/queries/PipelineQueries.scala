@@ -231,6 +231,31 @@ object PipelineQueries {
           "FROM l3 GROUP BY lbl HAVING count(*) > 1")),
       survey = Seq("DEDUP-SURVIVOR")),
 
+    // EXACT connected components over the LSH candidate graph:
+    // fixpoint min-label with localCheckpoint per superstep (bounded
+    // plan depth at any diameter) — the scale-correct version of the
+    // px19 fixed-3-round contract, which mislabels any dup chain of
+    // diameter > 3. Oracle: DuckDB recursive CTE (true transitive
+    // closure), so the fixpoint is checked against exact reachability.
+    Decl(
+      "px42_connected_components",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Dedup.connectedComponents(
+          docs, graft.pipeline.Dedup.lshCandidates(docs))
+      },
+      Some(s"""WITH RECURSIVE $duckLshCtes,
+              |bi AS (SELECT d1 AS node, d2 AS other FROM cand
+              |       UNION ALL SELECT d2, d1 FROM cand),
+              |reach(node, lbl) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT bi.node, reach.lbl
+              |  FROM bi JOIN reach ON reach.node = bi.other)
+              |SELECT node AS doc_id, min(lbl) AS lbl
+              |FROM reach GROUP BY node""".stripMargin),
+      survey = Seq("DEDUP-CC")),
+
     // n-gram Jaccard: top-20 most-similar doc pairs by shingle-hash
     // Jaccard (the verification kernel the LSH candidates feed at
     // scale). Shingles are h60-hashed before the self-join: the shuffle

@@ -103,6 +103,21 @@ object EventStream {
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
   }
 
+  /** Streaming exact dedup of a document stream: keep the FIRST
+    * arrival per content hash (`dropDuplicates` keyed by md5, the
+    * streaming twin of `Dedup.exactKeepers`' batch semantics). The
+    * watermark bounds the dedup state the same way the 100 TB batch
+    * path bounds its shuffle: hashes older than the horizon are
+    * dropped from state — an unbounded-state dedup cannot run forever.
+    * `ingestCol` is the event-time column the watermark rides on.
+    */
+  def dedupStream(docs: DataFrame, ingestCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("h", md5(col("text")))
+      .withWatermark(ingestCol, watermark)
+      .dropDuplicates("h")
+
   /** Streaming execution into an in-memory sink named `queryName`;
     * caller drives with `processAllAvailable()` and reads
     * `spark.table(queryName)`.

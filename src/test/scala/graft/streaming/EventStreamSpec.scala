@@ -45,6 +45,42 @@ class EventStreamSpec extends SparkSpec {
     assert(streamedDistinct == batchDistinct)
   }
 
+  test("dedupStream: watermark-bounded first-arrival dedup ≡ batch keepers") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs5").toString
+    val docs0 = spark.read.parquet(s"$sfTiny/documents.parquet")
+    Files.copy(Paths.get(s"$sfTiny/documents.parquet"),
+      Paths.get(dir, "a_originals.parquet"))
+    // a SECOND file of exact dups (same text, shifted ids), arriving in
+    // a later micro-batch (older mtime on the originals +
+    // maxFilesPerTrigger=1 fixes the processing order): the dedup
+    // state built from batch 1 must drop every row of batch 2
+    docs0.withColumn("doc_id", col("doc_id") + 10000L)
+      .coalesce(1).write.parquet(s"$dir/b_dups")
+    Files.setLastModifiedTime(Paths.get(dir, "a_originals.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 600000))
+    val schema = docs0.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/{a_originals.parquet,b_dups/*.parquet}")
+      .withColumn("ingest_ts", timestamp_seconds(col("doc_id") + 1000000000L))
+    val q = EventStream.dedupStream(stream, "ingest_ts")
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddw_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ddw_out").collect().map(_.getLong(0)).toSet
+    // first-arrival == originals == batch exactKeepers over the union
+    val batch = graft.pipeline.Dedup
+      .exactKeepers(docs0.unionByName(
+        docs0.withColumn("doc_id", col("doc_id") + 10000L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+    assert(streamed.forall(_ < 10000L), "keepers must be the first arrivals")
+  }
+
   test("TextMetrics.tokenCounts is streaming-safe (per-row curation op)") {
     val dir = Files.createTempDirectory("docs4").toString
     Files.copy(Paths.get(s"$sfTiny/documents.parquet"),
