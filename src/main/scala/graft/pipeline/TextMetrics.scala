@@ -52,6 +52,42 @@ object TextMetrics {
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
         .cast("bigint").as("n_re"))
 
+  /** Gopher-rule keep verdict over the stat columns emitted by
+    * [[gopherRules]] — ONE expression string shared verbatim with the
+    * px43 DuckDB oracle (cross-engine rule: never two copies of a
+    * gated formula; fractional literals in e-notation so Spark doesn't
+    * parse them as DECIMAL). Bounds follow Rae et al. 2021 (Gopher,
+    * arXiv:2112.11446) with the word-count floor at 30 so the rule
+    * binds on this corpus (its docs span 10–99 words).
+    */
+  val gopherKeepExpr: String =
+    "CAST(CASE WHEN n_words >= 30 AND n_words <= 100000" +
+      " AND mean_word_len >= 4e0 AND mean_word_len <= 1e1" +
+      " AND alpha_frac >= 8e-1 AND sym_ratio <= 1e-1" +
+      " THEN 1 ELSE 0 END AS INT)"
+
+  /** Gopher-style rule filter (Rae et al. 2021 §A1.1): per-doc word
+    * count, mean word length, alphabetic-word fraction, and
+    * symbol-to-word ratio ('#' and '...'), plus the 0/1 keep verdict
+    * of [[gopherKeepExpr]]. One narrow map over the text column — no
+    * shuffle at all, so the filter streams at scan speed at any corpus
+    * size (the repetition and perplexity Gopher signals, which do need
+    * aggregation, are [[repetition]] and [[perplexity]]).
+    */
+  def gopherRules(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("w"),
+        expr("CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) AS BIGINT)")
+          .as("n_sym"))
+      .select(col("doc_id"),
+        expr("CAST(size(w) AS BIGINT)").as("n_words"),
+        expr("round(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))" +
+          " / CAST(size(w) AS DOUBLE), 6)").as("mean_word_len"),
+        expr("round(size(filter(w, x -> x rlike '[a-zA-Z]'))" +
+          " / CAST(size(w) AS DOUBLE), 6)").as("alpha_frac"),
+        expr("round(n_sym / CAST(size(w) AS DOUBLE), 6)").as("sym_ratio"))
+      .withColumn("keep", expr(gopherKeepExpr))
+
   /** Unigram-LM cross-entropy and perplexity per doc against the
     * corpus-wide unigram model (the CCNet/C4 quality-filter signal).
     */

@@ -1416,6 +1416,105 @@ object PipelineQueries {
               |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
               |SELECT k, round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
               |  AS slope FROM s""".stripMargin),
-      survey = Seq("TEXT-ZIPF"))
+      survey = Seq("TEXT-ZIPF")),
+
+    // Gopher-style rule filter (Rae et al. 2021 §A1.1): word-count and
+    // mean-word-length bounds, alphabetic-word fraction, symbol ratio,
+    // with the keep verdict single-sourced from
+    // TextMetrics.gopherKeepExpr. A pure narrow map — the only dedup/
+    // quality signal that needs NO shuffle, so at 100 TB it runs at
+    // scan speed and belongs first in any curation chain.
+    Decl(
+      "px43_gopher_filter",
+      (s, dir) =>
+        graft.pipeline.TextMetrics.gopherRules(Tables(s, dir, "documents")),
+      Some(s"""WITH w AS (SELECT doc_id,
+              |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+              |      AS w,
+              |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+              |      AS n_sym
+              |  FROM documents),
+              |m AS (SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    round(list_sum(list_transform(w, x -> len(x)))
+              |      / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+              |    round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              |      / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
+              |    round(n_sym / CAST(len(w) AS DOUBLE), 6) AS sym_ratio
+              |  FROM w)
+              |SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_ratio,
+              |  ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep
+              |FROM m""".stripMargin),
+      survey = Seq("TEXT-GOPHER")),
+
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    // embedding space, then near-dedup WITHIN clusters only — the
+    // scale path that turns the O(n²) cosine dedup of px06 into
+    // k × O((n/k)²) with no cross-cluster pairs ever materialized.
+    // One Lloyd assignment from deterministic seeds (vectors 0..3,
+    // px34's codebook shape), then a within-cluster equi-join whose
+    // cosine kernel is the codegen'd dot_f64 over the raw arrays.
+    // keep=0 ⇔ some LOWER-id vector in the same cluster has
+    // cos ≥ 0.4 (threshold calibrated to this corpus's cosine range;
+    // web-scale deployments run 0.95+ on duplicated data).
+    Decl(
+      "px44_semdedup",
+      (s, dir) => {
+        val el = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        val c0 = el.filter(col("vid") < 4)
+          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+        val a1 = el.join(c0, Seq("i"))
+          .withColumn("d", expr("(x - c) * (x - c)"))
+          .groupBy("vid", "cid").agg(sum("d").as("dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
+          .filter(col("r") === 1).select("vid", "cid")
+        val arr = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("embedding").as("emb"))
+          .withColumn("nrm", expr(normExpr))
+          .join(a1, Seq("vid"))
+        val a = arr.select(col("cid"), col("vid").as("v1"),
+          col("emb").as("ea"), col("nrm").as("na"))
+        val b = arr.select(col("cid"), col("vid").as("v2"),
+          col("emb").as("eb"), col("nrm").as("nb"))
+        val dropped = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+          .withColumn("cos", expr(s"round($dotExpr / (sqrt(na) * sqrt(nb)), 6)"))
+          .filter(col("cos") >= expr("4e-1"))
+          .select(col("v2").as("vid")).distinct()
+        arr.select("vid", "cid")
+          .join(dropped.withColumn("hit", lit(1)), Seq("vid"), "left")
+          .withColumn("keep",
+            expr("CAST(CASE WHEN hit IS NULL THEN 1 ELSE 0 END AS INT)"))
+          .select("vid", "cid", "keep")
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
+              |d1 AS (SELECT e.vid, c0.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c0 USING (i) GROUP BY e.vid, c0.cid),
+              |a1 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d1) t
+              |       WHERE r = 1),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |dots AS (SELECT aa.vid AS v1, bb.vid AS v2, aa.cid,
+              |           sum(ea.x * eb.x) AS dot
+              |         FROM a1 aa JOIN a1 bb
+              |           ON aa.cid = bb.cid AND aa.vid < bb.vid
+              |         JOIN e ea ON ea.vid = aa.vid
+              |         JOIN e eb ON eb.vid = bb.vid AND ea.i = eb.i
+              |         GROUP BY 1, 2, 3),
+              |dropped AS (SELECT DISTINCT v2 AS vid
+              |            FROM dots
+              |            JOIN nrm n1 ON v1 = n1.vid
+              |            JOIN nrm n2 ON v2 = n2.vid
+              |            WHERE round(dot / (sqrt(n1.nrm) * sqrt(n2.nrm)), 6)
+              |              >= 4e-1)
+              |SELECT a1.vid, a1.cid,
+              |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+              |FROM a1 LEFT JOIN dropped d ON a1.vid = d.vid""".stripMargin),
+      survey = Seq("DEDUP-SEMDEDUP"))
   )
 }

@@ -1,0 +1,44 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** Each Gopher rule (Rae et al. 2021 §A1.1) must bind on a doc
+  * constructed to violate exactly that rule, and a clean doc passes.
+  */
+class GopherRulesSpec extends SparkSpec {
+
+  private def verdicts(texts: Seq[String]): Map[Long, Row] = {
+    import spark.implicits._
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    TextMetrics.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> Row(r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getInt(5))).toMap
+  }
+  private case class Row(nWords: Long, mwl: Double, alphaFrac: Double,
+      symRatio: Double, keep: Int)
+
+  test("each rule binds on its violating doc; a clean doc passes") {
+    val clean = Seq.fill(40)("plain").mkString(" ")          // mwl 5.0
+    val tooShort = Seq.fill(10)("plain").mkString(" ")       // < 30 words
+    val shortWords = Seq.fill(40)("ab cd").mkString(" ")     // mwl 2.0
+    val longWords = Seq.fill(40)("pneumonoultramicroscopic").mkString(" ")
+    val symbols = Seq.fill(40)("plain #tag ...").mkString(" ") // sym > 0.1
+    val numeric = Seq.fill(40)("12345 67890 plain").mkString(" ") // alpha < 0.8
+
+    val v = verdicts(Seq(clean, tooShort, shortWords, longWords,
+      symbols, numeric))
+    assert(v(0).keep == 1, s"clean doc must pass: ${v(0)}")
+    assert(v(1).keep == 0 && v(1).nWords == 10)
+    assert(v(2).keep == 0 && v(2).mwl == 2.0)
+    assert(v(3).keep == 0 && v(3).mwl > 10.0)
+    assert(v(4).keep == 0 && v(4).symRatio > 0.1,
+      s"'#' + '...' must both count: ${v(4)}")
+    assert(v(5).keep == 0 && v(5).alphaFrac < 0.8)
+  }
+
+  test("stats are exact on a known doc") {
+    val v = verdicts(Seq("one two three four"))
+    assert(v(0) == Row(4L, 3.75, 1.0, 0.0, 0))  // 15 chars / 4 words
+  }
+}
