@@ -22,6 +22,12 @@ object TextMetrics {
     * length/punct/stopword-family signal of C4-style curation).
     * Requires an `n_chars` column (or join one in beforehand).
     */
+  /** The composite score over (n_types, n_tokens, n_stop) columns —
+    * ONE string shared by [[quality]] and the px11/px45 oracles.
+    */
+  val qualityScoreExpr: String =
+    "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"
+
   def quality(docs: DataFrame): DataFrame = {
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     TextOps.tokens(docs)
@@ -37,8 +43,7 @@ object TextMetrics {
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
       .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
       .withColumn("punct_ratio", expr("round(n_punct / n_chars, 6)"))
-      .withColumn("quality", expr(
-        "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"))
+      .withColumn("quality", expr(qualityScoreExpr))
       .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
         "stop_ratio", "punct_ratio", "quality")
   }

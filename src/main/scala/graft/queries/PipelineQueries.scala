@@ -772,7 +772,7 @@ object PipelineQueries {
            |  round(n_stop / n_tokens, 6) AS stop_ratio,
            |  round(len(regexp_extract_all(d.text, '[^0-9a-zA-Z\\s]'))
            |    / d.n_chars, 6) AS punct_ratio,
-           |  round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6) AS quality
+           |  ${graft.pipeline.TextMetrics.qualityScoreExpr} AS quality
            |FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin
       },
       survey = Seq("TEXT-QUALITY")),
@@ -1515,6 +1515,84 @@ object PipelineQueries {
               |SELECT a1.vid, a1.cid,
               |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
               |FROM a1 LEFT JOIN dropped d ON a1.vid = d.vid""".stripMargin),
-      survey = Seq("DEDUP-SEMDEDUP"))
+      survey = Seq("DEDUP-SEMDEDUP")),
+
+    // Quality-aware dedup survivors: within each multi-member LSH dup
+    // cluster keep the HIGHEST-quality member (px11's composite score),
+    // not the arbitrary min-id — the survivor policy real curation
+    // pipelines use (px21 keeps min-id; this is its upgrade). Rank is
+    // over the ROUNDED score (round-then-rank rule) with doc_id
+    // tiebreak, so the keeper is engine-deterministic.
+    Decl(
+      "px45_quality_survivors",
+      (s, dir) => {
+        val cl = dupClusters(s, dir)
+        val q = graft.pipeline.TextMetrics
+          .quality(Tables(s, dir, "documents")).select("doc_id", "quality")
+        val sized = cl.join(
+          cl.groupBy("lbl").agg(count(lit(1)).as("n_members")), Seq("lbl"))
+          .filter(col("n_members") > 1)
+        sized.join(q, Seq("doc_id"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY lbl ORDER BY quality DESC, doc_id)"))
+          .filter(col("r") === 1)
+          .select(col("lbl").as("cluster"), col("doc_id").as("keeper"),
+            col("n_members"), col("quality").as("best_quality"))
+      },
+      Some {
+        val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
+        duckDupClustersSql(
+          s""",
+             |toks AS (${TextOps.duckTokens}),
+             |qa AS (SELECT doc_id, count(*) AS n_tokens,
+             |         count(DISTINCT term) AS n_types,
+             |         CAST(sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS n_stop
+             |       FROM toks GROUP BY doc_id),
+             |q AS (SELECT doc_id,
+             |        ${graft.pipeline.TextMetrics.qualityScoreExpr} AS quality
+             |      FROM qa),
+             |sized AS (SELECT lbl, count(*) AS n_members FROM l3
+             |          GROUP BY lbl HAVING count(*) > 1),
+             |rk AS (SELECT l3.lbl, l3.doc_id, sized.n_members, q.quality,
+             |         row_number() OVER (PARTITION BY l3.lbl
+             |           ORDER BY q.quality DESC, l3.doc_id) AS r
+             |       FROM l3 JOIN sized ON l3.lbl = sized.lbl
+             |       JOIN q ON l3.doc_id = q.doc_id)
+             |SELECT lbl AS cluster, doc_id AS keeper, n_members,
+             |  quality AS best_quality FROM rk WHERE r = 1""".stripMargin)
+      },
+      survey = Seq("DEDUP-QUALITY-SURVIVOR")),
+
+    // Temperature-resampled language mixture (the multilingual
+    // upsampling rule of mT5/XLM-R, public: w_l ∝ p_l^α, α = 0.3):
+    // per-language doc share, temperature weight, and the implied
+    // up/down-sampling boost. Two tiny aggregations + a |languages|-row
+    // window — the weights that px37's weighted sampler consumes.
+    Decl(
+      "px46_temperature_mix",
+      (s, dir) => {
+        val per = Tables(s, dir, "documents")
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val tot = per.agg(expr("CAST(sum(n_docs) AS BIGINT)").as("td"))
+        per.crossJoin(broadcast(tot))
+          .withColumn("p", expr("n_docs / CAST(td AS DOUBLE)"))
+          .withColumn("pa", expr("power(n_docs / CAST(td AS DOUBLE), 3e-1)"))
+          .withColumn("w", expr("round(pa / sum(pa) OVER (), 6)"))
+          .withColumn("boost", expr("round((pa / sum(pa) OVER ()) / p, 6)"))
+          .select(col("lang"), col("n_docs"),
+            expr("round(p, 6)").as("p"), col("w"), col("boost"))
+      },
+      Some("""WITH per AS (SELECT lang, count(*) AS n_docs
+             |            FROM documents GROUP BY lang),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td FROM per),
+             |x AS (SELECT lang, n_docs, n_docs / CAST(td AS DOUBLE) AS p,
+             |        power(n_docs / CAST(td AS DOUBLE), 3e-1) AS pa
+             |      FROM per CROSS JOIN tot)
+             |SELECT lang, n_docs, round(p, 6) AS p,
+             |  round(pa / sum(pa) OVER (), 6) AS w,
+             |  round((pa / sum(pa) OVER ()) / p, 6) AS boost
+             |FROM x""".stripMargin),
+      survey = Seq("MIX-TEMPERATURE"))
   )
 }

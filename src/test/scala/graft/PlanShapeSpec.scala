@@ -97,4 +97,10 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin Inner"),
       "pair generation must be the grouped expansion, not a raw self-join")
   }
+
+  test("px43_gopher_filter: zero shuffles — a pure narrow map") {
+    val p = plan("px43_gopher_filter")
+    assert(!p.contains("Exchange"),
+      s"the Gopher rule filter must run at scan speed, no shuffle:\n$p")
+  }
 }
