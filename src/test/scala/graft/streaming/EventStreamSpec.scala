@@ -100,6 +100,27 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("TextMetrics.gopherRules is streaming-safe (shuffle-free filter)") {
+    val dir = Files.createTempDirectory("docs5").toString
+    Files.copy(Paths.get(s"$sfTiny/documents.parquet"),
+      Paths.get(dir, "documents.parquet"))
+    val schema = spark.read.parquet(s"$sfTiny/documents.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = graft.pipeline.TextMetrics.gopherRules(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gr_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getInt(5))
+    val streamed = spark.table("gr_out").collect().map(key).toSet
+    val batch = graft.pipeline.TextMetrics
+      .gopherRules(spark.read.parquet(s"$sfTiny/documents.parquet"))
+      .collect().map(key).toSet
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stateful sessionization: closed sessions == batch sessions - open tail") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("events2").toString
