@@ -84,13 +84,17 @@ object TextMetrics {
         expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("w"),
         expr("CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) AS BIGINT)")
           .as("n_sym"))
+      // nullif guard: zero-word docs would DIVIDE_BY_ZERO under ANSI;
+      // with it their stats are NULL and the keep CASE quietly drops
+      // them (EdgeCaseSpec). Same guard in the px43 oracle for parity.
       .select(col("doc_id"),
         expr("CAST(size(w) AS BIGINT)").as("n_words"),
         expr("round(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))" +
-          " / CAST(size(w) AS DOUBLE), 6)").as("mean_word_len"),
+          " / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)").as("mean_word_len"),
         expr("round(size(filter(w, x -> x rlike '[a-zA-Z]'))" +
-          " / CAST(size(w) AS DOUBLE), 6)").as("alpha_frac"),
-        expr("round(n_sym / CAST(size(w) AS DOUBLE), 6)").as("sym_ratio"))
+          " / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)").as("alpha_frac"),
+        expr("round(n_sym / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)")
+          .as("sym_ratio"))
       .withColumn("keep", expr(gopherKeepExpr))
 
   /** Unigram-LM cross-entropy and perplexity per doc against the

@@ -1437,10 +1437,11 @@ object PipelineQueries {
               |m AS (SELECT doc_id,
               |    CAST(len(w) AS BIGINT) AS n_words,
               |    round(list_sum(list_transform(w, x -> len(x)))
-              |      / CAST(len(w) AS DOUBLE), 6) AS mean_word_len,
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS mean_word_len,
               |    round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
-              |      / CAST(len(w) AS DOUBLE), 6) AS alpha_frac,
-              |    round(n_sym / CAST(len(w) AS DOUBLE), 6) AS sym_ratio
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS alpha_frac,
+              |    round(n_sym / nullif(CAST(len(w) AS DOUBLE), 0e0), 6)
+              |      AS sym_ratio
               |  FROM w)
               |SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_ratio,
               |  ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep

@@ -62,4 +62,16 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!out.head.isNullAt(2) && !out.head.getDouble(2).isNaN)
     assert(out.head.getInt(3) == 1)
   }
+
+  test("gopherRules on empty / whitespace-only docs: dropped, no error") {
+    val docs = Seq((1L, ""), (2L, "   \t  "), (3L, "one normal doc here"))
+      .toDF("doc_id", "text")
+    val v = graft.pipeline.TextMetrics.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r.getInt(5)).toMap
+    // zero-word docs divide by zero in every ratio; whatever the stat
+    // columns carry (NaN/null), the verdict must be a quiet drop
+    assert(v(1L) == 0 && v(2L) == 0)
+    assert(v(3L) == 0) // 4 words < the 30-word floor, also dropped
+    assert(v.size == 3, "every input doc must get a verdict row")
+  }
 }
