@@ -9,10 +9,13 @@ class DeterminismSpec extends SparkSpec {
 
   // one query per determinism-sensitive family: decimal money sums,
   // float scoring + rank, hash-ordered sampling, iterative dedup
-  // labels, round-then-rank pair expansion, persisted-cache estimator
+  // labels, round-then-rank pair expansion, persisted-cache estimator,
+  // fixpoint CC labels, rounded-cosine threshold (SemDeDup), rounded
+  // quality ranking (survivor choice), libm-pow mixture weights
   private val names = Seq("q01_agg_sums", "ir14_score_lmdir",
     "px26_stratified_sample", "px19_dup_clusters", "px04_jaccard_top",
-    "px27_minhash_estimate")
+    "px27_minhash_estimate", "px42_connected_components",
+    "px44_semdedup", "px45_quality_survivors", "px46_temperature_mix")
 
   private def rows(name: String): Seq[String] =
     try SparkEntry.queries(name)(spark, sfTiny)
