@@ -75,24 +75,36 @@ object Dedup {
   def lshCandidates(docs: DataFrame): DataFrame =
     candidatesFromBands(bandSigs(minhashWide(docs)))
 
+  /** Bidirectional (node, other) edge list plus identity edges — the
+    * propagation graph shared by [[clusters]] and
+    * [[connectedComponents]] (one definition so edge symmetrization
+    * can never diverge between the two paths).
+    */
+  private def biEdges(ids: DataFrame, edges: DataFrame): DataFrame =
+    edges.select(col("d1").as("node"), col("d2").as("other"))
+      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
+      .unionByName(ids.select(col("doc_id").as("node"),
+        col("doc_id").as("other")))
+
+  /** One min-label propagation superstep: lbl(u) ← min over u's
+    * neighborhood (identity edges make it include u itself).
+    */
+  private def propagate(bi: DataFrame, labels: DataFrame): DataFrame = bi
+    .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+      Seq("other"))
+    .groupBy(col("node").as("doc_id"))
+    .agg(min("olbl").as("lbl"))
+
   /** Min-label propagation over a candidate edge list, `rounds` fixed
     * supersteps → (doc_id, lbl). Identity-edge formulation: each round
     * references the previous labels once, so the plan stays linear.
     */
   def clusters(docs: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
     val ids = docs.select("doc_id")
-    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
-      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
-      .unionByName(ids.select(col("doc_id").as("node"),
-        col("doc_id").as("other")))
+    val bi = biEdges(ids, edges)
     var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
-    for (_ <- 1 to rounds) {
-      labels = bi
-        .join(labels.select(col("doc_id").as("other"), col("lbl").as("olbl")),
-          Seq("other"))
-        .groupBy(col("node").as("doc_id"))
-        .agg(min("olbl").as("lbl"))
-    }
+    for (_ <- 1 to rounds)
+      labels = propagate(bi, labels)
     labels
   }
 
@@ -111,16 +123,8 @@ object Dedup {
   def connectedComponents(docs: DataFrame, edges: DataFrame,
                           maxIter: Int = 50): DataFrame = {
     val ids = docs.select("doc_id")
-    val bi = edges.select(col("d1").as("node"), col("d2").as("other"))
-      .unionByName(edges.select(col("d2").as("node"), col("d1").as("other")))
-      .unionByName(ids.select(col("doc_id").as("node"),
-        col("doc_id").as("other")))
-      .localCheckpoint()
-    def step(l: DataFrame): DataFrame = bi
-      .join(l.select(col("doc_id").as("other"), col("lbl").as("olbl")),
-        Seq("other"))
-      .groupBy(col("node").as("doc_id"))
-      .agg(min("olbl").as("lbl"))
+    val bi = biEdges(ids, edges).localCheckpoint()
+    def step(l: DataFrame): DataFrame = propagate(bi, l)
     // Pointer jump: lbl(u) ← lbl(lbl(u)). Labels are doc ids, every
     // doc is present in l, and lbl(u) is in u's component, so the
     // inner self-join is total and component-preserving; labels only
@@ -157,6 +161,11 @@ object Dedup {
         println(s"[cc] block=$block inconsistent=$inconsistent t=${System.nanoTime()/1e9}")
       block += 1
     }
+    // the contract is EXACT components — refusing beats silently
+    // returning partial labels when the block budget runs out
+    require(inconsistent == 0,
+      s"connectedComponents did not converge within $maxIter blocks " +
+        s"($inconsistent edges still label-inconsistent); raise maxIter")
     labels
   }
 

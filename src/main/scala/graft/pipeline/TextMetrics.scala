@@ -17,17 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object TextMetrics {
 
-  /** Per-doc lexical quality: token/type counts, type-token ratio,
-    * stopword ratio, and a 50/50 composite score (the
-    * length/punct/stopword-family signal of C4-style curation).
-    * Requires an `n_chars` column (or join one in beforehand).
-    */
   /** The composite score over (n_types, n_tokens, n_stop) columns —
     * ONE string shared by [[quality]] and the px11/px45 oracles.
     */
   val qualityScoreExpr: String =
     "round((n_types / n_tokens) * 5e-1 + (1 - n_stop / n_tokens) * 5e-1, 6)"
 
+  /** Per-doc lexical quality: token/type counts, type-token ratio,
+    * stopword ratio, and a 50/50 composite score (the
+    * length/punct/stopword-family signal of C4-style curation).
+    * Requires an `n_chars` column (or join one in beforehand).
+    */
   def quality(docs: DataFrame): DataFrame = {
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
     TextOps.tokens(docs)
@@ -62,8 +62,10 @@ object TextMetrics {
     * px43 DuckDB oracle (cross-engine rule: never two copies of a
     * gated formula; fractional literals in e-notation so Spark doesn't
     * parse them as DECIMAL). Bounds follow Rae et al. 2021 (Gopher,
-    * arXiv:2112.11446) with the word-count floor at 30 so the rule
-    * binds on this corpus (its docs span 10–99 words).
+    * arXiv:2112.11446) with TWO corpus calibrations, both tightened so
+    * the rules bind on this synthetic corpus: word-count floor 30
+    * (paper: 50; docs here span 10–99 words) and mean-word-length
+    * floor 4 (paper: 3; corpus mwl spans 3.7–5.3).
     */
   val gopherKeepExpr: String =
     "CAST(CASE WHEN n_words >= 30 AND n_words <= 100000" +

@@ -1485,7 +1485,10 @@ object PipelineQueries {
           .withColumn("cos", expr(s"round($dotExpr / (sqrt(na) * sqrt(nb)), 6)"))
           .filter(col("cos") >= expr("4e-1"))
           .select(col("v2").as("vid")).distinct()
-        arr.select("vid", "cid")
+        // verdict base reuses the a-side projection — arr appears in
+        // the plan exactly twice (the self-join sides), never a third
+        // time for the verdict
+        a.select(col("v1").as("vid"), col("cid"))
           .join(dropped.withColumn("hit", lit(1)), Seq("vid"), "left")
           .withColumn("keep",
             expr("CAST(CASE WHEN hit IS NULL THEN 1 ELSE 0 END AS INT)"))
@@ -1530,8 +1533,10 @@ object PipelineQueries {
         val cl = dupClusters(s, dir)
         val q = graft.pipeline.TextMetrics
           .quality(Tables(s, dir, "documents")).select("doc_id", "quality")
-        val sized = cl.join(
-          cl.groupBy("lbl").agg(count(lit(1)).as("n_members")), Seq("lbl"))
+        // membership via a window, not groupBy + self-join: the
+        // minhash→LSH→propagation chain behind cl is referenced ONCE
+        val sized = cl.withColumn("n_members",
+            expr("count(*) OVER (PARTITION BY lbl)"))
           .filter(col("n_members") > 1)
         sized.join(q, Seq("doc_id"))
           .withColumn("r", expr(

@@ -104,11 +104,15 @@ object EventStream {
   }
 
   /** Streaming exact dedup of a document stream: keep the FIRST
-    * arrival per content hash (`dropDuplicates` keyed by md5, the
-    * streaming twin of `Dedup.exactKeepers`' batch semantics). The
-    * watermark bounds the dedup state the same way the 100 TB batch
-    * path bounds its shuffle: hashes older than the horizon are
-    * dropped from state — an unbounded-state dedup cannot run forever.
+    * arrival per content hash (the streaming twin of
+    * `Dedup.exactKeepers`' batch semantics). The watermark bounds the
+    * dedup state the same way the 100 TB batch path bounds its
+    * shuffle: hashes older than the horizon are dropped from state —
+    * an unbounded-state dedup cannot run forever.
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`: with the
+    * event-time column absent from the key set, plain dropDuplicates
+    * defines no eviction predicate and the watermark would be a no-op
+    * (state grows with every distinct hash ever seen).
     * `ingestCol` is the event-time column the watermark rides on.
     */
   def dedupStream(docs: DataFrame, ingestCol: String,
@@ -116,7 +120,7 @@ object EventStream {
     docs
       .withColumn("h", md5(col("text")))
       .withWatermark(ingestCol, watermark)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
 
   /** Streaming execution into an in-memory sink named `queryName`;
     * caller drives with `processAllAvailable()` and reads
