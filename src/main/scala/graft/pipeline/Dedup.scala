@@ -45,19 +45,43 @@ object Dedup {
     wide.selectExpr("doc_id",
       s"stack(16, ${(0 until 16).map(i => s"$i, m$i").mkString(", ")}) AS (i, mh)")
 
-  /** Band signatures (doc_id, band, sig) straight from the wide form —
+  /** MinHash signatures with NO aggregation at all: the per-doc minima
+    * of [[minhashWide]] folded into array expressions (one
+    * `transform` materializes md5_h1h2 per shingle ONCE; 16 array
+    * folds take the minima), so the signature is a narrow per-row map
+    * — the form a readStream can band and dedup on with no pre-state
+    * shuffle (streaming/NearDupStream). Emits the same (doc_id,
+    * m0..m15) values as minhashWide (spec-asserted), carries every
+    * other input column through (e.g. the ingest timestamp a
+    * watermark rides on), and drops docs with < 3 tokens (no
+    * shingles ⇒ no near-dup signal; minhashWide drops them too).
+    */
+  def minhashWideNarrow(docs: DataFrame): DataFrame = {
+    val withH = docs
+      .withColumn("sh", TextOps.shinglesCol(col("text"), 3))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hh", expr("transform(sh, s -> md5_h1h2(s))"))
+    val mins = (0 until 16).map(i => expr(
+      s"aggregate(hh, CAST(9223372036854775807 AS BIGINT)," +
+        s" (a, x) -> least(a, x.h1 + $i * x.h2))").as(s"m$i"))
+    withH.select(docs.columns.map(col).toSeq ++ mins: _*)
+  }
+
+  /** Band signatures (…, band, sig) straight from the wide form —
     * a narrow projection (stack + concat), NO extra shuffle. The
     * round-2 path stacked to long form then re-grouped per (doc, band):
     * a whole groupBy exchange whose result was a deterministic
-    * function of columns already on the row.
+    * function of columns already on the row. Non-signature columns
+    * (doc_id, a streaming ingest timestamp, …) pass through.
     */
   def bandSigs(wide: DataFrame): DataFrame = {
     val bandCases = (0 until 4).map { b =>
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS STRING)")
       s"$b, concat_ws(',', ${cols.mkString(", ")})"
     }
-    wide.selectExpr("doc_id",
-      s"stack(4, ${bandCases.mkString(", ")}) AS (band, sig)")
+    val passthrough = wide.columns.filterNot(_.matches("m\\d+"))
+    wide.selectExpr(passthrough :+
+      s"stack(4, ${bandCases.mkString(", ")}) AS (band, sig)": _*)
   }
 
   /** (d1, d2) pairs sharing a full band signature, d1 < d2. */

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming NEAR-dup detection — the incremental twin of the batch
+  * MinHash/LSH chain (`Dedup.lshCandidates`), for deduplicating a
+  * crawl stream as it arrives instead of re-running batch dedup over
+  * the accumulated corpus.
+  *
+  * The enabling piece is `Dedup.minhashWideNarrow`: per-row MinHash
+  * signatures with NO aggregation, so banding happens before any
+  * stateful operator and the only state in the query is the
+  * first-arrival ledger itself (Structured Streaming allows one
+  * stateful op per query without output-mode contortions).
+  *
+  * Scale: state is keyed by (band, sig) — the same key the batch
+  * LSH self-join buckets on — and evicted by event-time timeout once
+  * the watermark passes `horizon` beyond a signature's last sighting,
+  * so state holds only the active horizon's signatures, never the
+  * full corpus history. Keepers are MIN doc_id per signature (batch
+  * arrival order within a micro-batch is not defined, so "first
+  * arrival" is resolved deterministically by id — matching the batch
+  * min-id keeper convention).
+  */
+object NearDupStream {
+
+  final case class BandRow(band: Int, sig: String, doc_id: Long,
+                           ts: java.sql.Timestamp)
+
+  /** One ledger row per (doc, band): the signature and the keeper doc
+    * that owns it. `doc_id != keeper` on any band marks a near-dup
+    * candidate, exactly the pairs the batch LSH join would emit.
+    */
+  final case class Collision(band: Int, sig: String, doc_id: Long,
+                             keeper: Long)
+
+  /** (doc_id, text, ingestCol) stream → collision ledger.
+    *
+    * @param horizonMs how long a signature stays in state past its
+    *                  last sighting (event time); the dedup memory.
+    */
+  def collisionLedger(docs: DataFrame, ingestCol: String,
+                      watermark: String = "1 hour",
+                      horizonMs: Long = 3600L * 1000L): Dataset[Collision] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val bands = Dedup.bandSigs(Dedup.minhashWideNarrow(docs))
+      .select(col("band"), col("sig"), col("doc_id"),
+        col(ingestCol).as("ts"))
+      .withWatermark("ts", watermark)
+      .as[BandRow]
+
+    bands
+      .groupByKey(r => (r.band, r.sig))
+      .flatMapGroupsWithState[Long, Collision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[BandRow],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rs = rows.toArray
+            val batchMin = rs.iterator.map(_.doc_id).min
+            val keeper =
+              if (state.exists) math.min(state.get, batchMin) else batchMin
+            state.update(keeper)
+            state.setTimeoutTimestamp(
+              rs.iterator.map(_.ts.getTime).max + horizonMs)
+            rs.iterator.map(r => Collision(r.band, r.sig, r.doc_id, keeper))
+          }
+      }
+  }
+}

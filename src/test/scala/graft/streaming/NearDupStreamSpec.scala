@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+
+/** The streaming LSH ledger must agree with the batch MinHash/LSH
+  * chain it mirrors: same signatures, same keepers, and its collision
+  * pairs are exactly batch candidate pairs.
+  */
+class NearDupStreamSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+
+  test("minhashWideNarrow emits exactly minhashWide's signatures") {
+    val wide = Dedup.minhashWide(docs).collect()
+      .map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted
+    val narrow = Dedup.minhashWideNarrow(docs.select("doc_id", "text"))
+      .drop("text") // narrow passes input columns through; wide doesn't
+      .collect().map(_.toSeq.map(String.valueOf)).map(_.mkString("|")).sorted
+    assert(narrow.nonEmpty && (narrow.toSeq == wide.toSeq))
+  }
+
+  test("streamed ledger == batch keepers, across two micro-batches") {
+    // two files, ids aligned with arrival order (listing order): the
+    // cross-batch state must resolve the same keepers as one batch
+    val dir = Files.createTempDirectory("neardup").toString
+    val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+    docs.filter(col("doc_id") < 250).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/a=1")
+    docs.filter(col("doc_id") >= 250).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/b=2")
+
+    val schema = spark.read.parquet(s"$dir/a=1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{a=1,b=2}")
+    val q = NearDupStream.collisionLedger(stream, "ingest_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndl_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+
+    val streamed = spark.table("ndl_out").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // batch truth: every (doc, band) row, keeper = min doc_id per sig
+    val bands = Dedup.bandSigs(Dedup.minhashWide(docs))
+    val expected = bands
+      .join(bands.groupBy("band", "sig").agg(min("doc_id").as("keeper")),
+        Seq("band", "sig"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+
+    // last-batch keepers can only be EARLIER (ids arrive in order), so
+    // cross-batch state must reproduce the global min exactly
+    assert(streamed.nonEmpty && streamed.toSet == expected.toSet)
+    assert(streamed.length == expected.length, "one ledger row per (doc, band)")
+  }
+
+  test("collision pairs are exactly the batch LSH candidate pairs") {
+    val ledger = spark.table("ndl_out") // from the previous test's run
+    val streamPairs = ledger.filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("d1"), col("doc_id").as("d2")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = Dedup.lshCandidates(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ledger pairs link docs to their signature's KEEPER only, so they
+    // are a subset of the all-pairs batch candidates — and any doc the
+    // batch chain pairs up must show a collision in the ledger
+    assert(streamPairs.nonEmpty && streamPairs.subsetOf(batchPairs),
+      s"ledger emitted a pair batch LSH would not: ${streamPairs -- batchPairs}")
+    val batchDupDocs = batchPairs.flatMap(p => Seq(p._1, p._2))
+    val ledgerDupDocs = streamPairs.flatMap(p => Seq(p._1, p._2))
+    assert(batchDupDocs == ledgerDupDocs,
+      "every batch-candidate doc must appear in some ledger collision")
+  }
+}
