@@ -32,6 +32,7 @@ object ScaleProbe {
       println(f"""[scale] {"phase":"$w","n":$n,"docs":$docs,"rows":$r,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
 
+    if (!args.contains("only")) {
     t("gopher_filter")(
       graft.pipeline.TextMetrics.gopherRules(big).count())
     t("minhash_narrow")(
@@ -43,6 +44,64 @@ object ScaleProbe {
     }
     t("connected_components")(
       graft.pipeline.Dedup.connectedComponents(big, edges).count())
+    }
+
+    if (args.contains("emb")) {
+      // similarity-search twin: IVF's candidate cut vs brute force on
+      // an N×-replicated vector table (timing is value-independent)
+      import graft.pipeline.Ann
+      val ebase = Tables(spark, dir, "embeddings")
+      val ebig = spark.range(n).toDF("k").crossJoin(ebase)
+        .select((col("vec_id") + col("k") * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+        .repartition(32).localCheckpoint()
+      val nv = ebig.count()
+      val queries = ebase.filter(col("vec_id") < 20)
+      def te(w: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val r = f
+        println(f"""[scale] {"phase":"$w","n":$n,"vecs":$nv,"rows":$r,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+      var cent: org.apache.spark.sql.DataFrame = null
+      te("ivf_build_centroids") {
+        cent = Ann.kmeansCentroids(ebig, 16, 1).localCheckpoint(); cent.count()
+      }
+      var asg: org.apache.spark.sql.DataFrame = null
+      te("ivf_assign") {
+        asg = Ann.ivfAssign(ebig, cent).localCheckpoint(); asg.count()
+      }
+      te("ivf_topk_nprobe4")(
+        Ann.ivfTopK(ebig, cent, asg, queries, nprobe = 4, k = 10).count())
+      te("brute_cosine_topk")(
+        Ann.cosineTopK(ebig, queries, k = 10).count())
+      // the deployed IVF layout: assignment PRE-MATERIALIZED with the
+      // corpus (cid as the storage partition key), so query time pays
+      // no corpus-side join — and a bigger query batch, where the
+      // candidate cut actually matters
+      val ebigC = ebig.join(asg.withColumnRenamed("vid", "vec_id"),
+        Seq("vec_id")).localCheckpoint()
+      val q200 = ebase.filter(col("vec_id") < 200)
+      te("ivf200_prejoined_nprobe4") {
+        val q = q200.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+        val probes = q.crossJoin(broadcast(cent))
+          .withColumn("d2", expr(
+            "aggregate(zip_with(qe, centroid, (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0d, (s, v) -> s + v)"))
+          .withColumn("pr", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
+          .filter(col("pr") <= 4).select("qid", "qe", "qn", "cid")
+        ebigC.select(col("vec_id").as("vid"), col("embedding").as("ce"), col("cid"))
+          .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+          .join(broadcast(probes), Seq("cid"))
+          .filter(col("qid") =!= col("vid"))
+          .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
+          .filter(col("rank") <= 10).count()
+      }
+      te("brute200_cosine_topk")(
+        Ann.cosineTopK(ebig, q200, k = 10).count())
+    }
     spark.stop()
   }
 }
