@@ -287,18 +287,26 @@ object Jobs {
       .write.mode("overwrite").parquet(out)
   }
 
-  /** End-to-end training-data curation: exact dedup → near-dup removal
-    * (MinHash LSH + min-label clusters, keep cluster minimum) → quality
-    * filters (token-count floor, Gopher repetition-ratio cap). Writes
-    * the kept corpus as parquet plus a one-line text report of per-stage
-    * counts — the pipeline a 100 TB pretraining corpus runs before
-    * tokenization (each stage is one keyed shuffle; nothing collects).
+  /** End-to-end training-data curation: [optional Gopher rule gate —
+    * shuffle-free, so it runs FIRST and cheapens every later stage] →
+    * exact dedup → near-dup removal (MinHash LSH + min-label clusters,
+    * keep cluster minimum) → quality filters (token-count floor, Gopher
+    * repetition-ratio cap). Writes the kept corpus as parquet plus a
+    * one-line text report of per-stage counts — the pipeline a 100 TB
+    * pretraining corpus runs before tokenization (each stage is one
+    * keyed shuffle; nothing collects).
     */
   def curateCorpus(spark: SparkSession, in: String, out: String,
-                   minTokens: Int = 5, maxRep: Double = 0.2): Unit = {
+                   minTokens: Int = 5, maxRep: Double = 0.2,
+                   gopher: Boolean = false): Unit = {
     import graft.pipeline.{Dedup, TextMetrics}
-    val docs = loadDocs(spark, in)
-    val n0 = docs.count()
+    val docs0 = loadDocs(spark, in)
+    val n0 = docs0.count()
+    val docs = if (gopher)
+      docs0.join(TextMetrics.gopherRules(docs0).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    else docs0
+    val gopherNote = if (gopher) s" gopher_kept=${docs.count()}" else ""
     val exact = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
     val n1 = exact.count()
     // persist across the MULTIPLE ACTIONS below (n2 count + the final
@@ -322,7 +330,7 @@ object Jobs {
       kept.write.mode("overwrite").parquet(out)
       val n3 = spark.read.parquet(out).count()
       import spark.implicits._
-      Seq(s"input=$n0 exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
+      Seq(s"input=$n0$gopherNote exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
         .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
     } finally { near.unpersist(); () }
   }
@@ -465,6 +473,8 @@ object Jobs {
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)
+      case "CurateCorpus" :: in :: out :: "gopher" :: Nil =>
+        curateCorpus(spark, in, out, gopher = true)
       case "SpamFilter" :: in :: out :: scores :: Nil =>
         spamFilter(spark, in, out, scores)
       case "QueryStats" :: in :: out :: topics :: Nil =>

@@ -138,6 +138,33 @@ class JobsSpec extends SparkSpec {
     assert(report.startsWith("input=53 "))
   }
 
+  test("CurateCorpus gopher gate: rule-dropped doc goes, rest unchanged") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("curate_g").toString
+    val base = graft.Tables(spark, sfTiny, "documents")
+      .filter(col("doc_id") < 50).select("doc_id", "text")
+    // 10 DISTINCT normal words: passes the minTokens=5 floor and the
+    // repetition cap, but sits under the Gopher 30-word floor — ONLY
+    // the gopher gate can drop it
+    val borderline = Seq(
+      (2000L, (0 until 10).map(i => s"plain$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    base.unionByName(borderline).write.mode("overwrite")
+      .parquet(s"$work/in")
+
+    Jobs.curateCorpus(spark, s"parquet:$work/in", s"$work/off")
+    assert(spark.read.parquet(s"$work/off")
+      .filter(col("doc_id") === 2000L).count() == 1,
+      "without the gate the borderline doc survives")
+
+    Jobs.curateCorpus(spark, s"parquet:$work/in", s"$work/on", gopher = true)
+    val on = spark.read.parquet(s"$work/on")
+    assert(on.filter(col("doc_id") === 2000L).count() == 0,
+      "the gate must drop the under-30-word doc")
+    val report = spark.read.text(s"$work/on_report").head().getString(0)
+    assert(report.startsWith("input=51 gopher_kept="), report)
+  }
+
   test("SpamFilter: threshold keeps/filters/missing counters and corpus") {
     import spark.implicits._
     Seq((1L, "keep me"), (2L, "filter me"), (3L, "no score"))
