@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import graft.functions.DetHash
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Learned-filter primitives for corpus curation: the closed-form
+  * classifier family real pipelines train against a trusted corpus
+  * (GPT-3/CCNet-style quality classifier; DSIR importance weights,
+  * Xie et al. 2023, arXiv:2302.03169). Both are pure aggregations —
+  * "training" is counting — so the whole train+score path is one Spark
+  * plan with no iterative driver loop and no model state outside the
+  * plan.
+  *
+  * Scale design (100 TB):
+  *  - Naive Bayes: token-granularity rows shuffle exactly twice — once
+  *    to build per-term class counts (vocabulary-sized output), once to
+  *    score (tf rows join term likelihoods ON term; vocabulary tables
+  *    at web scale exceed broadcast limits, so a shuffle join on term is
+  *    the honest default — Catalyst broadcasts automatically when the
+  *    vocab is small).
+  *  - DSIR: features are HASHED into a fixed bucket space (default
+  *    1024), so the "model" is ≤ buckets rows regardless of corpus
+  *    size — it broadcasts by construction, and scoring is a narrow
+  *    map + one per-doc aggregation. This is the point of hashed
+  *    features at scale: model size is O(buckets), not O(vocab).
+  */
+object Classify {
+
+  /** px48's training label: a "curated slice" proxy (sources src0–src4
+    * stand in for the trusted corpus a real deployment trains against,
+    * e.g. Wikipedia in the GPT-3 filter). ONE string shared verbatim
+    * with the DuckDB oracle (cross-engine rule: never two copies of a
+    * gated formula).
+    */
+  val curatedLabelExpr: String =
+    "CAST(CASE WHEN source IN ('src0','src1','src2','src3','src4')" +
+      " THEN 1 ELSE 0 END AS INT)"
+
+  /** px49's DSIR target-slice label (English docs). */
+  val targetLangExpr: String =
+    "CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS INT)"
+
+  /** (doc_id, y) labels frame from a 0/1 label expression. */
+  def labels(docs: DataFrame, labelExpr: String): DataFrame =
+    docs.select(col("doc_id"), expr(labelExpr).as("y"))
+
+  /** Multinomial Naive Bayes with Laplace smoothing, trained on a
+    * 0/1 `y` column of `labels` (doc_id, y), scoring every document:
+    * log-odds = Σ_t tf·(ln P(t|1) − ln P(t|0)) + ln(prior odds),
+    * P(t|c) = (c(t,c)+1) / (N_c + V).
+    * → (doc_id, n_tokens, log_odds, pred).
+    *
+    * Smoothing makes every in-vocabulary term scorable for both
+    * classes; the vocabulary is the training corpus's own, so
+    * train-on-self scoring (the px48 gate) covers every token.
+    */
+  def naiveBayesLogOdds(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val tf = TextOps.termFreqs(docs)
+    val ctc = tf.join(labels, Seq("doc_id"))
+      .groupBy("term")
+      .agg(expr("CAST(sum(CASE WHEN y = 1 THEN tf ELSE 0 END) AS BIGINT)")
+        .as("c1"),
+        expr("CAST(sum(CASE WHEN y = 0 THEN tf ELSE 0 END) AS BIGINT)")
+          .as("c0"))
+    val tot = ctc.agg(expr("CAST(sum(c1) AS BIGINT)").as("n1"),
+      expr("CAST(sum(c0) AS BIGINT)").as("n0"),
+      expr("CAST(count(*) AS BIGINT)").as("v"))
+    val pri = labels.agg(expr("CAST(sum(y) AS BIGINT)").as("d1"),
+      expr("CAST(count(*) AS BIGINT)").as("d"))
+    tf.join(ctc, Seq("term"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"),
+        sum(expr("tf * (ln((c1 + 1) / (n1 + v)) - ln((c0 + 1) / (n0 + v)))"))
+          .as("s"),
+        first(expr("ln(d1 / (d - d1))")).as("lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(s + lp, 6)").as("log_odds"),
+        expr("CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1 ELSE 0 END AS INT)")
+          .as("pred"))
+  }
+
+  /** DSIR-style importance weights over hashed unigram features:
+    * per-token feature bucket b = h60(term) mod `buckets`; bucket
+    * unigram LMs for the target slice (`y` = 1 rows of `labels`) and
+    * the raw corpus (all rows), Laplace-smoothed; per-doc log
+    * importance weight log w = Σ_tokens ln p_tgt(b) − ln p_raw(b).
+    * → (doc_id, n_tokens, log_w, avg_log_w).
+    *
+    * The bucket LM table is ≤ `buckets` rows — broadcast by
+    * construction at any corpus size.
+    */
+  def dsirLogWeights(docs: DataFrame, labels: DataFrame,
+                     buckets: Int = 1024): DataFrame = {
+    val feat = TextOps.tokens(docs)
+      .select(col("doc_id"), (DetHash.h60(col("term")) % buckets).as("b"))
+    val cnt = feat.join(labels, Seq("doc_id"))
+      .groupBy("b")
+      .agg(expr("CAST(sum(y) AS BIGINT)").as("ct"),
+        expr("CAST(count(*) AS BIGINT)").as("cr"))
+    val tot = cnt.agg(expr("CAST(sum(ct) AS BIGINT)").as("nt"),
+      expr("CAST(sum(cr) AS BIGINT)").as("nr"))
+    feat.join(broadcast(cnt), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(expr("CAST(count(*) AS BIGINT)").as("n_tokens"),
+        sum(expr(s"ln((ct + 1) / (nt + $buckets))" +
+          s" - ln((cr + 1) / (nr + $buckets))")).as("lw"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("round(lw, 6)").as("log_w"),
+        expr("round(lw / n_tokens, 6)").as("avg_log_w"))
+  }
+}

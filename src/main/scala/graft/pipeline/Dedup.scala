@@ -249,6 +249,56 @@ object Dedup {
       .filter(col("hd") <= maxHd)
   }
 
+  /** Repeated n-gram SPAN detection — the n-gram-granularity shape of
+    * exact-substring dedup (Lee et al. 2022, arXiv:2107.06499, which
+    * removes repeated ≥50-token spans found via a suffix array; the
+    * distributed equivalent indexes fixed-n rolling n-grams and merges
+    * overlapping hits back into maximal spans). A position-carrying
+    * n-gram is "duplicated" iff its hash occurs in ≥ 2 DISTINCT docs;
+    * per doc, overlapping duplicated n-gram intervals [pos, pos+n−1]
+    * are merged (gaps-and-islands window) into spans.
+    * → (doc_id, n_dup_ngrams, n_spans, dup_tokens, dl, dup_frac) for
+    * docs with ≥ 1 duplicated n-gram.
+    *
+    * Scale: positions are a narrow map; the dup set is found with one
+    * hash-keyed aggregation using min<max instead of count(distinct);
+    * hits come back via a hash-keyed join (only duplicated hashes
+    * survive the build side); the window + final agg shuffle doc-keyed
+    * rows once. No self-join ever materializes doc pairs — cost is
+    * O(tokens), not O(dup²), which is what makes span-level dedup
+    * feasible where pairwise comparison is not.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+          .as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesFromToks(col("toks"), n))
+          .as(Seq("pos0", "s")))
+      .select(col("doc_id"), expr("pos0 + 1").as("pos"),
+        DetHash.h60(col("s")).as("h"))
+    val dup = sh.groupBy("h")
+      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+      .filter(col("dmin") < col("dmax")).select("h")
+    val w = "PARTITION BY doc_id ORDER BY pos"
+    val hits = sh.join(dup, Seq("h"))
+      .withColumn("prev_end", expr(
+        s"max(pos + ${n - 1}) OVER ($w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"))
+      .withColumn("is_new", expr(
+        "CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END"))
+      .withColumn("island", expr(s"sum(is_new) OVER ($w)"))
+    val spans = hits.groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("n_g"),
+        expr(s"CAST(max(pos) - min(pos) + $n AS BIGINT)").as("span_len"))
+    spans.groupBy("doc_id")
+      .agg(expr("CAST(sum(n_g) AS BIGINT)").as("n_dup_ngrams"),
+        count(lit(1)).as("n_spans"),
+        expr("CAST(sum(span_len) AS BIGINT)").as("dup_tokens"))
+      .join(TextOps.docLengths(docs), Seq("doc_id"))
+      .withColumn("dup_frac", expr("round(dup_tokens / dl, 6)"))
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

@@ -1599,6 +1599,121 @@ object PipelineQueries {
              |  round(pa / sum(pa) OVER (), 6) AS w,
              |  round((pa / sum(pa) OVER ()) / p, 6) AS boost
              |FROM x""".stripMargin),
-      survey = Seq("MIX-TEMPERATURE"))
+      survey = Seq("MIX-TEMPERATURE")),
+
+    // Repeated n-gram SPAN detection (Lee et al. 2022, arXiv:2107.06499
+    // — "Deduplicating Training Data Makes Language Models Better"):
+    // the exact-substring dedup signal at 5-gram granularity. An
+    // n-gram is duplicated iff it occurs in ≥2 distinct docs (min<max
+    // over the hash group — no count-distinct); overlapping duplicated
+    // intervals merge into maximal spans via a gaps-and-islands window.
+    // Cost is O(tokens) end to end — no doc-pair join ever exists,
+    // which is why span dedup scales where pairwise comparison can't.
+    Decl(
+      "px47_dup_spans",
+      (s, dir) =>
+        graft.pipeline.Dedup.dupSpans(Tables(s, dir, "documents"), 5),
+      Some(s"""WITH $duckToksList,
+              |g AS (SELECT doc_id,
+              |    unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS pos,
+              |    tk FROM tk),
+              |sh AS (SELECT doc_id, pos,
+              |    ${H("tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2]" +
+                " || ' ' || tk[pos+3] || ' ' || tk[pos+4]")} AS h FROM g),
+              |dup AS (SELECT h FROM sh GROUP BY h
+              |        HAVING min(doc_id) < max(doc_id)),
+              |hits AS (SELECT doc_id, pos,
+              |    max(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              |      AS prev_end
+              |  FROM sh JOIN dup USING (h)),
+              |isl AS (SELECT doc_id, pos,
+              |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end
+              |        THEN 1 ELSE 0 END)
+              |      OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              |  FROM hits),
+              |spans AS (SELECT doc_id, island, count(*) AS n_g,
+              |    CAST(max(pos) - min(pos) + 5 AS BIGINT) AS span_len
+              |  FROM isl GROUP BY doc_id, island),
+              |dl AS (${TextOps.duckDocLengths})
+              |SELECT sp.doc_id, CAST(sum(n_g) AS BIGINT) AS n_dup_ngrams,
+              |  count(*) AS n_spans,
+              |  CAST(sum(span_len) AS BIGINT) AS dup_tokens, dl.dl,
+              |  round(sum(span_len) / dl.dl, 6) AS dup_frac
+              |FROM spans sp JOIN dl ON sp.doc_id = dl.doc_id
+              |GROUP BY sp.doc_id, dl.dl""".stripMargin),
+      survey = Seq("DEDUP-SPANS")),
+
+    // Closed-form Naive Bayes quality classifier (the GPT-3/CCNet-style
+    // learned filter: score every doc by its odds of coming from a
+    // trusted slice). Training IS counting — per-term class counts with
+    // Laplace smoothing — so train+score is one plan, no driver loop.
+    Decl(
+      "px48_nb_quality",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Classify.naiveBayesLogOdds(docs,
+          graft.pipeline.Classify.labels(docs,
+            graft.pipeline.Classify.curatedLabelExpr))
+      },
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |lab AS (SELECT doc_id,
+              |    ${graft.pipeline.Classify.curatedLabelExpr} AS y
+              |  FROM documents),
+              |ctc AS (SELECT term,
+              |    CAST(sum(CASE WHEN y = 1 THEN tf ELSE 0 END) AS BIGINT)
+              |      AS c1,
+              |    CAST(sum(CASE WHEN y = 0 THEN tf ELSE 0 END) AS BIGINT)
+              |      AS c0
+              |  FROM tf JOIN lab USING (doc_id) GROUP BY term),
+              |tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+              |    CAST(sum(c0) AS BIGINT) AS n0,
+              |    CAST(count(*) AS BIGINT) AS v FROM ctc),
+              |pri AS (SELECT CAST(sum(y) AS BIGINT) AS d1,
+              |    CAST(count(*) AS BIGINT) AS d FROM lab),
+              |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+              |    sum(tf * (ln((c1 + 1) / (n1 + v))
+              |      - ln((c0 + 1) / (n0 + v)))) AS s,
+              |    first(ln(d1 / (d - d1))) AS lp
+              |  FROM tf JOIN ctc USING (term) CROSS JOIN tot CROSS JOIN pri
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, round(s + lp, 6) AS log_odds,
+              |  CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1 ELSE 0 END AS INT)
+              |    AS pred
+              |FROM sc""".stripMargin),
+      survey = Seq("QUALITY-NB")),
+
+    // DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    // hashed-unigram bucket LMs for a target slice vs the raw corpus;
+    // per-doc log importance weight = Σ ln p_tgt(b) − ln p_raw(b).
+    // The model is ≤1024 rows at ANY corpus size (that is the point of
+    // hashed features) — it broadcasts by construction, and scoring is
+    // a narrow map + one doc-keyed aggregation.
+    Decl(
+      "px49_dsir_weights",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        graft.pipeline.Classify.dsirLogWeights(docs,
+          graft.pipeline.Classify.labels(docs,
+            graft.pipeline.Classify.targetLangExpr))
+      },
+      Some(s"""WITH tok AS (${TextOps.duckTokens}),
+              |feat AS (SELECT doc_id, ${H("term")} % 1024 AS b FROM tok),
+              |lab AS (SELECT doc_id,
+              |    ${graft.pipeline.Classify.targetLangExpr} AS y
+              |  FROM documents),
+              |cnt AS (SELECT b, CAST(sum(y) AS BIGINT) AS ct,
+              |    CAST(count(*) AS BIGINT) AS cr
+              |  FROM feat JOIN lab USING (doc_id) GROUP BY b),
+              |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+              |    CAST(sum(cr) AS BIGINT) AS nr FROM cnt),
+              |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+              |    sum(ln((ct + 1) / (nt + 1024))
+              |      - ln((cr + 1) / (nr + 1024))) AS lw
+              |  FROM feat JOIN cnt USING (b) CROSS JOIN tot
+              |  GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, round(lw, 6) AS log_w,
+              |  round(lw / n_tokens, 6) AS avg_log_w FROM sc""".stripMargin),
+      survey = Seq("MIX-DSIR"))
   )
 }
