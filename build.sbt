@@ -45,4 +45,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // env-overridable so the code-cache hypothesis for the round-2 px
   // regressions stays testable (BENCH_NOTES has the control run)
   s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "512m")}",
+  // Small compiler-thread pool (default for 32 cpus is ~15). During the
+  // intermittent 5-25x query inflations, thread-level /proc sampling
+  // caught the compiler threads collectively burning 3-10 CORES of
+  // KERNEL time (usr=0; jstack: "No compile task") — a compile-queue
+  // futex herd: whole-stage-codegen bursts enqueue thousands of tiny
+  // compilations, every enqueue wakes the whole pool, and each wake is
+  // a VM-exit under virtualization. Executor threads stall while the
+  // herd spins. Fewer waiters = proportionally smaller herd; 32-thread
+  // queries lose nothing (compilation is never the throughput limit
+  // here). Env-overridable to keep the A/B reproducible.
+  s"-XX:CICompilerCount=${sys.env.getOrElse("SPARK_CI_COUNT", "4")}",
 )

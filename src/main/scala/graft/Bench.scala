@@ -45,6 +45,21 @@ object Bench {
     def gcMs: Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
 
+    // OS-level CPU accounting per query (/proc/stat aggregate deltas,
+    // USER_HZ ticks → seconds): a slow query then shows WHERE the wall
+    // time went — user (real compute: a recompute/plan bug), idle
+    // (scheduling stall / underparallelism), iowait (disk), or steal
+    // (the hypervisor ran someone else: external contention, not this
+    // code). Round-2/3 lesson: wall-clock alone cannot distinguish
+    // these, and bench runs on shared machines inflate 1.5–3× with no
+    // in-JVM signal (GC was clean in every inflated run).
+    def cpuTicks: Array[Long] = {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+      finally src.close()
+    }
+    val hz = 100.0 // USER_HZ on linux/amd64
+
     // SPARK_GRAFT_ONLY=px04,px27 → bench just those queries (name-prefix
     // match; iteration aid, unset in driver runs).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -63,8 +78,12 @@ object Bench {
             org.apache.spark.sql.execution.FormattedMode))
         catch { case e: Throwable =>
           System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
+      // Name every job after its query: event logs / the UI can then
+      // attribute multi-job (AQE, persist) queries to their owner.
+      spark.sparkContext.setJobDescription(d.name)
       val t0 = System.nanoTime()
       val g0 = gcMs
+      val c0 = cpuTicks
       try d.run(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
@@ -72,13 +91,18 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = gcMs - g0
+      val dc = cpuTicks.zip(c0).map { case (a, b) => (a - b) / hz }
+      // user+nice, system+irq+softirq, idle, iowait, steal (seconds,
+      // summed over all CPUs)
+      val cpu = Seq(dc(0) + dc(1), dc(2) + dc(5) + dc(6), dc(3), dc(4),
+        if (dc.length > 7) dc(7) else 0.0)
       // Queries with shared subtrees persist() them; drop those caches
       // before the next query so timings stay independent (no
       // cross-query subsidy) and memory doesn't accumulate.
       spark.catalog.clearCache()
-      (d.name, dt, gc)
+      (d.name, dt, gc, cpu)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalGc = results.map(_._3).sum / 1e3
@@ -88,8 +112,9 @@ object Bench {
     // truncated in rounds 1-2); the full record — including per-query GC
     // time — also goes to a file readable whole. Forked `sbt run` cwd is
     // the repo root.
-    val detail = results.map { case (k, v, g) =>
-      s"""  {"name":"$k","sec":$v,"gc_ms":$g}"""
+    val detail = results.map { case (k, v, g, cpu) =>
+      val Seq(u, s, i, w, st) = cpu.map(x => math.rint(x * 100) / 100)
+      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st}"""
     }.mkString("[\n", ",\n", "\n]")
     val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
     try pw.println(
@@ -102,7 +127,7 @@ object Bench {
     // tail-parse can always read whole: same metric/value, the 20
     // slowest queries, and a pointer to the full per-query record.
     val top = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in BENCH_DETAILS.json","sf":"$sfDir"}""")

@@ -26,13 +26,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // Shuffle files and broadcast state are only reclaimed when their
-      // dependency objects are GC'd; a multi-query run with heap headroom
-      // may otherwise never collect, so local disk + driver metadata grow
-      // monotonically across ~100 queries (the default interval, 30min,
-      // never fires inside a bench run). 90s bounds the accumulation.
+      // Keep Spark's default 30min periodic-GC interval. Round 3 ran 90s
+      // here to bound shuffle-file accumulation; thread-level capture of
+      // the intermittent 5–25× per-query inflations showed the cost:
+      // each forced System.gc() runs a G1 concurrent cycle that unloads
+      // stale generated (Janino) classes, the code-cache sweeper then
+      // flushes their nmethods, and the resulting code-page
+      // mprotect/unmap churn burns KERNEL cpu (C2/sweeper threads
+      // measured at ~1 core of sys time; TLB shootdowns are VM-exits
+      // under virtualization) while query tasks sit idle. A/B over 11
+      // full bench runs: 90s GC → totals 121–216s with 4 storm queries;
+      // default → 107–154s with 1. Disk accumulation over a ~2min,
+      // ~100-query run is a few hundred MB — not worth the storms.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "90s"))
+        sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.sql.warehouse.dir",
         sys.props("java.io.tmpdir") + "/graft-warehouse")
       // events.parquet carries TIMESTAMP(NANOS), which Spark's µs-based
@@ -40,6 +47,13 @@ object GraftSession {
       // int64 and convert with `timestamp_micros(ts div 1000)` (floor —
       // matching DuckDB's own ns→µs truncation) in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // SPARK_GRAFT_EVENTLOG=/some/dir → per-run Spark event log, the
+      // stage/task-level record needed to diagnose intermittent query
+      // inflation (recompute vs stall is invisible in wall-clock alone).
+      .config("spark.eventLog.enabled",
+        sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp/spark-events"))
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

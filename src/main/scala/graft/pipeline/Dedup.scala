@@ -171,10 +171,15 @@ object Dedup {
       // per-action scheduling constant dominates at small scale, so
       // work-per-action is the lever (measured: 17 one-step blocks ≈
       // 10 s, 6 of these ≈ 5 s on the sf0.1 giant component).
-      // LAZY checkpoint: the consistency count below is the action that
-      // materializes it, so each block pays ONE action, not two.
+      // EAGER checkpoint: the consistency count below references the
+      // labels TWICE (both join legs), and two concurrent scan legs
+      // racing to materialize the same lazily-checkpointed blocks hit
+      // the block-level compute-or-wait lock storm (measured on px27's
+      // analogous lazy persist: same user-cpu, up to 25× kernel-cpu and
+      // 10× wall in the stormy runs). One bounded materialization per
+      // block is deterministic and removes the race.
       labels = jump(jump(step(step(step(labels)))))
-        .localCheckpoint(false) // truncate lineage: plan depth stays O(1)
+        .localCheckpoint() // truncate lineage: plan depth stays O(1)
       inconsistent = bi
         .join(labels.select(col("doc_id").as("node"), col("lbl")),
           Seq("node"))

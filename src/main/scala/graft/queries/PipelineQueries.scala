@@ -268,6 +268,7 @@ object PipelineQueries {
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
           .distinct()
           .persist()
+        ds.count() // eager: see the px27 note on lazy-persist races
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // Hot-shingle cap + pair generation in ONE grouped pass: a
         // shingle shared by d docs contributes d²/2 join pairs, so one
@@ -323,11 +324,22 @@ object PipelineQueries {
         // ONE shingle→md5→minima pass: the WIDE signatures are persisted
         // and feed BOTH the banding candidates and the agreement counts
         // as narrow projections (round-2 plan computed this subtree
-        // three times — 17.3 s).
+        // three times — 17.3 s). EAGER materialization (count() right
+        // after persist): with a LAZY persist, the final action submits
+        // several independent consumer stages concurrently, and their
+        // tasks race on the same uncomputed cache partitions — the
+        // block-level compute-or-wait locking intermittently storms
+        // (measured: px27 2.8 s wall / 9 s kernel-cpu in a clean run vs
+        // 30 s wall / 254 s kernel-cpu in a slow one, SAME user-cpu —
+        // i.e. lock churn, not recompute). One bounded action per
+        // persisted frame removes the race; consumers only ever read
+        // fully-materialized blocks.
         val wide = graft.pipeline.Dedup
           .minhashWide(Tables(s, dir, "documents")).persist()
+        wide.count()
         val cands = graft.pipeline.Dedup
           .candidatesFromBands(graft.pipeline.Dedup.bandSigs(wide)).persist()
+        cands.count()
         // Agreement as a ROW-LEVEL expression over the wide signatures:
         // two doc-keyed joins put both 16-column vectors on the pair
         // row, then n_agree is a sum of 16 equality cases — no long-form
@@ -363,6 +375,7 @@ object PipelineQueries {
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
           .distinct()
           .persist()
+        ds.count() // eager for the same reason as `wide` above
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // Intersection per CANDIDATE pair (not per all-pairs key):
         // expand each pair by d1's shingles, match d2's on (d2, sh).
