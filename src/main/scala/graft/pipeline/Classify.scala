@@ -55,6 +55,12 @@ object Classify {
     * Smoothing makes every in-vocabulary term scorable for both
     * classes; the vocabulary is the training corpus's own, so
     * train-on-self scoring (the px48 gate) covers every token.
+    *
+    * Degenerate training (labels all 1 or all 0) yields NULL
+    * log_odds/pred — the prior odds are undefined. The nullif/ln-NULL
+    * guard makes that a visible NULL instead of an ANSI
+    * DIVIDE_BY_ZERO that would kill an hours-long job at its last
+    * aggregation (ClassifySpec).
     */
   def naiveBayesLogOdds(docs: DataFrame, labels: DataFrame): DataFrame = {
     val tf = TextOps.termFreqs(docs)
@@ -75,10 +81,11 @@ object Classify {
       .agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"),
         sum(expr("tf * (ln((c1 + 1) / (n1 + v)) - ln((c0 + 1) / (n0 + v)))"))
           .as("s"),
-        first(expr("ln(d1 / (d - d1))")).as("lp"))
+        first(expr("ln(d1 / nullif(CAST(d - d1 AS DOUBLE), 0e0))")).as("lp"))
       .select(col("doc_id"), col("n_tokens"),
         expr("round(s + lp, 6)").as("log_odds"),
-        expr("CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1 ELSE 0 END AS INT)")
+        expr("CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1" +
+          " WHEN round(s + lp, 6) IS NULL THEN NULL ELSE 0 END AS INT)")
           .as("pred"))
   }
 

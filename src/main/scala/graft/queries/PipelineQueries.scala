@@ -1687,12 +1687,13 @@ object PipelineQueries {
               |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
               |    sum(tf * (ln((c1 + 1) / (n1 + v))
               |      - ln((c0 + 1) / (n0 + v)))) AS s,
-              |    first(ln(d1 / (d - d1))) AS lp
+              |    first(ln(d1 / nullif(CAST(d - d1 AS DOUBLE), 0e0))) AS lp
               |  FROM tf JOIN ctc USING (term) CROSS JOIN tot CROSS JOIN pri
               |  GROUP BY doc_id)
               |SELECT doc_id, n_tokens, round(s + lp, 6) AS log_odds,
-              |  CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1 ELSE 0 END AS INT)
-              |    AS pred
+              |  CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1
+              |    WHEN round(s + lp, 6) IS NULL THEN NULL
+              |    ELSE 0 END AS INT) AS pred
               |FROM sc""".stripMargin),
       survey = Seq("QUALITY-NB")),
 

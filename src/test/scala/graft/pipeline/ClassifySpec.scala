@@ -44,6 +44,16 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(out(4)._2 - exp4) < 1e-9, "mixed doc uses both likelihoods")
   }
 
+  test("NB with single-class labels yields NULL scores, not a runtime error") {
+    val (docs, labels) = docsOf(Seq(
+      (1L, "good good fine", 1),
+      (2L, "good fine", 1)))
+    val rows = Classify.naiveBayesLogOdds(docs, labels).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "degenerate prior odds must surface as NULL log_odds/pred")
+  }
+
   test("DSIR up-weights target-distribution docs, weights sum over buckets") {
     val (docs, labels) = docsOf(Seq(
       (1L, "alpha alpha beta", 1),
