@@ -159,6 +159,42 @@ object PipelineQueries {
        |  CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings $filter)""".stripMargin
 
+  /** Embedding rows in long blocked form: (vid, blk, i, x) — 4 PQ
+    * sub-blocks of 16 dims over the 64-dim vectors.
+    */
+  private def pqBlocked(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("vid"),
+        posexplode(col("embedding")).as(Seq("i", "x0")))
+      .withColumn("x", col("x0").cast("double")).drop("x0")
+      .withColumn("blk", expr("CAST(i div 16 AS BIGINT)"))
+
+  /** PQ codebook: per (label, blk) sub-centroids — the label-partition
+    * means (a deterministic, oracle-checkable stand-in for a trained
+    * k-means codebook; the assignment/ADC math is identical).
+    * → (label, blk, i, c). Tiny at any scale: |labels|·blocks·dims.
+    */
+  private def pqCodebook(s: SparkSession, dir: String): DataFrame = {
+    val lab = Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("vid"), col("label"))
+    pqBlocked(s, dir).join(lab, Seq("vid"))
+      .groupBy("label", "blk", "i")
+      .agg(expr("sum(x) / count(x)").as("c"))
+  }
+
+  /** PQ code assignment: nearest sub-centroid per (vector, block).
+    * → (vid, blk, code). One narrow pass over the blocked vectors
+    * against the broadcastable codebook (px31's gated shape).
+    */
+  private def pqCodes(s: SparkSession, dir: String): DataFrame =
+    pqBlocked(s, dir).join(pqCodebook(s, dir), Seq("blk", "i"))
+      .withColumn("d", expr("(x - c) * (x - c)"))
+      .groupBy("vid", "blk", "label").agg(sum("d").as("dist2"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), label)"))
+      .filter(col("r") === 1)
+      .select(col("vid"), col("blk"), col("label").as("code"))
+
   /** Spark dot product / squared norm of float arrays: NATIVE codegen'd
     * expressions (functions/VecOps.scala) with the same IEEE operation
     * sequence as the `aggregate(zip_with(...))` fold they replace — the
@@ -1063,25 +1099,7 @@ object PipelineQueries {
     // assignment pass.
     Decl(
       "px31_pq_codes",
-      (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("vid"),
-            posexplode(col("embedding")).as(Seq("i", "x0")))
-          .withColumn("x", col("x0").cast("double")).drop("x0")
-        val lab = Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("vid"), col("label"))
-        val blocked = e.withColumn("blk", expr("CAST(i div 16 AS BIGINT)"))
-        val cb = blocked.join(lab, Seq("vid"))
-          .groupBy("label", "blk", "i")
-          .agg(expr("sum(x) / count(x)").as("c"))
-        blocked.join(cb, Seq("blk", "i"))
-          .withColumn("d", expr("(x - c) * (x - c)"))
-          .groupBy("vid", "blk", "label").agg(sum("d").as("dist2"))
-          .withColumn("r", expr(
-            "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), label)"))
-          .filter(col("r") === 1)
-          .select(col("vid"), col("blk"), col("label").as("code"))
-      },
+      (s, dir) => pqCodes(s, dir),
       Some(s"""WITH e AS ${duckEmb("")},
               |lab AS (SELECT vec_id AS vid, label FROM embeddings),
               |b AS (SELECT vid, CAST((i - 1) // 16 AS BIGINT) AS blk, i, x
@@ -1728,6 +1746,66 @@ object PipelineQueries {
               |  GROUP BY doc_id)
               |SELECT doc_id, n_tokens, round(lw, 6) AS log_w,
               |  round(lw / n_tokens, 6) AS avg_log_w FROM sc""".stripMargin),
-      survey = Seq("MIX-DSIR"))
+      survey = Seq("MIX-DSIR")),
+
+    // PQ ADC search (asymmetric distance computation — the query path
+    // of every IVF+PQ billion-vector index, Jégou et al. 2011): per
+    // query, precompute a lookup table of squared distances to every
+    // sub-centroid (|queries|·blocks·|codebook| rows — tiny, broadcast
+    // by construction), then the corpus is scanned as CODES ONLY: each
+    // vector's approximate distance is 4 table lookups + a sum. The
+    // raw embeddings never appear on the scan side — that is the
+    // memory/IO win that makes 10⁹-vector search feasible. Top-10 per
+    // query by rounded ADC distance, vid tiebreak (round-then-rank).
+    Decl(
+      "px50_pq_adc_topk",
+      (s, dir) => {
+        val cb = pqCodebook(s, dir)
+        // 4 query vectors (vid < 4, px44's probe set)
+        val lut = pqBlocked(s, dir).filter(col("vid") < 4)
+          .select(col("vid").as("qid"), col("blk"), col("i"),
+            col("x").as("qx"))
+          .join(cb, Seq("blk", "i"))
+          .withColumn("d", expr("(qx - c) * (qx - c)"))
+          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
+          .withColumnRenamed("label", "code")
+        pqCodes(s, dir)
+          .join(broadcast(lut), Seq("blk", "code"))
+          .groupBy("qid", "vid")
+          .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+          .filter(col("r") <= 10)
+          .select(col("qid"), col("vid"), col("adc_dist2"),
+            col("r").cast("int").as("r"))
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+              |b AS (SELECT vid, CAST((i - 1) // 16 AS BIGINT) AS blk, i, x
+              |      FROM e),
+              |cb AS (SELECT label, blk, i, sum(x) / count(x) AS c
+              |       FROM b JOIN lab USING (vid) GROUP BY label, blk, i),
+              |d AS (SELECT b.vid, b.blk, cb.label,
+              |        sum((x - c) * (x - c)) AS dist2
+              |      FROM b JOIN cb ON b.blk = cb.blk AND b.i = cb.i
+              |      GROUP BY b.vid, b.blk, cb.label),
+              |codes AS (SELECT vid, blk, label AS code FROM (
+              |  SELECT vid, blk, label, row_number() OVER (
+              |    PARTITION BY vid, blk ORDER BY round(dist2, 6), label) AS r
+              |  FROM d) t WHERE r = 1),
+              |lut AS (SELECT q.vid AS qid, q.blk, cb.label AS code,
+              |          sum((q.x - cb.c) * (q.x - cb.c)) AS pd
+              |        FROM b q JOIN cb ON q.blk = cb.blk AND q.i = cb.i
+              |        WHERE q.vid < 4
+              |        GROUP BY 1, 2, 3),
+              |adc AS (SELECT qid, codes.vid,
+              |          round(sum(pd), 6) AS adc_dist2
+              |        FROM codes JOIN lut USING (blk, code)
+              |        GROUP BY 1, 2)
+              |SELECT qid, vid, adc_dist2, CAST(r AS INT) AS r FROM (
+              |  SELECT qid, vid, adc_dist2, row_number() OVER (
+              |    PARTITION BY qid ORDER BY adc_dist2, vid) AS r
+              |  FROM adc) t WHERE r <= 10""".stripMargin),
+      survey = Seq("EMB-PQ-ADC"))
   )
 }
