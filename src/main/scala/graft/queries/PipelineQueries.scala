@@ -1806,6 +1806,89 @@ object PipelineQueries {
               |  SELECT qid, vid, adc_dist2, row_number() OVER (
               |    PARTITION BY qid ORDER BY adc_dist2, vid) AS r
               |  FROM adc) t WHERE r <= 10""".stripMargin),
-      survey = Seq("EMB-PQ-ADC"))
+      survey = Seq("EMB-PQ-ADC")),
+
+    // IVF+PQ, composed (the deployed billion-vector layout: Jégou et
+    // al. 2011 §V — a coarse IVF cut, then ADC over codes INSIDE the
+    // probed lists only). Per query: nearest-2 coarse centroids
+    // (nprobe=2), candidates = vectors of those partitions, scored by
+    // px50's broadcast LUT against px31's codes. At 10⁹ vectors the
+    // scan is (nprobe/|lists|) of the corpus × ~3% of the bytes
+    // (codes, not floats) — the two orthogonal cuts multiply, and the
+    // partition filter is exactly what a cid-partitioned parquet
+    // layout turns into partition PRUNING (PartitionPruningSpec shows
+    // the mechanics on the IVF path).
+    Decl(
+      "px51_ivf_pq_topk",
+      (s, dir) => {
+        val cb = pqCodebook(s, dir)
+        val lab = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"), col("label"))
+        val q = pqBlocked(s, dir).filter(col("vid") < 4)
+          .select(col("vid").as("qid"), col("blk"), col("i"),
+            col("x").as("qx"))
+        // coarse assignment reuses the PQ codebook: full-dim centroid
+        // = the per-(label, i) means (blk is a function of i, so the
+        // same rows serve both roles — one aggregation, two uses)
+        val assign = q.join(cb, Seq("blk", "i"))
+          .withColumn("d", expr("(qx - c) * (qx - c)"))
+          .groupBy("qid", "label").agg(sum("d").as("dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY round(dist2, 6), label)"))
+          .filter(col("r") <= 2).select("qid", "label")
+        val lut = q.join(cb, Seq("blk", "i"))
+          .withColumn("d", expr("(qx - c) * (qx - c)"))
+          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
+          .withColumnRenamed("label", "code")
+        val cand = lab.join(assign, Seq("label"))
+          .filter(col("vid") =!= col("qid")).select("qid", "vid")
+        cand.join(pqCodes(s, dir), Seq("vid"))
+          .join(broadcast(lut), Seq("qid", "blk", "code"))
+          .groupBy("qid", "vid")
+          .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+          .filter(col("r") <= 5)
+          .select(col("qid"), col("vid"), col("adc_dist2"),
+            col("r").cast("int").as("r"))
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+              |b AS (SELECT vid, CAST((i - 1) // 16 AS BIGINT) AS blk, i, x
+              |      FROM e),
+              |cb AS (SELECT label, blk, i, sum(x) / count(x) AS c
+              |       FROM b JOIN lab USING (vid) GROUP BY label, blk, i),
+              |d AS (SELECT b.vid, b.blk, cb.label,
+              |        sum((x - c) * (x - c)) AS dist2
+              |      FROM b JOIN cb ON b.blk = cb.blk AND b.i = cb.i
+              |      GROUP BY b.vid, b.blk, cb.label),
+              |codes AS (SELECT vid, blk, label AS code FROM (
+              |  SELECT vid, blk, label, row_number() OVER (
+              |    PARTITION BY vid, blk ORDER BY round(dist2, 6), label) AS r
+              |  FROM d) t WHERE r = 1),
+              |q AS (SELECT vid AS qid, blk, i, x AS qx FROM b WHERE vid < 4),
+              |assign AS (SELECT qid, label FROM (
+              |  SELECT q.qid, cb.label, row_number() OVER (
+              |    PARTITION BY q.qid
+              |    ORDER BY round(sum((q.qx - cb.c) * (q.qx - cb.c)), 6),
+              |      cb.label) AS r
+              |  FROM q JOIN cb ON q.blk = cb.blk AND q.i = cb.i
+              |  GROUP BY q.qid, cb.label) t WHERE r <= 2),
+              |lut AS (SELECT q.qid, q.blk, cb.label AS code,
+              |          sum((q.qx - cb.c) * (q.qx - cb.c)) AS pd
+              |        FROM q JOIN cb ON q.blk = cb.blk AND q.i = cb.i
+              |        GROUP BY 1, 2, 3),
+              |cand AS (SELECT qid, vid FROM lab JOIN assign USING (label)
+              |         WHERE vid <> qid),
+              |adc AS (SELECT c.qid, c.vid, round(sum(pd), 6) AS adc_dist2
+              |        FROM cand c JOIN codes ON c.vid = codes.vid
+              |        JOIN lut ON lut.qid = c.qid AND lut.blk = codes.blk
+              |          AND lut.code = codes.code
+              |        GROUP BY 1, 2)
+              |SELECT qid, vid, adc_dist2, CAST(r AS INT) AS r FROM (
+              |  SELECT qid, vid, adc_dist2, row_number() OVER (
+              |    PARTITION BY qid ORDER BY adc_dist2, vid) AS r
+              |  FROM adc) t WHERE r <= 5""".stripMargin),
+      survey = Seq("EMB-IVF-PQ"))
   )
 }

@@ -57,6 +57,28 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ results lie inside the probed partitions and agree with full ADC") {
+    val dir = sfTiny
+    val ivfpq = SparkEntry.queries("px51_ivf_pq_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivfpq.nonEmpty)
+    val labels = Tables(spark, dir, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // nprobe=2: per query the result vids span at most 2 labels
+    ivfpq.groupBy(_._1).foreach { case (qid, rows) =>
+      val probed = rows.map(r => labels(r._2)).toSet
+      assert(probed.size <= 2, s"qid $qid results span $probed (> nprobe=2)")
+    }
+    // ADC agreement: px50's unpruned top-10 scores the same pairs
+    // identically — IVF changes the candidate set, never the distance
+    val adc = SparkEntry.queries("px50_pq_adc_topk")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivfpq.foreach { case (qid, vid, d) =>
+      adc.get((qid, vid)).foreach(d50 =>
+        assert(d50 == d, s"ADC distance differs for ($qid, $vid)"))
+    }
+  }
+
   test("top-10 per query: exactly 4 query groups, ranks 1..10, sorted") {
     val out = SparkEntry.queries("px50_pq_adc_topk")(spark, sfTiny).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
