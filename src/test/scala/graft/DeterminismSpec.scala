@@ -12,10 +12,15 @@ class DeterminismSpec extends SparkSpec {
   // labels, round-then-rank pair expansion, persisted-cache estimator,
   // fixpoint CC labels, rounded-cosine threshold (SemDeDup), rounded
   // quality ranking (survivor choice), libm-pow mixture weights
+  // ... plus the round-3 additions: windowed span islands (px47),
+  // ln-sum log-odds with round-then-pred (px48), bucket-LM ln-sums
+  // (px49), and round-then-rank ADC distances (px50/px51)
   private val names = Seq("q01_agg_sums", "ir14_score_lmdir",
     "px26_stratified_sample", "px19_dup_clusters", "px04_jaccard_top",
     "px27_minhash_estimate", "px42_connected_components",
-    "px44_semdedup", "px45_quality_survivors", "px46_temperature_mix")
+    "px44_semdedup", "px45_quality_survivors", "px46_temperature_mix",
+    "px47_dup_spans", "px48_nb_quality", "px49_dsir_weights",
+    "px50_pq_adc_topk", "px51_ivf_pq_topk")
 
   private def rows(name: String): Seq[String] =
     try SparkEntry.queries(name)(spark, sfTiny)
