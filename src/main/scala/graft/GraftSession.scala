@@ -14,7 +14,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftSession {
 
   def builder(cores: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      : SparkSession.Builder =
+      : SparkSession.Builder = {
+    // The event-log dir must exist BEFORE SparkContext starts — Spark
+    // fails startup (FileNotFoundException) on a missing path, which
+    // would kill the opt-in diagnostic run before any query executes.
+    sys.env.get("SPARK_GRAFT_EVENTLOG")
+      .foreach(d => new java.io.File(d).mkdirs())
     SparkSession
       .builder()
       .master(s"local[$cores]")
@@ -54,6 +59,7 @@ object GraftSession {
         sys.env.contains("SPARK_GRAFT_EVENTLOG").toString)
       .config("spark.eventLog.dir",
         sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "/tmp/spark-events"))
+  }
 
   def local(): SparkSession = {
     val s = builder().getOrCreate()

@@ -81,7 +81,12 @@ object Classify {
       .agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"),
         sum(expr("tf * (ln((c1 + 1) / (n1 + v)) - ln((c0 + 1) / (n0 + v)))"))
           .as("s"),
-        first(expr("ln(d1 / nullif(CAST(d - d1 AS DOUBLE), 0e0))")).as("lp"))
+        // Both degenerate directions guarded: d1=0 (all-negative) would
+        // hit ln(0) — NULL in Spark (ANSI off) but an out-of-range ERROR
+        // in DuckDB's mirrored SQL; nullif-ing the numerator makes both
+        // engines yield NULL.
+        first(expr("ln(nullif(CAST(d1 AS DOUBLE), 0e0)" +
+          " / nullif(CAST(d - d1 AS DOUBLE), 0e0))")).as("lp"))
       .select(col("doc_id"), col("n_tokens"),
         expr("round(s + lp, 6)").as("log_odds"),
         expr("CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1" +

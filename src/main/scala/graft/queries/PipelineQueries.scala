@@ -185,9 +185,16 @@ object PipelineQueries {
   /** PQ code assignment: nearest sub-centroid per (vector, block).
     * → (vid, blk, code). One narrow pass over the blocked vectors
     * against the broadcastable codebook (px31's gated shape).
+    *
+    * Callers that already hold the codebook pass it in (px50/px51) so
+    * the codebook aggregation appears as ONE subtree per plan — the
+    * repeated-subtree shape the round-2 px27 regression came from —
+    * instead of relying on AQE exchange reuse to dedupe a recompute.
     */
-  private def pqCodes(s: SparkSession, dir: String): DataFrame =
-    pqBlocked(s, dir).join(pqCodebook(s, dir), Seq("blk", "i"))
+  private def pqCodes(s: SparkSession, dir: String,
+                      cb0: DataFrame = null): DataFrame =
+    pqBlocked(s, dir)
+      .join(Option(cb0).getOrElse(pqCodebook(s, dir)), Seq("blk", "i"))
       .withColumn("d", expr("(x - c) * (x - c)"))
       .groupBy("vid", "blk", "label").agg(sum("d").as("dist2"))
       .withColumn("r", expr(
@@ -1705,7 +1712,8 @@ object PipelineQueries {
               |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
               |    sum(tf * (ln((c1 + 1) / (n1 + v))
               |      - ln((c0 + 1) / (n0 + v)))) AS s,
-              |    first(ln(d1 / nullif(CAST(d - d1 AS DOUBLE), 0e0))) AS lp
+              |    first(ln(nullif(CAST(d1 AS DOUBLE), 0e0)
+              |      / nullif(CAST(d - d1 AS DOUBLE), 0e0))) AS lp
               |  FROM tf JOIN ctc USING (term) CROSS JOIN tot CROSS JOIN pri
               |  GROUP BY doc_id)
               |SELECT doc_id, n_tokens, round(s + lp, 6) AS log_odds,
@@ -1769,7 +1777,7 @@ object PipelineQueries {
           .withColumn("d", expr("(qx - c) * (qx - c)"))
           .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
           .withColumnRenamed("label", "code")
-        pqCodes(s, dir)
+        pqCodes(s, dir, cb)
           .join(broadcast(lut), Seq("blk", "code"))
           .groupBy("qid", "vid")
           .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
@@ -1842,7 +1850,7 @@ object PipelineQueries {
           .withColumnRenamed("label", "code")
         val cand = lab.join(assign, Seq("label"))
           .filter(col("vid") =!= col("qid")).select("qid", "vid")
-        cand.join(pqCodes(s, dir), Seq("vid"))
+        cand.join(pqCodes(s, dir, cb), Seq("vid"))
           .join(broadcast(lut), Seq("qid", "blk", "code"))
           .groupBy("qid", "vid")
           .agg(expr("round(sum(pd), 6)").as("adc_dist2"))

@@ -54,6 +54,19 @@ class ClassifySpec extends SparkSpec {
       "degenerate prior odds must surface as NULL log_odds/pred")
   }
 
+  test("NB with all-negative labels yields NULL scores (ln(0) guarded)") {
+    // d1 = 0 → prior odds ln(0/d): without the numerator nullif this is
+    // NULL in Spark but an out-of-range ERROR in DuckDB's mirrored SQL —
+    // the guard makes both engines agree on NULL.
+    val (docs, labels) = docsOf(Seq(
+      (1L, "good good fine", 0),
+      (2L, "good fine", 0)))
+    val rows = Classify.naiveBayesLogOdds(docs, labels).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "all-negative labels must surface as NULL log_odds/pred")
+  }
+
   test("DSIR up-weights target-distribution docs, weights sum over buckets") {
     val (docs, labels) = docsOf(Seq(
       (1L, "alpha alpha beta", 1),
