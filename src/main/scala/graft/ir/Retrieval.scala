@@ -114,8 +114,18 @@ object Retrieval {
     */
   def matchedTermsFor(docs: DataFrame, q: DataFrame,
                       idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
-    val tf = TextOps.termFreqs(docs, idCol, textCol)
+                      textCol: String = "text"): DataFrame =
+    matchedTermsFromTf(TextOps.termFreqs(docs, idCol, textCol), q, idCol)
+
+  /** [[matchedTermsFor]] over an ALREADY-BUILT (idCol, term, tf) frame.
+    * Queries that need the term-frequency table for their own math as
+    * well as for scoring (ir29 VSM, ir30 Rocchio) pass the one tf in,
+    * so the tokenize+aggregate subtree is the same logical object in
+    * every branch and its exchange is provably reusable — rather than
+    * trusting two independently-built subtrees to canonicalize equal.
+    */
+  def matchedTermsFromTf(tf: DataFrame, q: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
     // dl = Σ tf per doc (== token count): derived from tf instead of
     // re-aggregating the token explode, so the expensive tokenize+
     // explode subtree appears ONCE in the plan and its exchange is

@@ -623,20 +623,47 @@ object IrQueries {
       "ir30_rocchio",
       (s, dir) => {
         import s.implicits._
-        val tf = TextOps.termFreqs(docsT(s, dir))
+        // Round-3 driver regression (2.6→11.9 s) adjudicated by A/B
+        // (ProbeIr30, 3 rounds each, sf0.1): ir30's consumers of tf are
+        // each SPECIALIZED by Catalyst — the query-term semi-join and
+        // the length>=3 feedback cleaner push below the shared
+        // aggregation on some branches only — so the corpus tokenizes
+        // 5× (user-cpu ~32 core-s). But the recomputes run in PARALLEL
+        // stages: wall 2.4–3.0 s, vs 3.7–5.2 s lazy-persist and
+        // 4.1–8.3 s eager-persist (columnar cache build + a
+        // materialization barrier cost more than they save at this SF).
+        // Recompute-in-parallel is the right local shape; at 100 TB the
+        // tf frame comes from the materialized doc-vector index
+        // (ir/Index.scala) — persistence as a parquet layout, not an
+        // in-query cache. The r3 11.9 s was this recompute plus a
+        // measured JIT-herd storm (sys 14 cpu-s in BENCH_DETAILS).
+        // The explicit isNotNull makes the UNSPECIALIZED branches' scan
+        // filters identical (joins on doc_id push isnotnull into some
+        // scans only), so the tf→dl chain dedupes to ReusedExchange —
+        // 5 tokenizes instead of 6. Semantically free: doc_id is a
+        // never-null key.
+        val tf = TextOps.termFreqs(
+          docsT(s, dir).filter(col("doc_id").isNotNull))
         val nd = docsT(s, dir).agg(count(lit(1)).as("n_docs"))
         val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
           .withColumn("wdt", expr("tf * ln(n_docs / df)"))
-        val fb = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
+        val q0 = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+          .toDF("qid", "term")
+        // Feedback ranking derives from the SAME tf frame as the tf·idf
+        // weights (matchedTermsFromTf) — one tokenize subtree in the
+        // whole plan; PlanShapeSpec asserts the exchange is reused
+        // (round-3 driver bench showed ~3× user-cpu from the doubled
+        // subtree when score() rebuilt its own tf).
+        val fb = Retrieval.scoreMatched(
+            Retrieval.matchedTermsFromTf(tf, q0),
+            lmdirPart, lmdirFinal, conjunctive = false, 10)
           .select("qid", "doc_id")
         val centroid = fb.join(w, Seq("doc_id"))
           .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
           .groupBy("qid", "term")
           .agg(expr("sum(wdt) / 10e0").as("cterm"))
-        val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
-          .toDF("qid", "term")
-        val qw = q.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+        val qw = q0.join(dfT, Seq("term")).crossJoin(broadcast(nd))
           .select(col("qid"), col("term"),
             expr("ln(n_docs / df)").as("wqt"))
         centroid.join(qw, Seq("qid", "term"), "full_outer")

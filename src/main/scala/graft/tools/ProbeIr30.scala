@@ -1,0 +1,66 @@
+package graft.tools
+import graft.{GraftSession, Tables}
+import graft.ir.Retrieval
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object ProbeIr30 {
+  def body(s: SparkSession, dir: String, tf: DataFrame): DataFrame = {
+    import s.implicits._
+    import Retrieval._
+    val nd = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+      .withColumn("wdt", expr("tf * ln(n_docs / df)"))
+    val q0 = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toDF("qid", "term")
+    val fb = Retrieval.scoreMatched(Retrieval.matchedTermsFromTf(tf, q0),
+        lmdirPart, lmdirFinal, conjunctive = false, 10)
+      .select("qid", "doc_id")
+    val centroid = fb.join(w, Seq("doc_id"))
+      .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
+      .groupBy("qid", "term")
+      .agg(expr("sum(wdt) / 10e0").as("cterm"))
+    val qw = q0.join(dfT, Seq("term")).crossJoin(broadcast(nd))
+      .select(col("qid"), col("term"), expr("ln(n_docs / df)").as("wqt"))
+    centroid.join(qw, Seq("qid", "term"), "full_outer")
+      .select(col("qid"), col("term"),
+        expr("round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 6)").as("rocchio"),
+        expr("row_number() OVER (PARTITION BY qid ORDER BY" +
+          " round(coalesce(1e0 * wqt, 0) + coalesce(7.5e-1 * cterm, 0), 9)" +
+          " DESC, term)").as("r"))
+      .filter(col("r") <= 10)
+  }
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local()
+    val dir = "/root/testdata/sf0.1"
+    // warmup
+    Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count().count()
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    for (round <- 1 to 3) {
+      t(s"eager-persist-$round") {
+        val tf = TextOps.termFreqs(Tables(s, dir, "documents")).persist()
+        tf.count()
+        val n = body(s, dir, tf).count()
+        s.catalog.clearCache(); n
+      }
+      t(s"lazy-persist-$round") {
+        val tf = TextOps.termFreqs(Tables(s, dir, "documents")).persist()
+        val n = body(s, dir, tf).count()
+        s.catalog.clearCache(); n
+      }
+      t(s"no-persist-$round") {
+        val tf = TextOps.termFreqs(Tables(s, dir, "documents"))
+        val n = body(s, dir, tf).count()
+        s.catalog.clearCache(); n
+      }
+    }
+    s.stop()
+  }
+}

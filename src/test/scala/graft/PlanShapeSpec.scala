@@ -98,6 +98,33 @@ class PlanShapeSpec extends SparkSpec {
       "pair generation must be the grouped expansion, not a raw self-join")
   }
 
+  test("ir30_rocchio: tokenize recompute bounded, shared tf exchange reused") {
+    // Round-3 driver bench regression (2.6→11.9 s) adjudicated by A/B
+    // (see the ir30 comment in IrQueries): Catalyst SPECIALIZES some tf
+    // branches (semi-join + cleaner-filter pushdown below the shared
+    // agg), so full unification is impossible without a persist — and
+    // persist measured SLOWER than parallel recompute at sf0.1. This
+    // pins what holds: the UNSPECIALIZED branches (tf → dl → cs chain)
+    // must dedupe to ReusedExchange, and the tokenize count must not
+    // grow past the five measured branches.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("ir30_rocchio")(spark, sfTiny)
+        .queryExecution.executedPlan
+      val gens = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      val reused = exec.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+      }
+      assert(gens.length <= 5,
+        s"tokenize subtree count regressed past the measured 5: ${gens.length}")
+      assert(reused.length >= 2,
+        s"the canonically-equal tf/dl exchanges must be reused, got ${reused.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("px43_gopher_filter: zero shuffles — a pure narrow map") {
     val p = plan("px43_gopher_filter")
     assert(!p.contains("Exchange"),
