@@ -304,6 +304,49 @@ object Dedup {
       .withColumn("dup_frac", expr("round(dup_tokens / dl, 6)"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 §2): semantic
+    * dedup over an embedding column — k-means the corpus into
+    * `kClusters`, then compare pairs ONLY within each cluster and drop
+    * every vector with a lower-id neighbor at cosine ≥ `threshold`.
+    * → (vid, cid, keep).
+    *
+    * Scale design: pair count is k·(n/k)²/2 = n²/(2k), so the
+    * quadratic term is cut by the cluster count — k MUST grow with n
+    * (Abbas et al. run k≈11k on LAION-440M; a FIXED k is O(n²) again,
+    * the round-3 px44 verdict). The codebook is built once
+    * ([[Ann.kmeansCentroids]], tiny, broadcast), assignment is one
+    * narrow pass, and the within-cluster self-join shuffles on cid —
+    * no cross-cluster pair ever materializes. SemDedupSpec asserts the
+    * pair-count scaling on this API.
+    */
+  def semDedup(corpus: DataFrame, kClusters: Int, iters: Int,
+               threshold: Double,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame = {
+    val cents = Ann.kmeansCentroids(corpus, kClusters, iters, idCol, embCol)
+    val assign = Ann.ivfAssign(corpus, broadcast(cents), idCol, embCol)
+    val arr = corpus
+      .select(col(idCol).as("vid"), col(embCol).as("emb"))
+      .withColumn("nrm", expr("norm2_f64(emb)"))
+      .join(assign, Seq("vid"))
+    val a = arr.select(col("cid"), col("vid").as("v1"),
+      col("emb").as("ea"), col("nrm").as("na"))
+    val b = arr.select(col("cid"), col("vid").as("v2"),
+      col("emb").as("eb"), col("nrm").as("nb"))
+    // e-notation via toString keeps the literal DOUBLE (cross-engine
+    // rule); round-then-compare pins the FP boundary deterministically
+    val dropped = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+      .withColumn("cos",
+        expr(s"round(dot_f64(ea, eb) / (sqrt(na) * sqrt(nb)), 6)"))
+      .filter(col("cos") >= lit(threshold))
+      .select(col("v2").as("vid")).distinct()
+    a.select(col("v1").as("vid"), col("cid"))
+      .join(dropped.withColumn("hit", lit(1)), Seq("vid"), "left")
+      .withColumn("keep",
+        expr("CAST(CASE WHEN hit IS NULL THEN 1 ELSE 0 END AS INT)"))
+      .select("vid", "cid", "keep")
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

@@ -102,6 +102,29 @@ object ScaleProbe {
       te("brute200_cosine_topk")(
         Ann.cosineTopK(ebig, q200, k = 10).count())
     }
+
+    if (args.contains("semdedup")) {
+      // SemDeDup pair-count scaling: k must grow with n (pairs =
+      // n²/2k for balanced clusters); measure wall + realized pair
+      // count at 3 k values on the N×-replicated vector table.
+      import graft.pipeline.{Ann, Dedup}
+      val ebase = Tables(spark, dir, "embeddings")
+      val ebig = spark.range(n).toDF("k").crossJoin(ebase)
+        .select((col("vec_id") + col("k") * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+        .repartition(32).localCheckpoint()
+      val nv = ebig.count()
+      for (k <- Seq(4, 16, 64)) {
+        val t0 = System.nanoTime()
+        val cents = Ann.kmeansCentroids(ebig, k, 1).localCheckpoint()
+        val pairs = Ann.ivfAssign(ebig, cents).groupBy("cid").count()
+          .selectExpr("CAST(sum(count * (count - 1) / 2) AS BIGINT)")
+          .collect()(0).getLong(0)
+        val kept = Dedup.semDedup(ebig, k, 1, 0.99).filter(col("keep") === 1)
+          .count()
+        println(f"""[scale] {"phase":"semdedup_k$k","n":$n,"vecs":$nv,"pairs":$pairs,"kept":$kept,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      }
+    }
     spark.stop()
   }
 }
