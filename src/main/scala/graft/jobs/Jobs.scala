@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   *
   * Supported: AnchorExtract, TrecRun (KEYVAL|WARC), QueryTermCount,
   * TrecRunBaselines, WordCount, CollectionStats, MutualInfo,
-  * IndexDocVectors, RunQueryIndex.
+  * IndexDocVectors, RunQueryIndex, IndexInverted, RunQueryInverted,
+  * GenerateFeedbackQueries, RunQueryWeighted, RunQueryIndexWeighted
+  * (the reference's feedback loop, sequential-scan or index-backed),
+  * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DedupCorpus,
+  * CurateCorpus, SpamFilter, QueryStats, KBAFilter, TrecToMallet,
+  * TrecToParquet.
   */
 object Jobs {
 
@@ -200,6 +205,49 @@ object Jobs {
       .withColumnRenamed("new_rank", "rank"), out, "graft-kde")
   }
 
+  /** The reference's full KDE job shape (`RunQueryKDEHBase.java:30,
+    * 85-118`): Dirichlet retrieval, per-query KDE over the top-k
+    * epochs computed ONCE, α swept over 0.1..0.9 re-mixing that
+    * density, each (query, α) ranking evaluated against qrels —
+    * output lines `qid:α<TAB>map,p10,p20` (the reference reducer's
+    * exact report format, its alphas array verbatim).
+    */
+  def runQueryKdeSweep(spark: SparkSession, trecIn: String, out: String,
+                       topics: String, qrelsPath: String,
+                       k: Int = 100): Unit = {
+    import graft.eval.{Eval, Qrels}
+    val sgml = TrecSgml.read(spark, trecIn).cache()
+    val docs = sgml.select(col("docno").as("doc_id"), col("text"))
+    val ranked = Retrieval.scoreFor(docs, Topics.readPlain(spark, topics),
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, k)
+    val withEp = ranked.join(
+      sgml.select(col("docno").as("doc_id"),
+        coalesce(col("epoch"), lit(0L)).as("ep")), Seq("doc_id"))
+    val grid = spark.range(1, 10)
+      .select((col("id").cast("double") / 10).as("alpha"))
+    val sweep = graft.temporal.Kde.rescoreSweep(withEp, grid)
+    // evaluate each (qid, α) ranking independently: α becomes part of
+    // the key, qrels replicated per α (tiny × 9)
+    val res = sweep.select(
+      concat_ws(":", col("qid"), col("alpha")).as("qid"),
+      col("doc_id"), col("new_rank").as("rank"))
+    val qrelsX = Qrels.read(spark, qrelsPath)
+      .crossJoin(broadcast(grid))
+      .select(concat_ws(":", col("qid"), col("alpha")).as("qid"),
+        col("doc_id"), col("rel"))
+    val m10 = Eval.metrics(res, qrelsX, k = 10)
+      .select(col("qid"), col("ap"), col("p_at_k").as("p10"))
+    val m20 = Eval.metrics(res, qrelsX, k = 20)
+      .select(col("qid"), col("p_at_k").as("p20"))
+    // bounded output (topics × 9 α) → single-file merge is safe
+    m10.join(m20, Seq("qid"))
+      .orderBy("qid")
+      .select(concat_ws("\t", col("qid"),
+        concat_ws(",", round(col("ap"), 6), round(col("p10"), 6),
+          round(col("p20"), 6))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+  }
+
   /** Format converters (`TrecToMallet` / `TrecToSequence` analogues;
     * Parquet is the SequenceFile replacement per SURVEY §2.1 S12).
     */
@@ -272,6 +320,23 @@ object Jobs {
         s"w * (${Retrieval.lmdirPart})", Retrieval.lmdirFinal,
         conjunctive = false, TopK),
       out, "graft-rm3")
+
+  /** The reference's feedback LOOP closed through the INDEX path
+    * (`GenerateFeedbackQueriesHBase` → weighted topic file →
+    * `RunQueryHBase.java:138-161`, which scores from the HBase index,
+    * not a corpus rescan): weighted retrieval over the materialized
+    * doc-vector index. With [[generateFeedbackQueries]] +
+    * [[Index.write]] this reproduces the reference's multi-job cycle
+    * end-to-end (JobsSpec round-trip).
+    */
+  def runQueryIndexWeighted(spark: SparkSession, idx: String, out: String,
+                            weightedTopics: String): Unit =
+    writeRun(
+      Index.scoreFromIndex(Index.load(spark, idx),
+        Topics.readWeighted(spark, weightedTopics),
+        s"w * (${Retrieval.lmdirPart})", Retrieval.lmdirFinal,
+        conjunctive = false, TopK),
+      out, "graft-rm3-idx")
 
   /** Exact-dedup a corpus: keep the min-id doc per content hash,
     * write the deduplicated corpus as parquet (the LSH/near-dup
@@ -482,6 +547,10 @@ object Jobs {
       case "KBAFilter" :: in :: out :: Nil => kbaFilter(spark, in, out)
       case "RunQueryKDE" :: in :: out :: topics :: Nil =>
         runQueryKde(spark, in, out, topics)
+      case "RunQueryKDESweep" :: in :: out :: topics :: qrels :: Nil =>
+        runQueryKdeSweep(spark, in, out, topics, qrels)
+      case "RunQueryIndexWeighted" :: idx :: out :: wtopics :: Nil =>
+        runQueryIndexWeighted(spark, idx, out, wtopics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)
       case "TrecToParquet" :: in :: out :: Nil => trecToParquet(spark, in, out)
       case "GenerateFeedbackQueries" :: in :: out :: topics :: Nil =>

@@ -2,6 +2,7 @@ package graft.jobs
 
 import graft.SparkSpec
 import graft.eval.{Eval, Qrels}
+import graft.ir.Index
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.functions.{col, md5}
 
@@ -75,6 +76,56 @@ class JobsSpec extends SparkSpec {
     val run = runLines(s"$work/rm3run").filter(_.startsWith("53 Q0 "))
     assert(run.nonEmpty)
     assert(run.head.split(" ")(2) == "test2") // feedback keeps the true hit on top
+  }
+
+  test("feedback loop through the INDEX: topics -> feedback -> RunQueryIndexWeighted") {
+    // the reference's actual multi-job cycle: GenerateFeedbackQueriesHBase
+    // writes weighted topics, RunQueryHBase re-consumes them AGAINST THE
+    // INDEX (RunQueryHBase.java:138-161) — corpus → index → feedback
+    // topics → index-backed weighted rerun → ranked output
+    Jobs.anchorExtract(spark, warc, s"$work/anchors4")
+    Index.write(Jobs.loadDocs(spark, s"keyval:$work/anchors4"),
+      s"$work/idx4")
+    Jobs.generateFeedbackQueries(spark, s"keyval:$work/anchors4",
+      s"$work/fb4.topics", topics)
+    Jobs.runQueryIndexWeighted(spark, s"$work/idx4", s"$work/rm3idx",
+      s"$work/fb4.topics")
+    val run = runLines(s"$work/rm3idx").filter(_.startsWith("53 Q0 "))
+    assert(run.nonEmpty)
+    assert(run.head.split(" ")(2) == "test2",
+      "index-backed weighted rerun must keep the true hit on top")
+    // index path ≡ sequential-scan path on the same feedback topics
+    Jobs.runQueryWeighted(spark, s"keyval:$work/anchors4",
+      s"$work/rm3seq", s"$work/fb4.topics")
+    assert(runLines(s"$work/rm3idx").sorted ==
+      runLines(s"$work/rm3seq").sorted
+        .map(_.replace("graft-rm3", "graft-rm3-idx")),
+      "scoreFromIndex must reproduce the sequential-scan ranking byte-for-byte")
+  }
+
+  test("RunQueryKDESweep: 9 alphas per query, reference report format") {
+    val trecDir = Files.createTempDirectory("trecsweep").toString
+    val docsSgml = (1 to 6).map { i =>
+      val ep = 1700000000L + i * 86400L
+      val words = if (i <= 3) "discovery channel store extra" else "other words here"
+      s"<DOC><DOCNO>D$i</DOCNO><EPOCH>$ep</EPOCH><TEXT>$words</TEXT></DOC>"
+    }.mkString("\n")
+    Files.writeString(Paths.get(trecDir, "c.trectext"), docsSgml)
+    val qrelsDir = Files.createTempDirectory("qrels_kde").toString
+    Files.writeString(Paths.get(qrelsDir, "qrels.txt"),
+      "53 0 D1 1\n53 0 D2 1\n53 0 D9 1\n")
+    Jobs.runQueryKdeSweep(spark, trecDir, s"$work/kdesweep", topics,
+      qrelsDir)
+    val rows = runLines(s"$work/kdesweep").map(_.split("\t"))
+    val q53 = rows.filter(_(0).startsWith("53:"))
+    assert(q53.length == 9, s"one line per alpha 0.1..0.9: ${q53.length}")
+    assert(q53.map(_(0)).toSet ==
+      (1 to 9).map(a => s"53:0.${a}").toSet)
+    // map,p10,p20 triple per line; 2 of 3 relevant docs retrievable at
+    // every alpha → p10 = 2/10, p20 = 2/20
+    assert(q53.forall(_(1).split(",").length == 3))
+    assert(q53.forall(_(1).split(",")(1) == "0.2"), q53.map(_.mkString("|")))
+    assert(q53.forall(_(1).split(",")(2) == "0.1"))
   }
 
   test("RunQueryKDE: SGML epochs drive the rerank; converters round-trip") {
