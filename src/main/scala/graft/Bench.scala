@@ -53,9 +53,13 @@ object Bench {
     // code). Round-2/3 lesson: wall-clock alone cannot distinguish
     // these, and bench runs on shared machines inflate 1.5–3× with no
     // in-JVM signal (GC was clean in every inflated run).
+    // padTo(10): the aggregate cpu line has 10 fields on any modern
+    // kernel, but guard ALL indexes uniformly (not just steal) so a
+    // truncated line degrades to zeros instead of IndexOutOfBounds.
     def cpuTicks: Array[Long] = {
       val src = scala.io.Source.fromFile("/proc/stat")
       try src.getLines().next().split("\\s+").drop(1).map(_.toLong)
+        .padTo(10, 0L)
       finally src.close()
     }
     val hz = 100.0 // USER_HZ on linux/amd64
@@ -69,15 +73,7 @@ object Bench {
       case None     => SparkEntry.decls
     }
 
-    val results = decls.map { d =>
-      // SPARK_GRAFT_EXPLAIN=1 → dump the formatted physical plan before
-      // running (plan-iteration aid, unset in driver runs).
-      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        try println(s"=== ${d.name} ===\n" +
-          d.run(spark, sfDir).queryExecution.explainString(
-            org.apache.spark.sql.execution.FormattedMode))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
+    def timeOne(d: graft.queries.Decl): (Double, Long, Seq[Double]) = {
       // Name every job after its query: event logs / the UI can then
       // attribute multi-job (AQE, persist) queries to their owner.
       spark.sparkContext.setJobDescription(d.name)
@@ -95,13 +91,47 @@ object Bench {
       // user+nice, system+irq+softirq, idle, iowait, steal (seconds,
       // summed over all CPUs)
       val cpu = Seq(dc(0) + dc(1), dc(2) + dc(5) + dc(6), dc(3), dc(4),
-        if (dc.length > 7) dc(7) else 0.0)
+        dc(7))
       // Queries with shared subtrees persist() them; drop those caches
       // before the next query so timings stay independent (no
       // cross-query subsidy) and memory doesn't accumulate.
       spark.catalog.clearCache()
+      (dt, gc, cpu)
+    }
+
+    val results = decls.map { d =>
+      // SPARK_GRAFT_EXPLAIN=1 → dump the formatted physical plan before
+      // running (plan-iteration aid, unset in driver runs).
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        try println(s"=== ${d.name} ===\n" +
+          d.run(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
+      val (dt, gc, cpu) = timeOne(d)
       (d.name, dt, gc, cpu)
     }
+
+    // ---- self-adjudicating re-run pass ----
+    // Two rounds of bench argument (r2, r3) came down to "storm or real
+    // regression?" with only one sample per query. Settle it inside the
+    // run: any query whose window shows a kernel-cpu storm (sys > N
+    // cpu-s: the JIT compile-queue / code-cache herd signature, measured
+    // in BENCH_NOTES §1) OR whose wall exceeds a re-run threshold gets
+    // ONE re-run at the END of the pass, when the JVM is fully warmed
+    // and the heap settled. A fast re-run ⇒ the first sample was
+    // environmental; a slow re-run ⇒ the plan is actually expensive.
+    // The headline total stays the FIRST-pass sum (driver contract
+    // unchanged); the verdict lands in BENCH_DETAILS as storm/sec_rerun.
+    val stormSys = sys.env.getOrElse("SPARK_GRAFT_STORM_SYS", "10").toDouble
+    val rerunSec = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "3").toDouble
+    val rerun: Map[String, Double] =
+      if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
+      else results.collect {
+        case (name, dt, _, cpu) if cpu(1) > stormSys || dt > rerunSec =>
+          val d = decls.find(_.name == name).get
+          name -> timeOne(d)._1
+      }.toMap
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -114,7 +144,11 @@ object Bench {
     // the repo root.
     val detail = results.map { case (k, v, g, cpu) =>
       val Seq(u, s, i, w, st) = cpu.map(x => math.rint(x * 100) / 100)
-      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st}"""
+      val storm = s > stormSys
+      val rr = rerun.get(k)
+        .map(x => s""","sec_rerun":${math.rint(x * 1000) / 1000}""")
+        .getOrElse("")
+      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"storm":$storm$rr}"""
     }.mkString("[\n", ",\n", "\n]")
     val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
     try pw.println(
