@@ -112,6 +112,56 @@ object Ann {
       .filter(col("r") === 1)
       .select("vid", "cid")
 
+  /** The DEPLOYED IVF layout: corpus written to parquet PARTITIONED BY
+    * the centroid assignment, so each inverted list is its own
+    * directory and a probe query's `cid IN (...)` predicate becomes
+    * partition PRUNING — non-probed lists are never opened, the
+    * storage-level realization of the IVF candidate cut
+    * (PartitionPruningSpec asserts the pruned scan end-to-end).
+    */
+  def writeIvfPartitioned(corpus: DataFrame, centroids: DataFrame,
+                          path: String,
+                          idCol: String = "vec_id",
+                          embCol: String = "embedding"): Unit =
+    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
+      .join(ivfAssign(corpus, centroids, idCol, embCol), Seq("vid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** IVF search over the partitioned layout. The probed list ids are
+    * driver material (|queries| × nprobe, tiny by construction), so
+    * they are inlined as a LITERAL IN predicate — the same
+    * literal-pushdown trick as the inverted text index
+    * (ir/Index.scala:97): a join could not prune partitions at plan
+    * time. Identical ranking semantics to [[ivfTopK]] (spec-asserted).
+    */
+  def ivfTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         path: String, centroids: DataFrame,
+                         queries: DataFrame, nprobe: Int, k: Int,
+                         idCol: String = "vec_id",
+                         embCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+      .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("qe", "centroid")))
+      .withColumn("pr",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
+      .filter(col("pr") <= nprobe)
+      .select("qid", "qe", "qn", "cid")
+    val probedCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("cid").isin(probedCids: _*))
+      .select(col("vid"), col("ve").as("ce"), col("cid"))
+      .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "cos", "rank")
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * ranks only the corpus vectors assigned to those lists. With
     * `nprobe == kClusters` this is exactly [[cosineTopK]]; smaller

@@ -101,6 +101,18 @@ object ScaleProbe {
       }
       te("brute200_cosine_topk")(
         Ann.cosineTopK(ebig, q200, k = 10).count())
+      // the cid-PARTITIONED layout (partition pruning on probed lists,
+      // PartitionPruningSpec e2e): write once, then the probe query
+      // opens only nprobe/k of the list directories
+      val ivfDir = java.nio.file.Files
+        .createTempDirectory("scale_ivf").toString
+      te("ivf_write_partitioned") {
+        Ann.writeIvfPartitioned(ebig, cent, ivfDir)
+        spark.read.parquet(ivfDir).count()
+      }
+      te("ivf200_partitioned_nprobe4")(
+        Ann.ivfTopKPartitioned(spark, ivfDir, cent, q200,
+          nprobe = 4, k = 10).count())
     }
 
     if (args.contains("semdedup")) {

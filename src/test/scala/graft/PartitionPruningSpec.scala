@@ -51,4 +51,50 @@ class PartitionPruningSpec extends SparkSpec {
       s"scan read ${scan.metrics("numFiles").value} files, " +
         s"expected only the $enFiles lang=en files (of $allFiles)")
   }
+
+  test("IVF cid-partitioned corpus: probe query scans ONLY the probed lists") {
+    // The deployed billion-vector layout end-to-end: centroid
+    // assignment as the parquet partition column, probe query's
+    // literal cid IN (...) predicate pruning non-probed lists at the
+    // scan — the storage realization of IVF's candidate cut.
+    import graft.pipeline.Ann
+    val emb = Tables(spark, sfTiny, "embeddings")
+    val cents = Ann.kmeansCentroids(emb, kClusters = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_bycid").toString
+    Ann.writeIvfPartitioned(emb, cents, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (scan, rows) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q = Ann.ivfTopKPartitioned(spark, dir, cents, queries,
+          nprobe = 2, k = 5)
+        val rows = q.collect()
+        (q.queryExecution.executedPlan
+          .collect { case s: FileSourceScanExec => s }.head, rows)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    assert(rows.nonEmpty)
+    assert(scan.partitionFilters.nonEmpty,
+      "cid IN (...) must land as a partition filter, not a data filter")
+    // ≤ 3 queries × nprobe=2 distinct lists of the 8 written
+    val probedDirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(probedDirs == 8, s"8 inverted-list partitions written: $probedDirs")
+    val filesRead = scan.metrics("numFiles").value
+    def filesUnder(sub: String): Int = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(sub))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(filesRead < filesUnder("cid="),
+      s"pruned scan must read a strict subset of the $probedDirs lists " +
+        s"(read $filesRead of ${filesUnder("cid=")} files)")
+
+    // ranking semantics identical to the in-memory ivfTopK
+    val asg = Ann.ivfAssign(emb, cents)
+    val expected = Ann.ivfTopK(emb, cents, asg, queries, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == expected, "partitioned path must reproduce ivfTopK's ranking")
+  }
 }
