@@ -1897,6 +1897,53 @@ object PipelineQueries {
               |  SELECT qid, vid, adc_dist2, row_number() OVER (
               |    PARTITION BY qid ORDER BY adc_dist2, vid) AS r
               |  FROM adc) t WHERE r <= 5""".stripMargin),
-      survey = Seq("EMB-IVF-PQ"))
+      survey = Seq("EMB-IVF-PQ")),
+
+    // The parameterized SemDeDup API (Dedup.semDedup — round-4
+    // verdict item 3), oracle-gated end-to-end: TRAINED clusters (one
+    // Lloyd mean-update over the deterministic seeds, px34's codebook
+    // math via Ann.kmeansCentroids) instead of px44's raw seed
+    // vectors, then the within-cluster lower-id-neighbor drop. k is a
+    // CALL PARAMETER — the scale knob px44 hard-codes — exercised here
+    // at k=4 so DuckDB can mirror the full train+assign+pair chain.
+    Decl(
+      "px52_semdedup_api",
+      (s, dir) => graft.pipeline.Dedup.semDedup(
+        Tables(s, dir, "embeddings"), kClusters = 4, iters = 1,
+        threshold = 0.4),
+      Some(s"""WITH e AS ${duckEmb("")},
+              |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
+              |d1 AS (SELECT e.vid, c0.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c0 USING (i) GROUP BY e.vid, c0.cid),
+              |a1 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d1) t
+              |       WHERE r = 1),
+              |c1 AS (SELECT cid, i, sum(x) / count(x) AS c
+              |       FROM e JOIN a1 USING (vid) GROUP BY cid, i),
+              |d2 AS (SELECT e.vid, c1.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c1 USING (i) GROUP BY e.vid, c1.cid),
+              |a2 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d2) t
+              |       WHERE r = 1),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |dots AS (SELECT aa.vid AS v1, bb.vid AS v2, aa.cid,
+              |           sum(ea.x * eb.x) AS dot
+              |         FROM a2 aa JOIN a2 bb
+              |           ON aa.cid = bb.cid AND aa.vid < bb.vid
+              |         JOIN e ea ON ea.vid = aa.vid
+              |         JOIN e eb ON eb.vid = bb.vid AND ea.i = eb.i
+              |         GROUP BY 1, 2, 3),
+              |dropped AS (SELECT DISTINCT v2 AS vid
+              |            FROM dots
+              |            JOIN nrm n1 ON v1 = n1.vid
+              |            JOIN nrm n2 ON v2 = n2.vid
+              |            WHERE round(dot / (sqrt(n1.nrm) * sqrt(n2.nrm)), 6)
+              |              >= 4e-1)
+              |SELECT a2.vid, a2.cid,
+              |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+              |FROM a2 LEFT JOIN dropped d ON a2.vid = d.vid""".stripMargin),
+      survey = Seq("DEDUP-SEMDEDUP"))
   )
 }
