@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   * GenerateFeedbackQueries, RunQueryWeighted, RunQueryIndexWeighted
   * (the reference's feedback loop, sequential-scan or index-backed),
   * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DedupCorpus,
-  * CurateCorpus, SpamFilter, QueryStats, KBAFilter, TrecToMallet,
-  * TrecToParquet.
+  * SemDedupCorpus (embedding-cluster semantic dedup), CurateCorpus,
+  * SpamFilter, QueryStats, KBAFilter, TrecToMallet, TrecToParquet.
   */
 object Jobs {
 
@@ -352,6 +352,40 @@ object Jobs {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** Semantic dedup as a curation stage (SemDeDup, Abbas et al. 2023):
+    * drop every document whose embedding has a lower-id neighbor at
+    * cosine ≥ `threshold` within its k-means cluster. Embeddings come
+    * from a side parquet keyed like the corpus (real pipelines embed
+    * in a separate pass); k is the REQUIRED scale knob — pairs fall as
+    * n²/2k (BENCH_NOTES §3c measurement). Docs without an embedding
+    * are kept (no evidence to drop) and counted in the report.
+    */
+  def semDedupCorpus(spark: SparkSession, in: String, out: String,
+                     embPath: String, kClusters: Int,
+                     iters: Int = 1, threshold: Double = 0.95): Unit = {
+    import graft.pipeline.Dedup
+    val docs = loadDocs(spark, in)
+    val emb = spark.read.parquet(embPath)
+    val verdicts = Dedup.semDedup(emb, kClusters, iters, threshold,
+      idCol = emb.columns.find(_ == "doc_id").getOrElse("vec_id"))
+    val keepers = verdicts.filter(col("keep") === 1)
+      .select(col("vid").as("doc_id"))
+    val embedded = verdicts.select(col("vid").as("doc_id"))
+    // kept = semantic keepers ∪ docs with no embedding row
+    val kept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .unionByName(docs.join(embedded, Seq("doc_id"), "left_anti"))
+      .persist() // two actions: the write + the report count
+    try {
+      kept.write.mode("overwrite").parquet(out)
+      val n0 = docs.count()
+      val nEmb = embedded.count()
+      val n1 = kept.count()
+      import spark.implicits._
+      Seq(s"input=$n0 embedded=$nEmb kept=$n1 dropped=${n0 - n1}")
+        .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+    } finally { kept.unpersist(); () }
+  }
+
   /** End-to-end training-data curation: [optional Gopher rule gate —
     * shuffle-free, so it runs FIRST and cheapens every later stage] →
     * exact dedup → near-dup removal (MinHash LSH + min-label clusters,
@@ -537,6 +571,8 @@ object Jobs {
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
+      case "SemDedupCorpus" :: in :: out :: emb :: k :: Nil =>
+        semDedupCorpus(spark, in, out, emb, k.toInt)
       case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)
       case "CurateCorpus" :: in :: out :: "gopher" :: Nil =>
         curateCorpus(spark, in, out, gopher = true)

@@ -42,6 +42,20 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sh.map(_.getLong(0)).toSet == Set(3L))
   }
 
+  test("semDedup survives an empty corpus and kClusters > n") {
+    import graft.pipeline.Dedup
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.semDedup(empty, 4, 1, 0.9).count() == 0)
+    // more requested clusters than vectors: every vector seeds its own
+    // cluster — a total partition with nothing to pair
+    val three = Seq(
+      (10L, Array(1.0f, 0.0f)), (20L, Array(0.0f, 1.0f)),
+      (30L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(three, 10, 1, 0.9).collect()
+    assert(out.length == 3)
+    assert(out.forall(_.getInt(2) == 1), "singleton clusters keep everything")
+  }
+
   test("eval metrics on a query with zero relevant docs stay defined") {
     val results = Seq(("q1", "d1", 1), ("q1", "d2", 2))
       .toDF("qid", "doc_id", "rank")

@@ -163,6 +163,33 @@ class JobsSpec extends SparkSpec {
     assert(kept.toSeq == Seq("d1", "d3"))
   }
 
+  test("SemDedupCorpus: drops the higher-id near-identical embedding, keeps unembedded docs") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("semdedup_job").toString
+    Seq((1L, "doc one"), (2L, "doc two"), (3L, "doc three"),
+      (4L, "doc four"), (5L, "no embedding"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$w/in")
+    // docs 1 and 3 are identical directions (cos = 1); 2 and 4 are
+    // orthogonal to them and to each other
+    Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("doc_id", "embedding").write.mode("overwrite")
+      .parquet(s"$w/emb")
+    Jobs.semDedupCorpus(spark, s"parquet:$w/in", s"$w/out", s"$w/emb",
+      kClusters = 2, iters = 1, threshold = 0.95)
+    val kept = spark.read.parquet(s"$w/out")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(3L), "higher-id near-identical doc must drop")
+    assert(kept.contains(1L), "lower-id twin survives")
+    assert(kept.contains(5L), "doc without an embedding row is kept")
+    assert(kept == Set(1L, 2L, 4L, 5L), kept.toString)
+    val report = spark.read.text(s"$w/out_report").head().getString(0)
+    assert(report == "input=5 embedded=4 kept=4 dropped=1", report)
+  }
+
   test("CurateCorpus: exact+near dedup, length and repetition filters") {
     import spark.implicits._
     val work = Files.createTempDirectory("curate").toString
