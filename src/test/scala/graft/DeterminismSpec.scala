@@ -20,7 +20,12 @@ class DeterminismSpec extends SparkSpec {
     "px27_minhash_estimate", "px42_connected_components",
     "px44_semdedup", "px45_quality_survivors", "px46_temperature_mix",
     "px47_dup_spans", "px48_nb_quality", "px49_dsir_weights",
-    "px50_pq_adc_topk", "px51_ivf_pq_topk")
+    "px50_pq_adc_topk", "px51_ivf_pq_topk",
+    // round 4: trained-cluster SemDeDup — Lloyd means are parallel
+    // double sums feeding a round-then-rank assignment, then a
+    // rounded-cosine drop threshold; both boundaries must hold under
+    // repartitioning
+    "px52_semdedup_api")
 
   private def rows(name: String): Seq[String] =
     try SparkEntry.queries(name)(spark, sfTiny)
