@@ -128,6 +128,44 @@ object TextMetrics {
       .select(col("doc_id"), col("n_sh"), col("d_sh"),
         expr("round(1 - d_sh / n_sh, 6)").as("rep_ratio"))
 
+  /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the
+    * rolling-hash document sketch behind MOSS): hash every k-gram,
+    * slide a window of `w` consecutive hashes, select each window's
+    * MINIMUM — the selected set is a deterministic o(n) sketch with
+    * the guarantee that any shared run of ≥ w+k−1 tokens yields at
+    * least one shared fingerprint. → per doc: full-window count,
+    * distinct fingerprint count, the smallest selected fingerprint
+    * (a stable cluster key), and the selection density.
+    *
+    * Scale: positions are a narrow map, the rolling min is one
+    * doc-partitioned window (no self-join), the summary one keyed
+    * aggregation — O(tokens) like [[Dedup.dupSpans]], and the sketch
+    * (not the corpus) is what downstream overlap joins touch.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 4,
+                            w: Int = 5): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+          .as("toks"))
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesFromToks(col("toks"), k))
+          .as(Seq("pos", "s")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.DetHash.h60(col("s")).as("h"))
+    val win = s"PARTITION BY doc_id ORDER BY pos" +
+      s" ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING"
+    sh.withColumn("wn", expr(s"count(*) OVER ($win)"))
+      .withColumn("wmin", expr(s"min(h) OVER ($win)"))
+      .filter(col("wn") === w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("wmin")).as("n_fp"),
+        expr("CAST(min(wmin) AS BIGINT)").as("min_fp"))
+      .withColumn("fp_density",
+        expr("round(n_fp / CAST(n_windows AS DOUBLE), 6)"))
+  }
+
   /** Sequence packing: concatenate each shard's docs in doc_id order
     * and chunk into `budget`-token windows; a doc belongs to the window
     * holding its first token → (shard, doc_id, n_tok, seq_id).

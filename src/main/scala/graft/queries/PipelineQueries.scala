@@ -1944,6 +1944,38 @@ object PipelineQueries {
               |SELECT a2.vid, a2.cid,
               |  CAST(CASE WHEN d.vid IS NULL THEN 1 ELSE 0 END AS INT) AS keep
               |FROM a2 LEFT JOIN dropped d ON a2.vid = d.vid""".stripMargin),
-      survey = Seq("DEDUP-SEMDEDUP"))
+      survey = Seq("DEDUP-SEMDEDUP")),
+
+    // Winnowing fingerprints (Schleimer et al. 2003 — the rolling-hash
+    // document sketch behind MOSS): hash every 4-gram, slide a window
+    // of 5 hashes, keep each window's minimum. Any shared run of
+    // ≥ w+k−1 = 8 tokens between two docs shares a fingerprint — the
+    // o(n) sketch that makes document-overlap detection a join on
+    // fingerprints instead of a text comparison. Per-doc summary here;
+    // TextMetrics.winnowingFingerprints is the library call.
+    Decl(
+      "px53_winnowing",
+      (s, dir) => graft.pipeline.TextMetrics
+        .winnowingFingerprints(Tables(s, dir, "documents"), k = 4, w = 5),
+      Some(s"""WITH $duckToksList,
+              |g AS (SELECT doc_id,
+              |    unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS pos,
+              |    tk FROM tk),
+              |sh AS (SELECT doc_id, pos,
+              |    ${H("tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2]" +
+                " || ' ' || tk[pos+3]")} AS h FROM g),
+              |win AS (SELECT doc_id, pos,
+              |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wn,
+              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+              |  FROM sh)
+              |SELECT doc_id, count(*) AS n_windows,
+              |  count(DISTINCT wmin) AS n_fp,
+              |  CAST(min(wmin) AS BIGINT) AS min_fp,
+              |  round(count(DISTINCT wmin) / CAST(count(*) AS DOUBLE), 6)
+              |    AS fp_density
+              |FROM win WHERE wn = 5 GROUP BY doc_id""".stripMargin),
+      survey = Seq("FINGERPRINT-WINNOW"))
   )
 }
