@@ -24,10 +24,12 @@ object Dedup {
     minhashToLong(minhashWide(docs))
 
   /** MinHash signatures, WIDE form (doc_id, m0..m15) — ONE groupBy
-    * pass; the canonical shape to persist() when several consumers
-    * (banding, agreement joins) derive from the same signatures: both
-    * the long form and the band signatures are NARROW projections of
-    * it (no further shuffle).
+    * pass; both the long form and the band signatures are NARROW
+    * projections of it (no further shuffle). The canonical shape to
+    * MATERIALIZE when several ACTIONS consume the same signatures
+    * (write it as a parquet artifact at scale); within one action,
+    * parallel recompute of this subtree measured faster than an
+    * in-query cache (BENCH_NOTES §2, round-4 A/B).
     */
   def minhashWide(docs: DataFrame): DataFrame = {
     // md5_h1h2: both digest slices in one native expression (no hex

@@ -310,8 +310,11 @@ object PipelineQueries {
         val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
           .distinct()
-          .persist()
-        ds.count() // eager: see the px27 note on lazy-persist races
+        // NO persist (round-4 A/B, ProbePx04c): recompute 2.6–3.5 s vs
+        // 2.9–7.3 s with the eager persist — two parallel recomputes of
+        // the shingle pass beat the serialized cache build; a lazy
+        // persist storms (px27 note). At 100 TB the distinct shingle
+        // table is a written artifact, not an in-query cache.
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // Hot-shingle cap + pair generation in ONE grouped pass: a
         // shingle shared by d docs contributes d²/2 join pairs, so one
@@ -364,25 +367,22 @@ object PipelineQueries {
     Decl(
       "px27_minhash_estimate",
       (s, dir) => {
-        // ONE shingle→md5→minima pass: the WIDE signatures are persisted
-        // and feed BOTH the banding candidates and the agreement counts
-        // as narrow projections (round-2 plan computed this subtree
-        // three times — 17.3 s). EAGER materialization (count() right
-        // after persist): with a LAZY persist, the final action submits
-        // several independent consumer stages concurrently, and their
-        // tasks race on the same uncomputed cache partitions — the
-        // block-level compute-or-wait locking intermittently storms
-        // (measured: px27 2.8 s wall / 9 s kernel-cpu in a clean run vs
-        // 30 s wall / 254 s kernel-cpu in a slow one, SAME user-cpu —
-        // i.e. lock churn, not recompute). One bounded action per
-        // persisted frame removes the race; consumers only ever read
-        // fully-materialized blocks.
+        // NO persist (round-4 A/B, ProbePx27, 3 rounds at sf0.1):
+        // recompute-in-parallel 2.3–2.9 s vs 3.8–8.1 s with the
+        // round-3 eager persists — the three serialized
+        // persist+count actions and the columnar cache build cost more
+        // than recomputing the minhash subtrees in parallel stages now
+        // that the exact side is candidate-pruned (r2's 17.3 s was the
+        // UNPRUNED whole-corpus exact side, not the recompute per se;
+        // a LAZY persist remains the worst of all — consumer stages
+        // race on uncomputed cache partitions, measured 30 s storms).
+        // At 100 TB the wide signatures are a WRITTEN artifact next to
+        // the corpus (one pass, reused by every downstream job), never
+        // an in-query cache — same resolution as ir30's tf.
         val wide = graft.pipeline.Dedup
-          .minhashWide(Tables(s, dir, "documents")).persist()
-        wide.count()
+          .minhashWide(Tables(s, dir, "documents"))
         val cands = graft.pipeline.Dedup
-          .candidatesFromBands(graft.pipeline.Dedup.bandSigs(wide)).persist()
-        cands.count()
+          .candidatesFromBands(graft.pipeline.Dedup.bandSigs(wide))
         // Agreement as a ROW-LEVEL expression over the wide signatures:
         // two doc-keyed joins put both 16-column vectors on the pair
         // row, then n_agree is a sum of 16 equality cases — no long-form
@@ -416,9 +416,7 @@ object PipelineQueries {
           .join(candDocs, Seq("doc_id"), "left_semi")
         val ds = TextOps.shingleRows(candTexts, 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
-          .distinct()
-          .persist()
-        ds.count() // eager for the same reason as `wide` above
+          .distinct() // no persist: see the `wide` note above
         val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
         // Intersection per CANDIDATE pair (not per all-pairs key):
         // expand each pair by d1's shingles, match d2's on (d2, sh).

@@ -1,0 +1,62 @@
+package graft.tools
+import graft.{GraftSession, Tables}
+import graft.functions.DetHash
+import graft.pipeline.Dedup
+import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+object ProbePx27 {
+  def body(s: SparkSession, dir: String, eager: Boolean): DataFrame = {
+    def mat(df: DataFrame): DataFrame =
+      if (eager) { val p = df.persist(); p.count(); p } else df
+    val wide = mat(Dedup.minhashWide(Tables(s, dir, "documents")))
+    val cands = mat(Dedup.candidatesFromBands(Dedup.bandSigs(wide)))
+    val a = wide.select(col("doc_id").as("d1") +:
+      (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = wide.select(col("doc_id").as("d2") +:
+      (0 until 16).map(i => col(s"m$i").as(s"b$i")): _*)
+    val agreeExpr = (0 until 16)
+      .map(i => s"(CASE WHEN a$i = b$i THEN 1 ELSE 0 END)")
+      .mkString("CAST(", " + ", " AS BIGINT)")
+    val agree = cands.join(a, Seq("d1")).join(b, Seq("d2"))
+      .select(col("d1"), col("d2"), expr(agreeExpr).as("n_agree"))
+    val candDocs = cands.select(col("d1").as("doc_id"))
+      .unionByName(cands.select(col("d2").as("doc_id"))).distinct()
+    val candTexts = Tables(s, dir, "documents")
+      .join(candDocs, Seq("doc_id"), "left_semi")
+    val ds = mat(TextOps.shingleRows(candTexts, 3)
+      .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+      .distinct())
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(ds.select(col("doc_id").as("d1"), col("sh")), Seq("d1"))
+      .join(ds.select(col("doc_id").as("d2"), col("sh")), Seq("d2", "sh"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+    agree.join(inter, Seq("d1", "d2"), "left")
+      .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))
+      .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        expr("round(n_agree / 16e0, 6)").as("jac_est"),
+        expr("round(coalesce(inter, 0) / (sa + sb - coalesce(inter, 0)), 6)")
+          .as("jac_exact"))
+  }
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local()
+    val dir = "/root/testdata/sf0.1"
+    Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count().count()
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    for (r <- 1 to 3) {
+      t(s"eager-$r") { val n = body(s, dir, eager = true).count()
+        s.catalog.clearCache(); n }
+      t(s"lazy-$r") { val n = body(s, dir, eager = false).count()
+        s.catalog.clearCache(); n }
+    }
+    s.stop()
+  }
+}

@@ -56,35 +56,36 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("PushedFilters: []"), p)
   }
 
-  test("px27_minhash_estimate: ONE minhash subtree, exact side candidate-pruned") {
-    // The r2 plan scanned documents 3x (17.3 s); the rewrite persists
-    // the wide minhash and prunes the exact side to candidate docs.
-    // Node-collect (NOT string matching: InMemoryRelation reprints its
-    // cached plan wherever referenced): the top-level tree must read
-    // from the caches, with at most the candidate-text pass touching
-    // parquet directly — more file scans means the shared subtree
-    // regressed.
+  test("px27_minhash_estimate: exact side candidate-pruned, no pair blowup") {
+    // The r2 17.3 s defect was the UNPRUNED whole-corpus exact side.
+    // r3 fixed it with candidate pruning + eager persists; the r4 A/B
+    // (ProbePx27) measured the persists themselves slower than
+    // parallel recompute, so the pin is the part that matters at any
+    // scale: the exact-Jaccard shingle pass tokenizes only SEMI-JOINED
+    // candidate texts (never the whole corpus), and no stage is a
+    // cartesian pair expansion.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val exec = SparkEntry.queries("px27_minhash_estimate")(spark, sfTiny)
         .queryExecution.executedPlan
-      val fileScans = exec.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      val p = exec.toString
+      assert(p.contains("LeftSemi"),
+        s"exact side must be candidate-pruned via a semi join:\n$p")
+      assert(!p.contains("CartesianProduct"), "no all-pairs stage")
+      // the EXACT-side shingle pass (h60 of raw shingles) must sit
+      // above a semi join — only candidate docs get re-shingled; the
+      // minhash-side passes are corpus-wide by design, and the
+      // parallel-recompute decision bounds them (ProbePx27 A/B)
+      val gens = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec
+          if g.toString.contains("token_shingles") => g
       }
-      val cacheScans = exec.collect {
-        case s if s.nodeName.contains("InMemoryTableScan") => s
-      }
-      assert(fileScans.length <= 1,
-        s"expected <=1 direct parquet scan, got ${fileScans.length}")
-      assert(cacheScans.length >= 2,
-        "wide minhash + candidate shingles must come from the persisted caches")
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", prev)
-      // px27 registers persist()s while planning; drop them so later
-      // suites' identical subtrees don't silently read these caches
-      spark.catalog.clearCache()
-    }
+      assert(gens.exists(_.toString().contains("LeftSemi")),
+        "the exact-Jaccard side must shingle semi-joined candidate texts only")
+      assert(gens.length <= 6,
+        s"shingle recompute count regressed past the measured bound: ${gens.length}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("px04_jaccard_top: hot-shingle df cap gates the pair expansion") {
