@@ -47,6 +47,19 @@ class WinnowingSpec extends SparkSpec {
       "no shared 4-grams, no shared fingerprints")
   }
 
+  test("docs shorter than one full window emit no row, not an error") {
+    import spark.implicits._
+    // 7 tokens → 4 4-grams → no window of 5 → absent; 2 tokens → no
+    // 4-gram at all → absent; empty text → absent
+    val out = TextMetrics.winnowingFingerprints(Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "just two"),
+      (3L, ""),
+      (4L, "a b c d e f g h i j k l")).toDF("doc_id", "text"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(4L), s"only the 12-token doc fingerprints: $out")
+  }
+
   test("summary row matches the recomputed selection, density in (0, 1]") {
     import spark.implicits._
     val rows = Seq((7L,
