@@ -143,7 +143,27 @@ object TextMetrics {
     * (not the corpus) is what downstream overlap joins touch.
     */
   def winnowingFingerprints(docs: DataFrame, k: Int = 4,
-                            w: Int = 5): DataFrame = {
+                            w: Int = 5): DataFrame =
+    winnowedMinima(docs, k, w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        countDistinct(col("wmin")).as("n_fp"),
+        expr("CAST(min(wmin) AS BIGINT)").as("min_fp"))
+      .withColumn("fp_density",
+        expr("round(n_fp / CAST(n_windows AS DOUBLE), 6)"))
+
+  /** The winnowing SELECTION itself: each doc's distinct chosen
+    * fingerprints → (doc_id, fp). This o(n) sketch — not the corpus —
+    * is what overlap detection joins on (px54): two docs sharing a
+    * ≥ w+k−1 token run share an fp by the winnowing guarantee.
+    */
+  def winnowingSelection(docs: DataFrame, k: Int = 4,
+                         w: Int = 5): DataFrame =
+    winnowedMinima(docs, k, w)
+      .select(col("doc_id"), col("wmin").as("fp")).distinct()
+
+  /** (doc_id, wmin) per FULL window of w consecutive k-gram hashes. */
+  private def winnowedMinima(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
@@ -158,12 +178,7 @@ object TextMetrics {
     sh.withColumn("wn", expr(s"count(*) OVER ($win)"))
       .withColumn("wmin", expr(s"min(h) OVER ($win)"))
       .filter(col("wn") === w)
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_windows"),
-        countDistinct(col("wmin")).as("n_fp"),
-        expr("CAST(min(wmin) AS BIGINT)").as("min_fp"))
-      .withColumn("fp_density",
-        expr("round(n_fp / CAST(n_windows AS DOUBLE), 6)"))
+      .select("doc_id", "wmin")
   }
 
   /** Sequence packing: concatenate each shard's docs in doc_id order

@@ -1974,6 +1974,56 @@ object PipelineQueries {
               |  round(count(DISTINCT wmin) / CAST(count(*) AS DOUBLE), 6)
               |    AS fp_density
               |FROM win WHERE wn = 5 GROUP BY doc_id""".stripMargin),
-      survey = Seq("FINGERPRINT-WINNOW"))
+      survey = Seq("FINGERPRINT-WINNOW")),
+
+    // The winnowing sketch's PAYOFF: overlap-candidate pairs found by
+    // joining the o(n) fingerprint SELECTIONS, never the texts — the
+    // distributed form of MOSS-style containment detection. Pairs
+    // require ≥ 2 shared fingerprints (one shared minimum can be a
+    // coincidence of a single popular k-gram); a hot-fp df cap bounds
+    // per-key pair expansion exactly as px04's shingle cap does —
+    // a fingerprint shared by d docs is a d²/2 join key at 100 TB.
+    Decl(
+      "px54_fp_overlap",
+      (s, dir) => {
+        val sel = graft.pipeline.TextMetrics
+          .winnowingSelection(Tables(s, dir, "documents"), k = 4, w = 5)
+        sel.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            count(lit(1)).as("dfs"))
+          .filter(col("dfs") <= MaxShingleDf)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), " +
+              "y -> struct(x AS d1, y AS d2))))")).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+      },
+      Some(s"""WITH $duckToksList,
+              |g AS (SELECT doc_id,
+              |    unnest(generate_series(1, greatest(len(tk) - 3, 0))) AS pos,
+              |    tk FROM tk),
+              |sh AS (SELECT doc_id, pos,
+              |    ${H("tk[pos] || ' ' || tk[pos+1] || ' ' || tk[pos+2]" +
+                " || ' ' || tk[pos+3]")} AS h FROM g),
+              |win AS (SELECT doc_id, pos,
+              |    count(*) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wn,
+              |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+              |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin
+              |  FROM sh),
+              |sel AS (SELECT DISTINCT doc_id, wmin AS fp
+              |        FROM win WHERE wn = 5),
+              |hot AS (SELECT fp FROM sel GROUP BY fp
+              |        HAVING count(*) > $MaxShingleDf),
+              |selc AS (SELECT * FROM sel
+              |         WHERE fp NOT IN (SELECT fp FROM hot))
+              |SELECT a.doc_id AS d1, b.doc_id AS d2,
+              |  count(*) AS n_shared
+              |FROM selc a JOIN selc b
+              |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
+      survey = Seq("FINGERPRINT-WINNOW", "DEDUP-CANDIDATES"))
   )
 }

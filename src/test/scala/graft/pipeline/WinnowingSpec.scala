@@ -60,6 +60,22 @@ class WinnowingSpec extends SparkSpec {
     assert(out == Set(4L), s"only the 12-token doc fingerprints: $out")
   }
 
+  test("winnowingSelection join surfaces overlapping docs as a pair") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val sel = TextMetrics.winnowingSelection(Seq(
+      (1L, s"$shared a1 a2 a3 a4 a5 a6"),
+      (2L, s"b1 b2 b3 b4 b5 b6 $shared"),
+      (3L, "nothing in common with either of the other two documents at all"))
+      .toDF("doc_id", "text"))
+    val pairs = sel.as("a").join(sel.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"only the overlapping pair may share fingerprints: $pairs")
+  }
+
   test("summary row matches the recomputed selection, density in (0, 1]") {
     import spark.implicits._
     val rows = Seq((7L,
