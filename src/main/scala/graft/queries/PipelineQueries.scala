@@ -326,6 +326,14 @@ object PipelineQueries {
         // fewer; per-group work is bounded by cap²/2 by construction.
         // Cap is far above the corpus max df at the gated SFs
         // (7 @ sf0.01, 25 @ sf0.1), so results are unchanged there.
+        // Round-5 adjudication (ProbePx04d, 2×3 order-controlled sets
+        // each way at sf0.1): vs the plain capped self-join (the
+        // DuckDB oracle's shape) — whichever variant runs FIRST pays
+        // ~4.3 s (cold scan+tokenize subtree, shared by both); warm,
+        // grouped 1.6–1.9 s vs self-join 2.0–2.3 s. The r4 driver
+        // rerun's 6.9 s was that cold-subtree cost plus machine noise,
+        // not the expand — grouped ties cold, wins warm, and keeps the
+        // three-fewer-exchange shape, so it stays.
         val inter = ds.groupBy("sh")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
             count(lit(1)).as("dfs"))
