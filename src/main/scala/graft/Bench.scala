@@ -125,12 +125,18 @@ object Bench {
     // unchanged); the verdict lands in BENCH_DETAILS as storm/sec_rerun.
     val stormSys = sys.env.getOrElse("SPARK_GRAFT_STORM_SYS", "10").toDouble
     val rerunSec = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "3").toDouble
-    val rerun: Map[String, Double] =
+    // rerun value = (seconds, reason): the reason ("storm", "slow", or
+    // "storm+slow") records WHICH trigger fired, from the same
+    // unrounded cpu(1) the storm flag below uses — a row can then never
+    // carry sec_rerun with a contradictory storm flag.
+    val rerun: Map[String, (Double, String)] =
       if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
       else results.collect {
         case (name, dt, _, cpu) if cpu(1) > stormSys || dt > rerunSec =>
           val d = decls.find(_.name == name).get
-          name -> timeOne(d)._1
+          val reason = (if (cpu(1) > stormSys) Seq("storm") else Nil) ++
+            (if (dt > rerunSec) Seq("slow") else Nil)
+          name -> (timeOne(d)._1, reason.mkString("+"))
       }.toMap
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -144,9 +150,12 @@ object Bench {
     // the repo root.
     val detail = results.map { case (k, v, g, cpu) =>
       val Seq(u, s, i, w, st) = cpu.map(x => math.rint(x * 100) / 100)
-      val storm = s > stormSys
+      // same UNROUNDED cpu(1) as the rerun trigger, so flag and trigger
+      // can't disagree on boundary rows
+      val storm = cpu(1) > stormSys
       val rr = rerun.get(k)
-        .map(x => s""","sec_rerun":${math.rint(x * 1000) / 1000}""")
+        .map { case (x, why) =>
+          s""","sec_rerun":${math.rint(x * 1000) / 1000},"rerun_reason":"$why"""" }
         .getOrElse("")
       s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"storm":$storm$rr}"""
     }.mkString("[\n", ",\n", "\n]")

@@ -378,7 +378,10 @@ object Jobs {
     try {
       kept.write.mode("overwrite").parquet(out)
       val n0 = docs.count()
-      val nEmb = embedded.count()
+      // embedded = embedding rows THAT MATCH a corpus doc (ADVICE r4:
+      // counting the raw embedding table lets embedded exceed input and
+      // conflates semantic drops with id mismatches in the report)
+      val nEmb = embedded.join(docs, Seq("doc_id"), "left_semi").count()
       val n1 = kept.count()
       import spark.implicits._
       Seq(s"input=$n0 embedded=$nEmb kept=$n1 dropped=${n0 - n1}")

@@ -1917,8 +1917,16 @@ object PipelineQueries {
       (s, dir) => graft.pipeline.Dedup.semDedup(
         Tables(s, dir, "embeddings"), kClusters = 4, iters = 1,
         threshold = 0.4),
+      // The seed CTE mirrors Ann.kmeansCentroids's rule — the k
+      // smallest ids BY RANK, labeled dense_rank-1 — not the fixture
+      // coincidence `vid < 4 AND cid = vid` (ADVICE r4): a sparse or
+      // non-zero-based id space diverges under the latter.
       Some(s"""WITH e AS ${duckEmb("")},
-              |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
+              |seeds AS (SELECT vid,
+              |    CAST(row_number() OVER (ORDER BY vid) - 1 AS BIGINT) AS cid
+              |  FROM (SELECT DISTINCT vid FROM e ORDER BY vid LIMIT 4)),
+              |c0 AS (SELECT s.cid, e.i, e.x AS c
+              |       FROM e JOIN seeds s ON e.vid = s.vid),
               |d1 AS (SELECT e.vid, c0.cid, sum((x - c) * (x - c)) AS dist2
               |       FROM e JOIN c0 USING (i) GROUP BY e.vid, c0.cid),
               |a1 AS (SELECT vid, cid FROM (

@@ -22,6 +22,13 @@ class PlanShapeSpec extends SparkSpec {
   private def countOf(hay: String, needle: String): Int =
     hay.sliding(needle.length).count(_ == needle)
 
+  /** Exact physical node COUNTS (Generate/ReusedExchange) encode the
+    * pinned planner's specialization behavior — assert them only on
+    * the Spark minor line they were measured on, so an upgrade flakes
+    * the version gate, not the shape spec (ADVICE r4).
+    */
+  private def pinnedSpark: Boolean = spark.version.startsWith("4.1.")
+
   test("q18_asof_join: exactly one shuffle Exchange (the window partition)") {
     val p = plan("q18_asof_join")
     assert(countOf(p, "Exchange hashpartitioning") === 1, p)
@@ -83,8 +90,13 @@ class PlanShapeSpec extends SparkSpec {
       }
       assert(gens.exists(_.toString().contains("LeftSemi")),
         "the exact-Jaccard side must shingle semi-joined candidate texts only")
-      assert(gens.length <= 6,
-        s"shingle recompute count regressed past the measured bound: ${gens.length}")
+      // exact node-count pin only on the measured Spark line (ADVICE
+      // r4: the count encodes this planner's specialization behavior
+      // and would flake on an upgrade rather than on a regression; the
+      // semi-join/no-cartesian assertions above are version-stable)
+      if (pinnedSpark)
+        assert(gens.length <= 6,
+          s"shingle recompute count regressed past the measured bound: ${gens.length}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
@@ -119,10 +131,15 @@ class PlanShapeSpec extends SparkSpec {
       val reused = exec.collect {
         case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
       }
-      assert(gens.length <= 5,
-        s"tokenize subtree count regressed past the measured 5: ${gens.length}")
-      assert(reused.length >= 2,
-        s"the canonically-equal tf/dl exchanges must be reused, got ${reused.length}")
+      // exact counts gated on the measured Spark line (ADVICE r4); a
+      // different planner still must not produce a cartesian blowup
+      if (pinnedSpark) {
+        assert(gens.length <= 5,
+          s"tokenize subtree count regressed past the measured 5: ${gens.length}")
+        assert(reused.length >= 2,
+          s"the canonically-equal tf/dl exchanges must be reused, got ${reused.length}")
+      }
+      assert(!exec.toString.contains("CartesianProduct"), "no all-pairs stage")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 

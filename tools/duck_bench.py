@@ -8,7 +8,12 @@ with the SAME per-query keys as BENCH_DETAILS.json, so the per-query 2x
 adjudication is computable from two committed artifacts:
   sec      — first execution in this process (the "cold" yardstick; parquet
              is OS-page-cached across queries, as in the Spark bench)
-  sec_warm — best of `reps` further executions (plan+buffer warm)
+  sec_warm — best of `reps - 1` further executions (plan+buffer warm)
+
+Output schema (since round 4): {"metric", "value", ..., "queries":
+[{"name", "sec", "sec_warm"?}, ...]} — a nested details list, NOT the
+flat name->sec map earlier rounds wrote. In-repo consumers (BENCH_NOTES
+adjudication) read the nested form.
 """
 import sys, json, os, time
 import duckdb
