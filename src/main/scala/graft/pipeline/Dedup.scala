@@ -165,29 +165,45 @@ object Dedup {
     // lbl(u) at any fixpoint. This certifies convergence from the
     // CURRENT labels alone, so a graph that converges within one block
     // pays ONE check instead of a confirming extra block.
+    // Certifying propagate: same superstep, but the aggregation also
+    // keeps MAX over the closed neighborhood. A node with lbl ≠ mx has
+    // an incident edge whose endpoints disagree; zero such nodes ⟺
+    // every edge is label-consistent (the identity edges make the
+    // neighborhood closed, so both directions of each edge are seen).
+    // The certificate thus rides the step's own shuffle — the check
+    // costs a narrow scan of the checkpointed block output instead of
+    // the former bi⋈labels⋈labels second action per block (r4 verdict
+    // item 4).
+    def certify(l: DataFrame): DataFrame = bi
+      .join(l.select(col("doc_id").as("other"), col("lbl").as("olbl")),
+        Seq("other"))
+      .groupBy(col("node").as("doc_id"))
+      .agg(min("olbl").as("lbl"), max("olbl").as("mx"))
     var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
     var block = 0
     var inconsistent = 1L
     while (inconsistent > 0 && block < maxIter) {
-      // three propagations + two shortcuts per CHECKPOINTED block: the
+      // four propagations + two shortcuts per CHECKPOINTED block: the
       // per-action scheduling constant dominates at small scale, so
       // work-per-action is the lever (measured: 17 one-step blocks ≈
-      // 10 s, 6 of these ≈ 5 s on the sf0.1 giant component).
-      // EAGER checkpoint: the consistency count below references the
-      // labels TWICE (both join legs), and two concurrent scan legs
-      // racing to materialize the same lazily-checkpointed blocks hit
-      // the block-level compute-or-wait lock storm (measured on px27's
-      // analogous lazy persist: same user-cpu, up to 25× kernel-cpu and
-      // 10× wall in the stormy runs). One bounded materialization per
-      // block is deterministic and removes the race.
-      labels = jump(jump(step(step(step(labels)))))
+      // 10 s, 6 three-step blocks ≈ 5 s on the sf0.1 giant component;
+      // with the certifying step as a fourth propagate, 5 blocks,
+      // 5.1 s — the extra step per block is cheaper than the extra
+      // block it removes, and the old separate two-join count action
+      // is gone entirely).
+      // EAGER checkpoint (r3/r4 lesson): lazily-checkpointed blocks
+      // with concurrent consumer scans hit the block-level
+      // compute-or-wait lock storm; one bounded materialization per
+      // block is deterministic. The certifying step runs LAST: its mx
+      // column certifies the post-jump labels — if those are already
+      // edge-consistent, every component is uniformly labeled by a
+      // member id, so the final min-propagation is the identity and
+      // the certificate transfers to the returned labels; if not, the
+      // final step still advances the fixpoint.
+      val flagged = certify(jump(jump(step(step(step(labels))))))
         .localCheckpoint() // truncate lineage: plan depth stays O(1)
-      inconsistent = bi
-        .join(labels.select(col("doc_id").as("node"), col("lbl")),
-          Seq("node"))
-        .join(labels.select(col("doc_id").as("other"),
-          col("lbl").as("olbl")), Seq("other"))
-        .filter(col("lbl") =!= col("olbl")).count()
+      inconsistent = flagged.filter(col("lbl") =!= col("mx")).count()
+      labels = flagged.drop("mx")
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] block=$block inconsistent=$inconsistent t=${System.nanoTime()/1e9}")
       block += 1
@@ -196,7 +212,8 @@ object Dedup {
     // returning partial labels when the block budget runs out
     require(inconsistent == 0,
       s"connectedComponents did not converge within $maxIter blocks " +
-        s"($inconsistent edges still label-inconsistent); raise maxIter")
+        s"($inconsistent nodes still have a label-inconsistent edge); " +
+        "raise maxIter")
     labels
   }
 
