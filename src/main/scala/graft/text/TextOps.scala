@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Tokenization and document-vector primitives.
@@ -29,6 +29,21 @@ object TextOps {
     docs
       .select(col(idCol), explode(tokensCol(col(textCol))).as("term"))
       .filter(col("term") =!= "")
+
+  /** Tokenizer dispatcher: the codegen'd regex split by default, or
+    * the UAX#29 / Lucene-parity path ([[Uax29]]) when the session sets
+    * `spark.graft.tokenizer=uax29`. Jobs whose reference twin used the
+    * Lucene analyzer (e.g. `TrecWordCount.java:50-77`) route through
+    * this so a migration user can flip the flag and reproduce the
+    * analyzer's term stats exactly.
+    */
+  def tokensSelected(spark: SparkSession, docs: DataFrame,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame =
+    spark.conf.get("spark.graft.tokenizer", "regex") match {
+      case "uax29" => Uax29.tokens(docs, idCol, textCol)
+      case _       => tokens(docs, idCol, textCol)
+    }
 
   /** Per-document term frequencies: (doc_id, term, tf).
     * Partial aggregation (map-side combine) is automatic in Catalyst's

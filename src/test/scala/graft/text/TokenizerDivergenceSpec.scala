@@ -58,6 +58,41 @@ class TokenizerDivergenceSpec extends SparkSpec {
     }
   }
 
+  test("UAX#29 path reproduces the Lucene StandardAnalyzer golden " +
+    "on every divergence case") {
+    // The golden's Lucene column records the FULL analyzer pipeline
+    // (UAX#29 tokenize + lowercase + English stop set) followed by the
+    // reference's numeric filter (\d+(\.\d+)? — TrecWordCount's
+    // number-drop, see the in-line case notes). Reproduce exactly that
+    // pipeline through Uax29 and require bit-identical output.
+    val numeric = "\\d+(\\.\\d+)?".r
+    golden.foreach { case (in, _, lucene) =>
+      val got = Uax29.analyze(in)
+        .filterNot(t => numeric.pattern.matcher(t).matches())
+      assert(got == lucene,
+        s"UAX#29 pipeline diverges from Lucene golden on '$in': $got")
+    }
+  }
+
+  test("spark.graft.tokenizer=uax29 selects the UAX#29 path") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq((0L, "O'Brien's U.S.A. state-of-the-art foo_bar"))
+      .toDF("doc_id", "text")
+    try {
+      spark.conf.set("spark.graft.tokenizer", "uax29")
+      val ts = TextOps.tokensSelected(spark, df)
+        .select("term").as[String].collect().toSeq
+      assert(ts == Seq("o'brien's", "u.s.a", "state", "of", "the",
+        "art", "foo_bar"))
+      spark.conf.set("spark.graft.tokenizer", "regex")
+      val rs = TextOps.tokensSelected(spark, df)
+        .select("term").as[String].collect().toSeq
+      assert(rs == Seq("o", "brien", "s", "u", "s", "a", "state", "of",
+        "the", "art", "foo", "bar"))
+    } finally spark.conf.unset("spark.graft.tokenizer")
+  }
+
   test("divergence inventory is explicit") {
     // Structural divergences are exactly the cases where UAX#29 emits a
     // token containing a joiner our split treats as a boundary
