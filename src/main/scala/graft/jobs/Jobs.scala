@@ -43,9 +43,16 @@ object Jobs {
           .select(col("docno").as("doc_id"), col("text"))
       case Array("parquet", p) =>
         spark.read.parquet(p).select("doc_id", "text")
+      case Array("seq", p) =>
+        // legacy SequenceFile<Text,Text> corpora readable in place
+        // (see seqToParquet for the one-time conversion path)
+        spark.sparkContext
+          .sequenceFile[org.apache.hadoop.io.Text, org.apache.hadoop.io.Text](p)
+          .map { case (k, v) => (k.toString, v.toString) }
+          .toDF("doc_id", "text")
       case _ =>
         throw new IllegalArgumentException(
-          s"input spec '$spec' must be warc:|keyval:|trec:|parquet:<path>")
+          s"input spec '$spec' must be warc:|keyval:|trec:|parquet:|seq:<path>")
     }
   }
 
@@ -143,8 +150,11 @@ object Jobs {
     val scrubbed = skipPatterns.foldLeft(docs) { (df, pat) =>
       df.withColumn("text", regexp_replace(col("text"), pat, " "))
     }
-    // vocabulary-sized output → partitioned write by default
-    writeText(TextOps.tokens(scrubbed)
+    // vocabulary-sized output → partitioned write by default.
+    // Tokenizer is flag-selected (spark.graft.tokenizer=uax29 for
+    // Lucene-analyzer parity; codegen'd regex default) — the reference
+    // twin TrecWordCount.java:50-77 used StandardAnalyzer.
+    writeText(TextOps.tokensSelected(spark, scrubbed)
       .groupBy("term").agg(count(lit(1)).as("n"))
       .select(concat_ws("\t", col("term"), col("n")).as("value")),
       out, merge)
@@ -261,6 +271,34 @@ object Jobs {
 
   def trecToParquet(spark: SparkSession, trecIn: String, out: String): Unit =
     TrecSgml.read(spark, trecIn).write.mode("overwrite").parquet(out)
+
+  /** SequenceFile migration glue (SURVEY §2.1 S6/S12). The reference
+    * stores corpora as `SequenceFile<Text docid, Text content>`
+    * (`TrecToSequence.java:87-90`, read back at
+    * `ClueWebRunQueries.java:298`); this engine's canonical format is
+    * Parquet, so migration is a one-time conversion. The read is
+    * splittable (SequenceFile sync markers), so a large legacy corpus
+    * converts with full parallelism; Text values are copied out
+    * immediately because Hadoop RecordReaders reuse Writable buffers.
+    */
+  def seqToParquet(spark: SparkSession, seqIn: String, out: String): Unit = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile[org.apache.hadoop.io.Text, org.apache.hadoop.io.Text](seqIn)
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  /** Inverse glue: (doc_id, text) Parquet → `SequenceFile<Text, Text>`
+    * for interop with tooling that still consumes the reference's
+    * layout. Stays partitioned — one SequenceFile part per task.
+    */
+  def parquetToSeq(spark: SparkSession, parquetIn: String, out: String): Unit =
+    spark.read.parquet(parquetIn).select("doc_id", "text")
+      .na.fill("", Seq("doc_id", "text"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .saveAsSequenceFile(out)
 
   /** RM3 feedback-query generation (the reference's
     * `GenerateFeedbackQueriesHBase` → weighted-topic file → rerun
@@ -592,6 +630,8 @@ object Jobs {
         runQueryIndexWeighted(spark, idx, out, wtopics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)
       case "TrecToParquet" :: in :: out :: Nil => trecToParquet(spark, in, out)
+      case "SeqToParquet" :: in :: out :: Nil => seqToParquet(spark, in, out)
+      case "ParquetToSeq" :: in :: out :: Nil => parquetToSeq(spark, in, out)
       case "GenerateFeedbackQueries" :: in :: out :: topics :: Nil =>
         generateFeedbackQueries(spark, in, out, topics)
       case "RunQueryWeighted" :: in :: out :: wtopics :: Nil =>

@@ -151,6 +151,35 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/trecpq").count() == 6)
   }
 
+  test("SequenceFile glue: Parquet -> seq -> Parquet round-trips; seq: spec loads") {
+    import spark.implicits._
+    val docs = Seq(("D1", "alpha beta"), ("D2", "gamma"), ("D3", ""))
+    val pq = s"$work/seqsrc"
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(pq)
+
+    // write the reference's SequenceFile<Text,Text> layout, then read
+    // it back through BOTH glue paths
+    Jobs.parquetToSeq(spark, pq, s"$work/seqout")
+    Jobs.seqToParquet(spark, s"$work/seqout", s"$work/seqback")
+    val back = spark.read.parquet(s"$work/seqback")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(back == docs.sorted)
+
+    // the written files really are Hadoop SequenceFiles (magic header)
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(Paths.get(s"$work/seqout")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.nonEmpty)
+    assert(parts.forall { p =>
+      new String(Files.readAllBytes(p).take(3)) == "SEQ"
+    })
+
+    // and a legacy corpus is loadable in place via the seq: spec
+    val loaded = Jobs.loadDocs(spark, s"seq:$work/seqout")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(loaded == docs.sorted)
+  }
+
   test("DedupCorpus drops exact duplicates, keeps min-id survivor") {
     val kvDir = Files.createTempDirectory("kv").toString
     Files.writeString(Paths.get(kvDir, "docs.tsv"),
