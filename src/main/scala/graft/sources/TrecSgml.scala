@@ -20,10 +20,33 @@ import org.apache.spark.sql.functions._
   */
 object TrecSgml {
 
-  /** (docno, epoch, text) rows; rows without a `<DOC` tag dropped. */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("lineSep", "</DOC>").text(path)
-      .filter(col("value").contains("<DOC"))
+  /** Generic tag-delimited record scan — the configurable-tag surface
+    * of the reference's `XmlInputFormat.java:21-117` (arbitrary
+    * start/end tags from conf). One (record) column per
+    * startTag…endTag block, tags inclusive, inter-record bytes
+    * dropped. Still splittable: the `text` source's custom `lineSep`
+    * handles delimiter straddling across splits exactly like the
+    * reference's readUntilMatch across block boundaries.
+    */
+  def readRecords(spark: SparkSession, path: String,
+                  startTag: String, endTag: String): DataFrame =
+    spark.read.option("lineSep", endTag).text(path)
+      .filter(col("value").contains(startTag))
+      .select(concat(
+        col("value").substr(locate(startTag, col("value")),
+          length(col("value"))),
+        lit(endTag)).as("record"))
+
+  /** (docno, epoch, text) rows; rows without a start tag dropped.
+    * Tags default to TREC's `<DOC>`/`</DOC>` but are configurable
+    * (reference parity: `XmlInputFormat` takes both from conf; the
+    * default start is the open-bracket prefix so attributed tags like
+    * `<DOC id=…>` still match).
+    */
+  def read(spark: SparkSession, path: String,
+           startTag: String = "<DOC", endTag: String = "</DOC>"): DataFrame =
+    spark.read.option("lineSep", endTag).text(path)
+      .filter(col("value").contains(startTag))
       .select(
         regexp_extract(col("value"), "(?s)<DOCNO>\\s*(.*?)\\s*</DOCNO>", 1)
           .as("docno"),

@@ -24,6 +24,29 @@ class TrecSgmlSpec extends SparkSpec {
     assert(rows(1).getString(2) == "second\ndoc")
   }
 
+  test("configurable tags: non-DOC records via readRecords and read") {
+    val tmp = Files.createTempDirectory("xml").toString
+    Files.writeString(Paths.get(tmp, "pages.xml"),
+      """<header>junk between records is dropped</header>
+        |<PAGE><DOCNO>P1</DOCNO><TEXT>alpha</TEXT></PAGE>
+        |noise
+        |<PAGE><DOCNO>P2</DOCNO><TEXT>beta</TEXT></PAGE>
+        |trailer""".stripMargin)
+
+    // XmlInputFormat parity: raw records, tags inclusive, junk dropped
+    val recs = TrecSgml.readRecords(spark, tmp, "<PAGE>", "</PAGE>")
+      .collect().map(_.getString(0)).sorted
+    assert(recs.length == 2)
+    assert(recs(0) == "<PAGE><DOCNO>P1</DOCNO><TEXT>alpha</TEXT></PAGE>")
+    assert(recs(1) == "<PAGE><DOCNO>P2</DOCNO><TEXT>beta</TEXT></PAGE>")
+
+    // field extraction over custom-tag records
+    val rows = TrecSgml.read(spark, tmp, "<PAGE", "</PAGE>")
+      .collect().sortBy(_.getString(0))
+    assert(rows.map(_.getString(0)).toSeq == Seq("P1", "P2"))
+    assert(rows.map(_.getString(2)).toSeq == Seq("alpha", "beta"))
+  }
+
   test("topics reader: qid + tokenized terms") {
     val rows = Topics.readPlain(spark, resource("wt2010-topics.queries-only"))
       .collect().map(r => (r.getString(0), r.getString(1)))
