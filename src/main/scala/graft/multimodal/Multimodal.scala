@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (builder-prompt mandate).
   *
   * Images/audio/video are opaque `binary` columns with typed metadata.
-  * The actual codec step is STUBBED (this container ships no image or
-  * audio libraries): [[decodeStub]] produces a deterministic fake
-  * (width, height, n_frames) from a content hash. Everything around
-  * the stub — the schema, the batch-shaped partition-local decode
-  * loop, the feature column layout — is the real Spark plumbing that
-  * would run at 100 TB with a real codec dropped in.
+  * Decoding goes through the [[Codec]] seam: the default
+  * [[StubCodec]] produces a deterministic fake (width, height,
+  * n_frames) from a content hash (this container ships no media
+  * libraries beyond the JDK), while [[ImageIoCodec]] does REAL image
+  * decoding via `javax.imageio`. Everything around the codec — the
+  * schema, the batch-shaped partition-local decode loop, the feature
+  * column layout — is the real Spark plumbing that runs at 100 TB
+  * with any codec dropped in.
   *
   * Scale: `mapPartitions` processes each partition as one batch (codec
   * init amortized per-partition, the Scala twin of a Pandas-UDF
@@ -26,27 +28,75 @@ object Multimodal {
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
                              width: Int, height: Int, n_frames: Int)
 
-  /** REAL CODEC GOES HERE. Deterministic fake: dimensions derived from
-    * the md5 of the payload (stable across engines and runs).
+  /** The codec seam: dropping in a real media stack (ffmpeg bindings,
+    * TwelveMonkeys, libvips…) is one implementation of this trait —
+    * the surrounding plumbing (schema, partition-local batch loop,
+    * downstream transforms) never changes. Implementations must be
+    * Serializable (the instance ships inside the `mapPartitions`
+    * closure) and cheap to hold per-executor; anything with heavy
+    * per-use state should lazy-init it so the cost is paid once per
+    * executor, not per row.
     */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val h = java.math.BigInteger.valueOf(
-      ((md(0) & 0x7fL) << 48) | ((md(1) & 0xffL) << 40) |
-        ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
-        ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL))
-      .longValue()
-    (320 + (h % 1280).toInt, 240 + (h % 720).toInt,
-      1 + (bytes.length / 1024))
+  trait Codec extends Serializable {
+    def name: String
+    /** → (width, height, n_frames), or None if this codec cannot
+      * decode the payload (caller decides the fallback).
+      */
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)]
   }
 
-  /** Partition-local batched decode: blobs → typed metadata. */
-  def extractMeta(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+  /** Deterministic fake: dimensions derived from the md5 of the
+    * payload (stable across engines and runs). The default — this
+    * container ships no media libraries beyond the JDK, and the
+    * oracle-facing queries need cross-engine-reproducible numbers.
+    */
+  object StubCodec extends Codec {
+    val name = "stub"
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val h = java.math.BigInteger.valueOf(
+        ((md(0) & 0x7fL) << 48) | ((md(1) & 0xffL) << 40) |
+          ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
+          ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL))
+        .longValue()
+      Some((320 + (h % 1280).toInt, 240 + (h % 720).toInt,
+        1 + (bytes.length / 1024)))
+    }
+  }
+
+  /** REAL image decode via `javax.imageio` — in the JDK, so no new
+    * dependency: PNG/JPEG/GIF/BMP dimensions from the actual pixels.
+    * Audio/video (and undecodable payloads) return None; compose with
+    * the stub via [[extractMeta]]'s fallback.
+    */
+  object ImageIoCodec extends Codec {
+    val name = "imageio"
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      if (mediaType != "image" || bytes.isEmpty) None
+      else try {
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        Option(img).map(i => (i.getWidth, i.getHeight, 1))
+      } catch { case _: java.io.IOException => None }
+  }
+
+  /** Back-compat shim for the stub's fake dimensions. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int) =
+    StubCodec.decode("", bytes).get
+
+  /** Partition-local batched decode: blobs → typed metadata. Rows the
+    * codec declines fall back to the deterministic stub, so the
+    * pipeline never drops or nulls a row when a partial codec (e.g.
+    * image-only [[ImageIoCodec]]) is plugged in.
+    */
+  def extractMeta(blobs: Dataset[MediaBlob],
+                  codec: Codec = StubCodec): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // per-partition decoder/codec init would happen here, once
+      // per-partition decoder init would happen here, once
       it.map { b =>
-        val (w, h, f) = decodeStub(b.bytes)
+        val (w, h, f) = codec.decode(b.media_type, b.bytes)
+          .orElse(StubCodec.decode(b.media_type, b.bytes)).get
         MediaMeta(b.doc_id, b.media_type, b.bytes.length.toLong, w, h, f)
       }
     }

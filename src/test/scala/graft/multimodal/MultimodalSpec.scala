@@ -20,6 +20,30 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.toSeq == again.toSeq)
   }
 
+  test("ImageIoCodec decodes a real PNG; non-images fall back to the stub") {
+    import spark.implicits._
+    // generate a genuine 37x21 PNG with the JDK — no fixture file
+    val img = new java.awt.image.BufferedImage(
+      37, 21, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(5, 5, 0xff8800)
+    val buf = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", buf))
+    val png = buf.toByteArray
+
+    val blobs = Seq(
+      MediaBlob(1L, "image", png),
+      MediaBlob(2L, "image", "not-actually-an-image".getBytes), // undecodable
+      MediaBlob(3L, "audio", Array.fill(2048)(3.toByte))).toDS()
+    val meta = extractMeta(blobs, ImageIoCodec).collect().sortBy(_.doc_id)
+
+    // real pixel dimensions from the actual decode
+    assert((meta(0).width, meta(0).height, meta(0).n_frames) == (37, 21, 1))
+    // declined rows fall back to the deterministic stub, bit-identical
+    // to what the default path would produce
+    val stub = extractMeta(blobs, StubCodec).collect().sortBy(_.doc_id)
+    assert(meta(1) == stub(1) && meta(2) == stub(2))
+  }
+
   test("resize plan clamps the long side and preserves aspect") {
     import spark.implicits._
     val meta = Seq(
