@@ -1502,6 +1502,11 @@ object PipelineQueries {
     // keep=0 ⇔ some LOWER-id vector in the same cluster has
     // cos ≥ 0.4 (threshold calibrated to this corpus's cosine range;
     // web-scale deployments run 0.95+ on duplicated data).
+    // NOTE: frozen-oracle twin with a HARD-CODED k=4 seed assignment —
+    // kept only so the oracle shape stays pinned. Users should call
+    // the parameterized `Dedup.semDedup(corpus, kClusters, iters,
+    // threshold)` (px52, README "Dedup quickstart"), where k is the
+    // n²/2k scale knob.
     Decl(
       "px44_semdedup",
       (s, dir) => {
