@@ -187,10 +187,10 @@ object Dedup {
       // per-action scheduling constant dominates at small scale, so
       // work-per-action is the lever (measured: 17 one-step blocks ≈
       // 10 s, 6 three-step blocks ≈ 5 s on the sf0.1 giant component;
-      // with the certifying step as a fourth propagate, 5 blocks,
-      // 5.1 s — the extra step per block is cheaper than the extra
-      // block it removes, and the old separate two-join count action
-      // is gone entirely).
+      // with the certifying step as a fourth propagate, 5 blocks, and
+      // the old separate two-join count action is gone — ProbeCc 2×3
+      // order-controlled A/B on checkpointed edges: 3.4–3.7 s vs
+      // 4.1–4.4 s warm, identical labels both orders).
       // EAGER checkpoint (r3/r4 lesson): lazily-checkpointed blocks
       // with concurrent consumer scans hit the block-level
       // compute-or-wait lock storm; one bounded materialization per
