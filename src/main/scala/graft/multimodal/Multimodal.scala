@@ -80,6 +80,41 @@ object Multimodal {
       } catch { case _: java.io.IOException => None }
   }
 
+  /** REAL audio header decode via `javax.sound.sampled` — also in the
+    * JDK: WAV/AIFF/AU. Field mapping for audio rows (documented here
+    * because [[MediaMeta]] is modality-generic): width = sample rate
+    * in Hz, height = channel count, n_frames = PCM frame count. Images
+    * and undecodable payloads return None.
+    */
+  object JavaSoundCodec extends Codec {
+    val name = "javasound"
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      if (mediaType != "audio" || bytes.isEmpty) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          Some((fmt.getSampleRate.toInt, fmt.getChannels,
+            in.getFrameLength.toInt))
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
+  /** Everything the bare JDK can genuinely decode: imageio images +
+    * javasound audio; video and unknown payloads fall through to the
+    * stub via [[extractMeta]]'s fallback.
+    */
+  object JdkCodec extends Codec {
+    val name = "jdk"
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      ImageIoCodec.decode(mediaType, bytes)
+        .orElse(JavaSoundCodec.decode(mediaType, bytes))
+  }
+
   /** Back-compat shim for the stub's fake dimensions. */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int) =
     StubCodec.decode("", bytes).get

@@ -44,6 +44,37 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1) == stub(1) && meta(2) == stub(2))
   }
 
+  test("JdkCodec decodes a real WAV's rate/channels/frames; images still via imageio") {
+    import spark.implicits._
+    // 8000 Hz mono 16-bit WAV, 1234 frames of silence, generated in-test
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](1234 * fmt.getFrameSize)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 1234L)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val wav = buf.toByteArray
+
+    val img = new java.awt.image.BufferedImage(
+      8, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val ibuf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", ibuf)
+
+    val blobs = Seq(
+      MediaBlob(1L, "audio", wav),
+      MediaBlob(2L, "image", ibuf.toByteArray),
+      MediaBlob(3L, "video", Array.fill(100)(1.toByte))).toDS()
+    val meta = extractMeta(blobs, JdkCodec).collect().sortBy(_.doc_id)
+
+    // audio mapping: width=sample rate Hz, height=channels, n_frames=PCM frames
+    assert((meta(0).width, meta(0).height, meta(0).n_frames) == (8000, 1, 1234))
+    assert((meta(1).width, meta(1).height) == (8, 4))
+    // video: no JDK decoder -> deterministic stub fallback
+    val stub = extractMeta(blobs, StubCodec).collect().sortBy(_.doc_id)
+    assert(meta(2) == stub(2))
+  }
+
   test("resize plan clamps the long side and preserves aspect") {
     import spark.implicits._
     val meta = Seq(
