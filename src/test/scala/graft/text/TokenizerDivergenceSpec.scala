@@ -93,6 +93,20 @@ class TokenizerDivergenceSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.tokenizer")
   }
 
+  test("UAX#29 path is null/empty/degenerate safe") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(Uax29.tokenize(null) == Nil)
+    assert(Uax29.tokenize("") == Nil)
+    assert(Uax29.tokenize("   \t\n ... --- !!!") == Nil)
+    val df = Seq((0L, null: String), (1L, ""), (2L, "ok"))
+      .toDF("doc_id", "text")
+    // null/empty docs contribute zero rows, not nulls or crashes
+    val rows = Uax29.tokens(df).select("doc_id", "term")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((2L, "ok")))
+  }
+
   test("divergence inventory is explicit") {
     // Structural divergences are exactly the cases where UAX#29 emits a
     // token containing a joiner our split treats as a boundary
