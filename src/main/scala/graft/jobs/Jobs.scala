@@ -535,13 +535,18 @@ object Jobs {
     * output `qterm dterm n_docs sum_minf` (FIXTURES §7 shape).
     */
   def queryStats(spark: SparkSession, in: String, out: String,
-                 topics: String, merge: Boolean = false): Unit = {
+                 topics: String, merge: Boolean = false,
+                 stoplist: Option[String] = None): Unit = {
     val tf = TextOps.termFreqs(loadDocs(spark, in))
     val qterms = Topics.readPlain(spark, topics).select("term").distinct()
     val tq = tf.join(broadcast(qterms), Seq("term"))
       .select(col("doc_id"), col("term").as("qterm"), col("tf").as("tfq"))
+    // side-loaded stoplist file when given (TrecQueryStats parity),
+    // built-in default otherwise
+    val stop = stoplist.map(TextOps.loadStopwords(spark, _))
+      .getOrElse(TextOps.stopwords)
     val td = tf
-      .filter(!col("term").isin(TextOps.stopwords: _*))
+      .filter(!col("term").isin(stop: _*))
       .select(col("doc_id"), col("term").as("dterm"), col("tf").as("tfd"))
     // |query terms| × vocabulary pairs in the worst case → partitioned
     writeText(tq.join(td, Seq("doc_id"))
@@ -621,6 +626,8 @@ object Jobs {
         spamFilter(spark, in, out, scores)
       case "QueryStats" :: in :: out :: topics :: Nil =>
         queryStats(spark, in, out, topics)
+      case "QueryStats" :: in :: out :: topics :: stoplist :: Nil =>
+        queryStats(spark, in, out, topics, stoplist = Some(stoplist))
       case "KBAFilter" :: in :: out :: Nil => kbaFilter(spark, in, out)
       case "RunQueryKDE" :: in :: out :: topics :: Nil =>
         runQueryKde(spark, in, out, topics)

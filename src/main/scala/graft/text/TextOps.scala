@@ -100,6 +100,18 @@ object TextOps {
     */
   val stopwords: Seq[String] = Seq("a", "the")
 
+  /** Side-loaded stoplist file, one word per line (`#` comment lines
+    * and blanks skipped, lowercased) — `TrecQueryStats.java:82-96`
+    * parity. A stoplist is vocabulary-bounded driver material by
+    * construction, so collecting it (to feed a broadcast `isin` /
+    * anti-join filter) is the scale-correct move, exactly like the
+    * reference's DistributedCache side-load.
+    */
+  def loadStopwords(spark: SparkSession, path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(w => w.nonEmpty && !w.startsWith("#"))
+
   // ---- DuckDB oracle fragments (kept adjacent so the two engines can
   // never drift apart) ----
 

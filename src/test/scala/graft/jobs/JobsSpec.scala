@@ -301,6 +301,16 @@ class JobsSpec extends SparkSpec {
     assert(rows.contains(Seq("spark", "fast", "2", "2")))
     assert(rows.contains(Seq("spark", "join", "1", "1")))
     assert(!rows.exists(_(1) == "the"))
+
+    // side-loaded stoplist file (TrecQueryStats parity): comments and
+    // case are normalized, and the file REPLACES the built-in default
+    Files.write(Paths.get(s"$work/qs_stop"),
+      "# test stoplist\nFAST\n\nthe\n".getBytes)
+    Jobs.queryStats(spark, s"parquet:$work/qs_in", s"$work/qs_out2",
+      s"$work/qs_topics", stoplist = Some(s"$work/qs_stop"))
+    val rows2 = runLines(s"$work/qs_out2").map(_.split("\t").toSeq).toSet
+    assert(rows2.contains(Seq("spark", "join", "1", "1")))
+    assert(!rows2.exists(r => r(1) == "fast" || r(1) == "the"))
   }
 
   test("KBAFilter: every grid weight reported plus a best-weight line") {
