@@ -126,18 +126,30 @@ object Retrieval {
     */
   def matchedTermsFromTf(tf: DataFrame, q: DataFrame,
                          idCol: String = "doc_id"): DataFrame = {
-    // dl = Σ tf per doc (== token count): derived from tf instead of
-    // re-aggregating the token explode, so the expensive tokenize+
-    // explode subtree appears ONCE in the plan and its exchange is
-    // reused by every downstream branch (tf, dl, tstats, cs).
-    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+    // dl = Σ tf per doc (== token count) as a WINDOW over the tf frame,
+    // not groupBy + join-back. The join-back formulation carried a 4th
+    // tokenize subtree (Catalyst's pushdowns specialize the clones
+    // apart, so ReusedExchange cannot merge them — the ir19/ir30
+    // lesson) plus a sort-merge join of the full matched stream
+    // against dl; the window replaces both with one exchange on
+    // doc_id. tstats and cs keep their own (column-pruned) tokenize
+    // branches — forcing them through the windowed frame was tried and
+    // the optimizer correctly prunes the unused dl and un-shares them
+    // again; 4 scans/12 exchanges → 3/9, measured 10.9–12.1 s →
+    // 10.0–10.6 s over the six sequential-scan queries (r5, matched
+    // conditions). At 100 TB this whole debate is moot: tf+dl are the
+    // materialized doc-vector index (ir/Index.scala, scoreFromIndex) —
+    // the sequential-scan path is reference parity, not deployment.
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val tstats = tf.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .join(q.select("term").distinct(), Seq("term"), "left_semi")
-    val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
-    tf.join(broadcast(q), Seq("term"))
-      .join(dl, Seq(idCol))
+    // n_docs = docs with ≥1 token, n_tokens = Σ tf (long sums:
+    // order-independent, exact)
+    val cs = tf.agg(countDistinct(col(idCol)).as("n_docs"),
+      sum("tf").as("n_tokens"))
+    tf.withColumn("dl", expr(s"sum(tf) OVER (PARTITION BY $idCol)"))
+      .join(broadcast(q), Seq("term"))
       .join(broadcast(tstats), Seq("term"))
       .join(broadcast(qlen), Seq("qid"))
       .crossJoin(broadcast(cs))
@@ -196,10 +208,11 @@ object Retrieval {
                      conjunctive: Boolean, k: Int,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = TextOps.termFreqs(docs, idCol, textCol)
-    val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl")) // see above
     val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val grouped = tf.join(broadcast(qAug), Seq("term"))
-      .join(dl, Seq(idCol))
+    // dl as a window — same rationale as matchedTermsFromTf
+    val grouped = tf
+      .withColumn("dl", expr(s"sum(tf) OVER (PARTITION BY $idCol)"))
+      .join(broadcast(qAug), Seq("term"))
       .join(broadcast(qlen), Seq("qid"))
       .withColumn("n_tokens", lit(collLength))
       .withColumn("n_docs", lit(nDocs))

@@ -314,19 +314,24 @@ object Jobs {
     val fb = Retrieval.scoreFor(docs, q, Retrieval.lmdirPart,
       Retrieval.lmdirFinal, conjunctive = false, fbDocs)
       .select("qid", "doc_id", "score")
+    // dl and the clip total as WINDOWS, not groupBy + join-back — the
+    // join-back formulation clones the tokenize/feedback subtree per
+    // branch and Catalyst's pushdowns specialize the clones apart so
+    // ReusedExchange can't merge them (measured on ir19: 24 scans → 5
+    // after the same rewrite in IrQueries.rm1Spark; dl sums longs, so
+    // aggregation order cannot change the values)
     val tf = TextOps.termFreqs(docs)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
-    val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("dl", expr("sum(tf) OVER (PARTITION BY doc_id)"))
+    val fbterm = fb.join(tf, Seq("doc_id"))
       .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
       .withColumn("contrib", expr("(tf / dl) * exp(score)"))
       .groupBy("qid", "term").agg(sum("contrib").as("w"))
-    val clip = fbterm
+    val clipn = fbterm
       .withColumn("frank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY w DESC, term)"))
       .filter(col("frank") <= fbTerms)
-    val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
-    val clipn = clip.join(cliptot, Seq("qid"))
-      .select(col("qid"), col("term"), (col("w") / col("cliptot")).as("wc"))
+      .select(col("qid"), col("term"),
+        expr("w / sum(w) OVER (PARTITION BY qid)").as("wc"))
     // Query model = λ·qtf/qlen per DISTINCT term (FeatureVector
     // accumulation): aggregate the per-occurrence rows from readPlain
     // first, so a repeated query term gets one entry with its count

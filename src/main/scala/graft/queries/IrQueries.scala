@@ -106,14 +106,24 @@ object IrQueries {
   private def rm1Spark(s: SparkSession, dir: String): DataFrame = {
     val fb = score(s, dir, lmdirPart, lmdirFinal, conjunctive = false, 10)
       .select("qid", "doc_id", "score")
+    // dl as a WINDOW over the tf frame, not groupBy + join-back: the
+    // join-back formulation duplicates the whole tokenize subtree per
+    // branch (Catalyst specializes the copies apart, so ReusedExchange
+    // cannot always dedupe them — the ir30 lesson; measured on ir19,
+    // which multiplies every rm1 branch: 24 scans/24 tokenizes → 6/6
+    // after the window rewrite, 2.5–2.9 s → see BENCH_NOTES r5).
+    // dl sums LONGS, so the window/groupBy orders agree exactly.
     val tf = TextOps.termFreqs(docsT(s, dir))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
-    val fbterm = fb.join(tf, Seq("doc_id")).join(dl, Seq("doc_id"))
+      .withColumn("dl", expr(
+        "sum(tf) OVER (PARTITION BY doc_id)"))
+    val fbterm = fb.join(tf, Seq("doc_id"))
       .filter(expr("length(term) >= 3 AND NOT term RLIKE '[0-9]'"))
       .withColumn("contrib", expr(rm1Contrib))
       .groupBy("qid", "term").agg(sum("contrib").as("w"))
-    val tot = fbterm.groupBy("qid").agg(sum("w").as("tot"))
-    fbterm.join(tot, Seq("qid"))
+    // per-query total likewise as a window (one exchange on qid,
+    // shared with frank's window — no second fbterm subtree)
+    fbterm
+      .withColumn("tot", expr("sum(w) OVER (PARTITION BY qid)"))
       .withColumn("wn", expr("round(w / tot, 6)"))
       .withColumn("frank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(w / tot, 9) DESC, term)"))
@@ -518,9 +528,10 @@ object IrQueries {
         // ONE grid-expanded plan, not one branch per grid cell: the RM1
         // model cross-joins the (fb_terms, λ) grid and every cell's clip
         // is a filter over the same expanded table, so the expensive
-        // retrieval+feedback subtree appears once (its two references —
-        // cliptot and clipn — share a reused exchange). Four separate
-        // branches re-ran it up to 8×.
+        // retrieval+feedback subtree appears once; per-cell clip
+        // normalization is a window over (qid, fb_terms, λ), not an
+        // agg + join-back (which would clone the expanded table). Four
+        // separate branches re-ran the subtree up to 8×.
         val rm1 = rm1Spark(s, dir).select("qid", "term", "w", "frank")
         val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("qid", "term")
@@ -528,13 +539,11 @@ object IrQueries {
         val grid = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
           .toDF("fb_terms", "lam")
         val qq = q.join(qlen, Seq("qid")).crossJoin(broadcast(grid))
-        val clip = rm1.crossJoin(broadcast(grid))
+        val clipn = rm1.crossJoin(broadcast(grid))
           .filter(col("frank") <= col("fb_terms"))
-        val cliptot = clip.groupBy("qid", "fb_terms", "lam")
-          .agg(sum("w").as("cliptot"))
-        val clipn = clip.join(cliptot, Seq("qid", "fb_terms", "lam"))
           .select(col("qid"), col("fb_terms"), col("lam"), col("term"),
-            expr("w / cliptot").as("wc"))
+            expr("w / sum(w) OVER (PARTITION BY qid, fb_terms, lam)")
+              .as("wc"))
         qq.join(clipn, Seq("qid", "fb_terms", "lam", "term"), "full_outer")
           .select(col("qid"), col("fb_terms"), col("lam"), col("term"),
             expr("round(coalesce(lam * (1e0 / qlen), 0) + coalesce((1 - lam) * wc, 0), 6)")
@@ -706,11 +715,11 @@ object IrQueries {
       "ir19_rm3",
       (s, dir) => {
         import s.implicits._
-        val clip = rm1Spark(s, dir).filter(col("frank") <= 10)
-          .select("qid", "term", "w")
-        val cliptot = clip.groupBy("qid").agg(sum("w").as("cliptot"))
-        val clipn = clip.join(cliptot, Seq("qid"))
-          .select(col("qid"), col("term"), expr("w / cliptot").as("wc"))
+        // clip normalization as a window, for the same
+        // no-duplicated-subtree reason as rm1Spark's tot
+        val clipn = rm1Spark(s, dir).filter(col("frank") <= 10)
+          .select(col("qid"), col("term"),
+            expr("w / sum(w) OVER (PARTITION BY qid)").as("wc"))
         val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("qid", "term")
         val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
