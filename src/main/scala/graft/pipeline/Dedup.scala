@@ -127,7 +127,17 @@ object Dedup {
     */
   def clusters(docs: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
     val ids = docs.select("doc_id")
-    val bi = biEdges(ids, edges)
+    // EAGER checkpoint, same rationale as connectedComponents: each
+    // propagation round references bi, and without materialization the
+    // full minhash→LSH→candidate chain behind it is re-derived per
+    // round (px45's plan carried 19 parquet scans; 3 with this).
+    // Unlike the rejected in-query persists (parallel recompute won
+    // those A/Bs), the rounds are SEQUENTIAL consumers — recompute
+    // here is rounds× the chain, not a parallel overlap. Measured r5
+    // (px19+px21+px45 trio, matched conditions, 2×2 runs):
+    // 9.2–9.9 s → 8.2–8.3 s, the win concentrated in the multi-read
+    // consumers (px45 3.3 → 2.7, px21 2.2 → 1.9).
+    val bi = biEdges(ids, edges).localCheckpoint()
     var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
     for (_ <- 1 to rounds)
       labels = propagate(bi, labels)

@@ -143,6 +143,34 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("ir19_rm3: window normalization keeps the plan free of cloned subtrees") {
+    // Round-5 rewrite: every groupBy + join-back normalization in the
+    // RM family became a window over the same frame. Before, the
+    // cloned-and-specialized subtrees gave ir19 24 parquet scans / 24
+    // tokenize Generates / 63 exchanges; after, 5/5/17. Pin a ceiling
+    // with headroom so a reintroduced join-back (which at least
+    // doubles the counts) fails fast, while planner drift doesn't.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val exec = SparkEntry.queries("ir19_rm3")(spark, sfTiny)
+        .queryExecution.executedPlan
+      val gens = exec.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      val scans = exec.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      if (pinnedSpark) {
+        assert(gens.length <= 8,
+          s"tokenize subtree count regressed (5 measured, was 24 pre-rewrite): ${gens.length}")
+        assert(scans.length <= 8,
+          s"scan count regressed (5 measured, was 24 pre-rewrite): ${scans.length}")
+      }
+      assert(!exec.toString.contains("CartesianProduct"), "no all-pairs stage")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("px43_gopher_filter: zero shuffles — a pure narrow map") {
     val p = plan("px43_gopher_filter")
     assert(!p.contains("Exchange"),
