@@ -132,10 +132,35 @@ object Jobs {
       ("LMs", s"qtf * (${lmjmPart()})", lmjmFinal, false),
       ("LMdi", s"qtf * ($lmdirPart)", lmdirFinal, false),
       ("BM25", s"qtf * ($bm25Part)", bm25Final, false))
-    val ranked = models.map { case (name, part, fin, conj) =>
-      scoreWithStats(docs, qAug, len, nd, part, fin, conj, TopK)
-        .withColumn("qid", concat_ws(":", col("qid"), lit(name)))
-    }.reduce(_ unionByName _)
+    // ONE corpus pass for all four models (the ir26/ir28 stack
+    // pattern): per-model column pruning otherwise specializes the
+    // four branches apart and each re-tokenizes the corpus
+    val stackExpr = "stack(4, " + models.map { case (n, _, _, _) =>
+      s"'$n', part_$n" }.mkString(", ") + ") AS (model, part)"
+    val finalCase = "CASE " + models.map { case (n, _, fin, _) =>
+      s"WHEN model = '$n' THEN $fin" }.mkString(" ") + " END"
+    val conjGate = models.collect { case (n, _, _, true) => n }
+      .map(n => s"model <> '$n' OR n_matched = qlen").mkString(" AND ")
+    val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val matched = TextOps.termFreqs(docs)
+      .withColumn("dl", expr("sum(tf) OVER (PARTITION BY doc_id)"))
+      .join(broadcast(qAug), Seq("term"))
+      .join(broadcast(qlen), Seq("qid"))
+      .withColumn("n_tokens", lit(len))
+      .withColumn("n_docs", lit(nd))
+    val ranked = matched
+      .select(Seq(col("qid"), col("doc_id"), col("dl"), col("qlen")) ++
+        models.map { case (n, part, _, _) => expr(part).as(s"part_$n") }: _*)
+      .select(col("qid"), col("doc_id"), col("dl"), col("qlen"),
+        expr(stackExpr))
+      .groupBy("model", "qid", "doc_id", "dl", "qlen")
+      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
+      .filter(expr(conjGate))
+      .withColumn("score", expr(finalCase))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY model, qid ORDER BY score DESC, doc_id)"))
+      .filter(col("rank") <= TopK)
+      .withColumn("qid", concat_ws(":", col("qid"), col("model")))
     writeRun(ranked, out, "graft-baselines")
   }
 

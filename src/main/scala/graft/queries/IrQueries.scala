@@ -386,19 +386,40 @@ object IrQueries {
     Decl(
       "ir26_baselines_grid",
       (s, dir) => {
-        // One shared matched-terms subtree: the four model branches are
-        // built from the SAME DataFrame, so their exchanges canonicalize
-        // identically and ReusedExchange computes the corpus pipeline
-        // once (no persist — see rm1Spark note).
-        val m = matchedTerms(s, dir)
+        // ONE pass over the matched frame for all four models (the
+        // ir28 grid pattern): every model's per-term contribution is a
+        // column, stack() turns them into (model, part) rows, and one
+        // grouped aggregation + one window rank all four. The previous
+        // four-branch union re-derived matchedTerms per model —
+        // per-model COLUMN PRUNING specializes the branches (LMno
+        // reads only tf/dl, BM25 also df/…), so their exchanges never
+        // canonicalize equal and ReusedExchange was 0 (measured: 12
+        // parquet scans → 3 with the stack).
         val models = Seq(
           ("LMno", lmnoPart, lmnoFinal, true),
           ("LMs", lmjmPart(), lmjmFinal, false),
           ("LMdi", lmdirPart, lmdirFinal, false),
           ("BM25", bm25Part, bm25Final, false))
-        models.map { case (name, part, fin, conj) =>
-          scoreMatched(m, part, fin, conj, 5).withColumn("model", lit(name))
-        }.reduce(_ unionByName _)
+        val stackExpr = "stack(4, " + models.map { case (n, _, _, _) =>
+          s"'$n', part_$n" }.mkString(", ") + ") AS (model, part)"
+        val finalCase = "CASE " + models.map { case (n, _, fin, _) =>
+          s"WHEN model = '$n' THEN $fin" }.mkString(" ") + " END"
+        val stacked = matchedTerms(s, dir)
+          .select(Seq(col("qid"), col("doc_id"), col("dl"), col("qlen")) ++
+            models.map { case (n, part, _, _) =>
+              expr(part).as(s"part_$n") }: _*)
+          .select(col("qid"), col("doc_id"), col("dl"), col("qlen"),
+            expr(stackExpr))
+        stacked
+          .groupBy("model", "qid", "doc_id", "dl", "qlen")
+          .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
+          // conjunctive gate applies to LMno only
+          .filter(expr("model <> 'LMno' OR n_matched = qlen"))
+          .withColumn("score", expr(finalCase))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY model, qid ORDER BY score DESC, doc_id)"))
+          .filter(col("rank") <= 5)
+          .select("qid", "doc_id", "score", "rank", "model")
       },
       Some(Seq(
         ("LMno", lmnoPart, lmnoFinal, true),
