@@ -43,19 +43,27 @@ object Kde {
     * default remains the oracle-gated ir20/ir27 semantics.
     */
   def withDensity(ranked: DataFrame, weighted: Boolean = false): DataFrame = {
-    val stats = ranked.groupBy("qid")
-      .agg(stddev_samp(col("ep")).as("sd"), count(lit(1)).as("k"),
-        sum("score").as("wtot"))
+    // Every per-query statistic as a WINDOW and the k×k kernel sum as
+    // a higher-order aggregate over the collected (ep, score) pairs:
+    // ONE reference to the input plan. The former groupBy-stats +
+    // self-join shape referenced `ranked` three times, and since
+    // `ranked` is usually a whole retrieval pipeline, each reference
+    // re-derived it (ir20 carried 9 parquet scans; 3 after this).
+    // Legal because k is the bounded top-k: the collected array is
+    // ≤ k elements per row. sort_array makes the kernel summation
+    // order deterministic (the old hash-agg order was not).
+    val w = "(PARTITION BY qid)"
+    val term = (if (weighted) s"p.w2 * ($kdeTerm)" else kdeTerm)
+      .replace("ep2", "p.ep2")
+    ranked
+      .withColumn("sd", expr(s"stddev_samp(ep) OVER $w"))
+      .withColumn("k", expr(s"count(*) OVER $w"))
+      .withColumn("wtot", expr(s"sum(score) OVER $w"))
       .withColumn("bw", expr(bwExpr))
-    ranked.alias("a")
-      .join(ranked.alias("b").select(col("b.qid").as("qid"),
-        col("b.ep").as("ep2"), col("b.score").as("w2")), Seq("qid"))
-      .join(stats.select("qid", "bw", "k", "wtot"), Seq("qid"))
-      .groupBy(col("qid"), col("a.doc_id").as("doc_id"),
-        col("a.score").as("score"), col("ep"), col("bw"), col("k"),
-        col("wtot"))
-      .agg(sum(expr(if (weighted) s"w2 * ($kdeTerm)" else kdeTerm))
-        .as("ksum"))
+      .withColumn("pts", expr(
+        s"sort_array(collect_list(struct(ep AS ep2, score AS w2)) OVER $w)"))
+      .withColumn("ksum", expr(
+        s"aggregate(pts, CAST(0 AS DOUBLE), (s, p) -> s + $term)"))
       .withColumn("kde", expr(if (weighted) kdeFinalWeighted else kdeFinal))
       .select("qid", "doc_id", "score", "kde")
   }
