@@ -601,10 +601,17 @@ object IrQueries {
         val tf = TextOps.termFreqs(docsT(s, dir))
         val nd = docsT(s, dir).agg(count(lit(1)).as("n_docs"))
         val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        // doc norm as a WINDOW on the weighted frame, carried through
+        // the dot-product groupBy as a key — the former dnorm branch
+        // duplicated the whole tf⋈df subtree (the join-back defect
+        // fixed across the RM family this round). Wall-NEUTRAL at
+        // sf0.1 (2.0 s both shapes, r5 A/B: the duplicated branch is
+        // agg-cheap here) but one fewer full corpus pass, which is
+        // what matters at 100 TB.
         val w = tf.join(dfT, Seq("term")).crossJoin(broadcast(nd))
           .withColumn("wdt", expr("tf * ln(n_docs / df)"))
-        val dnorm = w.groupBy("doc_id")
-          .agg(expr("sqrt(sum(wdt * wdt))").as("dn"))
+          .withColumn("dn",
+            expr("sqrt(sum(wdt * wdt) OVER (PARTITION BY doc_id))"))
         val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("qid", "term")
         val qw = q.join(dfT, Seq("term")).crossJoin(broadcast(nd))
@@ -612,8 +619,7 @@ object IrQueries {
         val qnorm = qw.groupBy("qid")
           .agg(expr("sqrt(sum(wqt * wqt))").as("qn"))
         w.join(broadcast(qw.select("qid", "term", "wqt")), Seq("term"))
-          .groupBy("qid", "doc_id").agg(sum(expr("wdt * wqt")).as("dotp"))
-          .join(dnorm, Seq("doc_id"))
+          .groupBy("qid", "doc_id", "dn").agg(sum(expr("wdt * wqt")).as("dotp"))
           .join(broadcast(qnorm), Seq("qid"))
           .withColumn("score", expr("round(dotp / (dn * qn), 6)"))
           .withColumn("rank", expr(
