@@ -193,14 +193,19 @@ object Dedup {
     var block = 0
     var inconsistent = 1L
     while (inconsistent > 0 && block < maxIter) {
-      // four propagations + two shortcuts per CHECKPOINTED block: the
+      // five propagations + two shortcuts per CHECKPOINTED block: the
       // per-action scheduling constant dominates at small scale, so
       // work-per-action is the lever (measured: 17 one-step blocks ≈
       // 10 s, 6 three-step blocks ≈ 5 s on the sf0.1 giant component;
-      // with the certifying step as a fourth propagate, 5 blocks, and
-      // the old separate two-join count action is gone — ProbeCc 2×3
-      // order-controlled A/B on checkpointed edges: 3.4–3.7 s vs
-      // 4.1–4.4 s warm, identical labels both orders).
+      // with the certifying step riding the block, ProbeCc showed the
+      // one-action loop beats the separate-count loop 3.4–3.7 vs
+      // 4.1–4.4 s, and the ProbeCcMix sweep over (steps, jumps) mixes
+      // found 4 steps + 2 jumps converging in 4 blocks instead of 5 —
+      // best mix both rounds, 3.3–4.0 s vs 3.7–6.5 s for 3 steps on
+      // checkpointed edges, identical labels for every mix; inside the
+      // full query the LSH-candidate build dominates and the in-bench
+      // pair A/B is a wash, so the win is the removed action, not
+      // wall time at this SF).
       // EAGER checkpoint (r3/r4 lesson): lazily-checkpointed blocks
       // with concurrent consumer scans hit the block-level
       // compute-or-wait lock storm; one bounded materialization per
@@ -210,7 +215,7 @@ object Dedup {
       // member id, so the final min-propagation is the identity and
       // the certificate transfers to the returned labels; if not, the
       // final step still advances the fixpoint.
-      val flagged = certify(jump(jump(step(step(step(labels))))))
+      val flagged = certify(jump(jump(step(step(step(step(labels)))))))
         .localCheckpoint() // truncate lineage: plan depth stays O(1)
       inconsistent = flagged.filter(col("lbl") =!= col("mx")).count()
       labels = flagged.drop("mx")
