@@ -25,7 +25,13 @@ class DeterminismSpec extends SparkSpec {
     // double sums feeding a round-then-rank assignment, then a
     // rounded-cosine drop threshold; both boundaries must hold under
     // repartitioning
-    "px52_semdedup_api")
+    "px52_semdedup_api",
+    // round 5: the window-normalization rewrites — RM3's window
+    // totals (ir19), the stacked four-model CASE scoring (ir26), and
+    // the KDE kernel as aggregate() over a sort_array'd collect_list
+    // (ir20: the sort pins the double-summation order, which the old
+    // hash-agg shape left partition-dependent)
+    "ir19_rm3", "ir26_baselines_grid", "ir20_kde_rerank")
 
   private def rows(name: String): Seq[String] =
     try SparkEntry.queries(name)(spark, sfTiny)
