@@ -47,6 +47,30 @@ class TrecSgmlSpec extends SparkSpec {
     assert(rows.map(_.getString(2)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("readRecords is splittable: records straddling split boundaries survive") {
+    val tmp = Files.createTempDirectory("xmlsplit").toString
+    // ~400 KB of records, then read with 32 KB splits: dozens of
+    // records straddle a boundary; the text source's lineSep handling
+    // must reassemble every one exactly once (the reference's
+    // readUntilMatch-across-blocks behavior)
+    val n = 2000
+    val body = (1 to n).map { i =>
+      s"<PAGE><DOCNO>P$i</DOCNO><TEXT>${"x" * (50 + i % 130)}</TEXT></PAGE>"
+    }.mkString("\n")
+    Files.writeString(Paths.get(tmp, "big.xml"), body)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", (32 * 1024).toString)
+      val recs = TrecSgml.readRecords(spark, tmp, "<PAGE>", "</PAGE>")
+      assert(recs.rdd.getNumPartitions > 1, "test must actually split the file")
+      assert(recs.count() == n)
+      // no record torn or duplicated: every docno present exactly once
+      val ids = TrecSgml.read(spark, tmp, "<PAGE", "</PAGE>")
+        .select("docno").collect().map(_.getString(0))
+      assert(ids.length == n && ids.toSet.size == n)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
+
   test("topics reader: qid + tokenized terms") {
     val rows = Topics.readPlain(spark, resource("wt2010-topics.queries-only"))
       .collect().map(r => (r.getString(0), r.getString(1)))
