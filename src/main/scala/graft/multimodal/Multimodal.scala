@@ -11,7 +11,9 @@ import org.apache.spark.sql.functions._
   * [[StubCodec]] produces a deterministic fake (width, height,
   * n_frames) from a content hash (this container ships no media
   * libraries beyond the JDK), while [[ImageIoCodec]] does REAL image
-  * decoding via `javax.imageio`. Everything around the codec — the
+  * decoding via `javax.imageio`, [[JavaSoundCodec]] REAL audio
+  * headers, and [[Mp4Codec]] REAL video container metadata from the
+  * ISO-BMFF box index. Everything around the codec — the
   * schema, the batch-shaped partition-local decode loop, the feature
   * column layout — is the real Spark plumbing that runs at 100 TB
   * with any codec dropped in.
@@ -25,8 +27,14 @@ object Multimodal {
 
   final case class MediaBlob(doc_id: Long, media_type: String,
                              bytes: Array[Byte])
+  /** `codec` records provenance: the name of the codec that actually
+    * produced (width, height, n_frames) — `"stub"` marks fabricated
+    * dimensions from the deterministic fallback, so real decodes and
+    * fake ones are distinguishable downstream (advisor r5).
+    */
   final case class MediaMeta(doc_id: Long, media_type: String, n_bytes: Long,
-                             width: Int, height: Int, n_frames: Int)
+                             width: Int, height: Int, n_frames: Int,
+                             codec: String)
 
   /** The codec seam: dropping in a real media stack (ffmpeg bindings,
     * TwelveMonkeys, libvips…) is one implementation of this trait —
@@ -77,7 +85,13 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(bytes))
         Option(img).map(i => (i.getWidth, i.getHeight, 1))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // NonFatal, not just IOException: JDK plugin decoders throw
+        // RuntimeExceptions on real-world corrupt payloads (CMMException
+        // for broken ICC profiles, IllegalArgumentException, AIOOBE) —
+        // one bad blob must take the fallback, not kill the task.
+        case scala.util.control.NonFatal(_) => None
+      }
   }
 
   /** REAL audio header decode via `javax.sound.sampled` — also in the
@@ -95,24 +109,120 @@ object Multimodal {
           new java.io.ByteArrayInputStream(bytes))
         try {
           val fmt = in.getFormat
-          Some((fmt.getSampleRate.toInt, fmt.getChannels,
-            in.getFrameLength.toInt))
+          val fl = in.getFrameLength
+          // NOT_SPECIFIED (-1) for some stream types; a Long→Int cast
+          // would silently wrap for very long audio — decline instead.
+          if (fl < 0 || fl > Int.MaxValue) None
+          else Some((fmt.getSampleRate.toInt, fmt.getChannels, fl.toInt))
         } finally in.close()
-      } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL video container decode: a pure-JVM ISO-BMFF (MP4/MOV) box
+    * parser — no codec, just the container index, so no new
+    * dependency. Walks `moov/trak`, identifies the video track via
+    * `mdia/hdlr` handler `vide`, reads presentation width/height from
+    * `tkhd` (16.16 fixed point) and the frame count as the sum of
+    * `stbl/stts` sample counts. Non-video payloads, non-BMFF bytes,
+    * and malformed boxes return None (fallback composes via
+    * [[extractMeta]]).
+    */
+  object Mp4Codec extends Codec {
+    val name = "mp4"
+
+    private def u32(b: Array[Byte], p: Int): Long =
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+    /** Direct children of [start, end) as (type, payloadStart, payloadEnd);
+      * stops at the first malformed box (truncated size, overrun).
+      */
+    private def boxes(b: Array[Byte], start: Int, end: Int): List[(String, Int, Int)] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var pos = start
+      var ok = true
+      while (ok && pos + 8 <= end) {
+        val size32 = u32(b, pos)
+        val typ = new String(b, pos + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+        val (hdr, size): (Int, Long) =
+          if (size32 == 1L && pos + 16 <= end) // 64-bit largesize
+            (16, ((u32(b, pos + 8) << 32) | u32(b, pos + 12)))
+          else if (size32 == 0L) (8, (end - pos).toLong) // extends to end
+          else (8, size32)
+        if (size < hdr || pos + size > end) ok = false
+        else {
+          out += ((typ, pos + hdr, pos + size.toInt))
+          pos += size.toInt
+        }
       }
+      out.result()
+    }
+
+    private def find(b: Array[Byte], s: Int, e: Int, typ: String): Option[(Int, Int)] =
+      boxes(b, s, e).collectFirst { case (`typ`, ps, pe) => (ps, pe) }
+
+    def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] =
+      if (mediaType != "video" || bytes.length < 16) None
+      else try {
+        for {
+          (ms, me) <- find(bytes, 0, bytes.length, "moov")
+          trak <- boxes(bytes, ms, me).collect { case ("trak", ts, te) => (ts, te) }
+            .find { case (ts, te) => // the video track: hdlr handler_type 'vide'
+              find(bytes, ts, te, "mdia").exists { case (ds, de) =>
+                find(bytes, ds, de, "hdlr").exists { case (hs, he) =>
+                  // hdlr FullBox: version+flags(4) pre_defined(4) handler_type(4)
+                  hs + 12 <= he && new String(bytes, hs + 8, 4,
+                    java.nio.charset.StandardCharsets.ISO_8859_1) == "vide"
+                }
+              }
+            }
+          (ks, ke) = trak
+          (ts2, te2) <- find(bytes, ks, ke, "tkhd")
+          wh <- {
+            // tkhd FullBox: v0 times are 32-bit (body offset 24 to the
+            // post-duration block), v1 are 64-bit (offset 36); then
+            // reserved(8) layer(2) alternate_group(2) volume(2)
+            // reserved(2) matrix(36) = 52 bytes to width/height (16.16).
+            val off = if ((bytes(ts2) & 0xff) == 1) 36 else 24
+            val wp = ts2 + off + 52
+            if (wp + 8 <= te2)
+              Some(((u32(bytes, wp) >> 16).toInt, (u32(bytes, wp + 4) >> 16).toInt))
+            else None
+          }
+          if wh._1 > 0 && wh._2 > 0
+        } yield {
+          // frame count: sum of stts sample_counts on the video track
+          val frames = (for {
+            (ds, de) <- find(bytes, ks, ke, "mdia")
+            (ns, ne) <- find(bytes, ds, de, "minf")
+            (ss, se) <- find(bytes, ns, ne, "stbl")
+            (ps, pe) <- find(bytes, ss, se, "stts")
+          } yield {
+            val n = u32(bytes, ps + 4) // entry_count after version+flags
+            var sum = 0L
+            var i = 0
+            while (i < n && ps + 8 + i * 8 + 8 <= pe) {
+              sum += u32(bytes, ps + 8 + i * 8)
+              i += 1
+            }
+            math.min(sum, Int.MaxValue.toLong).toInt
+          }).getOrElse(0)
+          (wh._1, wh._2, frames)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Everything the bare JDK can genuinely decode: imageio images +
-    * javasound audio; video and unknown payloads fall through to the
-    * stub via [[extractMeta]]'s fallback.
+    * javasound audio + ISO-BMFF (MP4/MOV) video container metadata;
+    * unknown payloads fall through to the stub via [[extractMeta]]'s
+    * fallback.
     */
   object JdkCodec extends Codec {
     val name = "jdk"
     def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] =
       ImageIoCodec.decode(mediaType, bytes)
         .orElse(JavaSoundCodec.decode(mediaType, bytes))
+        .orElse(Mp4Codec.decode(mediaType, bytes))
   }
 
   /** Back-compat shim for the stub's fake dimensions. */
@@ -130,9 +240,15 @@ object Multimodal {
     blobs.mapPartitions { it =>
       // per-partition decoder init would happen here, once
       it.map { b =>
-        val (w, h, f) = codec.decode(b.media_type, b.bytes)
-          .orElse(StubCodec.decode(b.media_type, b.bytes)).get
-        MediaMeta(b.doc_id, b.media_type, b.bytes.length.toLong, w, h, f)
+        codec.decode(b.media_type, b.bytes) match {
+          case Some((w, h, f)) =>
+            MediaMeta(b.doc_id, b.media_type, b.bytes.length.toLong,
+              w, h, f, codec.name)
+          case None =>
+            val (w, h, f) = StubCodec.decode(b.media_type, b.bytes).get
+            MediaMeta(b.doc_id, b.media_type, b.bytes.length.toLong,
+              w, h, f, StubCodec.name)
+        }
       }
     }
   }

@@ -1012,9 +1012,11 @@ object PipelineQueries {
       survey = Seq("TEXT-CONTAMINATION")),
 
     // Multimodal metadata: documents as opaque binary blobs with typed,
-    // deterministic pseudo-decoded metadata (real decode is stubbed —
-    // see graft.multimodal; the Spark-side schema/plumbing is what runs
-    // at scale).
+    // deterministic pseudo-decoded metadata. This oracle-facing query
+    // uses the stub formula because DuckDB must reproduce the numbers;
+    // the REAL decoders (imageio pixels, javasound headers, ISO-BMFF
+    // video box index) live behind graft.multimodal's Codec seam and
+    // are spec-verified on generated PNG/WAV/MP4 payloads.
     Decl(
       "px14_multimodal_meta",
       (s, dir) =>

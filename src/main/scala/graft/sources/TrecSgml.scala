@@ -27,6 +27,16 @@ object TrecSgml {
     * dropped. Still splittable: the `text` source's custom `lineSep`
     * handles delimiter straddling across splits exactly like the
     * reference's readUntilMatch across block boundaries.
+    *
+    * Documented divergence (advisor r5): the endTag is re-appended to
+    * every startTag-bearing chunk, so a TRUNCATED file whose final
+    * record lacks its closing tag is emitted as a syntactically
+    * complete record, where the reference's `readUntilMatch`
+    * (`XmlInputFormat.java:86-117`) silently discards the unterminated
+    * tail. We keep the partial record: at 100 TB, dropping data
+    * silently on a truncated shard is the worse failure mode, and
+    * callers that want reference parity can filter records missing an
+    * interior endTag-preceding structure themselves.
     */
   def readRecords(spark: SparkSession, path: String,
                   startTag: String, endTag: String): DataFrame =
