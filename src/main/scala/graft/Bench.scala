@@ -125,18 +125,23 @@ object Bench {
     // unchanged); the verdict lands in BENCH_DETAILS as storm/sec_rerun.
     val stormSys = sys.env.getOrElse("SPARK_GRAFT_STORM_SYS", "10").toDouble
     val rerunSec = sys.env.getOrElse("SPARK_GRAFT_RERUN_SEC", "3").toDouble
-    // rerun value = (seconds, reason): the reason ("storm", "slow", or
-    // "storm+slow") records WHICH trigger fired, from the same
-    // unrounded cpu(1) the storm flag below uses — a row can then never
-    // carry sec_rerun with a contradictory storm flag.
-    val rerun: Map[String, (Double, String)] =
+    // rerun value = (seconds, gcMs, cpu, reason): the reason ("storm",
+    // "slow", or "storm+slow") records WHICH trigger fired, from the
+    // same unrounded cpu(1) the storm flag below uses — a row can then
+    // never carry sec_rerun with a contradictory storm flag. The rerun
+    // keeps its OWN gc/cpu columns (r5 lesson: px42's 12.93 s driver
+    // rerun carried no cpu data, so "environmental or real?" was
+    // unadjudicable — the adjudication machinery must cover its own
+    // rerun pass too).
+    val rerun: Map[String, (Double, Long, Seq[Double], String)] =
       if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
       else results.collect {
         case (name, dt, _, cpu) if cpu(1) > stormSys || dt > rerunSec =>
           val d = decls.find(_.name == name).get
           val reason = (if (cpu(1) > stormSys) Seq("storm") else Nil) ++
             (if (dt > rerunSec) Seq("slow") else Nil)
-          name -> (timeOne(d)._1, reason.mkString("+"))
+          val (rdt, rgc, rcpu) = timeOne(d)
+          name -> ((rdt, rgc, rcpu, reason.mkString("+")))
       }.toMap
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -154,8 +159,14 @@ object Bench {
       // can't disagree on boundary rows
       val storm = cpu(1) > stormSys
       val rr = rerun.get(k)
-        .map { case (x, why) =>
-          s""","sec_rerun":${math.rint(x * 1000) / 1000},"rerun_reason":"$why"""" }
+        .map { case (x, rg, rcpu, why) =>
+          val Seq(ru, rs, ri, rw, rst) = rcpu.map(c => math.rint(c * 100) / 100)
+          // same unrounded-cpu(1) rule as the first-pass storm flag
+          val stormR = rcpu(1) > stormSys
+          s""","sec_rerun":${math.rint(x * 1000) / 1000},"rerun_reason":"$why"""" +
+            s""","gc_ms_rerun":$rg,"cpu_user_s_rerun":$ru,"cpu_sys_s_rerun":$rs""" +
+            s""","cpu_idle_s_rerun":$ri,"cpu_iowait_s_rerun":$rw,"cpu_steal_s_rerun":$rst""" +
+            s""","storm_rerun":$stormR""" }
         .getOrElse("")
       s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"storm":$storm$rr}"""
     }.mkString("[\n", ",\n", "\n]")
