@@ -107,6 +107,84 @@ class TokenizerDivergenceSpec extends SparkSpec {
     assert(rows == Seq((2L, "ok")))
   }
 
+  // ---- UAX#29 property suite (r5 verdict item 4): fuzz the JDK
+  // BreakIterator path over random unicode with fixed seeds (same
+  // deterministic Gen pattern as Hamming64Spec), asserting the
+  // invariants every consumer of Uax29.tokenize relies on. No Lucene
+  // jar ships in this container, so parity beyond the recorded golden
+  // is pinned by invariants, not by a live differential.
+
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  /** Valid (non-surrogate) codepoints, weighted toward the scripts and
+    * punctuation where segmentation rules actually differ.
+    */
+  private val codepoint: Gen[Int] = Gen.frequency(
+    6 -> Gen.choose(0x20, 0x7e),       // ASCII printable
+    2 -> Gen.choose(0xa0, 0x2fff),     // Latin supplements … general punct
+    1 -> Gen.choose(0x3000, 0xd7ff),   // CJK and friends
+    1 -> Gen.choose(0x10000, 0x1ffff)) // astral: emoji, math alphanumerics
+  private val unicodeString: Gen[String] =
+    Gen.listOf(codepoint).map(cps => new String(cps.toArray, 0, cps.length))
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i => g(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("property: tokens are non-empty, lowercase, hyphen-free, and " +
+    "carry a letter or digit on arbitrary unicode") {
+    val hyphens = ('‐' to '―').toSet + '-'
+    samples(unicodeString, 400).foreach { s =>
+      Uax29.tokenize(s).foreach { t =>
+        assert(t.nonEmpty, s"empty token from ${s.codePoints().toArray.toSeq}")
+        assert(t == t.toLowerCase(java.util.Locale.ROOT),
+          s"non-lowercase token '$t' from '$s'")
+        assert(!t.exists(hyphens), s"hyphen survived in '$t' from '$s'")
+        assert(t.codePoints().anyMatch(Character.isLetterOrDigit),
+          s"letterless token '$t' from '$s'")
+      }
+    }
+  }
+
+  test("property: token order follows text order (ASCII)") {
+    val ascii = Gen.listOf(Gen.choose(0x20, 0x7e))
+      .map(cs => new String(cs.toArray, 0, cs.length))
+    samples(ascii, 400).foreach { s =>
+      val lower = s.toLowerCase(java.util.Locale.ROOT)
+      var from = 0
+      Uax29.tokenize(s).foreach { t =>
+        val i = lower.indexOf(t, from)
+        assert(i >= 0, s"token '$t' out of order in '$s'")
+        from = i + t.length
+      }
+    }
+  }
+
+  test("property: UAX#29 agrees with the default regex path on " +
+    "ASCII-alphanumeric text") {
+    val alnumSpace = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar, 1 -> Gen.const(' '))).map(_.mkString)
+    samples(alnumSpace, 400).foreach { s =>
+      val regexPath = s.toLowerCase(java.util.Locale.ROOT)
+        .split("[^0-9a-z]+").toSeq.filter(_.nonEmpty)
+      assert(Uax29.tokenize(s) == regexPath,
+        s"paths diverge on pure-alphanumeric '$s'")
+    }
+  }
+
+  test("property: tokenization distributes over space concatenation") {
+    // a space is always a word break, so tokenize(a + \" \" + b) must
+    // equal tokenize(a) ++ tokenize(b) — the invariant that makes
+    // per-split tokenization safe on chunked input
+    val pairs = samples(unicodeString, 400).grouped(2)
+      .collect { case Seq(a, b) => (a, b) }.toSeq
+    pairs.foreach { case (a, b) =>
+      assert(Uax29.tokenize(a + " " + b) ==
+        Uax29.tokenize(a) ++ Uax29.tokenize(b),
+        s"concat broke on ${a.codePoints().toArray.toSeq} / " +
+          s"${b.codePoints().toArray.toSeq}")
+    }
+  }
+
   test("divergence inventory is explicit") {
     // Structural divergences are exactly the cases where UAX#29 emits a
     // token containing a joiner our split treats as a boundary
