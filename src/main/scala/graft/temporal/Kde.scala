@@ -9,9 +9,12 @@ import org.apache.spark.sql.functions._
   * process; here it is pure column math per SURVEY §7.1 item 9).
   *
   * kde(e_j) = (1/(k·bw))·Σ_i φ((e_j − e_i)/bw) over the group's
-  * epochs; Silverman's-rule bandwidth (SJ-dpi needs an iterative
-  * solver — documented divergence; rank-level equivalence is the
-  * target); rescore = α·ln(kde) + (1−α)·score.
+  * epochs; bandwidth is Silverman's rule by default, with the
+  * reference's exact `bw="SJ-dpi"` (`RKernelDensity.java:28`)
+  * available as the opt-in `bw = "sj"` — the published two-stage
+  * Sheather-Jones (1991) direct plug-in, expressible in closed column
+  * math because the pilot functionals are pairwise sums over the
+  * bounded top-k sample; rescore = α·ln(kde) + (1−α)·score.
   *
   * Scale: the kernel matrix is k×k per query (k = top-k, bounded),
   * partitioned by qid — independent of corpus size.
@@ -29,6 +32,50 @@ object Kde {
       "scores as weights (use exp(log-score) or the unweighted variant)') " +
       "IS NULL THEN ksum / (wtot * bw * sqrt(2 * pi())) END"
   val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
+
+  /** Σ_ij poly(u)·φ(u), u = (x−y)/g, over ALL ordered pairs of the
+    * collected epoch array — including the i=j diagonal, matching
+    * R's binned-pairwise convention (and tools/gen_kde_golden.py,
+    * which regenerates the committed golden). k ≤ top-k, so the k²
+    * evaluation is bounded per group.
+    */
+  private def pairSum(g: String, poly: String => String): String = {
+    val u = s"((x - y) / $g)"
+    s"aggregate(eps, CAST(0 AS DOUBLE), (s1, x) -> s1 + " +
+      s"aggregate(eps, CAST(0 AS DOUBLE), (s2, y) -> s2 + " +
+      s"(${poly(u)}) * exp(-5e-1 * pow($u, 2)) / sqrt(2 * pi())))"
+  }
+
+  /** Two-stage Sheather-Jones direct-plug-in bandwidth (Wand & Jones
+    * 1995 notation; the algorithm behind R's `bw.SJ(method="dpi")`,
+    * which the reference invokes as `bw="SJ-dpi"`,
+    * `RKernelDensity.java:28`):
+    *
+    *   ψ̂8 = 105/(32√π σ⁹),  σ = min(sd, IQR/1.349)
+    *   g6 = (30/√(2π) / (ψ̂8 n))^(1/9)
+    *   ψ̂6 = Σ_ij φ6(u)/(n(n−1) g6⁷)      φ6(u)=(u⁶−15u⁴+45u²−15)φ(u)
+    *   g4 = (−6/√(2π) / (ψ̂6 n))^(1/7)    (ψ̂6 < 0 for any density)
+    *   ψ̂4 = Σ_ij φ4(u)/(n(n−1) g4⁵)      φ4(u)=(u⁴−6u²+3)φ(u)
+    *   h  = (1/(2√π) / (ψ̂4 n))^(1/5)
+    *
+    * Applied to `eps` (the collected per-group epoch array) + the
+    * window-derived `sd`/`iqr`/`k` columns; KdeGoldenSpec pins the
+    * result against R's values on the committed fixture to 1e-3
+    * relative. Degenerate groups (σ = 0: every epoch identical) NaN
+    * here exactly as they error in R — use the Silverman default for
+    * samples the reference's R round-trip would also reject.
+    */
+  private val sjSteps: Seq[(String, String)] = Seq(
+    "sigma" -> "least(sd, iqr / 1.349e0)",
+    "g6" -> ("pow((30 / sqrt(2 * pi())) / " +
+      "((105 / (32 * sqrt(pi()) * pow(sigma, 9))) * k), 1e0 / 9)"),
+    "psi6" -> (pairSum("g6",
+      u => s"pow($u, 6) - 15 * pow($u, 4) + 45 * pow($u, 2) - 15") +
+      " / (k * (k - 1) * pow(g6, 7))"),
+    "g4" -> "pow((-6 / sqrt(2 * pi())) / (psi6 * k), 1e0 / 7)",
+    "psi4" -> (pairSum("g4", u => s"pow($u, 4) - 6 * pow($u, 2) + 3") +
+      " / (k * (k - 1) * pow(g4, 5))"),
+    "bw" -> "pow((1e0 / (2 * sqrt(pi()))) / (psi4 * k), 1e0 / 5)")
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
 
@@ -42,39 +89,68 @@ object Kde {
     * the reference ranking EXACTLY (KdeGoldenSpec); the unweighted
     * default remains the oracle-gated ir20/ir27 semantics.
     */
-  def withDensity(ranked: DataFrame, weighted: Boolean = false): DataFrame = {
-    // Every per-query statistic as a WINDOW and the k×k kernel sum as
-    // a higher-order aggregate over the collected (ep, score) pairs:
-    // ONE reference to the input plan. The former groupBy-stats +
-    // self-join shape referenced `ranked` three times, and since
-    // `ranked` is usually a whole retrieval pipeline, each reference
-    // re-derived it (ir20 carried 9 parquet scans; 3 after this).
-    // Legal because k is the bounded top-k: the collected array is
-    // ≤ k elements per row. sort_array makes the kernel summation
-    // order deterministic (the old hash-agg order was not).
-    val w = "(PARTITION BY qid)"
+  def withDensity(ranked: DataFrame, weighted: Boolean = false,
+                  bw: String = "silverman"): DataFrame = {
     val term = (if (weighted) s"p.w2 * ($kdeTerm)" else kdeTerm)
       .replace("ep2", "p.ep2")
-    ranked
-      .withColumn("sd", expr(s"stddev_samp(ep) OVER $w"))
-      .withColumn("k", expr(s"count(*) OVER $w"))
-      .withColumn("wtot", expr(s"sum(score) OVER $w"))
-      .withColumn("bw", expr(bwExpr))
-      .withColumn("pts", expr(
-        s"sort_array(collect_list(struct(ep AS ep2, score AS w2)) OVER $w)"))
+    withBandwidth(ranked, bw)
       .withColumn("ksum", expr(
         s"aggregate(pts, CAST(0 AS DOUBLE), (s, p) -> s + $term)"))
       .withColumn("kde", expr(if (weighted) kdeFinalWeighted else kdeFinal))
       .select("qid", "doc_id", "score", "kde")
   }
 
+  /** Per-query stats + `bw` column over `ranked`, bandwidth selected
+    * by `bw`: `"silverman"` (default; the oracle-gated ir20/ir27
+    * semantics) or `"sj"` (the reference's R `bw="SJ-dpi"`).
+    *
+    * Every per-query statistic is a WINDOW and the k×k kernel sum a
+    * higher-order aggregate over the collected (ep, score) pairs: ONE
+    * reference to the input plan. The former groupBy-stats +
+    * self-join shape referenced `ranked` three times, and since
+    * `ranked` is usually a whole retrieval pipeline, each reference
+    * re-derived it (ir20 carried 9 parquet scans; 3 after this).
+    * Legal because k is the bounded top-k: the collected array is
+    * ≤ k elements per row. sort_array makes the kernel summation
+    * order deterministic (the old hash-agg order was not).
+    */
+  private def withBandwidth(ranked: DataFrame, bw: String): DataFrame = {
+    val w = "(PARTITION BY qid)"
+    val base = ranked
+      .withColumn("sd", expr(s"stddev_samp(ep) OVER $w"))
+      .withColumn("k", expr(s"count(*) OVER $w"))
+      .withColumn("wtot", expr(s"sum(score) OVER $w"))
+      .withColumn("pts", expr(
+        s"sort_array(collect_list(struct(ep AS ep2, score AS w2)) OVER $w)"))
+    bw match {
+      case "silverman" => base.withColumn("bw", expr(bwExpr))
+      case "sj" =>
+        val sj = base
+          .withColumn("iqr", expr(
+            s"percentile(ep, 7.5e-1) OVER $w - percentile(ep, 2.5e-1) OVER $w"))
+          .withColumn("eps", expr("transform(pts, p -> CAST(p.ep2 AS DOUBLE))"))
+        sjSteps.foldLeft(sj) { case (df, (name, e)) =>
+          df.withColumn(name, expr(e))
+        }.drop("iqr", "eps", "sigma", "g6", "psi6", "g4", "psi4")
+      case other => throw new IllegalArgumentException(
+        s"unknown bandwidth method '$other' (silverman | sj)")
+    }
+  }
+
+  /** One (qid, bw) row per query group — the bandwidth the kernels
+    * would use, exposed for parity checks against R.
+    */
+  def bandwidths(ranked: DataFrame, bw: String = "sj"): DataFrame =
+    withBandwidth(ranked, bw).select("qid", "bw").distinct()
+
   /** @param ranked (qid, doc_id, score, ep) rows — one per retained
     *               result, `ep` an epoch-seconds long
     * @return (qid, doc_id, new_score, new_rank)
     */
   def rescore(ranked: DataFrame, alpha: String = "5e-1",
-              weighted: Boolean = false): DataFrame =
-    withDensity(ranked, weighted)
+              weighted: Boolean = false,
+              bw: String = "silverman"): DataFrame =
+    withDensity(ranked, weighted, bw)
       .withColumn("new_score", expr(rescoreExpr(alpha)))
       .withColumn("new_rank",
         expr("row_number() OVER (PARTITION BY qid ORDER BY new_score DESC, doc_id)"))
