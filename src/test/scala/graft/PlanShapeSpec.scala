@@ -176,4 +176,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       s"the Gopher rule filter must run at scan speed, no shuffle:\n$p")
   }
+
+  test("AQE skew-join splits a pathological key at runtime (skew=true)") {
+    // Doctrine rule 3 says hot keys are handled by salting (q24) for
+    // one-key-exceeds-an-executor skew and by AQE's skew-join split for
+    // moderate skew — this asserts the AQE half actually ENGAGES, with
+    // thresholds scaled down to fixture size (defaults need a 256 MB
+    // partition). One key holds half the fact rows; the final adaptive
+    // plan must carry the SortMergeJoin(skew=true) marker.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // no broadcast (static or AQE-converted): the split is an SMJ rule
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val fact = spark.range(60000)
+        .select(when($"id" % 2 === 0, 0L).otherwise($"id").as("k"),
+          lpad(($"id" % 97).cast("string"), 64, "x").as("pad"))
+      val dim = spark.range(2000).select($"id".as("k"), lit(1).as("m"))
+      val joined = fact.join(dim, "k")
+      // collect() (not count()) so THIS DataFrame's adaptive plan is
+      // the one that executes and finalizes — count() wraps a new
+      // query execution and leaves joined's plan isFinalPlan=false
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"adaptive plan not final:\n$p")
+      assert(p.contains("skew=true"),
+        s"AQE skew-join split did not engage:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
