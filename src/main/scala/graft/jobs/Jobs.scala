@@ -470,20 +470,33 @@ object Jobs {
                    minTokens: Int = 5, maxRep: Double = 0.2,
                    gopher: Boolean = false): Unit = {
     import graft.pipeline.{Dedup, TextMetrics}
+    // Per-stage job descriptions: every action below is attributable in
+    // the UI / event log / metrics listeners (the same naming rule
+    // Bench.timeOne applies per query) — this is what lets the N=500
+    // scale rehearsal report the COMPOSED run per-phase.
+    def stage(name: String): Unit =
+      spark.sparkContext.setJobDescription(s"curate:$name")
     val docs0 = loadDocs(spark, in)
+    stage("input_count")
     val n0 = docs0.count()
     val docs = if (gopher)
       docs0.join(TextMetrics.gopherRules(docs0).filter(col("keep") === 1)
         .select("doc_id"), Seq("doc_id"), "left_semi")
     else docs0
+    stage("gopher_count")
     val gopherNote = if (gopher) s" gopher_kept=${docs.count()}" else ""
     val exact = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
+    stage("exact_dedup")
     val n1 = exact.count()
     // persist across the MULTIPLE ACTIONS below (n2 count + the final
     // write would otherwise each re-run the LSH self-join and the label
     // propagation from scratch — the intra-query no-persist rule
     // [IrQueries note] is about shared subtrees inside ONE action,
     // where ReusedExchange already dedupes; it does not span actions)
+    // description set BEFORE construction: clusters() eagerly
+    // checkpoints its propagation rounds, so near-dedup work starts
+    // here, not at the count
+    stage("near_dedup")
     val near = exact
       .join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
       .persist()
@@ -497,11 +510,15 @@ object Jobs {
         .filter(col("dl") >= minTokens &&
           coalesce(col("rep"), lit(0.0)) <= maxRep)
         .select("doc_id", "text")
+      stage("quality_write")
       kept.write.mode("overwrite").parquet(out)
+      stage("readback_count")
       val n3 = spark.read.parquet(out).count()
       import spark.implicits._
+      stage("report")
       Seq(s"input=$n0$gopherNote exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
         .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
+      spark.sparkContext.setJobDescription(null)
     } finally { near.unpersist(); () }
   }
 

@@ -101,6 +101,29 @@ object Dedup {
   def lshCandidates(docs: DataFrame): DataFrame =
     candidatesFromBands(bandSigs(minhashWide(docs)))
 
+  /** Star-shaped LSH candidate edges: per (band, sig) bucket, one edge
+    * from the bucket-minimum doc to every other member. Connects
+    * EXACTLY the docs [[candidatesFromBands]]'s all-pairs clique
+    * connects (both link precisely the members sharing a band
+    * signature), so connected components are identical — but the
+    * output is O(bucket) rows instead of O(bucket²). The r6 N=500
+    * rehearsal measured why this matters: replica mega-buckets (the
+    * boilerplate-text shape every 100 TB corpus has) make the clique
+    * op quadratic per bucket (39.6M pairs at N=50 → ~4B extrapolated
+    * at N=500) while the star stays linear. Pair-exact consumers
+    * (Jaccard verification px04, the estimator check px27, the
+    * oracle-pinned px03/px08) keep the clique op; connectivity
+    * consumers ([[nearDupKeepers]]) use this.
+    */
+  def lshEdges(docs: DataFrame): DataFrame =
+    bandSigs(minhashWide(docs))
+      .withColumn("d1", org.apache.spark.sql.functions.min("doc_id")
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "sig")))
+      .filter(col("doc_id") =!= col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"))
+      .distinct()
+
   /** Bidirectional (node, other) edge list plus identity edges — the
     * propagation graph shared by [[clusters]] and
     * [[connectedComponents]] (one definition so edge symmetrization
@@ -234,9 +257,17 @@ object Dedup {
 
   /** Near-dup survivor filter: keep each cluster's min-id doc.
     * → the kept (doc_id) set as a one-column frame for a semi-join.
+    *
+    * r6 upgrade: EXACT components over star edges (was: 3-round
+    * [[clusters]] over the all-pairs clique). Same survivors on any
+    * graph the fixed-round contract labeled correctly, but no
+    * mislabeling on dup chains of diameter > 3 and no quadratic
+    * mega-bucket blowup — the at-scale shape on both axes. The
+    * fixed-round contract remains available as [[clusters]] (px19/
+    * px21 pin it against a round-exact oracle).
     */
-  def nearDupKeepers(docs: DataFrame, rounds: Int = 3): DataFrame =
-    clusters(docs, lshCandidates(docs), rounds)
+  def nearDupKeepers(docs: DataFrame): DataFrame =
+    connectedComponents(docs, lshEdges(docs))
       .groupBy("lbl").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 

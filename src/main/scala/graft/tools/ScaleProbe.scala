@@ -115,6 +115,84 @@ object ScaleProbe {
           nprobe = 4, k = 10).count())
     }
 
+    if (args.contains("curate")) {
+      // The r5 verdict's headline item: the COMPOSED curation +
+      // retrieval chain at N=500 (~2.5M docs), measured per-phase with
+      // spill/memory columns (PhaseListener), instead of per-piece
+      // probes. Run with GRAFT_CC_DEBUG=1 to also log CC block counts.
+      import graft.ir.Retrieval
+      import graft.pipeline.Dedup
+      val pl = new PhaseListener
+      spark.sparkContext.addSparkListener(pl)
+      def json(m: Map[String, Long]): String =
+        m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
+          .mkString(",")
+      def tm(w: String)(f: => Long): Unit = {
+        val m0 = pl.mark()
+        pl.resetHeap()
+        val t0 = System.nanoTime()
+        val r = f
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(400) // let the listener bus drain this phase's stages
+        println(f"""[scale] {"phase":"$w","n":$n,"docs":$docs,"rows":$r,"sec":$wall%.2f,"peak_heap_mb":${pl.peakHeapMb},${json(pl.totals(m0))}}""")
+      }
+
+      val tmp = java.nio.file.Files.createTempDirectory("scale_curate")
+        .toString
+      val inDir = s"$tmp/corpus"
+      val outDir = s"$tmp/curated"
+      tm("corpus_write") {
+        big.write.mode("overwrite").parquet(inDir)
+        spark.read.parquet(inDir).count()
+      }
+
+      // the composed run: one call, per-action attribution via the
+      // curate:<stage> job descriptions curateCorpus sets itself
+      val m0 = pl.mark()
+      pl.resetHeap()
+      val t0 = System.nanoTime()
+      graft.jobs.Jobs.curateCorpus(spark, s"parquet:$inDir", outDir,
+        gopher = true)
+      val cw = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(600)
+      println(f"""[scale] {"phase":"curate_composed","n":$n,"docs":$docs,"sec":$cw%.2f,"peak_heap_mb":${pl.peakHeapMb},${json(pl.totals(m0))}}""")
+      pl.phaseTable(m0).foreach { case (desc, m) =>
+        println(s"""[scale] {"phase":"$desc","n":$n,${json(m)}}""")
+      }
+      println("[scale] report: " + spark.read.text(outDir + "_report")
+        .collect().map(_.getString(0)).mkString)
+
+      // retrieval over the curated corpus (the chain a training-data
+      // pipeline runs next: score/sample the kept docs)
+      val curated = spark.read.parquet(outDir).localCheckpoint()
+      import spark.implicits._
+      val q = Retrieval.querySet
+        .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+      tm("retrieval_bm25")(
+        Retrieval.scoreFor(curated, q, Retrieval.bm25Part,
+          Retrieval.bm25Final, conjunctive = false, k = 10).count())
+
+      // the two growth curves the verdict flagged: LSH edge count and
+      // CC convergence (blocks via GRAFT_CC_DEBUG, components as rows
+      // here). The replicated corpus is ALL mega-buckets (500 copies
+      // of every doc share every signature), so the clique pair count
+      // is computed arithmetically per bucket — materializing it is
+      // exactly the quadratic blowup the star edges exist to avoid.
+      tm("lsh_clique_pairs_upper")(
+        Dedup.bandSigs(Dedup.minhashWide(big))
+          .groupBy("band", "sig").count()
+          .selectExpr("CAST(sum(count * (count - 1) / 2) AS BIGINT) AS p")
+          .collect()(0).getLong(0))
+      var cedges: org.apache.spark.sql.DataFrame = null
+      tm("lsh_star_edges") {
+        cedges = Dedup.lshEdges(big).localCheckpoint()
+        cedges.count()
+      }
+      tm("cc_converge")(
+        Dedup.connectedComponents(big, cedges)
+          .select("lbl").distinct().count())
+    }
+
     if (args.contains("semdedup")) {
       // SemDeDup pair-count scaling: k must grow with n (pairs =
       // n²/2k for balanced clusters); measure wall + realized pair

@@ -28,6 +28,36 @@ class ConnectedComponentsSpec extends SparkSpec {
       "if 3 rounds suddenly solve diameter 7, px19's contract changed")
   }
 
+  test("star lshEdges give the same components as the all-pairs clique") {
+    import graft.Tables
+    // the r6 mega-bucket fix: per-bucket star edges must produce
+    // byte-identical component labels to the quadratic pair list on a
+    // real LSH graph (they connect exactly the same signature buckets)
+    val docs = Tables(spark, sfTiny, "documents").select("doc_id", "text")
+    val viaClique = labelsOf(
+      Dedup.connectedComponents(docs, Dedup.lshCandidates(docs)))
+    val viaStar = labelsOf(
+      Dedup.connectedComponents(docs, Dedup.lshEdges(docs)))
+    assert(viaStar == viaClique)
+    // and the edge list is never larger than the clique's
+    val nStar = Dedup.lshEdges(docs).count()
+    val nClique = Dedup.lshCandidates(docs).count()
+    assert(nStar <= nClique, s"star $nStar > clique $nClique")
+  }
+
+  test("star edges stay linear where the clique is quadratic (mega-bucket)") {
+    import spark.implicits._
+    // 200 identical docs = one LSH bucket per band: clique pairs are
+    // b(b-1)/2, the star is b-1 — the 100 TB boilerplate shape
+    val same = (1L to 200L).map(i => (i, "the same boilerplate text " * 8))
+      .toDF("doc_id", "text")
+    assert(Dedup.lshEdges(same).count() == 199L)
+    assert(Dedup.lshCandidates(same).count() == 200L * 199 / 2)
+    // and the keepers collapse to the min id
+    val keep = Dedup.nearDupKeepers(same).collect().map(_.getLong(0)).toSeq
+    assert(keep == Seq(1L))
+  }
+
   test("agrees with the fixed-round labels on an LSH graph already converged") {
     import spark.implicits._
     // two tight pairs + a triangle: diameter <= 2, so 3 rounds converge
