@@ -479,13 +479,25 @@ object Jobs {
     val docs0 = loadDocs(spark, in)
     stage("input_count")
     val n0 = docs0.count()
+    // The gopher gate TOKENIZES the whole corpus; persist its output
+    // across the downstream actions or each of them re-pays the
+    // tokenize (r6 N=500 rehearsal: the un-persisted chain re-derived
+    // the gate inside exact-dedup and near-dedup — MEMORY_AND_DISK so
+    // a corpus bigger than memory spills instead of failing; at real
+    // 100 TB scale each stage is a written parquet artifact instead).
     val docs = if (gopher)
       docs0.join(TextMetrics.gopherRules(docs0).filter(col("keep") === 1)
         .select("doc_id"), Seq("doc_id"), "left_semi")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else docs0
     stage("gopher_count")
     val gopherNote = if (gopher) s" gopher_kept=${docs.count()}" else ""
+    // post-exact-dedup survivors feed FIVE consumers (n1 count, the
+    // LSH edge build, CC's id/label frames, the near semi-join) —
+    // eager-persist across those actions (same multi-action rule as
+    // `near` below)
     val exact = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     stage("exact_dedup")
     val n1 = exact.count()
     // persist across the MULTIPLE ACTIONS below (n2 count + the final
@@ -519,7 +531,12 @@ object Jobs {
       Seq(s"input=$n0$gopherNote exact_dedup=$n1 near_dedup=$n2 quality_kept=$n3")
         .toDF("value").coalesce(1).write.mode("overwrite").text(out + "_report")
       spark.sparkContext.setJobDescription(null)
-    } finally { near.unpersist(); () }
+    } finally {
+      near.unpersist()
+      exact.unpersist()
+      if (gopher) docs.unpersist()
+      ()
+    }
   }
 
   /** Spam-score filter (`ClueWebSpamFilter.java:46-120`): join the

@@ -244,6 +244,24 @@ object PipelineQueries {
       Some(s"WITH $duckLshCtes\nSELECT d1, d2 FROM cand"),
       survey = Seq("DEDUP-LSH")),
 
+    // Star-shaped LSH candidate edges (r6): per (band, sig) bucket one
+    // edge from the bucket-min doc to each member — the SAME connected
+    // components as px03's all-pairs clique at O(bucket) rows instead
+    // of O(bucket²), so a mega-bucket (boilerplate shared by millions
+    // of docs at 100 TB) costs linear edges. nearDupKeepers clusters
+    // over these; ConnectedComponentsSpec asserts the equivalence.
+    Decl(
+      "px55_lsh_star_edges",
+      (s, dir) =>
+        graft.pipeline.Dedup.lshEdges(Tables(s, dir, "documents")),
+      Some(s"""WITH $duckLshCtes,
+              |st AS (SELECT doc_id,
+              |         min(doc_id) OVER (PARTITION BY band, sig) AS mn
+              |       FROM bands)
+              |SELECT DISTINCT mn AS d1, doc_id AS d2
+              |FROM st WHERE doc_id <> mn""".stripMargin),
+      survey = Seq("DEDUP-LSH")),
+
     // Dedup cluster assignment: iterative min-label propagation over
     // the LSH candidate graph (3 fixed rounds — enough for the small
     // near-dup components LSH emits; a production run iterates to a
