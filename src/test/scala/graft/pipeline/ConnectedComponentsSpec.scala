@@ -58,6 +58,24 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(keep == Seq(1L))
   }
 
+  test("star edges: degenerate corpora (empty, single doc, no dups)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.lshEdges(empty).count() == 0)
+    assert(Dedup.nearDupKeepers(empty).count() == 0)
+    val one = Seq((7L, "just one document here")).toDF("doc_id", "text")
+    assert(Dedup.lshEdges(one).count() == 0)
+    assert(Dedup.nearDupKeepers(one).collect().map(_.getLong(0)).toSeq
+      == Seq(7L))
+    // all-distinct corpus: no bucket ever has 2 members -> no edges,
+    // every doc its own keeper
+    val distinctDocs = (1L to 20L)
+      .map(i => (i, s"totally unique document number $i with words " +
+        ("x" + i) * 3)).toDF("doc_id", "text")
+    assert(Dedup.lshEdges(distinctDocs).count() == 0)
+    assert(Dedup.nearDupKeepers(distinctDocs).count() == 20)
+  }
+
   test("agrees with the fixed-round labels on an LSH graph already converged") {
     import spark.implicits._
     // two tight pairs + a triangle: diameter <= 2, so 3 rounds converge
