@@ -1,0 +1,83 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.functions.{call_function, col, lit}
+import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Bloom-filter membership probe: `bloom_mc(bloomBytes, h)` is
+  * true iff the 64-bit key `h` MIGHT be in the serialized filter
+  * (no false negatives; false positives at the built `fpp`).
+  *
+  * This is the broadcast-prefilter primitive for contamination /
+  * overlap checks at 100 TB: a benchmark n-gram set of ~10⁹ entries is
+  * too big to broadcast as a hash-join side (~16 GB of rows) but its
+  * 1%-fpp Bloom filter is ~1.2 GB — executors drop ~99% of corpus
+  * shingles map-side, and only the survivors pay the exact shuffle
+  * join that removes the false positives. The filter itself is built
+  * with a mergeable per-partition `treeAggregate` (same pattern as the
+  * KMV sketch in px28): no row ever reaches the driver, only sketches.
+  *
+  * Expression tier per the build-brief ladder: the probe runs once per
+  * corpus shingle, so it must stay inside whole-stage codegen — one
+  * virtual call per row against a reference-object filter, no boxing.
+  * The filter bytes arrive as a foldable Binary literal (first child)
+  * and are deserialized once per executor, not per row.
+  */
+case class BloomMc(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bloom_mc"
+
+  @transient private lazy val bf: BloomFilter = {
+    require(left.foldable, "bloom_mc: filter bytes must be a literal")
+    BloomFilter.readFrom(
+      new ByteArrayInputStream(left.eval(null).asInstanceOf[Array[Byte]]))
+  }
+
+  override protected def nullSafeEval(b: Any, v: Any): Any =
+    bf.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, (_, v) => s"$ref.mightContainLong($v)")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BloomMc = copy(left = l, right = r)
+}
+
+object BloomMc {
+
+  /** Build a Bloom filter over a LongType column with a mergeable
+    * per-partition aggregate. `putLong`/`mightContainLong` are the
+    * matched pair — the build and the probe hash identically by
+    * construction (not an assumption about `df.stat`'s internals).
+    */
+  def buildLongBloom(df: DataFrame, colName: String,
+                     expectedItems: Long, fpp: Double): Array[Byte] = {
+    val keys: RDD[Long] =
+      df.select(col(colName).cast("long")).na.drop()
+        .rdd.map(_.getLong(0))
+    val bf = keys.treeAggregate(BloomFilter.create(expectedItems, fpp))(
+      (b, v) => { b.putLong(v); b },
+      (a, b) => a.mergeInPlace(b))
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** Column-API probe (resolves through the extension-registered
+    * function, so it works in any GraftSession).
+    */
+  def mightContain(bloomBytes: Array[Byte], c: Column): Column =
+    call_function("bloom_mc", lit(bloomBytes), c)
+}

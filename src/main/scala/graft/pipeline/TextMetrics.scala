@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.text.TextOps
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis metrics for corpus curation, as a public API over any
@@ -197,4 +197,52 @@ object TextMetrics {
           " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
       .withColumn("seq_id", expr(s"cum0 div $budget"))
       .select(col(shardCol), col("doc_id"), col("n_tok"), col("seq_id"))
+
+  /** PII masking patterns (kind, regex, replacement), applied in this
+    * order. The standard regex-masking pass of corpus curation
+    * (Dolma/CCNet-style): deliberately naive, deliberately documented —
+    * the email pattern is the usual RFC-blind approximation, the phone
+    * pattern is NANP 3-3-4 with `-`/`.` separators, and the IPv4
+    * pattern accepts any 1–3-digit octets (so version strings like
+    * `1.2.3.4` also mask; callers who care pre-filter). Patterns use
+    * only the regex subset Java and RE2 interpret identically (ASCII
+    * classes, `\b`, bounded repetition — no lookaround, no backrefs),
+    * so the DuckDB oracle replays them verbatim.
+    *
+    * Scale: three codegen'd `regexp_replace`/`regexp_count` passes per
+    * doc, no shuffle at all — the cheapest class of operator here.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+      "<EMAIL>"),
+    ("phone", """\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b""", "<PHONE>"),
+    ("ip", """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""", "<IP>"))
+
+  /** `c` with every PII match replaced by its placeholder. Column API
+    * (not expr strings): Spark's SQL parser would eat the `\b` escapes,
+    * the Column form passes the patterns verbatim.
+    */
+  def redactPii(c: Column): Column =
+    piiPatterns.foldLeft(c) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, lit(p), lit(r))
+    }
+
+  /** Per-kind match counts for `c`, aliased `n_<kind>`, counted BEFORE
+    * any masking (an email's digits must not be double-counted as a
+    * phone — counting on the unmasked text keeps kinds independent).
+    */
+  def piiCounts(c: Column): Seq[Column] =
+    piiPatterns.map { case (k, p, _) =>
+      regexp_count(c, lit(p)).cast("bigint").as(s"n_$k")
+    }
+
+  /** DuckDB twins for oracle authoring (RE2 reads the same patterns). */
+  def duckRedactPii(e: String): String =
+    piiPatterns.foldLeft(e) { case (acc, (_, p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
+    }
+  def duckPiiCounts(e: String): Seq[String] =
+    piiPatterns.map { case (k, p, _) =>
+      s"len(regexp_extract_all($e, '$p')) AS n_$k"
+    }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.functions.DetHash
+import graft.functions.{BloomMc, DetHash}
 import graft.text.TextOps
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -210,6 +210,22 @@ object PipelineQueries {
     */
   private val dotExpr = "dot_f64(ea, eb)"
   private val normExpr = "norm2_f64(emb)"
+
+  /** Contamination-check oracle (px24 + its Bloom-prefiltered twin
+    * px56 — the prefilter has no false negatives and the exact join
+    * removes false positives, so both compute THIS same answer).
+    */
+  private val duckContamSql =
+    s"""WITH $duckToksList,
+       |sh AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(tk) - 4, 0)),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+       |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+       |hs AS (SELECT doc_id, ${H("s")} AS sh FROM sh),
+       |bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id < 50)
+       |SELECT doc_id, count(*) AS n_shared
+       |FROM hs JOIN bench USING (sh)
+       |WHERE doc_id >= 50 GROUP BY doc_id""".stripMargin
 
   val all: Seq[Decl] = Seq(
 
@@ -1017,16 +1033,7 @@ object PipelineQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_shared"))
       },
-      Some(s"""WITH $duckToksList,
-              |sh AS (SELECT doc_id, unnest(list_transform(
-              |    generate_series(1, greatest(len(tk) - 4, 0)),
-              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
-              |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
-              |hs AS (SELECT doc_id, ${H("s")} AS sh FROM sh),
-              |bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id < 50)
-              |SELECT doc_id, count(*) AS n_shared
-              |FROM hs JOIN bench USING (sh)
-              |WHERE doc_id >= 50 GROUP BY doc_id""".stripMargin),
+      Some(duckContamSql),
       survey = Seq("TEXT-CONTAMINATION")),
 
     // Multimodal metadata: documents as opaque binary blobs with typed,
@@ -2065,6 +2072,90 @@ object PipelineQueries {
               |FROM selc a JOIN selc b
               |  ON a.fp = b.fp AND a.doc_id < b.doc_id
               |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin),
-      survey = Seq("FINGERPRINT-WINNOW", "DEDUP-CANDIDATES"))
+      survey = Seq("FINGERPRINT-WINNOW", "DEDUP-CANDIDATES")),
+
+    // px24's semantics through the 100 TB-shaped plan: a broadcast
+    // Bloom prefilter (built with a mergeable treeAggregate — rows
+    // never reach the driver, only sketches) drops non-benchmark
+    // shingles map-side inside whole-stage codegen; only the ~fpp
+    // survivors pay the exact join that removes false positives. At
+    // sf the bench side broadcast-joins anyway; at 10⁹ benchmark
+    // n-grams the join side is ~16 GB (unbroadcastable) while its
+    // 1%-fpp Bloom is ~1.2 GB — the prefilter is what keeps the
+    // shuffle ~100× smaller than px24's. No false negatives by
+    // construction, so the oracle is the SAME SQL as px24.
+    Decl(
+      "px56_bloom_contamination",
+      (s, dir) => {
+        val sh = TextOps.shingleRows(Tables(s, dir, "documents"), 5)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+        val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
+        val bloom = BloomMc.buildLongBloom(bench, "sh", 1L << 20, 0.01)
+        sh.filter(col("doc_id") >= 50)
+          .filter(BloomMc.mightContain(bloom, col("sh")))
+          .join(bench, Seq("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shared"))
+      },
+      Some(duckContamSql),
+      survey = Seq("TEXT-CONTAMINATION")),
+
+    // Dolma-style PII masking, end-to-end oracle-gated: deterministic
+    // synthetic PII is injected into doc_id-keyed slices (the
+    // synthetic corpus carries none of its own — the injection IS part
+    // of the queried expression, identically in both engines), counted
+    // per kind on the unmasked text, masked, and the masked text
+    // ITSELF pinned cross-engine by an order-independent bit_xor of
+    // its h60. Pure narrow map + one keyed agg; the realistic-text
+    // goldens (incl. documented false-positive behavior) live in
+    // PiiSpec.
+    Decl(
+      "px57_pii_redact",
+      (s, dir) => {
+        val inj = Tables(s, dir, "documents").withColumn("txt", expr(
+          "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' contact user'," +
+            " CAST(doc_id % 100 AS STRING), '@example.com')" +
+            " WHEN doc_id % 11 = 0 THEN concat(text, ' call 555-867-'," +
+            " lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))" +
+            " WHEN doc_id % 13 = 0 THEN concat(text, ' from 10.0.'," +
+            " CAST(doc_id % 256 AS STRING), '.'," +
+            " CAST(doc_id % 254 + 1 AS STRING))" +
+            " ELSE text END"))
+        val red = inj.select(
+          (col("source") +:
+            graft.pipeline.TextMetrics.piiCounts(col("txt")) :+
+            graft.pipeline.TextMetrics.redactPii(col("txt")).as("rtxt")): _*)
+        red.groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+            .otherwise(0L)).as("docs_with_pii"),
+          sum("n_email").as("n_email"),
+          sum("n_phone").as("n_phone"),
+          sum("n_ip").as("n_ip"),
+          expr("bit_xor(h60(rtxt))").as("red_sig"))
+      },
+      Some(s"""WITH inj AS (SELECT doc_id, source,
+              |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+              |    CAST(doc_id % 100 AS VARCHAR) || '@example.com'
+              |  WHEN doc_id % 11 = 0 THEN text || ' call 555-867-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              |  WHEN doc_id % 13 = 0 THEN text || ' from 10.0.' ||
+              |    CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              |    CAST(doc_id % 254 + 1 AS VARCHAR)
+              |  ELSE text END AS txt FROM documents),
+              |cnt AS (SELECT source,
+              |  ${graft.pipeline.TextMetrics.duckPiiCounts("txt")
+                   .mkString(",\n  ")},
+              |  ${graft.pipeline.TextMetrics.duckRedactPii("txt")} AS rtxt
+              |FROM inj)
+              |SELECT source, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0
+              |    THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+              |  CAST(sum(n_email) AS BIGINT) AS n_email,
+              |  CAST(sum(n_phone) AS BIGINT) AS n_phone,
+              |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
+              |  bit_xor(${H("rtxt")}) AS red_sig
+              |FROM cnt GROUP BY source""".stripMargin),
+      survey = Seq("TEXT-PII"))
   )
 }
