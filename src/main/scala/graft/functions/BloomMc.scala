@@ -4,15 +4,16 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.functions.{call_function, col, lit}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** Native Bloom-filter membership probe: `bloom_mc(bloomBytes, h)` is
-  * true iff the 64-bit key `h` MIGHT be in the serialized filter
-  * (no false negatives; false positives at the built `fpp`).
+/** Native Bloom-filter membership probe: true iff the 64-bit key
+  * MIGHT be in the filter (no false negatives; false positives at the
+  * built `fpp`).
   *
   * This is the broadcast-prefilter primitive for contamination /
   * overlap checks at 100 TB: a benchmark n-gram set of ~10⁹ entries is
@@ -26,33 +27,35 @@ import org.apache.spark.util.sketch.BloomFilter
   * Expression tier per the build-brief ladder: the probe runs once per
   * corpus shingle, so it must stay inside whole-stage codegen — one
   * virtual call per row against a reference-object filter, no boxing.
-  * The filter bytes arrive as a foldable Binary literal (first child)
-  * and are deserialized once per executor, not per row.
+  * The serialized filter rides as a constructor field, NOT a Binary
+  * literal child: a literal's plan rendering is proportional to the
+  * filter size (megabytes of hex in every explain/log of the plan),
+  * while a non-child field prints truncated. It ships to executors
+  * once per stage inside the task binary, like any literal would.
   */
-case class BloomMc(left: Expression, right: Expression)
-    extends BinaryExpression {
+case class BloomMc(child: Expression, bytes: Array[Byte])
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_mc"
+  override def toString: String =
+    s"bloom_mc($child, <${bytes.length}B sketch>)"
 
-  @transient private lazy val bf: BloomFilter = {
-    require(left.foldable, "bloom_mc: filter bytes must be a literal")
-    BloomFilter.readFrom(
-      new ByteArrayInputStream(left.eval(null).asInstanceOf[Array[Byte]]))
-  }
+  @transient private lazy val bf: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 
-  override protected def nullSafeEval(b: Any, v: Any): Any =
+  override protected def nullSafeEval(v: Any): Any =
     bf.mightContainLong(v.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bloomFilter", bf,
       classOf[BloomFilter].getName)
-    defineCodeGen(ctx, ev, (_, v) => s"$ref.mightContainLong($v)")
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainLong($v)")
   }
 
-  override protected def withNewChildrenInternal(
-      l: Expression, r: Expression): BloomMc = copy(left = l, right = r)
+  override protected def withNewChildInternal(newChild: Expression): BloomMc =
+    copy(child = newChild)
 }
 
 object BloomMc {
@@ -75,9 +78,8 @@ object BloomMc {
     out.toByteArray
   }
 
-  /** Column-API probe (resolves through the extension-registered
-    * function, so it works in any GraftSession).
-    */
+  /** Column-API probe over a LongType column. */
   def mightContain(bloomBytes: Array[Byte], c: Column): Column =
-    call_function("bloom_mc", lit(bloomBytes), c)
+    GraftColumnBridge.column(
+      BloomMc(GraftColumnBridge.expression(c), bloomBytes))
 }

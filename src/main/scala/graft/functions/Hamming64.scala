@@ -79,9 +79,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (exprs: Seq[Expression]) => TokenShingles(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("bloom_mc"),
-      new ExpressionInfo(classOf[BloomMc].getName, "bloom_mc"),
-      (exprs: Seq[Expression]) => BloomMc(exprs(0), exprs(1))))
   }
 }
