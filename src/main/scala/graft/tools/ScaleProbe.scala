@@ -193,6 +193,45 @@ object ScaleProbe {
           .select("lbl").distinct().count())
     }
 
+    if (args.contains("bloom")) {
+      // Bloom-prefilter A/B at replicated scale: the px56 claim is
+      // that when the benchmark n-gram set cannot broadcast, the
+      // sketch cuts the contamination join's shuffle input by ~1/fpp.
+      // Broadcast is disabled for both join phases so the shuffle-size
+      // cut is the thing actually measured, not hidden behind a
+      // broadcast hash join of the small fixture bench set.
+      import graft.functions.{BloomMc, DetHash}
+      import graft.text.TextOps
+      val sh = TextOps.shingleRows(big, 5)
+        .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+      val corpus = sh.filter(col("doc_id") % lit(10000000L) >= 50)
+        .localCheckpoint()
+      val nsh = corpus.count()
+      val bench = sh.filter(col("doc_id") < 50).select("sh").distinct()
+        .localCheckpoint()
+      val nb = bench.count()
+      println(s"""[scale] {"phase":"bloom_sizes","n":$n,"bench_shingles":$nb,"corpus_shingles":$nsh}""")
+      var bloom: Array[Byte] = null
+      t("bloom_build") {
+        bloom = BloomMc.buildLongBloom(bench, "sh", nb max 1024, 0.01)
+        bloom.length.toLong
+      }
+      var surv = 0L
+      t("bloom_prefilter_scan") {
+        surv = corpus.filter(BloomMc.mightContain(bloom, col("sh"))).count()
+        surv
+      }
+      println(f"""[scale] {"phase":"bloom_prune","n":$n,"survivors":$surv,"prune_pct":${100.0 * (nsh - surv) / nsh}%.2f}""")
+      val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t("shuffle_join_plain")(
+        corpus.join(bench, Seq("sh")).groupBy("doc_id").count().count())
+      t("shuffle_join_bloomed")(
+        corpus.filter(BloomMc.mightContain(bloom, col("sh")))
+          .join(bench, Seq("sh")).groupBy("doc_id").count().count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+
     if (args.contains("semdedup")) {
       // SemDeDup pair-count scaling: k must grow with n (pairs =
       // n²/2k for balanced clusters); measure wall + realized pair
