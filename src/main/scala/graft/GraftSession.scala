@@ -47,10 +47,12 @@ object GraftSession {
         sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "30min"))
       .config("spark.sql.warehouse.dir",
         sys.props("java.io.tmpdir") + "/graft-warehouse")
-      // events.parquet carries TIMESTAMP(NANOS), which Spark's µs-based
-      // TimestampType cannot scan ([PARQUET_TYPE_ILLEGAL]); read the raw
-      // int64 and convert with `timestamp_micros(ts div 1000)` (floor —
-      // matching DuckDB's own ns→µs truncation) in Tables.events.
+      // Some event parquet carries TIMESTAMP(NANOS), which Spark's
+      // µs-based TimestampType cannot scan ([PARQUET_TYPE_ILLEGAL]);
+      // with this conf a NANOS column arrives as raw int64 instead and
+      // Tables.normalizeTs floor-converts it (matching DuckDB's own
+      // ns→µs truncation). Harmless for µs/NTZ data — the conf only
+      // affects NANOS-annotated columns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // SPARK_GRAFT_EVENTLOG=/some/dir → per-run Spark event log, the
       // stage/task-level record needed to diagnose intermittent query
@@ -79,11 +81,29 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts arrives as int64 nanos (see GraftSession nanosAsLong);
-    // floor-convert to µs TimestampType, bit-identical to DuckDB's read.
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions
-        .expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") normalizeTs(df) else df
+  }
+
+  /** Normalize an event-time column to session-TZ `TimestampType`,
+    * whatever physical type the parquet writer chose. Data producers
+    * legitimately vary — TIMESTAMP(NANOS) (arrives as int64 under the
+    * session's nanosAsLong conf), timestamp[us] without UTC adjustment
+    * (arrives as TIMESTAMP_NTZ), or an adjusted-to-UTC timestamp — and
+    * a 100 TB engine must read all of them identically. The session is
+    * pinned to UTC, so NTZ≡UTC and every branch yields the same
+    * instants (floor ns→µs matches DuckDB's own truncation).
+    */
+  def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema(colName).dataType match {
+      case LongType =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
+      case TimestampType => df
+      case other => throw new IllegalArgumentException(
+        s"unsupported event-time type for '$colName': $other")
+    }
   }
 }

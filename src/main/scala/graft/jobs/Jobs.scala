@@ -631,14 +631,7 @@ object Jobs {
                 threshold: Double = 100.0): Unit = {
     val grid = spark.range(0, 3)
       .select(expr("CAST(pow(2, id) AS DOUBLE)").as("w"))
-    val raw = spark.read.parquet(in)
-    // TIMESTAMP(NANOS) parquet arrives as int64 under the session's
-    // nanosAsLong conf (GraftSession note) — floor-convert like Tables
-    val ev =
-      if (raw.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val ev = graft.Tables.normalizeTs(spark.read.parquet(in))
     val agg = ev
       .select(col("value"), expr("hour(ts)").as("hr"))
       .crossJoin(broadcast(grid))

@@ -21,21 +21,18 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw events schema as read from parquet (ts arrives as int64
-    * nanoseconds — see GraftSession nanosAsLong).
+  /** Raw events schema as physically present in `eventsDir` — a
+    * streaming read needs an explicit schema, and hard-coding one broke
+    * the moment the data producer switched ts from TIMESTAMP(NANOS) to
+    * timestamp[us]; infer from the parquet footers instead and let
+    * `Tables.normalizeTs` absorb whichever type arrived.
     */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventsSchema(spark: SparkSession, eventsDir: String): StructType =
+    spark.read.parquet(eventsDir).schema
 
   /** The shared transformation: hourly tumbling-window aggregate. */
   def hourlyAgg(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeTs(events)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -45,7 +42,7 @@ object EventStream {
 
   /** Batch execution of the shared transformation. */
   def batch(spark: SparkSession, eventsDir: String): DataFrame =
-    hourlyAgg(spark.read.schema(eventsSchema).parquet(eventsDir))
+    hourlyAgg(spark.read.parquet(eventsDir))
 
   // ---- stateful sessionization (flatMapGroupsWithState) ----
 
@@ -96,8 +93,10 @@ object EventStream {
   def sessionizeToMemory(spark: SparkSession, eventsDir: String,
                          queryName: String): StreamingQuery = {
     import spark.implicits._
-    val evs = spark.readStream.schema(eventsSchema).parquet(eventsDir)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
+    val evs = graft.Tables.normalizeTs(
+      spark.readStream.schema(eventsSchema(spark, eventsDir))
+        .parquet(eventsDir))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
     sessionize(evs)
       .writeStream.outputMode("append").format("memory")
       .queryName(queryName).trigger(Trigger.AvailableNow()).start()
@@ -129,7 +128,7 @@ object EventStream {
   def streamToMemory(spark: SparkSession, eventsDir: String,
                      queryName: String): StreamingQuery =
     hourlyAgg(
-      spark.readStream.schema(eventsSchema)
+      spark.readStream.schema(eventsSchema(spark, eventsDir))
         .option("maxFilesPerTrigger", "1").parquet(eventsDir))
       .writeStream
       // complete mode: emit every window at end-of-stream (append would

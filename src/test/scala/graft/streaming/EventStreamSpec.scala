@@ -164,7 +164,8 @@ class EventStreamSpec extends SparkSpec {
         "row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type)"))
       .filter(col("r") === 1)
       .select(col("user_id"), col("event_type").as("home_type"))
-    val q = spark.readStream.schema(EventStream.eventsSchema).parquet(dir)
+    val q = spark.readStream
+      .schema(EventStream.eventsSchema(spark, dir)).parquet(dir)
       .select("event_id", "user_id", "event_type")
       .join(dim, Seq("user_id"))
       .withColumn("is_home",
