@@ -92,13 +92,28 @@ object Tables {
     * a 100 TB engine must read all of them identically. The session is
     * pinned to UTC, so NTZ≡UTC and every branch yields the same
     * instants (floor ns→µs matches DuckDB's own truncation).
+    *
+    * The int64 branch asserts the epoch-NANOSECOND contract at runtime:
+    * a producer writing plain BIGINT epoch-micros would otherwise be
+    * silently divided by 1000 and land near 1970. Any value that floors
+    * to a pre-2000 instant (< 946684800e9 ns; the generators emit
+    * nothing earlier) fails the whole read loudly instead.
     */
   def normalizeTs(df: DataFrame, colName: String = "ts"): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema(colName).dataType match {
       case LongType =>
-        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+        df.withColumn(colName, expr(
+          s"""timestamp_micros(CASE
+             |  WHEN $colName IS NULL OR $colName >= 946684800000000000L
+             |    THEN $colName div 1000
+             |  ELSE raise_error(concat(
+             |    'int64 event-time $colName=', CAST($colName AS STRING),
+             |    ' is not epoch-nanoseconds (pre-2000 instant); ',
+             |    'plain BIGINT epoch-micros is not supported — ',
+             |    'write parquet TIMESTAMP or nanos'))
+             |END)""".stripMargin))
       case TimestampNTZType =>
         df.withColumn(colName, col(colName).cast(TimestampType))
       case TimestampType => df

@@ -341,44 +341,45 @@ object PipelineQueries {
     Decl(
       "px04_jaccard_top",
       (s, dir) => {
-        val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+        // NO persist (round-4 A/B, ProbePx04c): recompute beats the
+        // serialized cache build; a lazy persist storms (px27 note). At
+        // 100 TB the distinct shingle table is a written artifact, not
+        // an in-query cache. NO pre-`distinct` either (round-9 A/B,
+        // ProbePx04e/f): dedup happens INSIDE each aggregate —
+        // `collect_set` within sh groups ≡ distinct (doc_id, sh) then
+        // collect_list, and per-doc distinct count ≡ set size — so the
+        // (doc_id, sh)-keyed distinct exchange disappears entirely and
+        // the raw shingle stream stays narrow into both branches
+        // (first-run 4.6 → 2.2 s at sf0.1; warm within noise of the
+        // old shape; stage breakdown in ProbePx04f).
+        val raw = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
-          .distinct()
-        // NO persist (round-4 A/B, ProbePx04c): recompute 2.6–3.5 s vs
-        // 2.9–7.3 s with the eager persist — two parallel recomputes of
-        // the shingle pass beat the serialized cache build; a lazy
-        // persist storms (px27 note). At 100 TB the distinct shingle
-        // table is a written artifact, not an in-query cache.
-        val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val sizes = raw.groupBy("doc_id")
+          .agg(size(collect_set(col("sh"))).as("sz"))
         // Hot-shingle cap + pair generation in ONE grouped pass: a
         // shingle shared by d docs contributes d²/2 join pairs, so one
         // boilerplate shingle at 10⁵ df is a 10¹⁰-pair key at 100 TB.
-        // Collect each shingle's (sorted) doc list, DROP df > cap
-        // (sizes stay exact — standard near-dup practice), and expand
-        // ordered pairs as a narrow array expression. Same semantics as
-        // the hot-set anti-join + self-join shape, three exchanges
-        // fewer; per-group work is bounded by cap²/2 by construction.
-        // Cap is far above the corpus max df at the gated SFs
-        // (7 @ sf0.01, 25 @ sf0.1), so results are unchanged there.
-        // Round-5 adjudication (ProbePx04d, 2×3 order-controlled sets
-        // each way at sf0.1): vs the plain capped self-join (the
-        // DuckDB oracle's shape) — whichever variant runs FIRST pays
-        // ~4.3 s (cold scan+tokenize subtree, shared by both); warm,
-        // grouped 1.6–1.9 s vs self-join 2.0–2.3 s. The r4 driver
-        // rerun's 6.9 s was that cold-subtree cost plus machine noise,
-        // not the expand — grouped ties cold, wins warm, and keeps the
-        // three-fewer-exchange shape, so it stays.
-        val inter = ds.groupBy("sh")
-          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
-            count(lit(1)).as("dfs"))
-          .filter(col("dfs") <= MaxShingleDf)
+        // Collect each shingle's (sorted, deduped) doc list, DROP
+        // df > cap (sizes stay exact — standard near-dup practice), and
+        // expand ordered pairs as a narrow array expression, PACKED
+        // into one bigint (d1<<32 | d2, doc_ids < 2³¹ by generator
+        // contract): the pair shuffle moves one long instead of a
+        // two-field struct and aggregates on a single word (ProbePx04e
+        // round-9 A/B; the r6-sketch array_intersect variant lost
+        // 3–4× and is retired — same probe). Per-group work is bounded
+        // by cap²/2 by construction; cap is far above the corpus max
+        // df at the gated SFs (7 @ sf0.01, 25 @ sf0.1), so results are
+        // unchanged there.
+        val inter = raw.groupBy("sh")
+          .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+          .filter(size(col("ids")) <= MaxShingleDf)
           .select(explode(expr(
             "flatten(transform(ids, (x, i) -> " +
               "transform(slice(ids, i + 2, size(ids)), " +
-              "y -> struct(x AS d1, y AS d2))))")).as("p"))
-          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .groupBy("d1", "d2")
-          .agg(count(lit(1)).as("inter"))
+              "y -> shiftleft(x, 32) + y)))")).as("pk"))
+          .groupBy("pk").agg(count(lit(1)).as("inter"))
+          .select(expr("shiftright(pk, 32)").as("d1"),
+            expr("pk & 4294967295").as("d2"), col("inter"))
         inter
           .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))
           .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), Seq("d2"))

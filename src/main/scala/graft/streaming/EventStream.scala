@@ -25,10 +25,35 @@ object EventStream {
     * streaming read needs an explicit schema, and hard-coding one broke
     * the moment the data producer switched ts from TIMESTAMP(NANOS) to
     * timestamp[us]; infer from the parquet footers instead and let
-    * `Tables.normalizeTs` absorb whichever type arrived.
+    * `Tables.normalizeTs` absorb whichever type arrived. Inference
+    * happens ONCE at stream start, so this fixes stream *restarts*
+    * after a producer-side type switch; a type switch under an
+    * already-running stream still mismatches the fixed source schema
+    * (that requires a restart, as with any Structured Streaming
+    * source schema change).
+    *
+    * If `eventsDir` is empty or absent (a stream started before the
+    * first file lands), inference has nothing to read; fall back to
+    * the producer's documented schema (timestamp[us] ts) so the query
+    * can start and pick up files as they arrive.
     */
   def eventsSchema(spark: SparkSession, eventsDir: String): StructType =
-    spark.read.parquet(eventsDir).schema
+    try spark.read.parquet(eventsDir).schema
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => defaultEventsSchema
+    }
+
+  /** Fallback schema for a not-yet-populated events dir (matches the
+    * driver generator's current layout; `Tables.normalizeTs` accepts
+    * it unchanged).
+    */
+  val defaultEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
 
   /** The shared transformation: hourly tumbling-window aggregate. */
   def hourlyAgg(events: DataFrame): DataFrame =

@@ -22,25 +22,101 @@ package graft.text
   */
 object KrovetzStem {
 
-  /** Full-token exceptions, applied before any rule: irregular or
-    * dictionary-only cases the orthographic rules would mangle.
+  /** Full-token exceptions, applied before any rule: the dictionary
+    * layer of Krovetz. The published stemmer consults a ~30k headword
+    * lexicon twice — words that ARE headwords return unchanged
+    * (protection), and a direct-conflation table maps irregular forms
+    * (Krovetz 1993 §3; Lemur `KrovetzStemmer` behavior). This table is
+    * the curated completion of both families over the suffix patterns
+    * the orthographic rules mis-handle: every entry is either a
+    * headword that *looks* suffixed (protection, maps to itself) or an
+    * irregular form whose stem no rule can derive (conflation).
+    * KrovetzStemSpec pins each family; unlisted rare words fall to the
+    * rules and may diverge from dictionary Krovetz (documented there).
     */
   val exceptions: Seq[(String, String)] = Seq(
-    // not plurals / lexical '-s'
+    // --- protection: lexical '-s' headwords (not plurals) ---
     "news" -> "news", "series" -> "series", "species" -> "species",
-    "this" -> "this",
-    // '-oes'/'-ies' words whose singular keeps the e / differs
+    "this" -> "this", "alias" -> "alias", "bias" -> "bias",
+    "atlas" -> "atlas", "chaos" -> "chaos", "lens" -> "lens",
+    "canvas" -> "canvas", "always" -> "always", "perhaps" -> "perhaps",
+    "diabetes" -> "diabetes", "christmas" -> "christmas",
+    "molasses" -> "molasses", "measles" -> "measles",
+    "cosmos" -> "cosmos", "texas" -> "texas", "kansas" -> "kansas",
+    // --- protection: '-ing' headwords the length guard misses ---
+    "during" -> "during", "morning" -> "morning", "evening" -> "evening",
+    "nothing" -> "nothing", "something" -> "something",
+    "anything" -> "anything", "everything" -> "everything",
+    "spring" -> "spring", "string" -> "string", "sterling" -> "sterling",
+    "ceiling" -> "ceiling", "sibling" -> "sibling", "darling" -> "darling",
+    "dwelling" -> "dwelling", "shilling" -> "shilling",
+    "cunning" -> "cunning", "herring" -> "herring", "pudding" -> "pudding",
+    "being" -> "being",
+    // --- protection: '-ed' headwords ---
+    "hundred" -> "hundred", "sacred" -> "sacred", "hatred" -> "hatred",
+    "kindred" -> "kindred", "naked" -> "naked", "wicked" -> "wicked",
+    "rugged" -> "rugged", "ragged" -> "ragged", "wretched" -> "wretched",
+    "shred" -> "shred", "infrared" -> "infrared", "indeed" -> "indeed",
+    // --- conflation: '-oes'/'-ies'/'-es' irregular plurals ---
     "movies" -> "movie", "shoes" -> "shoe", "toes" -> "toe",
-    // '-eed' / short '-ied' forms below the rule length guards
-    "agreed" -> "agree", "freed" -> "free", "indeed" -> "indeed",
-    "died" -> "die", "lied" -> "lie", "tied" -> "tie",
-    // short / irregular '-ing' and '-ed' forms
+    "cookies" -> "cookie", "calories" -> "calorie", "rookies" -> "rookie",
+    "zombies" -> "zombie", "prairies" -> "prairie",
+    "gases" -> "gas", "buses" -> "bus", "viruses" -> "virus",
+    "bonuses" -> "bonus", "focuses" -> "focus", "censuses" -> "census",
+    "does" -> "do",
+    // --- conflation: '-eed' / short '-ied' below the length guards ---
+    "agreed" -> "agree", "freed" -> "free",
+    "died" -> "die", "lied" -> "lie", "tied" -> "tie", "vied" -> "vie",
+    "cued" -> "cue", "sued" -> "sue", "owed" -> "owe", "eyed" -> "eye",
+    "iced" -> "ice", "toed" -> "toe", "hued" -> "hue",
+    // --- conflation: short / irregular '-ing' and '-ed' forms ---
     "dying" -> "die", "lying" -> "lie", "tying" -> "tie",
-    "going" -> "go", "doing" -> "do", "being" -> "being",
-    "using" -> "use", "used" -> "use",
+    "vying" -> "vie", "going" -> "go", "doing" -> "do",
+    "using" -> "use", "used" -> "use", "owing" -> "owe",
+    "suing" -> "sue", "aging" -> "age", "aged" -> "age",
     "writing" -> "write", "coming" -> "come",
-    // vowel+'t' stems only a dictionary can restore
-    "created" -> "create", "creating" -> "create")
+    // --- conflation: stems only a dictionary can restore ---
+    "created" -> "create", "creating" -> "create",
+    "biased" -> "bias", "biases" -> "bias",
+    "canoeing" -> "canoe", "canoed" -> "canoe",
+    "dyeing" -> "dye", "singeing" -> "singe",
+    // --- conflation: 'p'-final stems (stress-ambiguous: hoped→hope
+    //     but developed→develop; rule keeps bare stem, table restores
+    //     the frequent e-final ones) ---
+    "hoped" -> "hope", "hoping" -> "hope", "shaped" -> "shape",
+    "shaping" -> "shape", "typed" -> "type", "typing" -> "type",
+    "wiped" -> "wipe", "wiping" -> "wipe", "escaped" -> "escape",
+    "escaping" -> "escape", "taped" -> "tape", "taping" -> "tape",
+    // --- conflation: 't'-final stems (visited→visit but noted→note) ---
+    "noted" -> "note", "noting" -> "note", "voted" -> "vote",
+    "voting" -> "vote", "rated" -> "rate", "rating" -> "rate",
+    "dated" -> "date", "dating" -> "date", "cited" -> "cite",
+    "citing" -> "cite", "stated" -> "state", "stating" -> "state",
+    "quoted" -> "quote", "quoting" -> "quote", "united" -> "unite",
+    "uniting" -> "unite", "invited" -> "invite", "inviting" -> "invite",
+    "promoted" -> "promote", "promoting" -> "promote",
+    "devoted" -> "devote", "located" -> "locate",
+    "locating" -> "locate", "related" -> "relate",
+    "relating" -> "relate", "updated" -> "update",
+    "updating" -> "update", "guided" -> "guide", "guiding" -> "guide",
+    // --- conflation: 'r'-final stems (scored→score but honored→honor) ---
+    "fired" -> "fire", "firing" -> "fire", "hired" -> "hire",
+    "hiring" -> "hire", "tired" -> "tire", "desired" -> "desire",
+    "required" -> "require", "requiring" -> "require",
+    "admired" -> "admire", "inspired" -> "inspire",
+    "retired" -> "retire", "compared" -> "compare",
+    "comparing" -> "compare", "shared" -> "share",
+    "sharing" -> "share", "prepared" -> "prepare",
+    "preparing" -> "prepare", "declared" -> "declare",
+    "declaring" -> "declare", "cared" -> "care", "caring" -> "care",
+    "scored" -> "score", "scoring" -> "score", "stored" -> "store",
+    "storing" -> "store", "ignored" -> "ignore",
+    "ignoring" -> "ignore", "explored" -> "explore",
+    "exploring" -> "explore", "bored" -> "bore",
+    "restored" -> "restore", "restoring" -> "restore",
+    "measured" -> "measure", "measuring" -> "measure",
+    "figured" -> "figure", "captured" -> "capture",
+    "featured" -> "feature", "secured" -> "secure")
 
   private val V = "('a','e','i','o','u')"
 
@@ -102,16 +178,26 @@ object KrovetzStem {
   /** e-restoration after suffix removal: endings that essentially never
     * close an English stem without a final 'e' ('c','v','u','g'
     * always; 'k'/'z'/'s' after a single vowel; 'l' after a non-l
-    * consonant). Dictionary Krovetz decides by lookup; this is the
-    * orthographic approximation, with the table above catching the
-    * frequent words it gets wrong.
+    * consonant; round-9 dictionary-completion families — 'd'/'m'/'b'
+    * after a single non-'e' vowel (decided→decide, named→name,
+    * described→describe; the 'e' exclusion keeps attended/happened/
+    * seemed bare) and 'n' after single 'i' only (defined→define,
+    * combined→combine; 'o' stays bare so reasoned/abandoned/mentioned
+    * survive, with phoned-type words left to the table). 't','p','r'
+    * are deliberately NOT restored — stress decides (visited/limited
+    * vs noted/rated; developed vs hoped; honored vs scored) and only
+    * the exception table can know. Dictionary Krovetz decides all of
+    * this by lookup; this is the orthographic approximation, with the
+    * table above catching the frequent words it gets wrong.
     */
   private def restoreE(c: String, off: Int): String = {
     val l = ch(c, off); val p = ch(c, off + 1); val pp = ch(c, off + 2)
     s"($l IN ('c','v','u','g') OR " +
       s"($l = 'k' AND $p IN $V AND NOT $pp IN $V) OR " +
       s"($l IN ('z','s') AND $p IN $V) OR " +
-      s"($l = 'l' AND NOT $p IN $V AND $p <> 'l'))"
+      s"($l = 'l' AND NOT $p IN $V AND $p <> 'l') OR " +
+      s"($l = 'n' AND $p = 'i' AND NOT $pp IN $V) OR " +
+      s"($l IN ('m','d','b') AND $p IN ('a','i','o','u') AND NOT $pp IN $V))"
   }
 
   /** Step 2 — past tense (`-eed` kept, `-ied`→y, `-ed` with

@@ -1,0 +1,67 @@
+package graft.tools
+import graft.{GraftSession, Tables}
+import graft.functions.DetHash
+import graft.text.TextOps
+import org.apache.spark.sql.functions._
+
+/** Stage-cost breakdown for px04 (round 9): which part of the warm
+  * 2.8 s is the shingle subtree, the distinct, the sh-agg, the pair
+  * expand, the pair re-agg? Each count() below adds one stage over the
+  * previous line; deltas localize the cost.
+  */
+object ProbePx04f {
+  def main(args: Array[String]): Unit = {
+    val s = GraftSession.local()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cap = 1000
+    Tables(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
+      .filter(col("t") =!= "").groupBy("t").count().count()
+    def t(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[probe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
+    }
+    def shingles = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
+      .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+    for (r <- 1 to 2) {
+      t(s"scan-only-$r") { Tables(s, dir, "documents").count() }
+      t(s"tokens-$r") {
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            size(split(lower(col("text")), "[^0-9a-z]+")).as(("n")))
+          .agg(sum("n")).count()
+      }
+      t(s"shingle-rows-$r") { shingles.count() }
+      t(s"distinct-$r") { shingles.distinct().count() }
+      t(s"sh-agg-$r") {
+        shingles.distinct().groupBy("sh")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            count(lit(1)).as("dfs"))
+          .filter(col("dfs") <= cap).count()
+      }
+      t(s"pair-expand-$r") {
+        shingles.distinct().groupBy("sh")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            count(lit(1)).as("dfs"))
+          .filter(col("dfs") <= cap)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), " +
+              "y -> struct(x AS d1, y AS d2))))")).as("p")).count()
+      }
+      t(s"pair-agg-$r") {
+        shingles.distinct().groupBy("sh")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
+            count(lit(1)).as("dfs"))
+          .filter(col("dfs") <= cap)
+          .select(explode(expr(
+            "flatten(transform(ids, (x, i) -> " +
+              "transform(slice(ids, i + 2, size(ids)), " +
+              "y -> struct(x AS d1, y AS d2))))")).as("p"))
+          .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter")).count()
+      }
+    }
+    s.stop()
+  }
+}

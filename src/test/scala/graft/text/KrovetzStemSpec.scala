@@ -148,17 +148,125 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("having") == "have")
   }
 
+  test("dictionary layer: headword protection") {
+    val m = stemAll(Seq(
+      "during", "morning", "evening", "nothing", "something", "spring",
+      "string", "hundred", "sacred", "naked", "wicked", "alias", "bias",
+      "atlas", "chaos", "lens", "always", "perhaps", "diabetes"))
+    for (w <- Seq("during", "morning", "evening", "nothing", "something",
+      "spring", "string", "hundred", "sacred", "naked", "wicked",
+      "alias", "bias", "atlas", "chaos", "lens", "always", "perhaps",
+      "diabetes")) assert(m(w) == w, s"headword '$w' must not stem")
+  }
+
+  test("dictionary layer: irregular conflations") {
+    val m = stemAll(Seq(
+      "cookies", "gases", "buses", "viruses", "does", "vied", "owed",
+      "eyed", "iced", "vying", "owing", "suing", "aging", "biased",
+      "noted", "voted", "rated", "stated", "united", "hoped", "typed",
+      "required", "compared", "scored", "ignored", "measured",
+      "guided", "updated"))
+    assert(m("cookies") == "cookie")
+    assert(m("gases") == "gas")
+    assert(m("buses") == "bus")
+    assert(m("viruses") == "virus")
+    assert(m("does") == "do")
+    assert(m("vied") == "vie")
+    assert(m("owed") == "owe")
+    assert(m("eyed") == "eye")
+    assert(m("iced") == "ice")
+    assert(m("vying") == "vie")
+    assert(m("owing") == "owe")
+    assert(m("suing") == "sue")
+    assert(m("aging") == "age")
+    assert(m("biased") == "bias")
+    assert(m("noted") == "note")
+    assert(m("voted") == "vote")
+    assert(m("rated") == "rate")
+    assert(m("stated") == "state")
+    assert(m("united") == "unite")
+    assert(m("hoped") == "hope")
+    assert(m("typed") == "type")
+    assert(m("required") == "require")
+    assert(m("compared") == "compare")
+    assert(m("scored") == "score")
+    assert(m("ignored") == "ignore")
+    assert(m("measured") == "measure")
+    assert(m("guided") == "guide")
+    assert(m("updated") == "update")
+  }
+
+  test("round-9 e-restore families: n/m/d/b after single vowel") {
+    val m = stemAll(Seq(
+      "decided", "divided", "provided", "included", "named", "timed",
+      "assumed", "welcomed", "claimed", "seemed", "performed",
+      "defined", "combined", "examined", "determined", "joined",
+      "happened", "mentioned", "abandoned", "described", "absorbed",
+      "climbed", "attended", "loaded", "recorded", "deciding",
+      "naming", "defining", "assuming", "describing", "happening",
+      "shining", "meaning", "opening", "reasoning"))
+    assert(m("decided") == "decide") // d after single 'i'
+    assert(m("divided") == "divide")
+    assert(m("provided") == "provide")
+    assert(m("included") == "include") // d after single 'u'
+    assert(m("named") == "name") // m after single 'a'
+    assert(m("timed") == "time")
+    assert(m("assumed") == "assume")
+    assert(m("welcomed") == "welcome") // m after single 'o'
+    assert(m("claimed") == "claim") // double vowel: no restore
+    assert(m("seemed") == "seem") // 'e' vowel excluded
+    assert(m("performed") == "perform") // consonant before m
+    assert(m("defined") == "define") // n after single 'i'
+    assert(m("combined") == "combine")
+    assert(m("examined") == "examine")
+    assert(m("determined") == "determine")
+    assert(m("joined") == "join") // double vowel
+    assert(m("happened") == "happen") // 'e' excluded
+    assert(m("mentioned") == "mention") // n restores only after 'i'
+    assert(m("abandoned") == "abandon")
+    assert(m("described") == "describe") // b after single 'i'
+    assert(m("absorbed") == "absorb") // consonant before b
+    assert(m("climbed") == "climb")
+    assert(m("attended") == "attend") // consonant before d
+    assert(m("loaded") == "load") // double vowel
+    assert(m("recorded") == "record")
+    assert(m("deciding") == "decide") // same families over -ing
+    assert(m("naming") == "name")
+    assert(m("defining") == "define")
+    assert(m("assuming") == "assume")
+    assert(m("describing") == "describe")
+    assert(m("happening") == "happen")
+    assert(m("shining") == "shine")
+    assert(m("meaning") == "mean")
+    assert(m("opening") == "open")
+    assert(m("reasoning") == "reason")
+  }
+
   test("documented divergences vs dictionary Krovetz") {
     // Cases where only a head-word dictionary can decide; the rule
     // output is pinned here so the divergence is explicit, not silent.
-    val m = stemAll(Seq("writing", "biased", "toes", "goes", "covered"))
-    // 'biased': rule sees vowel+'s' and restores → 'biase' (dict: 'bias')
-    assert(m("biased") == "biase")
-    // 'covered': 'r' never restores → 'cover' (dict agrees — listed as
-    // the boundary case for the vowel+consonant family)
+    val m = stemAll(Seq(
+      "writing", "toes", "goes", "covered", "visited", "limited",
+      "developed", "honored", "answered", "phoned", "bottomed", "hoes"))
+    // 'covered'/'answered'/'honored': 'r' never restores → dict agrees
+    // on the -ered/-ored noun-verbs (cover, answer, honor)
     assert(m("covered") == "cover")
+    assert(m("answered") == "answer")
+    assert(m("honored") == "honor")
+    // 't' never restores: right for visit/limit, wrong for unlisted
+    // note-type words (the frequent ones are in the table)
+    assert(m("visited") == "visit")
+    assert(m("limited") == "limit")
+    // 'p' never restores: right for develop, table covers hope/type
+    assert(m("developed") == "develop")
+    // 'n' restores only after 'i': 'phoned' loses its e (dict: phone)
+    assert(m("phoned") == "phon")
+    // 'm' after single 'o' restores: 'bottomed' gains an e (dict:
+    // bottom) — the price of welcomed→welcome without stress info
+    assert(m("bottomed") == "bottome")
     // short '-oes' nouns need the table; unlisted ones lose the 'e'
     assert(m("toes") == "toe") // in table
     assert(m("goes") == "go")
+    assert(m("hoes") == "ho") // unlisted (dict: hoe)
   }
 }
