@@ -50,9 +50,17 @@ object Jobs {
           .sequenceFile[org.apache.hadoop.io.Text, org.apache.hadoop.io.Text](p)
           .map { case (k, v) => (k.toString, v.toString) }
           .toDF("doc_id", "text")
+      case Array("seqwarc", p) =>
+        // the reference's spam-filtered corpus format:
+        // SequenceFile<LongWritable, WritableWarcRecord>
+        // (ClueWebSpamFilter.java:146 → ClueWebRunQueries.java:298).
+        // Raw page content comes back as `text`; HTML→text is the
+        // caller's explicit next step (Html.toText), matching the
+        // reference's own post-read parse.
+        graft.sources.SeqWarc.read(spark, p).select("doc_id", "text")
       case _ =>
         throw new IllegalArgumentException(
-          s"input spec '$spec' must be warc:|keyval:|trec:|parquet:|seq:<path>")
+          s"input spec '$spec' must be warc:|keyval:|trec:|parquet:|seq:|seqwarc:<path>")
     }
   }
 

@@ -180,6 +180,69 @@ class JobsSpec extends SparkSpec {
     assert(loaded == docs.sorted)
   }
 
+  test("seqwarc: WritableWarcRecord SequenceFile round-trips; wire bytes match the Java contract") {
+    import graft.sources.SeqWarc
+    import spark.implicits._
+
+    // Byte-level: a payload laid out exactly as WarcRecord.write()
+    // emits it (writeUTF header quad, metadata count+pairs, content
+    // length + raw bytes) must parse field-for-field.
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeUTF("text/html")                 // contentType
+    out.writeUTF("uuid-123")                  // UUID
+    out.writeUTF("2009-03-65T08:43:19-0800")  // dateString
+    out.writeUTF("response")                  // recordType
+    out.writeInt(2)
+    out.writeUTF("WARC-TREC-ID"); out.writeUTF("clueweb09-en0000-00-00001")
+    out.writeUTF("WARC-Target-URI"); out.writeUTF("http://example.com/")
+    val body = "<html>héllo wörld</html>".getBytes("UTF-8")
+    out.writeInt(body.length); out.write(body); out.flush()
+    val rec = SeqWarc.parseValue(bos.toByteArray)
+    assert(rec.doc_id == "clueweb09-en0000-00-00001") // WARC-TREC-ID wins
+    assert(rec.record_type == "response")
+    assert(rec.content_type == "text/html")
+    assert(rec.uuid == "uuid-123")
+    assert(rec.metadata("WARC-Target-URI") == "http://example.com/")
+    assert(rec.text == "<html>héllo wörld</html>")
+
+    // serialize is the same contract: parse ∘ serialize = identity
+    assert(SeqWarc.parseValue(SeqWarc.serialize(rec)) == rec)
+
+    // no WARC-TREC-ID → doc_id falls back to the header uuid
+    val noId = rec.copy(metadata = rec.metadata - "WARC-TREC-ID")
+    assert(SeqWarc.parseValue(SeqWarc.serialize(noId.copy(doc_id = "")))
+      .doc_id == "") // serialize re-adds WARC-TREC-ID from doc_id
+
+    // On-disk: write a corpus through the binary SequenceFile sink,
+    // load it back in place via the seqwarc: spec.
+    val docs = Seq(
+      ("clueweb09-en0000-00-00001", "<html>alpha beta</html>"),
+      ("clueweb09-en0000-00-00002", "<html>gamma</html>"),
+      ("clueweb09-en0000-00-00003", ""))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$work/swsrc")
+    SeqWarc.write(spark.read.parquet(s"$work/swsrc"), s"$work/swout")
+
+    // the files really are SequenceFiles (magic header)
+    import scala.jdk.CollectionConverters._
+    val parts = Files.list(Paths.get(s"$work/swout")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq
+    assert(parts.nonEmpty)
+    assert(parts.forall(p =>
+      new String(Files.readAllBytes(p).take(3)) == "SEQ"))
+
+    val loaded = Jobs.loadDocs(spark, s"seqwarc:$work/swout")
+      .as[(String, String)].collect().toSeq.sorted
+    assert(loaded == docs.sorted)
+
+    // full-fidelity read keeps every header field + the metadata map
+    val full = SeqWarc.read(spark, s"$work/swout")
+    assert(full.columns.toSet == Set("doc_id", "record_type",
+      "content_type", "date", "uuid", "metadata", "text"))
+    assert(full.where(col("record_type") === "response").count() == 3)
+  }
+
   test("DedupCorpus drops exact duplicates, keeps min-id survivor") {
     val kvDir = Files.createTempDirectory("kv").toString
     Files.writeString(Paths.get(kvDir, "docs.tsv"),
