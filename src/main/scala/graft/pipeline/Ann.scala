@@ -162,6 +162,108 @@ object Ann {
       .select("qid", "vid", "cos", "rank")
   }
 
+  /** Squared L2 between one BLOCK of a float-array column and a
+    * sub-centroid double-array column: the block is `slice`d out of
+    * the full vector (1-based, length = the sub-centroid's own size),
+    * so callers never hand-count sub-dimensions.
+    */
+  private def l2sqBlock(vec: String, cent: String): String =
+    s"aggregate(zip_with(slice($vec, CAST(blk * size($cent) + 1 AS INT)," +
+      s" size($cent)), $cent, (a, b) ->" +
+      s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
+      " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+
+  /** Product-quantization codebook: per-block k-means (Jégou et al.
+    * 2011, IEEE TPAMI — "Product quantization for nearest neighbor
+    * search"). The vector is split into `blocks` contiguous sub-vectors
+    * and each block gets its own `kCodes`-centroid codebook, trained by
+    * Lloyd iterations with the repo's deterministic seeding (first
+    * `kCodes` vectors by id rank) and round-then-rank assignment.
+    *
+    * Train on a SAMPLE: the codebook is a model, not an index — a few
+    * thousand training vectors fix ~blocks·kCodes·subDim doubles, and
+    * the result is broadcast everywhere it is used.
+    *
+    * @return (blk, code, centroid: array&lt;double&gt;) — blocks·kCodes
+    *         rows, broadcastable at any corpus size.
+    */
+  def pqTrain(sample: DataFrame, blocks: Int, kCodes: Int, iters: Int,
+              idCol: String = "vec_id",
+              embCol: String = "embedding"): DataFrame = {
+    // dim from one row (constant per table); blocks must divide it
+    val dim = sample.select(size(col(embCol))).head().getInt(0)
+    require(dim % blocks == 0, s"dim $dim not divisible into $blocks blocks")
+    val subDim = dim / blocks
+    val ex = sample
+      .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
+      .withColumn("x", col("x0").cast("double")).drop("x0")
+      .withColumn("blk", expr(s"CAST(i div $subDim AS BIGINT)"))
+    def assign(cent: DataFrame): DataFrame = ex.join(broadcast(cent), Seq("blk", "i"))
+      .withColumn("d", expr("(x - c) * (x - c)"))
+      .groupBy("vid", "blk", "code").agg(sum("d").as("dist2"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), code)"))
+      .filter(col("r") === 1).select("vid", "blk", "code")
+    val seedIds = sample.select(col(idCol).as("vid"))
+      .orderBy("vid").limit(kCodes)
+    var cent = ex.join(broadcast(
+        seedIds.withColumn("code",
+          expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))),
+        Seq("vid"))
+      .select(col("blk"), col("code"), col("i"), col("x").as("c"))
+    for (_ <- 1 to iters)
+      cent = ex.join(assign(cent), Seq("vid", "blk"))
+        .groupBy("blk", "code", "i").agg(expr("sum(x) / count(x)").as("c"))
+    cent.groupBy("blk", "code")
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)")
+        .as("centroid"))
+  }
+
+  /** Encode every corpus vector as its per-block nearest sub-centroid:
+    * (vid, blk, code) — `blocks` skinny rows per vector, the CODES-ONLY
+    * storage layout that replaces the raw floats on the ADC scan path
+    * (~dim·4 bytes → blocks·1 bytes per vector at kCodes ≤ 256). One
+    * narrow pass against the broadcast codebook; array-native (no
+    * explode of the corpus side).
+    */
+  def pqEncode(corpus: DataFrame, codebook: DataFrame,
+               idCol: String = "vec_id",
+               embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("d2", expr(l2sqBlock("ve", "centroid")))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
+      .filter(col("r") === 1)
+      .select("vid", "blk", "code")
+
+  /** PQ ADC top-k (asymmetric distance computation — the query path of
+    * billion-vector IVF+PQ indexes): per query, a lookup table of
+    * squared distances from the query's sub-vectors to every
+    * sub-centroid (|queries|·blocks·kCodes rows — tiny, broadcast by
+    * construction); the corpus is then scanned as CODES ONLY, each
+    * vector's approximate distance being `blocks` table lookups and a
+    * sum. Ranking ascends by rounded ADC distance, vid tiebreak.
+    *
+    * @param codes [[pqEncode]] output (vid, blk, code)
+    */
+  def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
+                k: Int, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val lut = queries.select(col(idCol).as("qid"), col(embCol).as("ve"))
+      .crossJoin(broadcast(codebook))
+      .withColumn("pd", expr(l2sqBlock("ve", "centroid")))
+      .select("qid", "blk", "code", "pd")
+    codes.join(broadcast(lut), Seq("blk", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "adc_dist2", "rank")
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * ranks only the corpus vectors assigned to those lists. With
     * `nprobe == kClusters` this is exactly [[cosineTopK]]; smaller

@@ -1,0 +1,127 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.pipeline.Ann
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ANN recall×speed probe (r8 verdict item 6): recall@10 vs exact
+  * brute force for IVF nprobe ∈ {1,2,4} × PQ {off,on} at an N×
+  * replicated corpus (N=500 ⇒ 1M 64-dim vectors), turning the IVF/PQ
+  * quality trade-off from claim into measurement.
+  *
+  * Corpus construction: the sf embeddings are unit-normalized (cosine
+  * ordering == L2 ordering, so the ADC's L2 lookup ranks on the same
+  * geometry the cosine APIs do), then replicated with DETERMINISTIC
+  * per-(vid, dim) hash noise (xxhash64 — no RNG), amplitude `eps`, and
+  * re-normalized. Replica clouds at eps=0.1 sit at cos≈0.9 around
+  * their base, the same order as inter-base similarities — so top-10
+  * sets genuinely compete across bases and recall is informative
+  * rather than a degenerate 1.0 (exact-duplicate replication) or a
+  * per-cloud coin flip (eps → 0).
+  *
+  * Queries are the 20 smallest base ids; their k=0 replica is kept
+  * noise-free so each query exists verbatim in the corpus (excluded
+  * from its own top-k by the qid != vid guard, as in Ann.cosineTopK).
+  *
+  * Usage: `sbt "runMain graft.tools.AnnRecallProbe [N]"` (default
+  * 500); SPARK_GRAFT_SF_DIR overrides the base corpus. Results →
+  * BENCH_NOTES §3g + probes/ann_recall.log.
+  */
+object AnnRecallProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500)
+    val eps = 0.1
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(x AS DOUBLE)" +
+          " / sqrt(norm2_f64(embedding)) AS FLOAT))").as("embedding"))
+    val big = spark.range(n).toDF("k").crossJoin(base)
+      .select((col("vec_id") + col("k") * lit(10000000L)).as("vec_id"),
+        expr(s"""transform(embedding, (x, i) -> CAST(x +
+          (CASE WHEN k = 0 THEN 0.0 ELSE $eps END) *
+          ((pmod(xxhash64(vec_id + k * 10000000, i), 2001) - 1000) / 1000.0)
+          AS FLOAT))""").as("e0"))
+      .select(col("vec_id"), expr(
+        "transform(e0, x -> CAST(CAST(x AS DOUBLE)" +
+          " / sqrt(norm2_f64(e0)) AS FLOAT))").as("embedding"))
+      .repartition(32).localCheckpoint()
+    val nv = big.count()
+    val queries = base.filter(col("vec_id") < 20)
+
+    def t[A](w: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"""[annrecall] {"phase":"$w","n":$n,"vecs":$nv,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      r
+    }
+    def topk(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
+      approx.intersect(exact).size.toDouble / exact.size
+
+    Tables(spark, dir, "lineitem").count() // session warmup
+
+    val exact = t("brute_exact")(topk(Ann.cosineTopK(big, queries, 10)))
+
+    // one-time builds
+    val cent = t("kmeans_build")(
+      Ann.kmeansCentroids(big, kClusters = 16, iters = 1).localCheckpoint())
+    val assign = t("ivf_assign")(
+      Ann.ivfAssign(big, cent).repartition(32).localCheckpoint())
+    val cb = t("pq_train")(
+      Ann.pqTrain(base, blocks = 8, kCodes = 32, iters = 2).localCheckpoint())
+    val codes = t("pq_encode")(
+      Ann.pqEncode(big, cb).repartition(32).localCheckpoint())
+    println(s"""[annrecall] {"codes_rows":${codes.count()}}""")
+
+    // ADC LUT: |queries| x blocks x kCodes (20*8*32 rows), broadcast
+    val lut = queries.select(col("vec_id").as("qid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cb))
+      .withColumn("pd", expr(
+        "aggregate(zip_with(slice(ve, CAST(blk * size(centroid) + 1 AS INT)," +
+          " size(centroid)), centroid, (a, b) ->" +
+          " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
+          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .select("qid", "blk", "code", "pd")
+
+    def probesFor(nprobe: Int): DataFrame =
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cent))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qe, centroid, (a, b) ->" +
+            " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
+            " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("pr", expr(
+          "row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
+        .filter(col("pr") <= nprobe)
+        .select("qid", "cid")
+
+    for (nprobe <- Seq(1, 2, 4)) {
+      val ivf = t(s"ivf_exact_np$nprobe")(
+        topk(Ann.ivfTopK(big, cent, assign, queries, nprobe, 10)))
+      println(f"""[annrecall] {"variant":"ivf_exact","nprobe":$nprobe,"recall_at_10":${recall(ivf, exact)}%.3f}""")
+      // IVF+PQ: same candidate cut, ADC scoring over codes only
+      val cand = assign.join(broadcast(probesFor(nprobe)), Seq("cid"))
+        .filter(col("qid") =!= col("vid")).select("qid", "vid")
+      val adc = t(s"ivf_adc_np$nprobe")(topk(
+        cand.join(codes, Seq("vid"))
+          .join(broadcast(lut), Seq("qid", "blk", "code"))
+          .groupBy("qid", "vid")
+          .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+          .withColumn("rank", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+          .filter(col("rank") <= 10)))
+      println(f"""[annrecall] {"variant":"ivf_adc","nprobe":$nprobe,"recall_at_10":${recall(adc, exact)}%.3f}""")
+    }
+    // PQ without the IVF cut: full-corpus ADC scan over codes
+    val fulladc = t("full_adc")(topk(Ann.pqAdcTopK(codes, cb, queries, 10)))
+    println(f"""[annrecall] {"variant":"full_adc","nprobe":16,"recall_at_10":${recall(fulladc, exact)}%.3f}""")
+    spark.stop()
+  }
+}

@@ -48,6 +48,24 @@ class AnnSpec extends SparkSpec {
     assert(topkSet(ivf) === topkSet(exact))
   }
 
+  test("PQ train/encode/ADC: codes-only search keeps useful recall@10") {
+    // unit-normalize so the ADC's L2 geometry ranks like the cosine
+    // baseline (same trick as tools/AnnRecallProbe)
+    val norm = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(CAST(x AS DOUBLE)" +
+        " / sqrt(norm2_f64(embedding)) AS FLOAT))").as("embedding"))
+    val nq = norm.filter(col("vec_id") < 10)
+    val cb = Ann.pqTrain(norm, blocks = 8, kCodes = 16, iters = 2)
+    assert(cb.select("blk").distinct().count() === 8)
+    val codes = Ann.pqEncode(norm, cb)
+    // every vector gets exactly one code per block
+    assert(codes.count() === norm.count() * 8)
+    val adc = topkSet(Ann.pqAdcTopK(codes, cb, nq, k = 10))
+    val exact = topkSet(Ann.cosineTopK(norm, nq, k = 10))
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ADC recall@10 = $recall")
+  }
+
   test("ivfTopK with nprobe = 1 keeps useful recall at a 4x candidate cut") {
     val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
     val assign = Ann.ivfAssign(emb, cent)
