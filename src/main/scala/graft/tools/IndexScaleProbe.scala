@@ -1,0 +1,114 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.ir.{Index, Retrieval}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index rehearsal at replicated scale (r8 verdict item 5 /
+  * r6 item carried): `Index.writeInverted` + `scoreFromInverted` at
+  * N× the sf0.1 corpus (N=500 ⇒ 2.5M docs), measuring the three
+  * things the sf0.1 IndexBench cannot see:
+  *
+  *  - postings SKEW: replication multiplies every term's df by N, so
+  *    the head term's postings list becomes one multi-million-struct
+  *    array cell inside a single row — the build's per-task memory
+  *    ceiling. Reported: max/median postings length and the built
+  *    layout's file sizes.
+  *  - literal-IN pruning at grown VOCABULARY: each replica's docs get
+  *    a synthetic rare term (`w<hash>x<k>`), growing the vocabulary
+  *    ~250× while query terms stay the replicated head — the probe
+  *    reports actual bytes READ by scoreFromInverted (task
+  *    inputMetrics) vs the postings layout's on-disk size, i.e. how
+  *    much of the index a 13-term query set really touches.
+  *  - peak heap across build and query (MemoryPool peaks, reset
+  *    before each phase).
+  *
+  * Usage: `sbt "runMain graft.tools.IndexScaleProbe [N]"` (default
+  * 500). Results → BENCH_NOTES §3f + probes/index_scale500.log.
+  */
+object IndexScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(500)
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // task-level input bytes, summed via listener (the only way to see
+    // what a query actually READ after row-group pruning)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+
+    import scala.jdk.CollectionConverters._
+    def heapPools = java.lang.management.ManagementFactory
+      .getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakMb: Long = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+
+    val base = Tables(spark, dir, "documents").select("doc_id", "text")
+    // each replica appends one synthetic rare term: vocabulary grows by
+    // ~1000 terms per replica (hash-bucketed), postings of the REAL
+    // terms grow ×N — both axes of the 100 TB question at once
+    val big = spark.range(n).toDF("k").crossJoin(base)
+      .select((col("doc_id") + col("k") * lit(10000000L)).as("doc_id"),
+        concat(col("text"), lit(" w"),
+          pmod(xxhash64(col("doc_id"), col("k")), lit(1000L)),
+          lit("x"), col("k")).as("text"))
+      .repartition(64)
+      .localCheckpoint()
+    val docs = big.count()
+
+    def t[A](w: String)(f: => A): A = {
+      resetPeaks(); bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener bus is async; give it a moment before reading counters
+      Thread.sleep(1500)
+      println(f"""[idxscale] {"phase":"$w","n":$n,"docs":$docs,"sec":$sec%.2f,"peak_heap_mb":$peakMb,"bytes_read_mb":${bytesRead.get >> 20}}""")
+      r
+    }
+
+    val work = java.nio.file.Files.createTempDirectory("idxscale").toString
+    t("write_inverted")(Index.writeInverted(big, s"$work/inv", files = 64))
+
+    // layout + skew stats (one cheap scan over the postings metadata)
+    val post = spark.read.parquet(s"$work/inv/postings")
+    val skew = post.agg(
+      count(lit(1)).as("terms"),
+      max(col("df")).as("max_df"),
+      expr("percentile_approx(df, 0.5)").as("p50_df"),
+      max(size(col("postings"))).as("max_postings")).head()
+    def dirMb(p: String): Long = {
+      val d = new java.io.File(p)
+      (if (d.isDirectory) d.listFiles.map(_.length).sum else 0L) >> 20
+    }
+    println(s"""[idxscale] {"vocab_terms":${skew.getLong(0)},"max_df":${skew.getLong(1)},"p50_df":${skew.get(2)},"max_postings":${skew.getInt(3)},"postings_mb":${dirMb(s"$work/inv/postings")},"doclen_mb":${dirMb(s"$work/inv/doclen")}}""")
+
+    val q = Retrieval.querySet
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }
+      .toSeq
+    import spark.implicits._
+    val qdf = q.toDF("qid", "term")
+
+    // cold + warm query passes from the inverted layout
+    t("score_inverted_cold")(
+      Index.scoreFromInverted(spark, s"$work/inv", qdf, Retrieval.lmdirPart,
+        Retrieval.lmdirFinal, conjunctive = false, 10).count())
+    t("score_inverted_warm")(
+      Index.scoreFromInverted(spark, s"$work/inv", qdf, Retrieval.lmdirPart,
+        Retrieval.lmdirFinal, conjunctive = false, 10).count())
+    // the yardstick: the same retrieval straight off the raw corpus
+    // (tokenize every doc, every query) — what the index amortizes away
+    t("score_rawscan")(
+      Retrieval.scoreFor(big, qdf, Retrieval.lmdirPart,
+        Retrieval.lmdirFinal, conjunctive = false, 10).count())
+
+    spark.stop()
+  }
+}

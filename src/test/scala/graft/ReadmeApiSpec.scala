@@ -1,0 +1,50 @@
+package graft
+
+import graft.pipeline.{Ann, Classify, Dedup, TextMetrics}
+import org.apache.spark.sql.functions.col
+
+/** The README's quickstart snippets, compiled and executed verbatim
+  * (modulo scale knobs sized for sf0.001) — the doc can't drift from
+  * the API without failing this suite.
+  */
+class ReadmeApiSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sfTiny, "documents")
+  private lazy val embeddings = Tables(spark, sfTiny, "embeddings")
+  private lazy val queryVecs = embeddings.filter(col("vec_id") < 5)
+
+  test("dedup quickstart: exactKeepers / nearDupKeepers / semDedup") {
+    val kept = docs.join(Dedup.exactKeepers(docs), Seq("doc_id"), "left_semi")
+    assert(kept.count() > 0 && kept.count() <= docs.count())
+    val keep2 = docs.join(Dedup.nearDupKeepers(docs), Seq("doc_id"), "left_semi")
+    assert(keep2.count() > 0 && keep2.count() <= kept.count())
+    val verdicts = Dedup.semDedup(embeddings, kClusters = 4, iters = 2,
+      threshold = 0.95)
+    assert(verdicts.count() === embeddings.count())
+  }
+
+  test("ANN quickstart: IVF partitioned layout probes with pruning") {
+    val work = java.nio.file.Files.createTempDirectory("readme-ivf").toString
+    val cents = Ann.kmeansCentroids(embeddings, kClusters = 4, iters = 2)
+    Ann.writeIvfPartitioned(embeddings, cents, s"$work/ivf")
+    val hits = Ann.ivfTopKPartitioned(spark, s"$work/ivf", cents,
+      queryVecs, nprobe = 2, k = 10)
+    assert(hits.groupBy("qid").count().count() === queryVecs.count())
+  }
+
+  test("PQ quickstart: train on a sample, search codes-only") {
+    val cb = Ann.pqTrain(embeddings.limit(100), blocks = 8,
+      kCodes = 8, iters = 2)
+    val codes = Ann.pqEncode(embeddings, cb)
+    val near = Ann.pqAdcTopK(codes, cb, queryVecs, k = 10)
+    assert(near.count() === queryVecs.count() * 10)
+  }
+
+  test("curation quickstart: gopher gate + DSIR weights") {
+    val gated = TextMetrics.gopherRules(docs).filter(col("keep"))
+    assert(gated.count() > 0)
+    val weights = Classify.dsirLogWeights(docs,
+      Classify.labels(docs, Classify.targetLangExpr))
+    assert(weights.count() === docs.count())
+  }
+}
