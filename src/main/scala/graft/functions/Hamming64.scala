@@ -79,5 +79,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_shingles"),
       new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
       (exprs: Seq[Expression]) => TokenShingles(exprs(0), exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("krovetz_ex"),
+      new ExpressionInfo(classOf[KrovetzEx].getName, "krovetz_ex"),
+      (exprs: Seq[Expression]) => KrovetzEx(exprs(0))))
   }
 }

@@ -233,11 +233,19 @@ object KrovetzStem {
   /** Spark pipeline: adds `out` to `df` as the Krovetz stem of `in`.
     * Staged columns keep each generated CASE referencing a NAMED column
     * (nesting the steps textually would explode the expression tree).
+    *
+    * The exception dictionary is consulted through the native
+    * [[graft.functions.KrovetzEx]] expression — one static-HashMap
+    * probe per token — NOT the generated [[exceptionSql]] CASE the
+    * DuckDB oracle runs: that ~230-branch chain codegens to a linear
+    * string-compare ladder per token and measured 5–6.6× DuckDB in
+    * the round-9 bench. Same table, same equality, one source of
+    * truth; KrovetzStemSpec pins cross-engine agreement.
     */
   def stem(df: org.apache.spark.sql.DataFrame, in: String,
            out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.expr
-    df.withColumn("_kx", expr(exceptionSql(in)))
+    df.withColumn("_kx", expr(s"krovetz_ex($in)"))
       .withColumn("_s1", expr(pluralSql(in)))
       .withColumn("_s2", expr(pastSql("_s1")))
       .withColumn("_s3", expr(ingSql("_s2")))

@@ -1,7 +1,7 @@
 package graft
 
 import graft.pipeline.{Ann, Classify, Dedup, TextMetrics}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, expr}
 
 /** The README's quickstart snippets, compiled and executed verbatim
   * (modulo scale knobs sized for sf0.001) — the doc can't drift from
@@ -33,15 +33,20 @@ class ReadmeApiSpec extends SparkSpec {
   }
 
   test("PQ quickstart: train on a sample, search codes-only") {
-    val cb = Ann.pqTrain(embeddings.limit(100), blocks = 8,
+    // mirror the README: unit-normalize first so ADC's L2 geometry
+    // ranks like the cosine APIs
+    val unit = embeddings.withColumn("embedding",
+      expr("transform(embedding, x -> x / sqrt(aggregate(embedding," +
+        " 0d, (a, v) -> a + v * v)))"))
+    val cb = Ann.pqTrain(unit.limit(100), blocks = 8,
       kCodes = 8, iters = 2)
-    val codes = Ann.pqEncode(embeddings, cb)
+    val codes = Ann.pqEncode(unit, cb)
     val near = Ann.pqAdcTopK(codes, cb, queryVecs, k = 10)
     assert(near.count() === queryVecs.count() * 10)
   }
 
   test("curation quickstart: gopher gate + DSIR weights") {
-    val gated = TextMetrics.gopherRules(docs).filter(col("keep"))
+    val gated = TextMetrics.gopherRules(docs).filter(col("keep") === 1)
     assert(gated.count() > 0)
     val weights = Classify.dsirLogWeights(docs,
       Classify.labels(docs, Classify.targetLangExpr))
