@@ -167,6 +167,24 @@ object Ann {
     * the full vector (1-based, length = the sub-centroid's own size),
     * so callers never hand-count sub-dimensions.
     */
+  /** Fail fast on a corpus/codebook dimension mismatch: `slice` past
+    * the vector's end pads with nulls, d2 goes NULL for the overflow
+    * blocks, and round-then-rank would then pick an arbitrary code
+    * SILENTLY (round-9 advice). Two one-row/tiny-agg driver actions —
+    * bounded at any corpus size (the codebook is broadcast-small by
+    * construction).
+    */
+  private def requireDimMatches(df: DataFrame, embCol: String,
+                                codebook: DataFrame, who: String): Unit = {
+    val cb = codebook
+      .agg(max(col("blk")).as("mb"), max(size(col("centroid"))).as("sd"))
+      .head()
+    val expected = (cb.getLong(0) + 1L) * cb.getInt(1)
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    require(d.toLong == expected,
+      s"$who: vector dim $d != codebook blocks*subDim $expected")
+  }
+
   private def l2sqBlock(vec: String, cent: String): String =
     s"aggregate(zip_with(slice($vec, CAST(blk * size($cent) + 1 AS INT)," +
       s" size($cent)), $cent, (a, b) ->" +
@@ -184,8 +202,14 @@ object Ann {
     * thousand training vectors fix ~blocks·kCodes·subDim doubles, and
     * the result is broadcast everywhere it is used.
     *
-    * @return (blk, code, centroid: array&lt;double&gt;) — blocks·kCodes
-    *         rows, broadcastable at any corpus size.
+    * @return (blk, code, centroid: array&lt;double&gt;) — up to
+    *         blocks·kCodes rows, broadcastable at any corpus size.
+    * @note a code that loses every member during a Lloyd iteration
+    *       drops OUT of the codebook (fewer rows than blocks·kCodes)
+    *       rather than resurfacing at a stale position; encode/search
+    *       treat the codebook rows as the code universe, so a shrunken
+    *       book stays correct — train on a sample ≫ kCodes to avoid
+    *       it. Fewer than kCodes sample vectors is an error.
     */
   def pqTrain(sample: DataFrame, blocks: Int, kCodes: Int, iters: Int,
               idCol: String = "vec_id",
@@ -206,6 +230,9 @@ object Ann {
       .filter(col("r") === 1).select("vid", "blk", "code")
     val seedIds = sample.select(col(idCol).as("vid"))
       .orderBy("vid").limit(kCodes)
+    val nSeeds = seedIds.count()
+    require(nSeeds == kCodes,
+      s"pqTrain needs >= $kCodes sample vectors to seed, got $nSeeds")
     var cent = ex.join(broadcast(
         seedIds.withColumn("code",
           expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))),
@@ -228,7 +255,8 @@ object Ann {
     */
   def pqEncode(corpus: DataFrame, codebook: DataFrame,
                idCol: String = "vec_id",
-               embCol: String = "embedding"): DataFrame =
+               embCol: String = "embedding"): DataFrame = {
+    requireDimMatches(corpus, embCol, codebook, "pqEncode")
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
       .withColumn("d2", expr(l2sqBlock("ve", "centroid")))
@@ -236,6 +264,7 @@ object Ann {
         "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
       .filter(col("r") === 1)
       .select("vid", "blk", "code")
+  }
 
   /** PQ ADC top-k (asymmetric distance computation — the query path of
     * billion-vector IVF+PQ indexes): per query, a lookup table of
@@ -250,6 +279,7 @@ object Ann {
   def pqAdcTopK(codes: DataFrame, codebook: DataFrame, queries: DataFrame,
                 k: Int, idCol: String = "vec_id",
                 embCol: String = "embedding"): DataFrame = {
+    requireDimMatches(queries, embCol, codebook, "pqAdcTopK")
     val lut = queries.select(col(idCol).as("qid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
       .withColumn("pd", expr(l2sqBlock("ve", "centroid")))

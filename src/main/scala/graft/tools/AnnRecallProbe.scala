@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `sbt "runMain graft.tools.AnnRecallProbe [N]"` (default
   * 500); SPARK_GRAFT_SF_DIR overrides the base corpus. Results →
-  * BENCH_NOTES §3g + probes/ann_recall.log.
+  * BENCH_NOTES §3f + probes/ann_recall.log.
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
@@ -64,6 +64,21 @@ object AnnRecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     def recall(approx: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
       approx.intersect(exact).size.toDouble / exact.size
+    // Cloud-level recall: same sets with vec_id folded to its BASE id
+    // (vid % 10M — the replica-cloud identity). Exact-id recall asks
+    // the scorer to rank eps-amplitude noise WITHIN a cloud, which PQ
+    // quantization deliberately discards (the codebook resolution is
+    // the cloud radius), so ADC's exact-id number collapses by
+    // construction on this synthetic corpus; the cloud number is
+    // whether the scorer retrieved the right NEIGHBORHOODS, the thing
+    // a candidate-generation stage is for.
+    def clouds(st: Set[(Long, Long)]): Set[(Long, Long)] =
+      st.map { case (q, v) => (q, v % 10000000L) }
+    def cloudRecall(approx: Set[(Long, Long)],
+                    exact: Set[(Long, Long)]): Double = {
+      val e = clouds(exact)
+      clouds(approx).intersect(e).size.toDouble / e.size
+    }
 
     Tables(spark, dir, "lineitem").count() // session warmup
 
@@ -105,7 +120,7 @@ object AnnRecallProbe {
     for (nprobe <- Seq(1, 2, 4)) {
       val ivf = t(s"ivf_exact_np$nprobe")(
         topk(Ann.ivfTopK(big, cent, assign, queries, nprobe, 10)))
-      println(f"""[annrecall] {"variant":"ivf_exact","nprobe":$nprobe,"recall_at_10":${recall(ivf, exact)}%.3f}""")
+      println(f"""[annrecall] {"variant":"ivf_exact","nprobe":$nprobe,"recall_at_10":${recall(ivf, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(ivf, exact)}%.3f}""")
       // IVF+PQ: same candidate cut, ADC scoring over codes only
       val cand = assign.join(broadcast(probesFor(nprobe)), Seq("cid"))
         .filter(col("qid") =!= col("vid")).select("qid", "vid")
@@ -117,11 +132,11 @@ object AnnRecallProbe {
           .withColumn("rank", expr(
             "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
           .filter(col("rank") <= 10)))
-      println(f"""[annrecall] {"variant":"ivf_adc","nprobe":$nprobe,"recall_at_10":${recall(adc, exact)}%.3f}""")
+      println(f"""[annrecall] {"variant":"ivf_adc","nprobe":$nprobe,"recall_at_10":${recall(adc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(adc, exact)}%.3f}""")
     }
     // PQ without the IVF cut: full-corpus ADC scan over codes
     val fulladc = t("full_adc")(topk(Ann.pqAdcTopK(codes, cb, queries, 10)))
-    println(f"""[annrecall] {"variant":"full_adc","nprobe":16,"recall_at_10":${recall(fulladc, exact)}%.3f}""")
+    println(f"""[annrecall] {"variant":"full_adc","nprobe":16,"recall_at_10":${recall(fulladc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(fulladc, exact)}%.3f}""")
     spark.stop()
   }
 }

@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   *    before each phase).
   *
   * Usage: `sbt "runMain graft.tools.IndexScaleProbe [N]"` (default
-  * 500). Results → BENCH_NOTES §3f + probes/index_scale500.log.
+  * 500). Results → BENCH_NOTES §3g + probes/index_scale500.log.
   */
 object IndexScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -34,14 +34,25 @@ object IndexScaleProbe {
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
 
-    // task-level input bytes, summed via listener (the only way to see
-    // what a query actually READ after row-group pruning)
+    // task-level input bytes, summed via listener; NOTE this counter
+    // sees block-manager/cache reads but NOT this Spark build's
+    // parquet scans (FileScanRDD no longer feeds task inputMetrics in
+    // local mode) — the fs counter below is the parquet truth
     val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         if (t.taskMetrics != null)
           bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
       })
+    // bytes the JVM actually pulled through the local Hadoop
+    // filesystem (every parquet read; shuffle and checkpoint I/O go
+    // through java.io directly and are excluded) — the counter that
+    // proves or disproves literal-IN row-group pruning
+    def fsBytesRead: Long = {
+      import scala.jdk.CollectionConverters._
+      org.apache.hadoop.fs.FileSystem.getAllStatistics.asScala
+        .filter(_.getScheme == "file").map(_.getBytesRead).sum
+    }
 
     import scala.jdk.CollectionConverters._
     def heapPools = java.lang.management.ManagementFactory
@@ -63,19 +74,25 @@ object IndexScaleProbe {
       .localCheckpoint()
     val docs = big.count()
 
-    def t[A](w: String)(f: => A): A = {
+    // `withCkptRead`: the phase's bytes_read includes re-reading the
+    // localCheckpoint partitions of the replicated corpus — flagged in
+    // the JSON so the number is never quoted as pure index-build I/O
+    def t[A](w: String, withCkptRead: Boolean = false)(f: => A): A = {
       resetPeaks(); bytesRead.set(0L)
+      val fs0 = fsBytesRead
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener bus is async; give it a moment before reading counters
-      Thread.sleep(1500)
-      println(f"""[idxscale] {"phase":"$w","n":$n,"docs":$docs,"sec":$sec%.2f,"peak_heap_mb":$peakMb,"bytes_read_mb":${bytesRead.get >> 20}}""")
+      // deterministic: wait for every queued task-end event, not a
+      // fixed sleep (async bus undercounts on slow machines)
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+      println(f"""[idxscale] {"phase":"$w","n":$n,"docs":$docs,"sec":$sec%.2f,"peak_heap_mb":$peakMb,"task_input_mb":${bytesRead.get >> 20},"fs_read_kb":${(fsBytesRead - fs0) >> 10},"bytes_includes_checkpoint_read":$withCkptRead}""")
       r
     }
 
     val work = java.nio.file.Files.createTempDirectory("idxscale").toString
-    t("write_inverted")(Index.writeInverted(big, s"$work/inv", files = 64))
+    t("write_inverted", withCkptRead = true)(
+      Index.writeInverted(big, s"$work/inv", files = 64))
 
     // layout + skew stats (one cheap scan over the postings metadata)
     val post = spark.read.parquet(s"$work/inv/postings")
@@ -105,7 +122,7 @@ object IndexScaleProbe {
         Retrieval.lmdirFinal, conjunctive = false, 10).count())
     // the yardstick: the same retrieval straight off the raw corpus
     // (tokenize every doc, every query) — what the index amortizes away
-    t("score_rawscan")(
+    t("score_rawscan", withCkptRead = true)(
       Retrieval.scoreFor(big, qdf, Retrieval.lmdirPart,
         Retrieval.lmdirFinal, conjunctive = false, 10).count())
 

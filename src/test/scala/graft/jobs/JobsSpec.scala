@@ -243,6 +243,53 @@ class JobsSpec extends SparkSpec {
     assert(full.where(col("record_type") === "response").count() == 3)
   }
 
+  test("seqwarc: BLOCK- and RECORD-compressed SequenceFiles decode through the Hadoop reader") {
+    import graft.sources.SeqWarc
+    import org.apache.hadoop.io.{LongWritable, SequenceFile}
+    import org.apache.hadoop.io.compress.{DefaultCodec, GzipCodec}
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+
+    // The reference writes its spam-filtered corpus BLOCK-compressed
+    // (ClueWebSpamFilter.java:140-146, SequenceFileOutputFormat with
+    // CompressionType.BLOCK); the read path claims compression comes
+    // free via the Hadoop decoder — prove it for both compression
+    // types, with the reference's LongWritable key on disk. The value
+    // must serialize BARE (WritableWarcRecord.write emits its fields
+    // directly) — BytesWritable would prepend its own 4-byte length,
+    // which is not on the reference wire; RawValueWritable below
+    // mirrors the real layout.
+    val docs = Seq(
+      ("clueweb09-en0000-00-00001", "<html>compressed alpha</html>"),
+      ("clueweb09-en0000-00-00002", "<html>compressed beta</html>"),
+      ("clueweb09-en0000-00-00003", "x" * 10000)) // compressible body
+    val conf = spark.sparkContext.hadoopConfiguration
+    def writeCompressed(dir: String, ct: SequenceFile.CompressionType,
+                        codec: org.apache.hadoop.io.compress.CompressionCodec): Unit = {
+      val w = SequenceFile.createWriter(conf,
+        SequenceFile.Writer.file(new Path(s"$dir/part-00000")),
+        SequenceFile.Writer.keyClass(classOf[LongWritable]),
+        SequenceFile.Writer.valueClass(classOf[RawValueWritable]),
+        SequenceFile.Writer.compression(ct, codec))
+      try docs.zipWithIndex.foreach { case ((id, text), i) =>
+        val rec = SeqWarc.Rec(id, "response", "text/html", "", "",
+          Map("WARC-TREC-ID" -> id), text)
+        val v = new RawValueWritable
+        v.bytes = SeqWarc.serialize(rec)
+        w.append(new LongWritable(i.toLong), v)
+      } finally w.close()
+    }
+    for ((sub, ct, codec) <- Seq(
+        ("swblock", SequenceFile.CompressionType.BLOCK, new DefaultCodec),
+        ("swrecord", SequenceFile.CompressionType.RECORD, new GzipCodec))) {
+      writeCompressed(s"$work/$sub", ct, codec)
+      val back = SeqWarc.read(spark, s"$work/$sub")
+        .select("doc_id", "text").as[(String, String)]
+        .collect().toSeq.sorted
+      assert(back == docs.sorted, s"compressed round-trip failed for $sub")
+    }
+  }
+
   test("DedupCorpus drops exact duplicates, keeps min-id survivor") {
     val kvDir = Files.createTempDirectory("kv").toString
     Files.writeString(Paths.get(kvDir, "docs.tsv"),
@@ -408,4 +455,16 @@ class JobsSpec extends SparkSpec {
     assert(m.getAs[Double]("ap") == 1.0)
     assert(m.getAs[Double]("utility") == 2.0)
   }
+}
+
+/** Test fixture: a Writable whose serialization is the payload bytes
+  * BARE (like `WritableWarcRecord.write` and unlike `BytesWritable`,
+  * which prepends a 4-byte length) — lets `SequenceFile.createWriter`
+  * produce files with the reference's exact value wire layout.
+  */
+class RawValueWritable extends org.apache.hadoop.io.Writable {
+  var bytes: Array[Byte] = Array.emptyByteArray
+  override def write(out: java.io.DataOutput): Unit = out.write(bytes)
+  override def readFields(in: java.io.DataInput): Unit =
+    throw new UnsupportedOperationException("write-only test fixture")
 }
