@@ -351,7 +351,11 @@ object PipelineQueries {
         // (doc_id, sh)-keyed distinct exchange disappears entirely and
         // the raw shingle stream stays narrow into both branches
         // (first-run 4.6 → 2.2 s at sf0.1; warm within noise of the
-        // old shape; stage breakdown in ProbePx04f).
+        // old shape; stage breakdown in ProbePx04f). Eager
+        // localCheckpoint materialization of the stream was the last
+        // untested lever — A/B'd r10 (ProbePx04g, both orders): wash
+        // warm, lane-1 "wins" were session codegen. BENCH_NOTES §0c
+        // closes the adjudication: irreducible at tiny SF.
         val raw = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
         val sizes = raw.groupBy("doc_id")

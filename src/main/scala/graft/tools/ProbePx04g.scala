@@ -49,14 +49,19 @@ object ProbePx04g {
     }
 
     Tables(s, dir, "documents").count() // warmup
-    for (r <- 1 to 3) {
-      t(s"recompute-$r") { finish(raw) }
-      t(s"ckpt-$r") {
+    // pass `ckptfirst` to flip the order: round 1 carries the session's
+    // first-codegen cost, so each shape must be measured holding lane 1
+    val ckptFirst = args.contains("ckptfirst")
+    def one(r: Int, ckpt: Boolean): Unit =
+      if (ckpt) t(s"ckpt-$r") {
         val m = raw.localCheckpoint() // eager: build cost inside the timer
         val n = finish(m)
         m.unpersist(blocking = true)
         n
       }
+      else t(s"recompute-$r") { finish(raw) }
+    for (r <- 1 to 3) {
+      one(r, ckptFirst); one(r, !ckptFirst)
     }
     s.stop()
   }
