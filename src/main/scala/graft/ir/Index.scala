@@ -53,19 +53,45 @@ object Index {
     * scan (`PushedFilters`, asserted in IndexSpec) — the Spark analog
     * of an HBase point-Get per term (SURVEY §3.3), without the RPC.
     */
-  def writeInverted(docs: DataFrame, path: String, files: Int = 0): Unit = {
+  def writeInverted(docs: DataFrame, path: String, files: Int = 0,
+                    maxPostings: Int = 0): Unit = {
     // persist both stages: the range partitioner's boundary-sampling
     // job, the postings shuffle write, and the doclen write are THREE
     // actions over the same tokenize subtree — uncached, the corpus
     // would be tokenized three times (the repo's no-repeated-tokenize
     // rule applies across actions exactly like curateCorpus/spamFilter)
     val tf = TextOps.termFreqs(docs).persist()
-    val agged = tf.groupBy("term")
-      .agg(
-        sort_array(collect_list(struct(col("doc_id"), col("tf"))))
-          .as("postings"),
-        count(lit(1)).as("df"), sum("tf").as("cf"))
-      .persist()
+    // maxPostings=0: one row per term (the compact default). >0: split
+    // each term's postings into doc_id-ordered SHARDS of at most
+    // maxPostings entries — the 100 TB pressure valve for head-term
+    // skew (IndexScaleProbe measured a 1.96M-struct array in ONE row
+    // at 2.5M docs; at 1000× that row is a task-killer). The sharded
+    // build costs one extra exchange but bounds per-group state two
+    // ways: the window sorts SPILL (UnsafeExternalSorter), and each
+    // (term, shard) collect_list buffer — which cannot spill mid-group
+    // — holds ≤ maxPostings structs. Every shard row carries the
+    // TERM-level df/cf, so [[scoreFromInverted]] reads both layouts
+    // unchanged (explode unions shards; stats are constant per term —
+    // equivalence asserted in IndexSpec).
+    val agged = (if (maxPostings > 0) {
+      import org.apache.spark.sql.expressions.Window
+      val byTerm = Window.partitionBy("term")
+      val ordered = byTerm.orderBy("doc_id")
+      tf.withColumn("df", count(lit(1)).over(byTerm))
+        .withColumn("cf", sum("tf").over(byTerm))
+        .withColumn("shard",
+          ((row_number().over(ordered) - 1) / maxPostings).cast("int"))
+        .groupBy("term", "shard", "df", "cf")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+          .as("postings"))
+        .select("term", "shard", "postings", "df", "cf")
+    } else {
+      tf.groupBy("term")
+        .agg(
+          sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+            .as("postings"),
+          count(lit(1)).as("df"), sum("tf").as("cf"))
+    }).persist()
     // Term-sorted row groups WITHOUT a single-task funnel: range
     // partitioning keeps global term order across files (file k's
     // terms all precede file k+1's), sortWithinPartitions orders
@@ -78,7 +104,9 @@ object Index {
       val ranged =
         if (files > 0) agged.repartitionByRange(files, col("term"))
         else agged.repartitionByRange(col("term"))
-      ranged.sortWithinPartitions("term")
+      val sortCols =
+        if (maxPostings > 0) Seq("term", "shard") else Seq("term")
+      ranged.sortWithinPartitions(sortCols.map(col): _*)
         .write.mode("overwrite").parquet(s"$path/postings")
       tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         .write.mode("overwrite").parquet(s"$path/doclen")

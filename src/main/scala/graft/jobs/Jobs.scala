@@ -714,6 +714,11 @@ object Jobs {
           Retrieval.lmdirFinal, conjunctive = false, TopK), out, "graft-lmdi")
       case "IndexInverted" :: in :: out :: Nil =>
         Index.writeInverted(loadDocs(spark, in), out)
+      // optional trailing maxPostings bounds every postings row (head-
+      // term skew pressure valve at corpus scale; IndexSpec equivalence)
+      case "IndexInverted" :: in :: out :: maxP :: Nil =>
+        Index.writeInverted(loadDocs(spark, in), out,
+          maxPostings = maxP.toInt)
       case "RunQueryInverted" :: idx :: out :: topics :: Nil =>
         writeRun(Index.scoreFromInverted(spark, idx,
           Topics.readPlain(spark, topics), Retrieval.lmdirPart,

@@ -126,6 +126,22 @@ object IndexScaleProbe {
       Retrieval.scoreFor(big, qdf, Retrieval.lmdirPart,
         Retrieval.lmdirFinal, conjunctive = false, 10).count())
 
+    // the pressure valve under test: bounded-postings shards (64k)
+    // kill the single 1.96M-struct row — measure build cost + peak
+    // heap vs the compact layout, and that scoring still reads it
+    t("write_inverted_sharded", withCkptRead = true)(
+      Index.writeInverted(big, s"$work/invsh", files = 64,
+        maxPostings = 65536))
+    val postSh = spark.read.parquet(s"$work/invsh/postings")
+    val shSkew = postSh.agg(
+      count(lit(1)).as("rows"),
+      max(size(col("postings"))).as("max_postings")).head()
+    println(s"""[idxscale] {"sharded_rows":${shSkew.getLong(0)},"sharded_max_postings":${shSkew.getInt(1)},"sharded_postings_mb":${dirMb(s"$work/invsh/postings")}}""")
+    t("score_inverted_sharded")(
+      Index.scoreFromInverted(spark, s"$work/invsh", qdf,
+        Retrieval.lmdirPart, Retrieval.lmdirFinal,
+        conjunctive = false, 10).count())
+
     spark.stop()
   }
 }

@@ -73,6 +73,42 @@ class IndexSpec extends SparkSpec {
       "term IN (...) must appear in PushedFilters")
   }
 
+  test("sharded inverted index: bounded rows, identical scores") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("invsh").toString + "/idx"
+    val docs = Tables(spark, sfTiny, "documents")
+    // maxPostings far below the corpus head df, so head terms MUST
+    // split into multiple shard rows
+    Index.writeInverted(docs, dir, files = 4, maxPostings = 16)
+    val post = spark.read.parquet(s"$dir/postings")
+    assert(post.columns.contains("shard"))
+    // the pressure-valve property: NO row's array exceeds the bound
+    val worst = post.agg(max(size(col("postings")))).collect()(0).getInt(0)
+    assert(worst <= 16, s"postings row of $worst exceeds maxPostings")
+    // head terms really did shard (df > 16 somewhere in the corpus)
+    assert(post.groupBy("term").count().agg(max("count"))
+      .collect()(0).getLong(0) > 1, "expected at least one sharded term")
+    // shards of one term agree on term-level df/cf and partition the
+    // postings: df == total collected entries per term
+    val agree = post.groupBy("term")
+      .agg(countDistinct("df").as("ndf"), countDistinct("cf").as("ncf"),
+        sum(size(col("postings"))).as("n"), first("df").as("df"))
+    assert(agree.filter(col("ndf") =!= 1 || col("ncf") =!= 1).count() == 0)
+    assert(agree.filter(col("n") =!= col("df")).count() == 0)
+    // and retrieval over the sharded layout is bit-identical to the
+    // raw-corpus scorer (scoreFromInverted reads both layouts)
+    val q = Retrieval.querySet
+      .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    val direct = Retrieval.scoreFor(docs, q,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    val sharded = Index.scoreFromInverted(spark, dir, q,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    assert(key(sharded) == key(direct) && key(sharded).nonEmpty)
+  }
+
   test("index term stats match direct stats") {
     val dir = Files.createTempDirectory("dv2").toString + "/idx"
     val docs = Tables(spark, sfTiny, "documents")

@@ -269,4 +269,32 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("goes") == "go")
     assert(m("hoes") == "ho") // unlisted (dict: hoe)
   }
+
+  test("krovetz_ex native lookup == generated exception CASE, all entries + non-entries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // The Spark plan consults the dictionary through the native
+    // krovetz_ex HashMap probe while the DuckDB oracle runs the
+    // generated CASE (KrovetzStem.exceptionSql) — same table, two
+    // evaluators. Diff them over every exception key, near-miss
+    // variants (prefix/suffix-extended, case-flipped), and regular
+    // words: any row where they disagree is a cross-engine hash
+    // mismatch waiting to happen in px15.
+    val keys = KrovetzStem.exceptions.map(_._1)
+    val probes = keys ++ keys.map(_ + "x") ++ keys.map("x" + _) ++
+      keys.map(_.capitalize) ++
+      Seq("running", "walked", "cities", "", "a", "zzzz")
+    val out = probes.toDF("term")
+      .withColumn("nat", expr("krovetz_ex(term)"))
+      .withColumn("gen", expr(KrovetzStem.exceptionSql("term")))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"krovetz_ex('${r.getString(0)}') = ${r.getString(1)} " +
+          s"but generated CASE = ${r.getString(2)}")
+    }
+    // and the table really maps every entry (no silent null)
+    val hit = out.take(keys.size)
+    assert(hit.forall(_.getString(1) != null))
+  }
 }
