@@ -45,6 +45,29 @@ class ReadmeApiSpec extends SparkSpec {
     assert(near.count() === queryVecs.count() * 10)
   }
 
+  test("retrieval quickstart: scoreFor / inverted / sharded inverted") {
+    import graft.ir.{Index, Retrieval}
+    val queries = {
+      import spark.implicits._
+      Retrieval.querySet
+        .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+    }
+    val work = java.nio.file.Files.createTempDirectory("readme-ir").toString
+    val run = Retrieval.scoreFor(docs, queries,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    Index.writeInverted(docs, s"$work/inv", files = 4)
+    val run2 = Index.scoreFromInverted(spark, s"$work/inv", queries,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    Index.writeInverted(docs, s"$work/invsh", files = 4, maxPostings = 16)
+    val run3 = Index.scoreFromInverted(spark, s"$work/invsh", queries,
+      Retrieval.lmdirPart, Retrieval.lmdirFinal, conjunctive = false, 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(key(run).nonEmpty)
+    assert(key(run2) == key(run) && key(run3) == key(run))
+  }
+
   test("curation quickstart: gopher gate + DSIR weights") {
     val gated = TextMetrics.gopherRules(docs).filter(col("keep") === 1)
     assert(gated.count() > 0)
