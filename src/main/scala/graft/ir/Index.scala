@@ -53,27 +53,28 @@ object Index {
     * scan (`PushedFilters`, asserted in IndexSpec) — the Spark analog
     * of an HBase point-Get per term (SURVEY §3.3), without the RPC.
     */
-  def writeInverted(docs: DataFrame, path: String, files: Int = 0,
-                    maxPostings: Int = 0): Unit = {
-    // persist both stages: the range partitioner's boundary-sampling
-    // job, the postings shuffle write, and the doclen write are THREE
-    // actions over the same tokenize subtree — uncached, the corpus
-    // would be tokenized three times (the repo's no-repeated-tokenize
-    // rule applies across actions exactly like curateCorpus/spamFilter)
-    val tf = TextOps.termFreqs(docs).persist()
-    // maxPostings=0: one row per term (the compact default). >0: split
-    // each term's postings into doc_id-ordered SHARDS of at most
-    // maxPostings entries — the 100 TB pressure valve for head-term
-    // skew (IndexScaleProbe measured a 1.96M-struct array in ONE row
-    // at 2.5M docs; at 1000× that row is a task-killer). The sharded
-    // build costs one extra exchange but bounds per-group state two
-    // ways: the window sorts SPILL (UnsafeExternalSorter), and each
-    // (term, shard) collect_list buffer — which cannot spill mid-group
-    // — holds ≤ maxPostings structs. Every shard row carries the
-    // TERM-level df/cf, so [[scoreFromInverted]] reads both layouts
-    // unchanged (explode unions shards; stats are constant per term —
-    // equivalence asserted in IndexSpec).
-    val agged = (if (maxPostings > 0) {
+  /** The postings relation from a (doc_id, term, tf) frame.
+    *
+    * maxPostings=0: one row per term (the compact default). >0: split
+    * each term's postings into doc_id-ordered SHARDS of at most
+    * maxPostings entries — the 100 TB pressure valve for head-term
+    * skew (IndexScaleProbe measured a 1.96M-struct array in ONE row
+    * at 2.5M docs; at 1000× that row is a task-killer, both to build
+    * and to explode at query time). The sharded build costs one extra
+    * exchange but bounds per-group state two ways: the window sorts
+    * SPILL (UnsafeExternalSorter), and each (term, shard)
+    * collect_list buffer — which cannot spill mid-group — holds
+    * ≤ maxPostings structs. Every shard row carries the TERM-level
+    * df/cf, so [[scoreFromInverted]] reads both layouts unchanged
+    * (explode unions shards; stats are constant per term —
+    * equivalence asserted in IndexSpec, plan shape in PlanShapeSpec).
+    * Measured at 2.5M docs (BENCH_NOTES §3g): build 35.5 s vs
+    * 41.8 s compact, scoring 9.9 s vs 14–21 s at 10.8 GB peak heap
+    * vs 18+ GB.
+    */
+  private[graft] def postingsFrame(tf: DataFrame,
+                                   maxPostings: Int): DataFrame =
+    if (maxPostings > 0) {
       import org.apache.spark.sql.expressions.Window
       val byTerm = Window.partitionBy("term")
       val ordered = byTerm.orderBy("doc_id")
@@ -91,7 +92,17 @@ object Index {
           sort_array(collect_list(struct(col("doc_id"), col("tf"))))
             .as("postings"),
           count(lit(1)).as("df"), sum("tf").as("cf"))
-    }).persist()
+    }
+
+  def writeInverted(docs: DataFrame, path: String, files: Int = 0,
+                    maxPostings: Int = 0): Unit = {
+    // persist both stages: the range partitioner's boundary-sampling
+    // job, the postings shuffle write, and the doclen write are THREE
+    // actions over the same tokenize subtree — uncached, the corpus
+    // would be tokenized three times (the repo's no-repeated-tokenize
+    // rule applies across actions exactly like curateCorpus/spamFilter)
+    val tf = TextOps.termFreqs(docs).persist()
+    val agged = postingsFrame(tf, maxPostings).persist()
     // Term-sorted row groups WITHOUT a single-task funnel: range
     // partitioning keeps global term order across files (file k's
     // terms all precede file k+1's), sortWithinPartitions orders

@@ -171,6 +171,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("sharded postings: one term shuffle + one (term, shard) shuffle, windows spill-capable") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val p = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.ir.Index.postingsFrame(
+        graft.text.TextOps.termFreqs(Tables(spark, sfTiny, "documents")),
+        maxPostings = 16)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    // the bounded build's honest cost is exactly ONE extra exchange
+    // over the compact layout: term-partitioned windows (df/cf/shard
+    // ride one frame), then the (term, shard) aggregation
+    assert(countOf(p, "Exchange hashpartitioning") === 2, p)
+    assert(p.contains("Window"), "df/cf/shard must come from windows, not a join-back")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "no join-back in the sharded build")
+  }
+
   test("px43_gopher_filter: zero shuffles — a pure narrow map") {
     val p = plan("px43_gopher_filter")
     assert(!p.contains("Exchange"),
