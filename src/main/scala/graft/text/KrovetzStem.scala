@@ -244,8 +244,13 @@ object KrovetzStem {
     */
   def stem(df: org.apache.spark.sql.DataFrame, in: String,
            out: String): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    df.withColumn("_kx", expr(s"krovetz_ex($in)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.graft.Columns
+    // construct the expression directly (not via the registered
+    // "krovetz_ex" SQL name) so stem() keeps working on sessions
+    // built without GraftExtensions
+    df.withColumn("_kx",
+      Columns.of(graft.functions.KrovetzEx(Columns.expr(col(in)))))
       .withColumn("_s1", expr(pluralSql(in)))
       .withColumn("_s2", expr(pastSql("_s1")))
       .withColumn("_s3", expr(ingSql("_s2")))
