@@ -21,9 +21,14 @@ object DetHash {
 
   /** 60-bit non-negative hash of a string column — the NATIVE
     * [[H60]] expression (digest bytes straight to long; bit-identical
-    * to the conv/substring formula, asserted in VecOpsSpec).
+    * to the conv/substring formula, asserted in VecOpsSpec). Built
+    * directly (not via the registered SQL name) so the Column API
+    * works on sessions without GraftExtensions.
     */
-  def h60(c: Column): Column = call_function("h60", c)
+  def h60(c: Column): Column = {
+    import org.apache.spark.sql.graft.Columns
+    Columns.of(H60(Columns.expr(c)))
+  }
 
   /** Seeded variant: independent hash family member i (for minhash). */
   def h60(c: Column, seed: Int): Column =

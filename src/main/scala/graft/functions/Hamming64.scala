@@ -38,11 +38,13 @@ case class Hamming64(left: Expression, right: Expression)
 }
 
 object Hamming64 {
-  /** Column-API form (resolves through the extension-registered
-    * function, so it works in any GraftSession).
+  /** Column-API form — built directly (not via the registered SQL
+    * name), so it works on sessions without GraftExtensions too.
     */
-  def hamming64(a: Column, b: Column): Column =
-    call_function("hamming64", a, b)
+  def hamming64(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.Columns
+    Columns.of(Hamming64(Columns.expr(a), Columns.expr(b)))
+  }
 }
 
 /** Session extensions: registers graft's native functions so they are

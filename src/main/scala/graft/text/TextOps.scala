@@ -74,11 +74,14 @@ object TextOps {
     * referenced 3k+ times here, and inlining it re-tokenizes the
     * document per element access (measured ~1.5× whole-query cost).
     */
-  def shinglesFromToks(toks: Column, k: Int): Column =
+  def shinglesFromToks(toks: Column, k: Int): Column = {
     // NATIVE one-pass expression (functions/TokenShingles; equality
-    // with the transform/element_at formulation asserted in VecOpsSpec)
-    org.apache.spark.sql.functions.call_function(
-      "token_shingles", toks, lit(k))
+    // with the transform/element_at formulation asserted in VecOpsSpec),
+    // built directly so the Column API needs no function registration
+    import org.apache.spark.sql.graft.Columns
+    Columns.of(graft.functions.TokenShingles(
+      Columns.expr(toks), Columns.expr(lit(k))))
+  }
 
   /** Legacy convenience: shingles directly from a text column. */
   def shinglesCol(text: Column, k: Int): Column =
