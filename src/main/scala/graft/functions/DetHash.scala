@@ -26,8 +26,8 @@ object DetHash {
     * works on sessions without GraftExtensions.
     */
   def h60(c: Column): Column = {
-    import org.apache.spark.sql.graft.Columns
-    Columns.of(H60(Columns.expr(c)))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(H60(GraftColumnBridge.expression(c)))
   }
 
   /** Seeded variant: independent hash family member i (for minhash). */

@@ -42,8 +42,9 @@ object Hamming64 {
     * name), so it works on sessions without GraftExtensions too.
     */
   def hamming64(a: Column, b: Column): Column = {
-    import org.apache.spark.sql.graft.Columns
-    Columns.of(Hamming64(Columns.expr(a), Columns.expr(b)))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(Hamming64(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   }
 }
 

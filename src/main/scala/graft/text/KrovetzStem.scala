@@ -245,12 +245,12 @@ object KrovetzStem {
   def stem(df: org.apache.spark.sql.DataFrame, in: String,
            out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.graft.Columns
+    import org.apache.spark.sql.GraftColumnBridge
     // construct the expression directly (not via the registered
     // "krovetz_ex" SQL name) so stem() keeps working on sessions
     // built without GraftExtensions
-    df.withColumn("_kx",
-      Columns.of(graft.functions.KrovetzEx(Columns.expr(col(in)))))
+    df.withColumn("_kx", GraftColumnBridge.column(
+      graft.functions.KrovetzEx(GraftColumnBridge.expression(col(in)))))
       .withColumn("_s1", expr(pluralSql(in)))
       .withColumn("_s2", expr(pastSql("_s1")))
       .withColumn("_s3", expr(ingSql("_s2")))

@@ -78,9 +78,9 @@ object TextOps {
     // NATIVE one-pass expression (functions/TokenShingles; equality
     // with the transform/element_at formulation asserted in VecOpsSpec),
     // built directly so the Column API needs no function registration
-    import org.apache.spark.sql.graft.Columns
-    Columns.of(graft.functions.TokenShingles(
-      Columns.expr(toks), Columns.expr(lit(k))))
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TokenShingles(
+      GraftColumnBridge.expression(toks), GraftColumnBridge.expression(lit(k))))
   }
 
   /** Legacy convenience: shingles directly from a text column. */
