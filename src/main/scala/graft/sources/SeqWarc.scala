@@ -95,8 +95,14 @@ object SeqWarc {
   /** Export (doc_id, text) rows as a binary SequenceFile whose value
     * payloads follow the WritableWarcRecord contract. Stays
     * partitioned — one part file per task, like every other sink here.
+    *
+    * `compress = true` writes BLOCK-compressed with the default codec
+    * — the reference's own output shape for its spam-filtered corpus
+    * (`ClueWebSpamFilter.java:140-146`,
+    * `SequenceFileOutputFormat.setOutputCompressionType(job, BLOCK)`);
+    * the read path decodes either transparently (JobsSpec fixtures).
     */
-  def write(docs: DataFrame, out: String): Unit = {
+  def write(docs: DataFrame, out: String, compress: Boolean = false): Unit = {
     val rdd = docs.select("doc_id", "text").na.fill("").rdd.map { r =>
       val rec = Rec(r.getString(0), "response", "text/html", "", "",
         Map("WARC-TREC-ID" -> r.getString(0)), r.getString(1))
@@ -104,6 +110,13 @@ object SeqWarc {
         new BytesWritable(serialize(rec)))
     }
     val conf = new JobConf(rdd.sparkContext.hadoopConfiguration)
+    if (compress) {
+      conf.setBoolean(org.apache.hadoop.mapreduce.lib.output
+        .FileOutputFormat.COMPRESS, true)
+      conf.set(org.apache.hadoop.mapreduce.lib.output
+        .FileOutputFormat.COMPRESS_TYPE,
+        org.apache.hadoop.io.SequenceFile.CompressionType.BLOCK.toString)
+    }
     rdd.saveAsHadoopFile(out, classOf[BytesWritable], classOf[BytesWritable],
       classOf[SequenceFileAsBinaryOutputFormat], conf)
   }

@@ -288,6 +288,24 @@ class JobsSpec extends SparkSpec {
         .collect().toSeq.sorted
       assert(back == docs.sorted, s"compressed round-trip failed for $sub")
     }
+
+    // and the sink's own compress flag: BLOCK-compressed output (the
+    // reference's shape) whose header names the codec, round-tripped
+    SeqWarc.write(docs.toDF("doc_id", "text"), s"$work/swcout",
+      compress = true)
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$work/swcout"))
+      .iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val head = new String(
+      java.nio.file.Files.readAllBytes(part).take(200).toArray, "ISO-8859-1")
+    assert(head.startsWith("SEQ"))
+    assert(head.contains("DefaultCodec"),
+      "BLOCK-compressed header must name the codec")
+    val back2 = SeqWarc.read(spark, s"$work/swcout")
+      .select("doc_id", "text").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(back2 == docs.sorted)
   }
 
   test("DedupCorpus drops exact duplicates, keeps min-id survivor") {
