@@ -297,4 +297,19 @@ class KrovetzStemSpec extends SparkSpec {
     val hit = out.take(keys.size)
     assert(hit.forall(_.getString(1) != null))
   }
+
+  test("krovetz_ex: interpreted eval (constant folding), nulls, multibyte") {
+    import org.apache.spark.sql.functions.expr
+    // literal input → ConstantFolding evaluates nullSafeEval (the
+    // interpreted path), not codegen: both evaluators must agree
+    val r = spark.range(1).select(
+      expr("krovetz_ex('movies')").as("hitc"),
+      expr("krovetz_ex('zzznope')").as("missc"),
+      expr("krovetz_ex(CAST(NULL AS STRING))").as("nullc"),
+      expr("krovetz_ex('héllo')").as("mbc"), // multibyte: miss, no error
+      expr("krovetz_ex('Movies')").as("casec") // exact bytes only
+    ).head()
+    assert(r.getString(0) == "movie")
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
 }
