@@ -412,6 +412,87 @@ object Dedup {
       .select("vid", "cid", "keep")
   }
 
+  /** Incremental near-dup check of a NEW batch against an EXISTING
+    * corpus — the production shape of LSH dedup at 100 TB: the corpus
+    * is deduplicated ONCE, its MinHash signatures are kept as an
+    * artifact, and each arriving batch is signed, band-joined against
+    * the signature store, and exact-verified — WITHOUT ever
+    * re-processing the corpus. This entry point recomputes the
+    * existing side's signatures inline (convenient at test scale);
+    * production callers persist [[minhashWide]] output as parquet and
+    * pass it to [[incrementalNearDupsFromSigs]], appending each
+    * batch's signatures after the check.
+    *
+    * → one row per batch doc: (doc_id, n_cand, dup_of, jac) where
+    * `n_cand` counts existing docs sharing ≥1 band signature and
+    * `dup_of` is the best verified existing match (max Jaccard, min-id
+    * tiebreak; NULL ⇒ novel — safe to admit). Intra-BATCH duplicates
+    * are deliberately out of scope (run [[nearDupKeepers]] on the
+    * batch first; the two concerns compose, they don't nest).
+    */
+  def incrementalNearDups(existing: DataFrame, batch: DataFrame,
+                          threshold: Double = 0.5): DataFrame =
+    incrementalNearDupsFromSigs(minhashWide(existing), existing, batch,
+      threshold)
+
+  /** [[incrementalNearDups]] with the existing side's WIDE signatures
+    * (doc_id, m0..m15) supplied — the signature-store path.
+    *
+    * Scale design: the band join's existing side is the signature
+    * artifact (16 longs/doc — ~10⁴× smaller than text); candidates are
+    * band-bucket bounded, never all-pairs. Exact verification then
+    * re-reads ONLY the candidate existing docs: a semi-join on the
+    * (small, batch-bounded) candidate id set prunes `existing` BEFORE
+    * it is tokenized, so corpus-side shingling cost is proportional to
+    * the candidate count, not the corpus — the "fetch the handful of
+    * candidate docs" step of a production dedup service.
+    */
+  def incrementalNearDupsFromSigs(existingSigs: DataFrame,
+                                  existing: DataFrame, batch: DataFrame,
+                                  threshold: Double): DataFrame = {
+    val exBands = bandSigs(existingSigs)
+      .select(col("doc_id").as("oid"), col("band"), col("sig"))
+    val newBands = bandSigs(minhashWide(batch))
+      .select(col("doc_id").as("nid"), col("band"), col("sig"))
+    val cand = newBands.join(exBands, Seq("band", "sig"))
+      .select("nid", "oid").distinct()
+    // Verification corpus = candidate existing docs only. The id set
+    // is bounded by |batch| × per-doc candidates, so it broadcasts;
+    // the semi-join keeps the corpus scan but drops every non-candidate
+    // row before the (expensive) shingle explode.
+    val candDocs = existing.join(
+      broadcast(cand.select(col("oid").as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
+    def hashedShingles(docs: DataFrame, id: String): DataFrame =
+      TextOps.shingleRows(docs, 3)
+        .select(col("doc_id").as(id), DetHash.h60(col("s")).as("sh"))
+        .distinct()
+    val shN = hashedShingles(batch, "nid")
+    val shO = hashedShingles(candDocs, "oid")
+    val szN = shN.groupBy("nid").agg(count(lit(1)).as("sa"))
+    val szO = shO.groupBy("oid").agg(count(lit(1)).as("sb"))
+    val inter = cand.join(shN, Seq("nid"))
+      .join(shO, Seq("oid", "sh"))
+      .groupBy("nid", "oid").agg(count(lit(1)).as("inter"))
+    // round-then-compare pins the FP boundary deterministically
+    // (cross-engine rule, same as semDedup's cosine gate)
+    val best = inter.join(szN, Seq("nid")).join(szO, Seq("oid"))
+      .withColumn("jac", expr("round(inter / (sa + sb - inter), 6)"))
+      .filter(col("jac") >= lit(threshold))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY nid ORDER BY jac DESC, oid)"))
+      .filter(col("r") === 1)
+      .select(col("nid").as("doc_id"), col("oid").as("dup_of"), col("jac"))
+    val nCand = cand.groupBy("nid").agg(count(lit(1)).as("n_cand"))
+      .select(col("nid").as("doc_id"), col("n_cand"))
+    batch.select("doc_id")
+      .join(nCand, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("dup_of"), col("jac"))
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

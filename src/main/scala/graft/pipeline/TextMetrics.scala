@@ -198,6 +198,47 @@ object TextMetrics {
       .withColumn("seq_id", expr(s"cum0 div $budget"))
       .select(col(shardCol), col("doc_id"), col("n_tok"), col("seq_id"))
 
+  /** Sliding-window chunking with overlap — the OTHER pretraining
+    * batch-prep shape next to [[packSequences]]: instead of packing
+    * whole docs end-to-end, each doc's tokens are cut into windows of
+    * `win` tokens starting at multiples of `stride`; stride < win makes
+    * consecutive windows share `win − stride` tokens, so no training
+    * example loses cross-boundary context (the standard long-document
+    * treatment in LM fine-tuning loaders). Window count per doc is
+    * 1 + ceil(max(n − win, 0)/stride): window starts advance by
+    * `stride` until a window contains the last token, so every token
+    * is covered and only the final window may run short. →
+    * (doc_id, win_id, start_tok, n_tok, wh) where `wh` is the portable
+    * h60 fingerprint of the window text — the key downstream window
+    * dedup/grouping rides on (overlapping windows of duplicated docs
+    * collide on `wh` exactly like whole-doc fingerprints do).
+    *
+    * Scale: entirely narrow — tokenize, one `sequence` explode, one
+    * array slice per window; ZERO shuffles, so it streams at scan
+    * speed at any corpus size. Output rows ≈ tokens/stride, bounded
+    * by construction.
+    */
+  def chunkWindows(docs: DataFrame, win: Int, stride: Int): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+          .as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("nw", expr(
+        s"1 + CAST(ceil(greatest(size(toks) - $win, 0)" +
+          s" / CAST($stride AS DOUBLE)) AS INT)"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr("sequence(0, nw - 1)")).as("k"))
+      .select(col("doc_id"), col("k").cast("long").as("win_id"),
+        expr(s"CAST(k * $stride AS BIGINT)").as("start_tok"),
+        expr(s"slice(toks, k * $stride + 1, $win)").as("wt"))
+      .select(col("doc_id"), col("win_id"), col("start_tok"),
+        size(col("wt")).cast("long").as("n_tok"),
+        graft.functions.DetHash.h60(concat_ws(" ", col("wt"))).as("wh"))
+  }
+
   /** PII masking patterns (kind, regex, replacement), applied in this
     * order. The standard regex-masking pass of corpus curation
     * (Dolma/CCNet-style): deliberately naive, deliberately documented —

@@ -102,6 +102,48 @@ object PipelineQueries {
        |sim AS (SELECT doc_id, $packed AS simhash FROM votes)""".stripMargin
   }
 
+  /** Marker-token language votes (px10's deterministic profile table):
+    * the winning language per doc by marker count, min-lang tiebreak;
+    * no marker hit → ('und', 0). → (doc_id, pred_lang, n_markers).
+    * ONE definition shared by px10 and the px60 composed pipeline
+    * (cross-engine twin: [[duckMarkerCtes]]).
+    */
+  private def markerLangId(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val markers = Seq(
+      ("en", "the"), ("en", "a"), ("es", "data"), ("es", "table"),
+      ("de", "window"), ("de", "row"), ("fr", "merge"), ("fr", "sort"),
+      ("zh", "spark"), ("zh", "join")).toDF("lang", "term")
+    val votes = TextOps.tokens(docs)
+      .join(broadcast(markers), Seq("term"))
+      .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
+      .withColumn("r",
+        expr("row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang)"))
+      .filter(col("r") === 1)
+    docs.select("doc_id")
+      .join(votes.select("doc_id", "lang", "cnt"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("cnt"), lit(0L)).as("n_markers"))
+  }
+
+  /** Duck CTE chain ending in `lid(doc_id, pred_lang, n_markers)` —
+    * [[markerLangId]]'s oracle twin.
+    */
+  private val duckMarkerCtes: String =
+    s"""mtokens AS (${TextOps.duckTokens}),
+       |markers AS (SELECT * FROM (VALUES ('en','the'),('en','a'),
+       |  ('es','data'),('es','table'),('de','window'),('de','row'),
+       |  ('fr','merge'),('fr','sort'),('zh','spark'),('zh','join')) m(lang, term)),
+       |mvotes AS (SELECT doc_id, lang, count(*) AS cnt
+       |          FROM mtokens JOIN markers USING (term) GROUP BY doc_id, lang),
+       |mtop AS (SELECT doc_id, lang, cnt, row_number()
+       |          OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS r
+       |        FROM mvotes),
+       |lid AS (SELECT d.doc_id, coalesce(t.lang, 'und') AS pred_lang,
+       |          coalesce(t.cnt, 0) AS n_markers
+       |        FROM documents d LEFT JOIN (SELECT * FROM mtop WHERE r = 1) t
+       |          ON d.doc_id = t.doc_id)""".stripMargin
+
   /** LSH banding candidates (4 bands × 4 rows over the 16 minhashes):
     * (d1, d2) pairs sharing a full band signature.
     */
@@ -757,39 +799,13 @@ object PipelineQueries {
     // ---- text analysis ----
 
     // Language-ID by marker-token vote (n-gram-profile stand-in with a
-    // deterministic, oracle-checkable profile table).
+    // deterministic, oracle-checkable profile table). Logic lives in
+    // [[markerLangId]], shared with the px60 composed pipeline.
     Decl(
       "px10_langid",
-      (s, dir) => {
-        import s.implicits._
-        val markers = Seq(
-          ("en", "the"), ("en", "a"), ("es", "data"), ("es", "table"),
-          ("de", "window"), ("de", "row"), ("fr", "merge"), ("fr", "sort"),
-          ("zh", "spark"), ("zh", "join")).toDF("lang", "term")
-        val votes = TextOps.tokens(Tables(s, dir, "documents"))
-          .join(broadcast(markers), Seq("term"))
-          .groupBy("doc_id", "lang").agg(count(lit(1)).as("cnt"))
-          .withColumn("r",
-            expr("row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang)"))
-          .filter(col("r") === 1)
-        Tables(s, dir, "documents").select("doc_id")
-          .join(votes.select("doc_id", "lang", "cnt"), Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("lang"), lit("und")).as("pred_lang"),
-            coalesce(col("cnt"), lit(0L)).as("n_markers"))
-      },
-      Some(s"""WITH tokens AS (${TextOps.duckTokens}),
-              |markers AS (SELECT * FROM (VALUES ('en','the'),('en','a'),
-              |  ('es','data'),('es','table'),('de','window'),('de','row'),
-              |  ('fr','merge'),('fr','sort'),('zh','spark'),('zh','join')) m(lang, term)),
-              |votes AS (SELECT doc_id, lang, count(*) AS cnt
-              |          FROM tokens JOIN markers USING (term) GROUP BY doc_id, lang),
-              |top AS (SELECT doc_id, lang, cnt,
-              |          row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang) AS r
-              |        FROM votes)
-              |SELECT d.doc_id, coalesce(t.lang, 'und') AS pred_lang,
-              |  coalesce(t.cnt, 0) AS n_markers
-              |FROM documents d LEFT JOIN (SELECT * FROM top WHERE r = 1) t
-              |  ON d.doc_id = t.doc_id""".stripMargin),
+      (s, dir) => markerLangId(s, Tables(s, dir, "documents")),
+      Some(s"""WITH $duckMarkerCtes
+              |SELECT doc_id, pred_lang, n_markers FROM lid""".stripMargin),
       survey = Seq("TEXT-LANGID")),
 
     // Language-ID, n-gram profile method: learn top-5 char trigrams
@@ -2161,6 +2177,156 @@ object PipelineQueries {
               |  CAST(sum(n_ip) AS BIGINT) AS n_ip,
               |  bit_xor(${H("rtxt")}) AS red_sig
               |FROM cnt GROUP BY source""".stripMargin),
-      survey = Seq("TEXT-PII"))
+      survey = Seq("TEXT-PII")),
+
+    // Sliding-window chunking with overlap (win=32, stride=16): the
+    // fine-tuning loader's long-document treatment — windows start at
+    // stride multiples until one holds the last token, so consecutive
+    // windows share win−stride tokens and nothing is dropped. Zero
+    // shuffles (TextMetrics.chunkWindows is pure narrow ops); the
+    // h60 window fingerprint is the key window-level dedup groups on.
+    Decl(
+      "px58_chunk_windows",
+      (s, dir) => graft.pipeline.TextMetrics
+        .chunkWindows(Tables(s, dir, "documents"), 32, 16),
+      Some(s"""WITH tk AS (SELECT doc_id, list_filter(
+              |  string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')
+              |    AS tk FROM documents),
+              |w AS (SELECT doc_id, tk,
+              |  1 + CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) AS nw
+              |  FROM tk WHERE len(tk) > 0),
+              |x AS (SELECT doc_id, unnest(generate_series(0, nw - 1))
+              |    AS win_id, tk FROM w),
+              |y AS (SELECT doc_id, win_id, win_id * 16 AS start_tok,
+              |  list_slice(tk, win_id * 16 + 1, win_id * 16 + 32) AS wt
+              |  FROM x)
+              |SELECT doc_id, win_id, start_tok,
+              |  CAST(len(wt) AS BIGINT) AS n_tok,
+              |  ${H("array_to_string(wt, ' ')")} AS wh
+              |FROM y""".stripMargin),
+      survey = Seq("CHUNK-OVERLAP")),
+
+    // Incremental near-dup check of an arriving batch (top 20% of
+    // doc_ids) against the already-deduplicated corpus — the
+    // PRODUCTION dedup shape: sign the batch, band-join it against the
+    // corpus's stored MinHash signatures, exact-verify candidates only
+    // (Dedup.incrementalNearDups; the existing side's signature
+    // artifact path is incrementalNearDupsFromSigs). Per batch doc:
+    // candidate count, best verified match (Jaccard ≥ 0.5), novelty.
+    Decl(
+      "px59_incremental_dedup",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        // SF-independent split: batch = ids ≥ 80% of the id range.
+        // The cutoff is ONE scalar — broadcast by construction.
+        val cut = broadcast(docs.agg(
+          expr("CAST(ceil(8e-1 * (max(doc_id) + 1)) AS BIGINT)").as("c")))
+        val existing = docs.crossJoin(cut)
+          .filter(col("doc_id") < col("c")).drop("c")
+        val batch = docs.crossJoin(cut)
+          .filter(col("doc_id") >= col("c")).drop("c")
+        graft.pipeline.Dedup.incrementalNearDups(existing, batch, 0.5)
+      },
+      Some(s"""WITH $duckMinhash,
+              |cut AS (SELECT CAST(ceil(0.8 * (max(doc_id) + 1)) AS BIGINT)
+              |          AS c FROM documents),
+              |bands AS (SELECT doc_id, i // 4 AS band,
+              |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS sig
+              |  FROM mh GROUP BY doc_id, i // 4),
+              |cand AS (SELECT DISTINCT b.doc_id AS nid, a.doc_id AS oid
+              |  FROM bands a JOIN bands b
+              |    ON a.band = b.band AND a.sig = b.sig, cut
+              |  WHERE a.doc_id < cut.c AND b.doc_id >= cut.c),
+              |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
+              |sizes AS (SELECT doc_id, count(*) AS sz FROM dsh GROUP BY doc_id),
+              |inter AS (SELECT c.nid, c.oid, count(*) AS n
+              |  FROM cand c JOIN dsh nn ON nn.doc_id = c.nid
+              |  JOIN dsh oo ON oo.doc_id = c.oid AND oo.sh = nn.sh
+              |  GROUP BY 1, 2),
+              |ver AS (SELECT i.nid, i.oid,
+              |    round(i.n / (sn.sz + so.sz - i.n), 6) AS jac
+              |  FROM inter i JOIN sizes sn ON sn.doc_id = i.nid
+              |  JOIN sizes so ON so.doc_id = i.oid),
+              |best AS (SELECT nid, oid AS dup_of, jac, row_number()
+              |    OVER (PARTITION BY nid ORDER BY jac DESC, oid) AS r
+              |  FROM ver WHERE jac >= 0.5),
+              |nc AS (SELECT nid, count(*) AS n_cand FROM cand GROUP BY nid),
+              |newdocs AS (SELECT doc_id FROM documents, cut
+              |            WHERE doc_id >= cut.c)
+              |SELECT nd.doc_id, coalesce(nc.n_cand, 0) AS n_cand,
+              |  b.dup_of, b.jac
+              |FROM newdocs nd LEFT JOIN nc ON nc.nid = nd.doc_id
+              |LEFT JOIN (SELECT * FROM best WHERE r = 1) b
+              |  ON b.nid = nd.doc_id""".stripMargin),
+      survey = Seq("DEDUP-INCREMENTAL")),
+
+    // Composed end-to-end curation report — the px operators run the
+    // way a user runs them: Gopher rule gate × exact-dedup keeper ×
+    // language-ID, summarized per (source, predicted lang) with kept
+    // doc and token counts. ONE Catalyst plan: the gate is a narrow
+    // map, the keeper one hash agg, langid one broadcast join + one
+    // doc-keyed agg, and all four doc-keyed joins share the same join
+    // key, so the final summary costs one tiny agg on top. At 100 TB
+    // each stage streams — nothing here widens with corpus size except
+    // the doc-keyed exchanges the component ops already pay alone.
+    Decl(
+      "px60_curation_e2e",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val g = graft.pipeline.TextMetrics.gopherRules(docs)
+          .select("doc_id", "keep")
+        val uniq = graft.pipeline.Dedup.exactKeepers(docs)
+          .withColumn("uniq", lit(1))
+        val lang = markerLangId(s, docs).select("doc_id", "pred_lang")
+        val dl = TextOps.docLengths(docs)
+        docs.select("doc_id", "source")
+          .join(g, Seq("doc_id"))
+          .join(uniq, Seq("doc_id"), "left")
+          .join(lang, Seq("doc_id"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("kept",
+            expr("CASE WHEN keep = 1 AND uniq = 1 THEN 1 ELSE 0 END"))
+          .groupBy("source", "pred_lang")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(kept) AS BIGINT)").as("n_kept"),
+            expr("CAST(sum(CASE WHEN kept = 1 THEN dl ELSE 0 END) AS BIGINT)")
+              .as("n_tokens_kept"))
+      },
+      Some(s"""WITH $duckMarkerCtes,
+              |gw AS (SELECT doc_id,
+              |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+              |      AS w,
+              |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+              |      AS n_sym
+              |  FROM documents),
+              |gm AS (SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    round(list_sum(list_transform(w, x -> len(x)))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS mean_word_len,
+              |    round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS alpha_frac,
+              |    round(n_sym / nullif(CAST(len(w) AS DOUBLE), 0e0), 6)
+              |      AS sym_ratio
+              |  FROM gw),
+              |g AS (SELECT doc_id,
+              |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep FROM gm),
+              |kp AS (SELECT min(doc_id) AS doc_id FROM documents
+              |       GROUP BY md5(text)),
+              |dl AS (${TextOps.duckDocLengths}),
+              |j AS (SELECT d.doc_id, d.source, l.pred_lang, g.keep,
+              |        CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS uniq,
+              |        coalesce(dl.dl, 0) AS dl
+              |      FROM documents d
+              |      JOIN lid l ON l.doc_id = d.doc_id
+              |      JOIN g ON g.doc_id = d.doc_id
+              |      LEFT JOIN kp k ON k.doc_id = d.doc_id
+              |      LEFT JOIN dl ON dl.doc_id = d.doc_id)
+              |SELECT source, pred_lang, count(*) AS n_docs,
+              |  CAST(sum(CASE WHEN keep = 1 AND uniq = 1 THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_kept,
+              |  CAST(sum(CASE WHEN keep = 1 AND uniq = 1 THEN dl ELSE 0 END)
+              |    AS BIGINT) AS n_tokens_kept
+              |FROM j GROUP BY 1, 2""".stripMargin),
+      survey = Seq("CURATE-E2E"))
   )
 }
