@@ -432,11 +432,13 @@ object Dedup {
     */
   def incrementalNearDups(existing: DataFrame, batch: DataFrame,
                           threshold: Double = 0.5): DataFrame =
-    incrementalNearDupsFromSigs(minhashWide(existing), existing, batch,
-      threshold)
+    incrementalNearDupsFromSigs(minhashWide(existing), existing,
+      minhashWide(batch), batch, threshold)
 
-  /** [[incrementalNearDups]] with the existing side's WIDE signatures
-    * (doc_id, m0..m15) supplied — the signature-store path.
+  /** [[incrementalNearDups]] with both sides' WIDE signatures
+    * (doc_id, m0..m15) supplied — the signature-store path (existing
+    * sigs read from the persisted artifact; batch sigs from whatever
+    * pass signed the arriving data).
     *
     * Scale design: the band join's existing side is the signature
     * artifact (16 longs/doc — ~10⁴× smaller than text); candidates are
@@ -448,12 +450,23 @@ object Dedup {
     * candidate docs" step of a production dedup service.
     */
   def incrementalNearDupsFromSigs(existingSigs: DataFrame,
-                                  existing: DataFrame, batch: DataFrame,
+                                  existing: DataFrame,
+                                  batchSigs: DataFrame, batch: DataFrame,
                                   threshold: Double): DataFrame = {
     val exBands = bandSigs(existingSigs)
       .select(col("doc_id").as("oid"), col("band"), col("sig"))
-    val newBands = bandSigs(minhashWide(batch))
+    val newBands = bandSigs(batchSigs)
       .select(col("doc_id").as("nid"), col("band"), col("sig"))
+    // Candidate list: tiny by construction (≤ |batch| × per-doc band
+    // matches), consumed by THREE branches — the verification join,
+    // the per-doc candidate count, and the corpus-pruning semi-join.
+    // Kept LAZY deliberately: an eager localCheckpoint here was A/B'd
+    // (r11, ProbePx59 conditions, sf0.1 bench 2×) and LOST — 5.75 s
+    // first / 2.58 s warm checkpointed vs 5.03 / 2.15 lazy. The
+    // sign+band subtree behind each consumer dedupes to reused
+    // exchanges, so parallel recompute beats the serialized
+    // materialization barrier — the same verdict as the px04/px27
+    // persist A/Bs (BENCH_NOTES §2).
     val cand = newBands.join(exBands, Seq("band", "sig"))
       .select("nid", "oid").distinct()
     // Verification corpus = candidate existing docs only. The id set

@@ -2216,16 +2216,26 @@ object PipelineQueries {
     Decl(
       "px59_incremental_dedup",
       (s, dir) => {
+        import graft.pipeline.Dedup
         val docs = Tables(s, dir, "documents")
-        // SF-independent split: batch = ids ≥ 80% of the id range.
-        // The cutoff is ONE scalar — broadcast by construction.
-        val cut = broadcast(docs.agg(
-          expr("CAST(ceil(8e-1 * (max(doc_id) + 1)) AS BIGINT)").as("c")))
-        val existing = docs.crossJoin(cut)
-          .filter(col("doc_id") < col("c")).drop("c")
-        val batch = docs.crossJoin(cut)
-          .filter(col("doc_id") >= col("c")).drop("c")
-        graft.pipeline.Dedup.incrementalNearDups(existing, batch, 0.5)
+        // SF-independent split: batch = ids ≥ 80% of the id range. The
+        // cutoff is ONE aggregated scalar — a bounded driver collect
+        // (the same contract as the IVF probe-list literal), surfaced
+        // as a LITERAL so both sides' filters push down to the scan.
+        val c = docs.agg(
+          expr("CAST(ceil(8e-1 * (max(doc_id) + 1)) AS BIGINT)").as("c"))
+          .head().getLong(0)
+        // Sign the WHOLE corpus in ONE minhash pass and split ABOVE
+        // the aggregation: the two sides' agg subtrees canonicalize
+        // equal, so the signature exchange is built once and REUSED —
+        // vs signing each side separately (two tokenize+md5 passes,
+        // probe ProbePx59). In production the existing side instead
+        // comes straight from the signature-store parquet.
+        val sigs = Dedup.minhashWide(docs)
+        Dedup.incrementalNearDupsFromSigs(
+          sigs.filter(col("doc_id") < c), docs.filter(col("doc_id") < c),
+          sigs.filter(col("doc_id") >= c), docs.filter(col("doc_id") >= c),
+          0.5)
       },
       Some(s"""WITH $duckMinhash,
               |cut AS (SELECT CAST(ceil(0.8 * (max(doc_id) + 1)) AS BIGINT)

@@ -97,7 +97,8 @@ class IncrementalSpec extends SparkSpec {
     "verdicts to the inline path") {
     val inline = Dedup.incrementalNearDups(existingDocs, batchDocs, 0.5)
     val stored = Dedup.incrementalNearDupsFromSigs(
-      Dedup.minhashWide(existingDocs), existingDocs, batchDocs, 0.5)
+      Dedup.minhashWide(existingDocs), existingDocs,
+      Dedup.minhashWide(batchDocs), batchDocs, 0.5)
     assert(inline.exceptAll(stored).isEmpty &&
       stored.exceptAll(inline).isEmpty)
   }
