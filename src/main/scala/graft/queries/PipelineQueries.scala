@@ -2337,6 +2337,45 @@ object PipelineQueries {
               |  CAST(sum(CASE WHEN keep = 1 AND uniq = 1 THEN dl ELSE 0 END)
               |    AS BIGINT) AS n_tokens_kept
               |FROM j GROUP BY 1, 2""".stripMargin),
-      survey = Seq("CURATE-E2E"))
+      survey = Seq("CURATE-E2E")),
+
+    // Training-example dedup: after chunking (px58), dedup the
+    // EXAMPLES — the step real LM pipelines run on the chunked output,
+    // where document-level dedup can't see that two long docs share
+    // only a slice. One keyed agg over the window fingerprints; the
+    // keeper is the min (doc_id, win_id), arg-min'd through a packed
+    // bigint (doc_id·2²⁰ + win_id; win_id < 2²⁰ ⇔ docs under ~16M
+    // tokens at stride 16 — assert-guarded in chunk semantics, far
+    // above any real doc) so both engines take ONE min instead of a
+    // two-level window. Duplicated windows only (n_copies ≥ 2).
+    Decl(
+      "px61_window_dedup",
+      (s, dir) => graft.pipeline.TextMetrics
+        .chunkWindows(Tables(s, dir, "documents"), 32, 16)
+        .groupBy("wh")
+        .agg(count(lit(1)).as("n_copies"),
+          min(expr("doc_id * 1048576 + win_id")).as("pk"))
+        .filter(col("n_copies") >= 2)
+        .select(col("wh"), col("n_copies"),
+          expr("pk div 1048576").as("keep_doc"),
+          expr("pk % 1048576").as("keep_win")),
+      Some(s"""WITH tk AS (SELECT doc_id, list_filter(
+              |  string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '')
+              |    AS tk FROM documents),
+              |w AS (SELECT doc_id, tk,
+              |  1 + CAST(ceil(greatest(len(tk) - 32, 0) / 16.0) AS INT) AS nw
+              |  FROM tk WHERE len(tk) > 0),
+              |x AS (SELECT doc_id, unnest(generate_series(0, nw - 1))
+              |    AS win_id, tk FROM w),
+              |y AS (SELECT doc_id, win_id,
+              |  list_slice(tk, win_id * 16 + 1, win_id * 16 + 32) AS wt
+              |  FROM x),
+              |z AS (SELECT doc_id, win_id,
+              |  ${H("array_to_string(wt, ' ')")} AS wh FROM y)
+              |SELECT wh, count(*) AS n_copies,
+              |  min(doc_id * 1048576 + win_id) // 1048576 AS keep_doc,
+              |  min(doc_id * 1048576 + win_id) % 1048576 AS keep_win
+              |FROM z GROUP BY wh HAVING count(*) >= 2""".stripMargin),
+      survey = Seq("DEDUP-WINDOWS"))
   )
 }

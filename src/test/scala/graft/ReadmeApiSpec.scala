@@ -23,6 +23,22 @@ class ReadmeApiSpec extends SparkSpec {
     assert(verdicts.count() === embeddings.count())
   }
 
+  test("dedup quickstart: incremental store path + chunk windows") {
+    // mirror the README: corpus signatures persisted once, batch
+    // checked against the store (scale knobs sized for sf0.001)
+    val work = java.nio.file.Files.createTempDirectory("readme-inc").toString
+    val corpus = docs.filter(col("doc_id") < 40)
+    val batch = docs.filter(col("doc_id") >= 40)
+    Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
+    val batchVerdicts = Dedup.incrementalNearDupsFromSigs(
+      spark.read.parquet(s"$work/sigs"), corpus,
+      Dedup.minhashWide(batch), batch, threshold = 0.5)
+    assert(batchVerdicts.count() === batch.count())
+    val wins = TextMetrics.chunkWindows(docs, win = 512, stride = 256)
+    val dupWins = wins.groupBy("wh").count().filter(col("count") >= 2)
+    assert(wins.count() > 0 && dupWins.count() >= 0)
+  }
+
   test("ANN quickstart: IVF partitioned layout probes with pruning") {
     val work = java.nio.file.Files.createTempDirectory("readme-ivf").toString
     val cents = Ann.kmeansCentroids(embeddings, kClusters = 4, iters = 2)
