@@ -414,6 +414,47 @@ object Jobs {
         conjunctive = false, TopK),
       out, "graft-rm3-idx")
 
+  /** Index inspection, `s` form (reference `DumpIndexHBase.java:21-41`):
+    * the documents/terms/tokens triple the reference point-gets from its
+    * `#collstats` HBase row. Here the index IS the doc-vector parquet,
+    * so documents and tokens come from the stored rows/lengths and the
+    * distinct-term count is one explode of the map keys — a single
+    * bounded aggregate, no full-text rescan. One 3-line file, reference
+    * layout.
+    */
+  def dumpIndexStats(spark: SparkSession, idx: String, out: String): Unit = {
+    import spark.implicits._
+    val dv = Index.load(spark, idx)
+    val dt = dv.select(explode(map_keys(col("dv"))).as("term"))
+      .agg(countDistinct(col("term")).as("terms")).head().getLong(0)
+    val h = dv.agg(count(lit(1)).as("documents"), sum("len").as("tokens"))
+      .head()
+    writeText(
+      Seq(s"documents: ${h.getLong(0)}", s"terms: $dt",
+        s"tokens: ${h.getLong(1)}").toDF("value"),
+      out, merge = true)
+  }
+
+  /** Index inspection, `dv` form (reference `DumpIndexHBase.java:43-62`):
+    * one document's term vector as `term count` lines. The reference
+    * deserializes a FeatureVector from an HBase point get and prints
+    * Double weights; here the doc_id filter is pushed to the parquet
+    * scan (the index write repartitions by doc_id, so row groups prune)
+    * and counts print through the same Double formatting ("the 3.0").
+    * Term-sorted — the reference iterates an unordered Set; sorting
+    * makes the dump deterministic without changing its contents.
+    */
+  def dumpIndexDocVector(spark: SparkSession, idx: String, docno: String,
+                         out: String): Unit =
+    writeText(
+      Index.load(spark, idx)
+        .filter(col("doc_id").cast("string") === docno)
+        .select(explode(col("dv")).as(Seq("term", "tf")))
+        .orderBy("term")
+        .select(concat_ws(" ", col("term"),
+          col("tf").cast("double").cast("string")).as("value")),
+      out, merge = true)
+
   /** Exact-dedup a corpus: keep the min-id doc per content hash,
     * write the deduplicated corpus as parquet (the LSH/near-dup
     * variants are the px02/px03/px19/px21 query pipeline).
@@ -698,6 +739,10 @@ object Jobs {
         runQueryKde(spark, in, out, topics)
       case "RunQueryKDESweep" :: in :: out :: topics :: qrels :: Nil =>
         runQueryKdeSweep(spark, in, out, topics, qrels)
+      case "DumpIndex" :: "s" :: idx :: out :: Nil =>
+        dumpIndexStats(spark, idx, out)
+      case "DumpIndex" :: "dv" :: idx :: docno :: out :: Nil =>
+        dumpIndexDocVector(spark, idx, docno, out)
       case "RunQueryIndexWeighted" :: idx :: out :: wtopics :: Nil =>
         runQueryIndexWeighted(spark, idx, out, wtopics)
       case "TrecToMallet" :: in :: out :: Nil => trecToMallet(spark, in, out)

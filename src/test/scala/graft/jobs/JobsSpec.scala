@@ -103,6 +103,32 @@ class JobsSpec extends SparkSpec {
       "scoreFromIndex must reproduce the sequential-scan ranking byte-for-byte")
   }
 
+  test("DumpIndex: s triple and dv term-vector match the corpus by hand") {
+    // reference DumpIndexHBase: `s` prints documents/terms/tokens from
+    // the #collstats row; `dv <docno>` prints one doc's FeatureVector
+    // as `term count` lines with Double-formatted counts
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "cat dog cat")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$work/dumpdocs")
+    Index.write(Jobs.loadDocs(spark, s"parquet:$work/dumpdocs"),
+      s"$work/dumpidx")
+
+    Jobs.dumpIndexStats(spark, s"$work/dumpidx", s"$work/dumpstats")
+    // 3 docs; distinct terms {the,cat,sat,on,mat,dog} = 6; 12 tokens
+    assert(runLines(s"$work/dumpstats") ==
+      Seq("documents: 3", "terms: 6", "tokens: 12"))
+
+    Jobs.dumpIndexDocVector(spark, s"$work/dumpidx", "1", s"$work/dumpdv")
+    assert(runLines(s"$work/dumpdv") ==
+      Seq("cat 1.0", "mat 1.0", "on 1.0", "sat 1.0", "the 2.0"))
+    // absent docno dumps empty, not an error (reference NPEs here)
+    Jobs.dumpIndexDocVector(spark, s"$work/dumpidx", "99", s"$work/dumpdv99")
+    assert(runLines(s"$work/dumpdv99").isEmpty)
+  }
+
   test("RunQueryKDESweep: 9 alphas per query, reference report format") {
     val trecDir = Files.createTempDirectory("trecsweep").toString
     val docsSgml = (1 to 6).map { i =>
