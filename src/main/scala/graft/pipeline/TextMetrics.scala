@@ -286,4 +286,53 @@ object TextMetrics {
     piiPatterns.map { case (k, p, _) =>
       s"len(regexp_extract_all($e, '$p')) AS n_$k"
     }
+
+  /** Span-level decontamination (the surgical counterpart of the
+    * px24/px56 doc-level flag): remove every token covered by a k-gram
+    * whose h60 hash appears in `bench` (one `sh` column), then stitch
+    * the survivors back into `clean_text`. Lee et al. 2022's
+    * exact-substring treatment applied to benchmark overlap — drop the
+    * overlapping SPAN, keep the document.
+    *
+    * Output: (doc_id, clean_text, n_kept, n_removed), one row per
+    * input doc — fully-scrubbed docs stay, with clean_text = ''.
+    *
+    * Scale (100 TB): the benchmark hash set is bounded by the eval
+    * suites, so the hit join broadcasts (compose with the px56 Bloom
+    * prefilter when it outgrows that); covered positions are an exact
+    * ×k explode of the HITS only, never of the corpus; everything else
+    * is doc_id-keyed — one shuffle to re-aggregate the survivors.
+    */
+  def scrubContaminated(docs: DataFrame, bench: DataFrame,
+                        k: Int = 5): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      filter(TextOps.tokensCol(col("text")), t => t =!= "").as("tk"))
+    // 1-based shingle starts, matching the oracle's list indexing
+    val hs = tk
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesFromToks(col("tk"), k))
+          .as(Seq("i0", "s")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"),
+        graft.functions.DetHash.h60(col("s")).as("sh"))
+    val covered = hs.join(broadcast(bench.select("sh").distinct()), Seq("sh"))
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val kept = tk
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

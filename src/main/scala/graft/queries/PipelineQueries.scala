@@ -1057,6 +1057,51 @@ object PipelineQueries {
       Some(duckContamSql),
       survey = Seq("TEXT-CONTAMINATION")),
 
+    // Span-level decontamination (px24's surgical counterpart): tokens
+    // covered by a benchmark 5-gram are REMOVED and the survivors
+    // re-stitched — the Lee-et-al exact-substring treatment applied to
+    // eval overlap, keeping the document instead of dropping it. The
+    // library op is TextMetrics.scrubContaminated; same benchmark
+    // split as px24 (doc_id < 50 is the "eval suite"). Clean text is
+    // hash-compared byte-for-byte, so tokenizer, position arithmetic,
+    // and stitch order are all pinned cross-engine.
+    Decl(
+      "px62_decontam_scrub",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val bench = TextOps.shingleRows(docs.filter(col("doc_id") < 50), 5)
+          .select(DetHash.h60(col("s")).as("sh")).distinct()
+        graft.pipeline.TextMetrics.scrubContaminated(
+          docs.filter(col("doc_id") >= 50), bench)
+      },
+      Some(s"""WITH $duckToksList,
+              |st AS (SELECT doc_id,
+              |         unnest(generate_series(1, greatest(len(tk) - 4, 0))) AS i,
+              |         tk FROM tk),
+              |hs AS (SELECT doc_id, i,
+              |         ${H("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]" +
+                   " || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS sh FROM st),
+              |bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id < 50),
+              |hits AS (SELECT DISTINCT m.doc_id, m.i + os.o AS pos
+              |         FROM (SELECT h.doc_id, h.i FROM hs h
+              |               JOIN bench USING (sh) WHERE h.doc_id >= 50) m
+              |         CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o) os),
+              |tp AS (SELECT doc_id, unnest(tk) AS tok,
+              |         unnest(generate_series(1, len(tk))) AS pos
+              |       FROM tk WHERE doc_id >= 50),
+              |kept AS (SELECT doc_id, pos, tok FROM tp
+              |         WHERE NOT EXISTS (SELECT 1 FROM hits h
+              |           WHERE h.doc_id = tp.doc_id AND h.pos = tp.pos)),
+              |ka AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |         count(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+              |       coalesce(ka.n_kept, 0) AS n_kept,
+              |       t.n_tok - coalesce(ka.n_kept, 0) AS n_removed
+              |FROM (SELECT doc_id, len(tk) AS n_tok FROM tk
+              |      WHERE doc_id >= 50) t
+              |LEFT JOIN ka USING (doc_id)""".stripMargin),
+      survey = Seq("TEXT-CONTAMINATION")),
+
     // Multimodal metadata: documents as opaque binary blobs with typed,
     // deterministic pseudo-decoded metadata. This oracle-facing query
     // uses the stub formula because DuckDB must reproduce the numbers;

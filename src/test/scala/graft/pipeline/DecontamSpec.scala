@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.functions.DetHash
+import graft.text.TextOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** TextMetrics.scrubContaminated (the px62 library op): hand-computed
+  * span removal, overlap union, full-scrub and short-doc edges.
+  */
+class DecontamSpec extends SparkSpec {
+
+  private def benchOf(docs: DataFrame): DataFrame =
+    TextOps.shingleRows(docs, 5)
+      .select(DetHash.h60(col("s")).as("sh")).distinct()
+
+  private def scrubMap(docs: DataFrame, bench: DataFrame) =
+    TextMetrics.scrubContaminated(docs, bench).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("mid-doc benchmark 5-gram: covered span removed, rest stitched") {
+    import spark.implicits._
+    val bench = benchOf(
+      Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+    val out = scrubMap(Seq(
+      (1L, "one two alpha beta gamma delta epsilon three"),
+      (2L, "Hello, World!"),          // no match; normalized stitch
+      (3L, "alpha beta gamma delta epsilon"), // fully scrubbed
+      (4L, "alpha beta gamma"))       // < 5 tokens: no shingle, kept
+      .toDF("doc_id", "text"), bench)
+    assert(out(1L) === (("one two three", 3L, 5L)))
+    assert(out(2L) === (("hello world", 2L, 0L)))
+    assert(out(3L) === (("", 0L, 5L)))
+    assert(out(4L) === (("alpha beta gamma", 3L, 0L)))
+  }
+
+  test("repeated and overlapping matches: covered positions union, once") {
+    import spark.implicits._
+    val bench = benchOf(Seq(
+      (0L, "a b c d e"),
+      (1L, "c d e f g")).toDF("doc_id", "text"))
+    val out = scrubMap(Seq(
+      // the same benchmark gram twice with a survivor between
+      (10L, "a b c d e x a b c d e"),
+      // two DIFFERENT grams overlapping on c d e: union covers 1..7
+      (11L, "a b c d e f g h")).toDF("doc_id", "text"), bench)
+    assert(out(10L) === (("x", 1L, 10L)))
+    assert(out(11L) === (("h", 1L, 7L)))
+  }
+}
