@@ -91,4 +91,17 @@ class ReadmeApiSpec extends SparkSpec {
       Classify.labels(docs, Classify.targetLangExpr))
     assert(weights.count() === docs.count())
   }
+
+  test("curation quickstart: span-level decontamination") {
+    import graft.text.TextOps
+    val evalDocs = docs.filter(col("doc_id") < 20)
+    val bench = TextOps.shingleRows(evalDocs, 5)
+      .select(graft.functions.DetHash.h60(col("s")).as("sh")).distinct()
+    val scrubbed = TextMetrics.scrubContaminated(
+      docs.filter(col("doc_id") >= 20), bench)
+    assert(scrubbed.count() ===
+      docs.filter(col("doc_id") >= 20).count())
+    assert(scrubbed.columns.toSeq ==
+      Seq("doc_id", "clean_text", "n_kept", "n_removed"))
+  }
 }
