@@ -57,6 +57,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "BroadcastHashJoin") >= 2, p)
   }
 
+  test("px62_decontam_scrub: bench join broadcasts, covered-pos join stays anti") {
+    val p = plan("px62_decontam_scrub")
+    // the benchmark hash set rides a broadcast (bounded by the eval
+    // suites); survivors come back through a left_anti — and nothing
+    // in the plan is a cartesian
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q04_filter_project: predicate reaches the parquet scan") {
     val p = plan("q04_filter_project")
     assert(p.contains("PushedFilters: ["), p)
