@@ -469,6 +469,37 @@ object Jobs {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** Eval decontamination as a curation stage: remove the tokens of
+    * every benchmark 5-gram from the corpus (span-surgical — the doc
+    * survives, its contaminated spans don't; the doc-level drop twin
+    * is a plain px24-style anti-join). The benchmark corpus loads via
+    * the same scheme specs as the input; output keeps the corpus
+    * schema with `text` replaced by the scrubbed text, plus a one-line
+    * report of docs touched / tokens removed.
+    */
+  def decontaminateCorpus(spark: SparkSession, in: String, out: String,
+                          benchIn: String, k: Int = 5): Unit = {
+    import graft.functions.DetHash
+    import graft.pipeline.TextMetrics
+    val docs = loadDocs(spark, in)
+    val bench = TextOps.shingleRows(loadDocs(spark, benchIn), k)
+      .select(DetHash.h60(col("s")).as("sh")).distinct()
+    val scrubbed = TextMetrics.scrubContaminated(docs, bench, k)
+      .persist() // two actions: the write + the report aggregate
+    try {
+      scrubbed.select(col("doc_id"), col("clean_text").as("text"))
+        .write.mode("overwrite").parquet(out)
+      val r = scrubbed.agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END")).as("touched"),
+        sum("n_removed").as("removed")).head()
+      import spark.implicits._
+      Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
+          s"tokens_removed=${r.getLong(2)}")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(out + "_report")
+    } finally { scrubbed.unpersist(); () }
+  }
+
   /** Semantic dedup as a curation stage (SemDeDup, Abbas et al. 2023):
     * drop every document whose embedding has a lower-id neighbor at
     * cosine ≥ `threshold` within its k-means cluster. Embeddings come
@@ -723,6 +754,8 @@ object Jobs {
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
+      case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
+        decontaminateCorpus(spark, in, out, bench)
       case "SemDedupCorpus" :: in :: out :: emb :: k :: Nil =>
         semDedupCorpus(spark, in, out, emb, k.toInt)
       case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)

@@ -346,6 +346,27 @@ class JobsSpec extends SparkSpec {
     assert(kept.toSeq == Seq("d1", "d3"))
   }
 
+  test("DecontaminateCorpus: benchmark span scrubbed from text, report counts") {
+    import spark.implicits._
+    Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/bench")
+    Seq(
+      (1L, "intro words the quick brown fox jumps and more tail"),
+      (2L, "completely clean document text here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/decin")
+    Jobs.decontaminateCorpus(spark, s"parquet:$work/decin",
+      s"$work/decout", s"parquet:$work/bench")
+    val out = spark.read.parquet(s"$work/decout").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "the quick brown fox jumps" is a benchmark 5-gram: excised
+    assert(out(1L) == "intro words and more tail")
+    assert(out(2L) == "completely clean document text here")
+    assert(runLines(s"$work/decout_report") ==
+      Seq("input=2 touched=1 tokens_removed=5"))
+  }
+
   test("SemDedupCorpus: drops the higher-id near-identical embedding, keeps unembedded docs") {
     import spark.implicits._
     val w = Files.createTempDirectory("semdedup_job").toString
