@@ -478,26 +478,49 @@ object Jobs {
     * report of docs touched / tokens removed.
     */
   def decontaminateCorpus(spark: SparkSession, in: String, out: String,
-                          benchIn: String, k: Int = 5): Unit = {
+                          benchIn: String, k: Int = 5,
+                          mode: String = "scrub"): Unit = {
     import graft.functions.DetHash
     import graft.pipeline.TextMetrics
     val docs = loadDocs(spark, in)
     val bench = TextOps.shingleRows(loadDocs(spark, benchIn), k)
       .select(DetHash.h60(col("s")).as("sh")).distinct()
-    val scrubbed = TextMetrics.scrubContaminated(docs, bench, k)
-      .persist() // two actions: the write + the report aggregate
-    try {
-      scrubbed.select(col("doc_id"), col("clean_text").as("text"))
-        .write.mode("overwrite").parquet(out)
-      val r = scrubbed.agg(count(lit(1)).as("n"),
-        sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END")).as("touched"),
-        sum("n_removed").as("removed")).head()
-      import spark.implicits._
-      Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
-          s"tokens_removed=${r.getLong(2)}")
-        .toDF("value").coalesce(1).write.mode("overwrite")
-        .text(out + "_report")
-    } finally { scrubbed.unpersist(); () }
+    mode match {
+      case "drop" =>
+        // doc-level treatment (the px24 flag as a job): DROP any doc
+        // sharing a benchmark k-gram, original text untouched — no
+        // position explode, no re-stitch, just the broadcast hash
+        // semi-join the flag query runs
+        val dirty = TextOps.shingleRows(docs, k)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+          .join(broadcast(bench), Seq("sh"))
+          .select("doc_id").distinct()
+        val kept = docs.join(dirty, Seq("doc_id"), "left_anti").persist()
+        try {
+          kept.write.mode("overwrite").parquet(out)
+          val n0 = docs.count(); val n1 = kept.count()
+          import spark.implicits._
+          Seq(s"input=$n0 dropped=${n0 - n1} kept=$n1")
+            .toDF("value").coalesce(1).write.mode("overwrite")
+            .text(out + "_report")
+        } finally { kept.unpersist(); () }
+      case _ =>
+        val scrubbed = TextMetrics.scrubContaminated(docs, bench, k)
+          .persist() // two actions: the write + the report aggregate
+        try {
+          scrubbed.select(col("doc_id"), col("clean_text").as("text"))
+            .write.mode("overwrite").parquet(out)
+          val r = scrubbed.agg(count(lit(1)).as("n"),
+            sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END"))
+              .as("touched"),
+            sum("n_removed").as("removed")).head()
+          import spark.implicits._
+          Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
+              s"tokens_removed=${r.getLong(2)}")
+            .toDF("value").coalesce(1).write.mode("overwrite")
+            .text(out + "_report")
+        } finally { scrubbed.unpersist(); () }
+    }
   }
 
   /** Semantic dedup as a curation stage (SemDeDup, Abbas et al. 2023):
@@ -756,6 +779,8 @@ object Jobs {
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
         decontaminateCorpus(spark, in, out, bench)
+      case "DecontaminateCorpus" :: in :: out :: bench :: "drop" :: Nil =>
+        decontaminateCorpus(spark, in, out, bench, mode = "drop")
       case "SemDedupCorpus" :: in :: out :: emb :: k :: Nil =>
         semDedupCorpus(spark, in, out, emb, k.toInt)
       case "CurateCorpus" :: in :: out :: Nil => curateCorpus(spark, in, out)

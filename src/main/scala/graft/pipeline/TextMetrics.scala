@@ -305,8 +305,11 @@ object TextMetrics {
     */
   def scrubContaminated(docs: DataFrame, bench: DataFrame,
                         k: Int = 5): DataFrame = {
+    // null text folds to the empty token array, so null docs come out
+    // as ('', 0, 0) like empty docs — not a NULL n_removed
     val tk = docs.select(col("doc_id"),
-      filter(TextOps.tokensCol(col("text")), t => t =!= "").as("tk"))
+      coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
+        array().cast("array<string>")).as("tk"))
     // 1-based shingle starts, matching the oracle's list indexing
     val hs = tk
       .select(col("doc_id"),

@@ -365,6 +365,17 @@ class JobsSpec extends SparkSpec {
     assert(out(2L) == "completely clean document text here")
     assert(runLines(s"$work/decout_report") ==
       Seq("input=2 touched=1 tokens_removed=5"))
+
+    // drop mode: the contaminated doc goes entirely, original text of
+    // the survivors untouched (no re-tokenized stitch)
+    Jobs.decontaminateCorpus(spark, s"parquet:$work/decin",
+      s"$work/decdrop", s"parquet:$work/bench", mode = "drop")
+    val dropped = spark.read.parquet(s"$work/decdrop").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dropped.keySet == Set(2L))
+    assert(dropped(2L) == "completely clean document text here")
+    assert(runLines(s"$work/decdrop_report") ==
+      Seq("input=2 dropped=1 kept=1"))
   }
 
   test("SemDedupCorpus: drops the higher-id near-identical embedding, keeps unembedded docs") {

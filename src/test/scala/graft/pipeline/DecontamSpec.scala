@@ -49,4 +49,17 @@ class DecontamSpec extends SparkSpec {
     assert(out(10L) === (("x", 1L, 10L)))
     assert(out(11L) === (("h", 1L, 7L)))
   }
+
+  test("null and empty text come out as ('', 0, 0) — no NULL counters") {
+    import spark.implicits._
+    val bench = benchOf(
+      Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+    val out = scrubMap(Seq(
+      (20L, null.asInstanceOf[String]),
+      (21L, ""),
+      (22L, "   \t ")).toDF("doc_id", "text"), bench)
+    assert(out(20L) === (("", 0L, 0L)))
+    assert(out(21L) === (("", 0L, 0L)))
+    assert(out(22L) === (("", 0L, 0L)))
+  }
 }
