@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Byte-pair-encoding tokenizer: TRAIN (learn the merge table by
+  * iterated most-frequent-adjacent-pair counting, Sennrich et al. 2016)
+  * and ENCODE (apply the ranked merges to text).
+  *
+  * px22 computes the merge-induction *statistic* (pair counts); this is
+  * the full loop — each round recounts pairs over the CURRENT encoding,
+  * so later merges can consume earlier merges' symbols (e.g. `er` then
+  * `m`+`er` → `mer`), which one-shot ranking can never produce.
+  *
+  * Scale design (100 TB):
+  *  - Training runs on the distinct-WORD dictionary weighted by word
+  *    count — the only corpus-sized pass is the dictionary aggregation
+  *    itself (one shuffle on the word). Every round after that touches
+  *    vocab-sized data only, eager-checkpointed per round (the
+  *    `Dedup.connectedComponents` treatment) so round i+1 never
+  *    re-derives round i's chain.
+  *  - Encoding with a LEARNED merge table is a pure narrow map: the
+  *    merges are driver-side literals (a merge table is a few thousand
+  *    rows at GPT-2 scale and k entries here), so the per-word fold
+  *    compiles into the expression tree — zero joins, zero shuffles,
+  *    zero broadcast state to manage.
+  *  - The per-merge application is a single left-to-right fold over the
+  *    word's symbols (`aggregate`), which is exactly the "replace every
+  *    non-overlapping occurrence" step of BPE: merging (a,b)→ab can
+  *    never create a new (a,b) adjacency, so one pass per merge is
+  *    complete.
+  *
+  * Symbols are carried between fold passes as a single 0x1F-joined
+  * string (the accumulator must be a scalar for DuckDB `list_reduce`
+  * oracle parity; 0x1F never occurs in `[0-9a-z]` tokenizer output).
+  */
+object Bpe {
+
+  /** Inter-symbol separator inside the fold accumulator. */
+  val Sep = "\u001f"
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** Distinct-word dictionary (w, wc) over the standard tokenizer. */
+  def wordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(expr(
+        s"filter(split(lower($textCol), '[^0-9a-z]+'), x -> x <> '')"))
+        .as("w"))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+
+  /** Adjacent symbol pairs of an array column as (a, b) structs;
+    * empty for single-symbol words.
+    */
+  private def pairsExpr(arr: String): String =
+    s"""zip_with(slice($arr, 1, size($arr) - 1),
+       |         slice($arr, 2, size($arr) - 1),
+       |         (x, y) -> struct(x AS a, y AS b))""".stripMargin
+
+  /** One merge application: left-to-right fold of the symbol array,
+    * gluing adjacent (a, b) into ab. `a`/`b` are SQL expressions
+    * (literals from a learned table, or column refs). Returns the
+    * 0x1F-joined encoding as a STRING expression.
+    */
+  def foldPassExpr(arr: String, a: String, b: String): String =
+    s"""aggregate($arr, '', (acc, x) -> CASE
+       |  WHEN acc = '' THEN x
+       |  WHEN (acc = $a OR endswith(acc, concat('$Sep', $a))) AND x = $b
+       |    THEN concat(substr(acc, 1, length(acc) - length($a)), $a, $b)
+       |  ELSE concat(acc, '$Sep', x) END)""".stripMargin
+
+  private def splitExpr(s: String): String =
+    s"filter(split($s, '$Sep'), x -> x <> '')"
+
+  /** Initial character-level symbols of a word column. */
+  def charsExpr(wordCol: String): String =
+    s"filter(split($wordCol, ''), x -> x <> '')"
+
+  /** Learn `k` merges from the corpus. Driver loop with ONE action per
+    * round: the 1-row top-pair collect doubles as the materializer of
+    * that round's lazily-localCheckpointed vocab frame (w, wc, cs), so
+    * rounds chain without subtree re-derivation and without a separate
+    * eager-checkpoint job. Stops early when no adjacent pair remains.
+    * Returns the merge list and the FINAL encoded dictionary — the
+    * corpus under the learned encoding, already materialized.
+    */
+  def trainEncoded(docs: DataFrame, k: Int, textCol: String = "text")
+      : (Seq[(String, String)], DataFrame) = {
+    var cur = wordDict(docs, textCol)
+      .withColumn("cs", expr(charsExpr("w")))
+      .coalesce(8) // vocab-sized from here on; don't pay 32 tasks/round
+      .localCheckpoint(false)
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val top = cur
+        .select(col("wc"), explode(expr(pairsExpr("cs"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        cur = cur
+          .withColumn("cs", expr(splitExpr(
+            foldPassExpr("cs", s"'${esc(a)}'", s"'${esc(b)}'"))))
+          .localCheckpoint(false)
+      }
+    }
+    (merges.toSeq, cur)
+  }
+
+  /** Learn `k` merges from the corpus (see [[trainEncoded]]). */
+  def train(docs: DataFrame, k: Int, textCol: String = "text")
+      : Seq[(String, String)] =
+    trainEncoded(docs, k, textCol)._1
+
+  /** Apply a learned merge table to a word column: adds `syms`, the
+    * BPE symbol array. Pure narrow map — merges are literals.
+    */
+  def encodeWords(words: DataFrame, merges: Seq[(String, String)],
+                  wordCol: String = "w"): DataFrame =
+    words.withColumn("syms",
+      expr(merges.foldLeft(charsExpr(wordCol)) {
+        case (arr, (a, b)) =>
+          splitExpr(foldPassExpr(arr, s"'${esc(a)}'", s"'${esc(b)}'"))
+      }))
+
+  /** Corpus symbol frequencies under the encoding: top `n`
+    * (sym, cnt), weighted by word count when present.
+    */
+  def symbolCounts(encoded: DataFrame, n: Int): DataFrame =
+    encoded
+      .select(col("wc"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum("wc").as("cnt"))
+      .orderBy(desc("cnt"), asc("sym"))
+      .limit(n)
+}

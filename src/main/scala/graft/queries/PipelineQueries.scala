@@ -2421,6 +2421,113 @@ object PipelineQueries {
               |  min(doc_id * 1048576 + win_id) // 1048576 AS keep_doc,
               |  min(doc_id * 1048576 + win_id) % 1048576 AS keep_win
               |FROM z GROUP BY wh HAVING count(*) >= 2""".stripMargin),
-      survey = Seq("DEDUP-WINDOWS"))
+      survey = Seq("DEDUP-WINDOWS")),
+
+    // Full BPE tokenizer loop (Sennrich et al. 2016): k TRAIN rounds —
+    // each recounting adjacent-symbol pairs over the CURRENT encoding,
+    // so later merges consume earlier merges' symbols (at k=8 on this
+    // corpus, merge 8 is m+er → "mer") — then ENCODE the corpus and
+    // report the top-20 symbol frequencies. px22 is round 1's statistic;
+    // this is the whole tokenizer. Training runs on the distinct-word
+    // dictionary (vocab-sized after one corpus-shuffle), encoding is a
+    // pure narrow map with the learned merges as literals — see
+    // graft.pipeline.Bpe's scaladoc for the 100 TB shape.
+    Decl(
+      "px63_bpe_encode",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        // symbol counts come straight off the train loop's final
+        // encoded dictionary — no corpus re-scan, no re-encode
+        val (_, dict) = graft.pipeline.Bpe.trainEncoded(docs, 8)
+        graft.pipeline.Bpe.symbolCounts(
+          dict.withColumnRenamed("cs", "syms"), 20)
+      },
+      Some(duckBpeSql(8)),
+      survey = Seq("TEXT-BPE")),
+
+    // Deterministic training-epoch shuffle: hashed shard assignment +
+    // hashed in-shard order (seed = epoch number). Pins BOTH the
+    // assignment and the within-shard permutation cross-engine: rk is
+    // the shard-local position under the epoch order, so order_sig =
+    // Σ rk·doc_id only matches if the two engines agree on the entire
+    // permutation. The library op (Sharding.epochShuffle /
+    // writeEpochShards) is a narrow map + ONE repartition; no global
+    // sort anywhere.
+    Decl(
+      "px64_epoch_shard",
+      (s, dir) => {
+        val a = graft.pipeline.Sharding.epochAssign(
+          Tables(s, dir, "documents"), "doc_id", 42, 8)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+        a.withColumn("rk", row_number().over(w))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            expr("CAST(sum(n_chars) AS BIGINT)").as("n_chars"),
+            expr("CAST(sum(rk * doc_id) AS BIGINT)").as("order_sig"))
+      },
+      Some(s"""WITH a AS (SELECT doc_id, n_chars,
+              |    ${DetHash.duckH60("CAST(doc_id AS VARCHAR)", 42)} % 8
+              |      AS shard,
+              |    ${DetHash.duckH60("CAST(doc_id AS VARCHAR)", 43)} AS ord
+              |  FROM documents),
+              |r AS (SELECT shard, doc_id, n_chars, row_number()
+              |    OVER (PARTITION BY shard ORDER BY ord, doc_id) AS rk
+              |  FROM a)
+              |SELECT shard, count(*) AS n_docs,
+              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              |  CAST(sum(rk * doc_id) AS BIGINT) AS order_sig
+              |FROM r GROUP BY shard""".stripMargin),
+      survey = Seq("EPOCH-SHUFFLE")),
+
+    // Heavy hitters through a mergeable Misra-Gries sketch + exact
+    // recount of the survivors — the top-k-terms plan whose shuffle
+    // volume is capacity-bounded instead of vocabulary-sized (the px56
+    // Bloom treatment applied to frequency counting). The answer is
+    // EXACT (same oracle as a plain top-k) whenever the k-th frequency
+    // clears MG's n/(capacity+1) survival bound — verifiable from the
+    // recount itself; see Sketches.topKTermsMg.
+    Decl(
+      "px65_heavyhitters_mg",
+      (s, dir) => graft.pipeline.Sketches.topKTermsMg(
+        Tables(s, dir, "documents"), 10, 4096),
+      Some(s"""WITH $duckToksList,
+              |t AS (SELECT unnest(tk) AS term FROM tk)
+              |SELECT term, count(*) AS cnt FROM t
+              |GROUP BY term ORDER BY cnt DESC, term LIMIT 10""".stripMargin),
+      survey = Seq("SKETCH-HEAVYHITTERS"))
   )
+
+  /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
+    * rounds, each `list_reduce` fold identical in per-step semantics to
+    * [[graft.pipeline.Bpe.foldPassExpr]] (DuckDB's accumulator seeds
+    * from the first element; Spark seeds '' and adopts the first
+    * element — same trajectory from step 2 on).
+    */
+  private def duckBpeSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s"""p$i AS (SELECT cs[i] AS a, cs[i+1] AS b,
+         |    CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, cs${i - 1} AS cs,
+         |        unnest(generate_series(1, len(cs${i - 1}) - 1)) AS i
+         |        FROM c${i - 1})
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |c$i AS (SELECT w, wc, string_split(list_reduce(cs${i - 1},
+         |    (acc, x) -> CASE
+         |      WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) AND x = m.b
+         |      THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
+         |      ELSE acc || chr(31) || x END), chr(31)) AS cs$i
+         |  FROM c${i - 1} CROSS JOIN m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(list_filter(
+       |      string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> ''))
+       |      AS w FROM documents) GROUP BY w),
+       |c0 AS (SELECT w, wc, string_split(w, '') AS cs0 FROM wd),
+       |$rounds
+       |SELECT sym, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+       |  SELECT wc, unnest(cs$k) AS sym FROM c$k)
+       |GROUP BY sym ORDER BY cnt DESC, sym LIMIT 20""".stripMargin
+  }
 }

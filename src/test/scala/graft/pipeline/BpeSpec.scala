@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BPE train/encode semantics: iterative merge learning (recount per
+  * round, so merges compose), greedy left-to-right application, tie
+  * ordering, early stop, weighting.
+  */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("train recounts per round: merges compose into multi-char symbols") {
+    // wc: "aaab"×2, "ab"×1.
+    //  r1 pairs: (a,a)=4, (a,b)=3       -> merge (a,a)
+    //  r2 pairs: (a,b)=3, (aa,a)=2      -> merge (a,b)
+    //  r3 pairs: (aa,ab)=2              -> merge (aa,ab)  [composes]
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 3)
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")))
+
+    val enc = Bpe.encodeWords(Bpe.wordDict(docs), merges)
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(enc("aaab") == Seq("aaab"))
+    assert(enc("ab") == Seq("ab"))
+  }
+
+  test("merge application is single-pass greedy left-to-right") {
+    val words = Seq(("aaa", 1L), ("aaaa", 1L), ("baaab", 1L))
+      .toDF("w", "wc")
+    val enc = Bpe.encodeWords(words, Seq(("a", "a")))
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(enc("aaa") == Seq("aa", "a"))
+    assert(enc("aaaa") == Seq("aa", "aa"))
+    assert(enc("baaab") == Seq("b", "aa", "a", "b"))
+  }
+
+  test("pair-count ties break lexicographically on (a, b)") {
+    // "ba" and "ab" each once: (a,b) and (b,a) both cnt 1 -> (a,b) wins.
+    val docs = Seq((1L, "ba ab")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, 1) == Seq(("a", "b")))
+  }
+
+  test("train stops early when no adjacent pairs remain") {
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(Bpe.train(docs, 5).isEmpty)
+  }
+
+  test("symbolCounts weights by word count and orders (cnt desc, sym)") {
+    val docs = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 1) // (a,b) cnt 3 beats (c,d) cnt 1
+    assert(merges == Seq(("a", "b")))
+    val top = Bpe.symbolCounts(
+      Bpe.encodeWords(Bpe.wordDict(docs), merges), 10)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("ab", 3L), ("c", 1L), ("d", 1L)))
+  }
+
+  test("encode is a narrow map: no shuffle in the encode plan") {
+    val words = Seq(("abc", 1L)).toDF("w", "wc")
+    val plan = Bpe.encodeWords(words, Seq(("a", "b"), ("ab", "c")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
