@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class ShardingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sfTiny, "documents")
+
+  test("epochAssign is deterministic and in-range; seed changes the permutation") {
+    val a1 = Sharding.epochAssign(docs, "doc_id", 7, 8)
+      .select("doc_id", "shard", "ord").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    val a2 = Sharding.epochAssign(docs, "doc_id", 7, 8)
+      .select("doc_id", "shard", "ord").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(a1.sameElements(a2)) // bit-for-bit reproducible
+    assert(a1.forall { case (_, s, _) => s >= 0 && s < 8 })
+
+    val b = Sharding.epochAssign(docs, "doc_id", 8, 8)
+      .select("doc_id", "shard", "ord").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(!a1.sameElements(b)) // a new epoch is a new permutation
+    // and both epochs are roughly balanced (no empty shard at 1k docs)
+    assert(a1.groupBy(_._2).size == 8 && b.groupBy(_._2).size == 8)
+  }
+
+  test("epochShuffle: lossless, and every task partition is (shard, ord)-sorted") {
+    val base = docs.select("doc_id").as[Long].collect().sorted
+    val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
+    val got = sh.select("doc_id").as[Long].collect().sorted
+    assert(got.sameElements(base)) // exactly once each
+
+    val unsorted = sh.select("shard", "ord")
+      .as[(Long, Long)].rdd
+      .mapPartitions { it =>
+        val rows = it.toVector
+        Iterator.single(rows.zip(rows.drop(1)).forall { case (x, y) =>
+          x._1 < y._1 || (x._1 == y._1 && x._2 <= y._2) })
+      }.collect()
+    assert(unsorted.forall(identity))
+    assert(sh.rdd.getNumPartitions == 8)
+  }
+
+  test("writeEpochShards lays out one directory per shard") {
+    val out = java.nio.file.Files.createTempDirectory("epoch").toString
+    Sharding.writeEpochShards(docs, "doc_id", 7, 4, out)
+    val dirs = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(dirs.sameElements(Array("shard=0", "shard=1", "shard=2", "shard=3")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == docs.count())
+  }
+}
