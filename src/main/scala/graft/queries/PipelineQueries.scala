@@ -2495,7 +2495,112 @@ object PipelineQueries {
               |t AS (SELECT unnest(tk) AS term FROM tk)
               |SELECT term, count(*) AS cnt FROM t
               |GROUP BY term ORDER BY cnt DESC, term LIMIT 10""".stripMargin),
-      survey = Seq("SKETCH-HEAVYHITTERS"))
+      survey = Seq("SKETCH-HEAVYHITTERS")),
+
+    // Curation FUNNEL — the per-stage attrition report every published
+    // data card carries: docs/tokens surviving after each cumulative
+    // gate (raw corpus → Gopher rules → exact dedup → benchmark
+    // decontamination). All four stages come out of ONE pass: the
+    // per-doc gate flags are joined on the single doc_id key, the four
+    // cumulative (docs, tokens) sums are conditional aggregates of one
+    // HashAggregate, and `stack` unpivots — no per-stage corpus scans.
+    // Composes px43 (gopher), px01 (exact keepers), px24 (benchmark
+    // 5-gram overlap; doc_id < 50 is the "eval suite", excluded from
+    // the corpus itself).
+    Decl(
+      "px66_curation_funnel",
+      (s, dir) => {
+        val all = Tables(s, dir, "documents")
+        val docs = all.filter(col("doc_id") >= 50)
+        val g = graft.pipeline.TextMetrics.gopherRules(docs)
+          .select("doc_id", "keep")
+        val uniq = graft.pipeline.Dedup.exactKeepers(docs)
+          .withColumn("uniq", lit(1)).select("doc_id", "uniq")
+        val sh = TextOps.shingleRows(all, 5)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+        val dirty = sh.filter(col("doc_id") >= 50)
+          .join(broadcast(
+            sh.filter(col("doc_id") < 50).select("sh").distinct()),
+            Seq("sh"))
+          .select("doc_id").distinct().withColumn("dirty", lit(1))
+        docs.select("doc_id")
+          .join(g, Seq("doc_id"))
+          .join(uniq, Seq("doc_id"), "left")
+          .join(dirty, Seq("doc_id"), "left")
+          .join(TextOps.docLengths(docs), Seq("doc_id"), "left")
+          .select(
+            expr("CASE WHEN keep = 1 THEN 1 ELSE 0 END").as("f"),
+            expr("coalesce(uniq, 0)").as("u"),
+            expr("CASE WHEN dirty = 1 THEN 0 ELSE 1 END").as("c"),
+            expr("coalesce(dl, CAST(0 AS BIGINT))").as("dl"))
+          .agg(
+            count(lit(1)).as("n0"), expr("CAST(sum(dl) AS BIGINT)").as("t0"),
+            expr("CAST(sum(f) AS BIGINT)").as("n1"),
+            expr("CAST(sum(f * dl) AS BIGINT)").as("t1"),
+            expr("CAST(sum(f * u) AS BIGINT)").as("n2"),
+            expr("CAST(sum(f * u * dl) AS BIGINT)").as("t2"),
+            expr("CAST(sum(f * u * c) AS BIGINT)").as("n3"),
+            expr("CAST(sum(f * u * c * dl) AS BIGINT)").as("t3"))
+          .select(expr(
+            """stack(4,
+              |  'a_corpus',   n0, t0,
+              |  'b_gopher',   n1, t1,
+              |  'c_dedup',    n2, t2,
+              |  'd_decontam', n3, t3) AS (stage, n_docs, n_tokens)"""
+              .stripMargin))
+      },
+      Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 50),
+              |gw AS (SELECT doc_id,
+              |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+              |      AS w,
+              |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+              |      AS n_sym
+              |  FROM corpus),
+              |gm AS (SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    round(list_sum(list_transform(w, x -> len(x)))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS mean_word_len,
+              |    round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS alpha_frac,
+              |    round(n_sym / nullif(CAST(len(w) AS DOUBLE), 0e0), 6)
+              |      AS sym_ratio
+              |  FROM gw),
+              |g AS (SELECT doc_id,
+              |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep FROM gm),
+              |kp AS (SELECT min(doc_id) AS doc_id FROM corpus
+              |       GROUP BY md5(text)),
+              |$duckToksList,
+              |s5 AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(tk) - 4, 0)),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+              |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+              |hs AS (SELECT doc_id, ${H("s")} AS sh FROM s5),
+              |bench AS (SELECT DISTINCT sh FROM hs WHERE doc_id < 50),
+              |dirty AS (SELECT DISTINCT doc_id
+              |          FROM hs JOIN bench USING (sh) WHERE doc_id >= 50),
+              |dl AS (${TextOps.duckDocLengths}),
+              |fl AS (SELECT
+              |    CASE WHEN g.keep = 1 THEN 1 ELSE 0 END AS f,
+              |    CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS u,
+              |    CASE WHEN d.doc_id IS NOT NULL THEN 0 ELSE 1 END AS c,
+              |    coalesce(dl.dl, 0) AS dl
+              |  FROM corpus x
+              |  JOIN g ON g.doc_id = x.doc_id
+              |  LEFT JOIN kp k ON k.doc_id = x.doc_id
+              |  LEFT JOIN dirty d ON d.doc_id = x.doc_id
+              |  LEFT JOIN dl ON dl.doc_id = x.doc_id),
+              |a AS (SELECT count(*) AS n0, CAST(sum(dl) AS BIGINT) AS t0,
+              |    CAST(sum(f) AS BIGINT) AS n1,
+              |    CAST(sum(f * dl) AS BIGINT) AS t1,
+              |    CAST(sum(f * u) AS BIGINT) AS n2,
+              |    CAST(sum(f * u * dl) AS BIGINT) AS t2,
+              |    CAST(sum(f * u * c) AS BIGINT) AS n3,
+              |    CAST(sum(f * u * c * dl) AS BIGINT) AS t3 FROM fl)
+              |SELECT 'a_corpus' AS stage, n0 AS n_docs, t0 AS n_tokens FROM a
+              |UNION ALL SELECT 'b_gopher', n1, t1 FROM a
+              |UNION ALL SELECT 'c_dedup', n2, t2 FROM a
+              |UNION ALL SELECT 'd_decontam', n3, t3 FROM a""".stripMargin),
+      survey = Seq("CURATE-FUNNEL"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
