@@ -92,6 +92,24 @@ class ReadmeApiSpec extends SparkSpec {
     assert(weights.count() === docs.count())
   }
 
+  test("training-prep quickstart: BPE + epoch shards + MG top-k") {
+    import graft.pipeline.{Bpe, Sharding, Sketches}
+    // mirror the README (scale knobs sized for sf0.001)
+    val merges = Bpe.train(docs, k = 8)
+    val encoded = Bpe.encodeWords(Bpe.wordDict(docs), merges)
+    assert(merges.nonEmpty && encoded.columns.contains("syms"))
+
+    val epoch = 1
+    val path = java.nio.file.Files
+      .createTempDirectory("readme-epoch").toString
+    Sharding.writeEpochShards(docs, "doc_id", seed = epoch,
+      nShards = 4, path)
+    assert(spark.read.parquet(path).count() === docs.count())
+
+    val top = Sketches.topKTermsMg(docs, k = 10, capacity = 4096)
+    assert(top.count() === 10)
+  }
+
   test("curation quickstart: span-level decontamination") {
     import graft.text.TextOps
     val evalDocs = docs.filter(col("doc_id") < 20)
