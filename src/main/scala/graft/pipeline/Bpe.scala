@@ -43,13 +43,26 @@ object Bpe {
 
   private def esc(s: String): String = s.replace("'", "''")
 
-  /** Distinct-word dictionary (w, wc) over the standard tokenizer. */
-  def wordDict(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+  /** Distinct-word dictionary (w, wc) over the standard tokenizer.
+    *
+    * `minCount` is the trainer's scale lever (the `--min-frequency`
+    * of every production BPE trainer): real web corpora have
+    * vocabularies dominated by hapax tail words (typos, ids, urls)
+    * that contribute one count each to pair statistics but multiply
+    * the per-round work; dropping wc < minCount bounds the dict at
+    * the head vocabulary. This trades exactness of the pair counts
+    * for round cost — the probe log (BENCH_NOTES §3h note) records
+    * the effect on a long-tail corpus.
+    */
+  def wordDict(docs: DataFrame, textCol: String = "text",
+               minCount: Long = 1L): DataFrame = {
+    val d = docs
       .select(explode(expr(
         s"filter(split(lower($textCol), '[^0-9a-z]+'), x -> x <> '')"))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
+    if (minCount > 1L) d.filter(col("wc") >= minCount) else d
+  }
 
   /** Adjacent symbol pairs of an array column as (a, b) structs;
     * empty for single-symbol words.
@@ -86,9 +99,10 @@ object Bpe {
     * Returns the merge list and the FINAL encoded dictionary — the
     * corpus under the learned encoding, already materialized.
     */
-  def trainEncoded(docs: DataFrame, k: Int, textCol: String = "text")
+  def trainEncoded(docs: DataFrame, k: Int, textCol: String = "text",
+                   minCount: Long = 1L)
       : (Seq[(String, String)], DataFrame) = {
-    var cur = wordDict(docs, textCol)
+    var cur = wordDict(docs, textCol, minCount)
       .withColumn("cs", expr(charsExpr("w")))
       .coalesce(8) // vocab-sized from here on; don't pay 32 tasks/round
       .localCheckpoint(false)
@@ -115,9 +129,9 @@ object Bpe {
   }
 
   /** Learn `k` merges from the corpus (see [[trainEncoded]]). */
-  def train(docs: DataFrame, k: Int, textCol: String = "text")
-      : Seq[(String, String)] =
-    trainEncoded(docs, k, textCol)._1
+  def train(docs: DataFrame, k: Int, textCol: String = "text",
+            minCount: Long = 1L): Seq[(String, String)] =
+    trainEncoded(docs, k, textCol, minCount)._1
 
   /** Apply a learned merge table to a word column: adds `syms`, the
     * BPE symbol array. Pure narrow map — merges are literals.

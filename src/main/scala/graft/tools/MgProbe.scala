@@ -57,6 +57,27 @@ object MgProbe {
     }
 
     import spark.implicits._
+    if (args.contains("bpe")) {
+      // BPE trainer's minCount lever on the same long-tail corpus:
+      // minCount=1 trains over the full (tail-dominated) word dict;
+      // minCount=2 drops the doc-unique tail before the rounds.
+      // Merge lists may differ (tail chars DO carry pair counts — the
+      // lever is an approximation, like every production trainer's
+      // --min-frequency), so both are printed for the log.
+      for (mc <- Seq(1L, 2L)) {
+        val m = pl.mark()
+        val t0 = System.nanoTime()
+        val dict = graft.pipeline.Bpe.wordDict(docs, "text", mc)
+        val nw = dict.count()
+        val merges = graft.pipeline.Bpe.train(docs, 4, "text", mc)
+        val sec = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.graft.Listeners.drain(spark.sparkContext)
+        val t = pl.totals(m)
+        println(f"""[mg] {"phase":"bpe_train","min_count":$mc,"dict_words":$nw,"sec":$sec%.2f,"shuffle_write_mb":${t.getOrElse("shuffle_write_mb", 0L)},"merges":"${merges.map { case (a, b) => s"$a+$b" }.mkString(",")}"}""")
+      }
+      spark.stop()
+      return
+    }
     val exact = run("exact_topk") {
       graft.text.TextOps.tokens(docs)
         .groupBy("term").agg(count(lit(1)).as("cnt"))

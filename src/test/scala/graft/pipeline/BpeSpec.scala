@@ -46,6 +46,17 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, 5).isEmpty)
   }
 
+  test("minCount drops tail words from the dict before the rounds") {
+    // "zq" is a hapax; with minCount=2 it can't vote (z,q) into the
+    // merge table, and the dict shrinks to the repeated word only
+    val docs = Seq((1L, "ab ab zq")).toDF("doc_id", "text")
+    assert(Bpe.wordDict(docs, "text", 2L).as[(String, Long)]
+      .collect().toSeq == Seq(("ab", 2L)))
+    assert(Bpe.train(docs, 2, "text", 2L) == Seq(("a", "b")))
+    // full dict still sees both pairs
+    assert(Bpe.train(docs, 2).toSet == Set(("a", "b"), ("z", "q")))
+  }
+
   test("symbolCounts weights by word count and orders (cnt desc, sym)") {
     val docs = Seq((1L, "ab ab ab cd")).toDF("doc_id", "text")
     val merges = Bpe.train(docs, 1) // (a,b) cnt 3 beats (c,d) cnt 1
