@@ -459,6 +459,16 @@ object Jobs {
     * write the deduplicated corpus as parquet (the LSH/near-dup
     * variants are the px02/px03/px19/px21 query pipeline).
     */
+  /** Reproducible epoch layout for training: the corpus resharded by
+    * seeded hash with a deterministic in-shard order, one `shard=`
+    * directory per loader worker (seed = epoch number; a new seed is a
+    * new global permutation). See [[graft.pipeline.Sharding]].
+    */
+  def epochShards(spark: SparkSession, in: String, out: String,
+                  seed: Int, nShards: Int): Unit =
+    graft.pipeline.Sharding.writeEpochShards(
+      loadDocs(spark, in), "doc_id", seed, nShards, out)
+
   def dedupCorpus(spark: SparkSession, in: String, out: String): Unit = {
     val docs = loadDocs(spark, in)
     val keepers = docs
@@ -777,6 +787,8 @@ object Jobs {
       case "IndexDocVectors" :: in :: out :: Nil =>
         Index.write(loadDocs(spark, in), out)
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
+      case "EpochShards" :: in :: out :: seed :: nShards :: Nil =>
+        epochShards(spark, in, out, seed.toInt, nShards.toInt)
       case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
         decontaminateCorpus(spark, in, out, bench)
       case "DecontaminateCorpus" :: in :: out :: bench :: "drop" :: Nil =>

@@ -2600,7 +2600,46 @@ object PipelineQueries {
               |UNION ALL SELECT 'b_gopher', n1, t1 FROM a
               |UNION ALL SELECT 'c_dedup', n2, t2 FROM a
               |UNION ALL SELECT 'd_decontam', n3, t3 FROM a""".stripMargin),
-      survey = Seq("CURATE-FUNNEL"))
+      survey = Seq("CURATE-FUNNEL")),
+
+    // Tokenizer fertility — THE tokenizer-evaluation metric: BPE
+    // tokens per word and chars per BPE token, by source. Composes
+    // the px63 trainer: every corpus token row joins the (vocab-sized,
+    // broadcastable) encoded dictionary for its symbol count, so the
+    // corpus-sized side never re-encodes — at 100 TB the dict join is
+    // a broadcast and the whole metric is one narrow pass + one agg.
+    Decl(
+      "px67_bpe_fertility",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val (_, dict) = graft.pipeline.Bpe.trainEncoded(docs, 8)
+        TextOps.tokens(docs)
+          .join(docs.select("doc_id", "source"), Seq("doc_id"))
+          .join(broadcast(dict.select(col("w").as("term"),
+            expr("size(cs)").as("nsym"),
+            expr("length(w)").as("nch"))), Seq("term"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_words"),
+            expr("CAST(sum(nsym) AS BIGINT)").as("n_bpe_tokens"),
+            expr("round(CAST(sum(nsym) AS DOUBLE) / count(1), 6)")
+              .as("fertility"),
+            expr("round(CAST(sum(nch) AS DOUBLE) / sum(nsym), 6)")
+              .as("chars_per_token"))
+      },
+      Some(s"""WITH ${duckBpeCtes(8)},
+              |$duckToksList,
+              |tr AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+              |dict AS (SELECT w AS term, CAST(len(cs8) AS BIGINT) AS nsym,
+              |         CAST(len(w) AS BIGINT) AS nch FROM c8)
+              |SELECT d.source, count(*) AS n_words,
+              |  CAST(sum(nsym) AS BIGINT) AS n_bpe_tokens,
+              |  round(CAST(sum(nsym) AS DOUBLE) / count(*), 6) AS fertility,
+              |  round(CAST(sum(nch) AS DOUBLE) / sum(nsym), 6)
+              |    AS chars_per_token
+              |FROM tr JOIN documents d USING (doc_id)
+              |JOIN dict ON dict.term = tr.term
+              |GROUP BY d.source""".stripMargin),
+      survey = Seq("TEXT-BPE"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
@@ -2609,7 +2648,7 @@ object PipelineQueries {
     * from the first element; Spark seeds '' and adopts the first
     * element — same trajectory from step 2 on).
     */
-  private def duckBpeSql(k: Int): String = {
+  private def duckBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>
       s"""p$i AS (SELECT cs[i] AS a, cs[i+1] AS b,
          |    CAST(sum(wc) AS BIGINT) AS cnt
@@ -2625,14 +2664,17 @@ object PipelineQueries {
          |      ELSE acc || chr(31) || x END), chr(31)) AS cs$i
          |  FROM c${i - 1} CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wd AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
+    s"""wd AS (SELECT w, CAST(count(*) AS BIGINT) AS wc FROM (
        |    SELECT unnest(list_filter(
        |      string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> ''))
        |      AS w FROM documents) GROUP BY w),
        |c0 AS (SELECT w, wc, string_split(w, '') AS cs0 FROM wd),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def duckBpeSql(k: Int): String =
+    s"""WITH ${duckBpeCtes(k)}
        |SELECT sym, CAST(sum(wc) AS BIGINT) AS cnt FROM (
        |  SELECT wc, unnest(cs$k) AS sym FROM c$k)
        |GROUP BY sym ORDER BY cnt DESC, sym LIMIT 20""".stripMargin
-  }
 }

@@ -346,6 +346,24 @@ class JobsSpec extends SparkSpec {
     assert(kept.toSeq == Seq("d1", "d3"))
   }
 
+  test("EpochShards: lossless shard layout, deterministic per seed") {
+    import spark.implicits._
+    (0L until 40L).map(i => (i, s"doc $i text")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/epochin")
+    Jobs.epochShards(spark, s"parquet:$work/epochin", s"$work/epoch1", 1, 4)
+    Jobs.epochShards(spark, s"parquet:$work/epochin", s"$work/epoch1b", 1, 4)
+    Jobs.epochShards(spark, s"parquet:$work/epochin", s"$work/epoch2", 2, 4)
+    def byShard(p: String) = spark.read.parquet(p)
+      .select("shard", "doc_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val (e1, e1b, e2) = (byShard(s"$work/epoch1"),
+      byShard(s"$work/epoch1b"), byShard(s"$work/epoch2"))
+    assert(e1.values.map(_.size).sum == 40 && e1.keySet.subsetOf(
+      Set(0L, 1L, 2L, 3L)))
+    assert(e1 == e1b)  // same seed -> identical layout
+    assert(e1 != e2)   // new epoch -> new permutation
+  }
+
   test("DecontaminateCorpus: benchmark span scrubbed from text, report counts") {
     import spark.implicits._
     Seq((100L, "the quick brown fox jumps over lazy dogs"))
