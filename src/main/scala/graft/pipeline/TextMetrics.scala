@@ -116,6 +116,25 @@ object TextMetrics {
         expr("round(exp(-(ll) / dl), 6)").as("ppl"))
   }
 
+  /** CCNet's perplexity-band split: per-language ntile buckets over
+    * the [[perplexity]] score (bucket 1 = head / lowest ppl …
+    * nBuckets = tail). CCNet trains on head+middle and drops the
+    * tail; the bucket column IS that verdict. Ties and float noise
+    * are pinned: ppl is 6-dp rounded (engine-portable) and the
+    * window orders by (ppl, doc_id). One window over the per-doc
+    * frame — corpus-sized but single-pass; the partition key is the
+    * language, so skew follows the language mix (salt or sub-bucket
+    * a dominant language if one holds >1 partition of data).
+    */
+  def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
+                        langCol: String = "lang"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(col("ppl"), col("doc_id"))
+    perplexity(docs)
+      .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+      .withColumn("bucket", ntile(nBuckets).over(w).cast("bigint"))
+  }
+
   /** Within-doc repetition ratio over n-token shingles (the Gopher
     * repetition filter): 1 − distinct/total. Docs shorter than one
     * shingle emit no row.

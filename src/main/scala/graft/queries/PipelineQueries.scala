@@ -2639,7 +2639,41 @@ object PipelineQueries {
               |FROM tr JOIN documents d USING (doc_id)
               |JOIN dict ON dict.term = tr.term
               |GROUP BY d.source""".stripMargin),
-      survey = Seq("TEXT-BPE"))
+      survey = Seq("TEXT-BPE")),
+
+    // CCNet's perplexity-band split (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles over the px29 perplexity — CCNet keeps
+    // head+middle and drops the tail, so the bucket IS the curation
+    // verdict. ntile ties pinned by (6-dp ppl, doc_id); min/max/avg
+    // per band summarize the cut points cross-engine.
+    Decl(
+      "px68_ccnet_buckets",
+      (s, dir) => graft.pipeline.TextMetrics
+        .perplexityBuckets(Tables(s, dir, "documents"), 3)
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(dl) AS BIGINT)").as("n_tokens"),
+          min("ppl").as("ppl_min"), max("ppl").as("ppl_max"),
+          expr("round(avg(ppl), 6)").as("ppl_avg")),
+      Some(s"""WITH tf AS (${TextOps.duckTermFreqs}),
+              |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+              |       FROM tf GROUP BY term),
+              |cs AS (SELECT CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf),
+              |g AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl,
+              |        sum(tf * ln(cf / n_tokens)) AS ll
+              |      FROM tf JOIN cf USING (term) CROSS JOIN cs
+              |      GROUP BY doc_id),
+              |p AS (SELECT doc_id, dl, round(exp(-(ll) / dl), 6) AS ppl
+              |      FROM g),
+              |j AS (SELECT p.*, d.lang, ntile(3) OVER (PARTITION BY d.lang
+              |        ORDER BY ppl, doc_id) AS bucket
+              |      FROM p JOIN documents d USING (doc_id))
+              |SELECT lang, bucket, count(*) AS n_docs,
+              |  CAST(sum(dl) AS BIGINT) AS n_tokens,
+              |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
+              |  round(avg(ppl), 6) AS ppl_avg
+              |FROM j GROUP BY 1, 2""".stripMargin),
+      survey = Seq("TEXT-CCNET-BANDS"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

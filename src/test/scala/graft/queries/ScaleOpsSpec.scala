@@ -72,6 +72,24 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("px68 ccnet buckets: balanced per-lang terciles, bands ordered by ppl") {
+    import spark.implicits._
+    val perDoc = graft.pipeline.TextMetrics
+      .perplexityBuckets(Tables(spark, sfTiny, "documents"), 3)
+      .select("lang", "bucket", "ppl").as[(String, Long, Double)].collect()
+    assert(perDoc.nonEmpty)
+    perDoc.groupBy(_._1).foreach { case (_, rows) =>
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)))
+      // ntile balance: bucket sizes differ by at most 1
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // bands are ppl-ordered: max(head) <= min(middle) <= ... etc
+      val byB = rows.groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+      for (b <- 1L to 2L if byB.contains(b) && byB.contains(b + 1))
+        assert(byB(b).max <= byB(b + 1).min)
+    }
+  }
+
   test("px30 repetition ratio in [0,1], distinct <= total") {
     import spark.implicits._
     val rows = SparkEntry.queries("px30_repetition")(spark, sfTiny)
