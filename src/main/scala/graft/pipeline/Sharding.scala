@@ -48,6 +48,39 @@ object Sharding {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
 
+  /** Materialize a temperature-resampled training mix (the mT5/XLM-R
+    * w_l ∝ p_l^α rule px46 computes the WEIGHTS for, turned into an
+    * actual document selection): per-language quota = round(w6 ·
+    * (total div targetDiv)), members chosen deterministically by
+    * seeded-hash order — so reruns, engines, and incremental rebuilds
+    * pick the identical mix. Everything stays in one plan: the
+    * language table is tiny (broadcast), the selection is one window
+    * over the corpus partitioned by language.
+    *
+    * Determinism note: the quota multiplies the 6-dp ROUNDED weight
+    * (the px46 cross-engine contract) by an integer target, so the
+    * float path is pinned; ties inside a language break on doc id.
+    */
+  def temperatureSample(docs: DataFrame, langCol: String = "lang",
+                        alphaE: String = "3e-1", targetDiv: Int = 2,
+                        seed: Int = 7,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = docs.groupBy(langCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("pa", expr(
+        s"power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), $alphaE)"))
+      .withColumn("quota", expr(
+        s"CAST(round(round(pa / sum(pa) OVER (), 6) * " +
+          s"(sum(n_docs) OVER () div $targetDiv)) AS BIGINT)"))
+      .select(col(langCol), col("quota"))
+    val w = Window.partitionBy(langCol)
+      .orderBy(DetHash.h60(col(idCol).cast("string"), seed), col(idCol))
+    docs.join(broadcast(quotas), Seq(langCol))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= col("quota"))
+  }
+
   /** Writes the epoch layout as parquet partitioned by `shard` — the
     * addressable form: worker w reads `path/shard=w/` and sorts its
     * (vastly smaller) slice by (ord, id), or relies on the sorted

@@ -2673,7 +2673,41 @@ object PipelineQueries {
               |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,
               |  round(avg(ppl), 6) AS ppl_avg
               |FROM j GROUP BY 1, 2""".stripMargin),
-      survey = Seq("TEXT-CCNET-BANDS"))
+      survey = Seq("TEXT-CCNET-BANDS")),
+
+    // Temperature-resampled mix MATERIALIZED (px46's weights turned
+    // into an actual deterministic document selection): per-lang quota
+    // = round(w6 · total/2), members picked by seeded-hash order.
+    // sel_sig (Σ selected doc_id) pins the exact membership
+    // cross-engine, not just the counts. Library op:
+    // Sharding.temperatureSample.
+    Decl(
+      "px69_temperature_select",
+      (s, dir) => graft.pipeline.Sharding
+        .temperatureSample(Tables(s, dir, "documents"))
+        .groupBy("lang")
+        .agg(max("quota").as("quota"),
+          count(lit(1)).as("n_sel"),
+          expr("CAST(sum(doc_id) AS BIGINT)").as("sel_sig")),
+      Some(s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              |            FROM documents GROUP BY lang),
+              |x AS (SELECT lang, n_docs,
+              |    power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 3e-1)
+              |      AS pa,
+              |    sum(n_docs) OVER () AS td FROM per),
+              |q AS (SELECT lang, CAST(round(
+              |        round(pa / sum(pa) OVER (), 6) * (td // 2))
+              |      AS BIGINT) AS quota FROM x),
+              |r AS (SELECT d.lang, d.doc_id, row_number() OVER (
+              |        PARTITION BY d.lang
+              |        ORDER BY ${DetHash.duckH60("CAST(doc_id AS VARCHAR)", 7)},
+              |                 doc_id) AS rk
+              |      FROM documents d)
+              |SELECT r.lang, max(q.quota) AS quota, count(*) AS n_sel,
+              |  CAST(sum(r.doc_id) AS BIGINT) AS sel_sig
+              |FROM r JOIN q USING (lang) WHERE rk <= quota
+              |GROUP BY r.lang""".stripMargin),
+      survey = Seq("MIX-TEMPERATURE"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

@@ -43,6 +43,28 @@ class ShardingSpec extends SparkSpec {
     assert(sh.rdd.getNumPartitions == 8)
   }
 
+  test("temperatureSample: flattened quotas, deterministic membership") {
+    val sel = Sharding.temperatureSample(docs)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    val selB = Sharding.temperatureSample(docs)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(sel.sorted.sameElements(selB.sorted)) // identical mix on rerun
+
+    val raw = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val got = sel.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (n, target) = (raw.values.sum, raw.values.sum / 2)
+    // quota total lands on the target up to per-lang rounding
+    assert(math.abs(got.values.sum - target) <= raw.size)
+    // α=0.3 flattens: every minority lang's mix share strictly beats
+    // its raw share, the majority lang's share shrinks
+    val major = raw.maxBy(_._2)._1
+    got.foreach { case (l, q) =>
+      val (ms, rs) = (q.toDouble / got.values.sum, raw(l).toDouble / n)
+      if (l == major) assert(ms < rs) else assert(ms > rs)
+    }
+  }
+
   test("writeEpochShards lays out one directory per shard") {
     val out = java.nio.file.Files.createTempDirectory("epoch").toString
     Sharding.writeEpochShards(docs, "doc_id", 7, 4, out)
