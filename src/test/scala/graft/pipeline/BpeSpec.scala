@@ -67,6 +67,33 @@ class BpeSpec extends SparkSpec {
     assert(top == Seq(("ab", 3L), ("c", 1L), ("d", 1L)))
   }
 
+  // Deterministic Gen pattern (same as TokenizerDivergenceSpec): fuzz
+  // random corpora through the full train→encode loop and assert the
+  // invariant every consumer relies on — encoding is a PARTITION of
+  // the word (symbols concatenate back to it, none empty), for any
+  // learned merge table.
+  test("property: encode losslessly partitions every word under trained merges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val word = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', '0')))
+      .map(_.mkString)
+    val corpus = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word))
+    val samples = (0 until 25)
+      .flatMap(i => corpus(Gen.Parameters.default, Seed(i.toLong)))
+    samples.foreach { words =>
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val merges = Bpe.train(docs, 4)
+      val enc = Bpe.encodeWords(Bpe.wordDict(docs), merges)
+        .select("w", "syms").as[(String, Seq[String])].collect()
+      enc.foreach { case (w, syms) =>
+        assert(syms.mkString == w, s"lossy encode of '$w': $syms " +
+          s"under merges $merges (corpus $words)")
+        assert(syms.forall(_.nonEmpty), s"empty symbol for '$w'")
+      }
+    }
+  }
+
   test("encode is a narrow map: no shuffle in the encode plan") {
     val words = Seq(("abc", 1L)).toDF("w", "wc")
     val plan = Bpe.encodeWords(words, Seq(("a", "b"), ("ab", "c")))
