@@ -459,6 +459,86 @@ object Jobs {
     * write the deduplicated corpus as parquet (the LSH/near-dup
     * variants are the px02/px03/px19/px21 query pipeline).
     */
+  /** The whole last mile in one job: corpus in → training examples
+    * out, composed from the already-gated stages — Gopher gate, exact
+    * + near dedup, span-surgical benchmark decontamination, overlap
+    * chunking into `win`-token examples, example-level dedup on the
+    * window fingerprint, and the reproducible `shard=` epoch layout.
+    * Emits a funnel report (the px66 data-card numbers for THIS run)
+    * next to the output. Per-stage job descriptions make the composed
+    * run attributable phase-by-phase (the curateCorpus convention);
+    * doc-level survivors persist MEMORY_AND_DISK across their multiple
+    * consumer actions — at real scale each stage is a written parquet
+    * artifact instead.
+    */
+  def prepareTrainingData(spark: SparkSession, in: String, out: String,
+                          benchSpec: String, seed: Int, nShards: Int,
+                          win: Int = 128, stride: Int = 64): Unit = {
+    import graft.pipeline.{Dedup, Sharding, TextMetrics}
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def stage(n: String): Unit =
+      spark.sparkContext.setJobDescription(s"prep:$n")
+    val docs0 = loadDocs(spark, in)
+    stage("input_count")
+    val n0 = docs0.count()
+    val gated = docs0
+      .join(TextMetrics.gopherRules(docs0).filter(col("keep") === 1)
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    stage("gopher")
+    val n1 = gated.count()
+    val exact = gated
+      .join(Dedup.exactKeepers(gated), Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    stage("exact_dedup")
+    val n2 = exact.count()
+    stage("near_dedup") // set BEFORE construction: clusters checkpoint eagerly
+    val near = exact
+      .join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
+      .persist(MEMORY_AND_DISK)
+    val n3 = near.count()
+    try {
+      stage("decontam")
+      val bench = graft.text.TextOps
+        .shingleRows(loadDocs(spark, benchSpec), 5)
+        .select(graft.functions.DetHash.h60(col("s")).as("sh")).distinct()
+      val scrubbed = TextMetrics.scrubContaminated(near, bench)
+        .persist(MEMORY_AND_DISK)
+      val nTouched = scrubbed.filter(col("n_removed") > 0).count()
+      val clean = scrubbed
+        .select(col("doc_id"), col("clean_text").as("text"))
+      try {
+        stage("chunk_dedup_shards")
+        val wins = TextMetrics.chunkWindows(clean, win, stride,
+          withText = true)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("wh").orderBy(col("doc_id"), col("win_id"))
+        val examples = wins
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .withColumn("example_id", concat(col("doc_id").cast("string"),
+            lit("_"), col("win_id").cast("string")))
+          .select(col("example_id"), col("wh"), col("n_tok"),
+            col("win_text").as("text"))
+        Sharding.writeEpochShards(examples, "example_id", seed, nShards,
+          out)
+        stage("report")
+        val nWin = wins.count()
+        val nEx = spark.read.parquet(out).count()
+        import spark.implicits._
+        Seq(s"input=$n0 gopher=$n1 exact_dedup=$n2 near_dedup=$n3" +
+          s" decontam_touched=$nTouched windows=$nWin examples=$nEx" +
+          s" shards=$nShards seed=$seed win=$win stride=$stride")
+          .toDF("value").coalesce(1).write.mode("overwrite")
+          .text(out + "_report")
+        spark.sparkContext.setJobDescription(null)
+      } finally { scrubbed.unpersist(); () }
+    } finally {
+      near.unpersist(); exact.unpersist(); gated.unpersist()
+      ()
+    }
+  }
+
   /** Reproducible epoch layout for training: the corpus resharded by
     * seeded hash with a deterministic in-shard order, one `shard=`
     * directory per loader worker (seed = epoch number; a new seed is a
@@ -789,6 +869,10 @@ object Jobs {
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "EpochShards" :: in :: out :: seed :: nShards :: Nil =>
         epochShards(spark, in, out, seed.toInt, nShards.toInt)
+      case "PrepareTrainingData" :: in :: out :: bench :: seed ::
+          nShards :: Nil =>
+        prepareTrainingData(spark, in, out, bench, seed.toInt,
+          nShards.toInt)
       case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
         decontaminateCorpus(spark, in, out, bench)
       case "DecontaminateCorpus" :: in :: out :: bench :: "drop" :: Nil =>

@@ -237,10 +237,11 @@ object TextMetrics {
     * speed at any corpus size. Output rows ≈ tokens/stride, bounded
     * by construction.
     */
-  def chunkWindows(docs: DataFrame, win: Int, stride: Int): DataFrame = {
+  def chunkWindows(docs: DataFrame, win: Int, stride: Int,
+                   withText: Boolean = false): DataFrame = {
     require(win > 0 && stride > 0 && stride <= win,
       s"need 0 < stride <= win, got win=$win stride=$stride")
-    docs
+    val base = docs
       .select(col("doc_id"),
         expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
           .as("toks"))
@@ -255,7 +256,11 @@ object TextMetrics {
         expr(s"slice(toks, k * $stride + 1, $win)").as("wt"))
       .select(col("doc_id"), col("win_id"), col("start_tok"),
         size(col("wt")).cast("long").as("n_tok"),
-        graft.functions.DetHash.h60(concat_ws(" ", col("wt"))).as("wh"))
+        graft.functions.DetHash.h60(concat_ws(" ", col("wt"))).as("wh"),
+        concat_ws(" ", col("wt")).as("win_text"))
+    // the fingerprint, not the text, is the default payload (px58's
+    // oracle shape); withText keeps the materialized example
+    if (withText) base else base.drop("win_text")
   }
 
   /** PII masking patterns (kind, regex, replacement), applied in this

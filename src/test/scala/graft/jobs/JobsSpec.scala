@@ -364,6 +364,51 @@ class JobsSpec extends SparkSpec {
     assert(e1 != e2)   // new epoch -> new permutation
   }
 
+  test("PrepareTrainingData: gate, dedup, scrub, chunk, shard end-to-end") {
+    import spark.implicits._
+    // 8 distinct words of mean length 5.25, repeated to 40 words:
+    // passes every Gopher bound; its 16-token windows at stride 8 all
+    // repeat (period 8), so example-level dedup must collapse them
+    val wordsA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val textA = Seq.fill(5)(wordsA).mkString(" ")
+    val textB = ("india juliet kilos lima mikes novem oscar papas " * 4).trim +
+      " the quick brown fox jumps klmno pqrst uvwxy zabcd efghi"
+    Seq(
+      (1L, textA),            // kept
+      (2L, textA),            // exact dup of 1 -> dropped
+      (3L, textB),            // contaminated span -> scrubbed, kept
+      (4L, "tiny doc"))       // gopher-dropped
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/prepin")
+    Seq((100L, "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/prepbench")
+
+    Jobs.prepareTrainingData(spark, s"parquet:$work/prepin",
+      s"$work/prepout", s"parquet:$work/prepbench",
+      seed = 1, nShards = 2, win = 16, stride = 8)
+
+    val report = spark.read.text(s"$work/prepout_report")
+      .as[String].collect().head
+    assert(report.contains("input=4"), report)
+    assert(report.contains("gopher=3"), report)
+    assert(report.contains("exact_dedup=2"), report)
+    assert(report.contains("near_dedup=2"), report)
+    assert(report.contains("decontam_touched=1"), report)
+
+    val ex = spark.read.parquet(s"$work/prepout")
+    // example-level dedup: no fingerprint appears twice
+    assert(ex.groupBy("wh").count().filter(col("count") > 1).count() == 0)
+    // the benchmark phrase is gone from every example
+    assert(ex.filter(col("text").contains("quick brown fox")).count() == 0)
+    // but doc 3's own content survives the scrub
+    assert(ex.filter(col("text").contains("india juliet")).count() > 0)
+    // shard layout present and within range
+    val dirs = new java.io.File(s"$work/prepout").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf(Set("shard=0", "shard=1")))
+  }
+
   test("DecontaminateCorpus: benchmark span scrubbed from text, report counts") {
     import spark.implicits._
     Seq((100L, "the quick brown fox jumps over lazy dogs"))
