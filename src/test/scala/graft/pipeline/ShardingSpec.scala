@@ -65,6 +65,15 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("plan shapes: one exchange in epochShuffle; broadcast quota join") {
+    val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(sh).size == 1, sh) // the one repartition
+    val ts = Sharding.temperatureSample(docs)
+      .queryExecution.executedPlan.toString
+    assert(ts.contains("BroadcastHashJoin"), ts) // quotas never shuffle docs
+  }
+
   test("writeEpochShards lays out one directory per shard") {
     val out = java.nio.file.Files.createTempDirectory("epoch").toString
     Sharding.writeEpochShards(docs, "doc_id", 7, 4, out)

@@ -44,6 +44,13 @@ class SketchesSpec extends SparkSpec {
     assert(viaMg == exact)
   }
 
+  test("recount plan: candidates broadcast, corpus side never reshuffled on term") {
+    val docs = Tables(spark, sfTiny, "documents")
+    val plan = Sketches.topKTermsMg(docs, 5).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("tiny capacity stays exact when the k-th frequency clears the bound") {
     // skewed synthetic corpus: term_i has frequency 200/i; capacity 16
     // against 40 distinct terms. n ~ 200·H(40) ~ 857, bound ~ 50 ->
