@@ -459,6 +459,51 @@ object Jobs {
     * write the deduplicated corpus as parquet (the LSH/near-dup
     * variants are the px02/px03/px19/px21 query pipeline).
     */
+  /** The production incremental-dedup cycle as one job: sign the
+    * arriving batch, check it against the PERSISTED signature store
+    * (band join on 16-long signatures — the corpus text is only read
+    * for the band-candidate docs), write per-doc verdicts, and — with
+    * `admit` — complete the loop the README describes: append the
+    * NOVEL docs' signatures to the store and their (doc_id, text)
+    * projection to the corpus, so the next batch is checked against
+    * them without any corpus re-processing. Store and corpus must be
+    * parquet directories for the admit append.
+    */
+  def incrementalDedup(spark: SparkSession, sigStore: String,
+                       corpusIn: String, batchIn: String, out: String,
+                       admit: Boolean, threshold: Double = 0.5): Unit = {
+    import graft.pipeline.Dedup
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val corpus = loadDocs(spark, corpusIn)
+    val batch = loadDocs(spark, batchIn)
+    val batchSigs = Dedup.minhashWide(batch).persist(MEMORY_AND_DISK)
+    val verdicts = Dedup.incrementalNearDupsFromSigs(
+      spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
+      .persist(MEMORY_AND_DISK)
+    try {
+      verdicts.write.mode("overwrite").parquet(out)
+      val (nBatch, nDup) =
+        (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
+      var appended = 0L
+      if (admit) {
+        require(corpusIn.startsWith("parquet:"),
+          s"admit appends to the corpus — need a parquet: input, got $corpusIn")
+        val novel = verdicts.filter(col("dup_of").isNull).select("doc_id")
+        batchSigs.join(novel, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(sigStore)
+        batch.join(novel, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text")
+          .write.mode("append").parquet(corpusIn.stripPrefix("parquet:"))
+        appended = nBatch - nDup
+      }
+      import spark.implicits._
+      Seq(s"batch=$nBatch dup=$nDup novel=${nBatch - nDup}" +
+        s" admitted=$appended threshold=$threshold")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(out + "_report")
+    } finally { verdicts.unpersist(); batchSigs.unpersist(); () }
+  }
+
   /** The whole last mile in one job: corpus in → training examples
     * out, composed from the already-gated stages — Gopher gate, exact
     * + near dedup, span-surgical benchmark decontamination, overlap
@@ -873,6 +918,10 @@ object Jobs {
           nShards :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,
           nShards.toInt)
+      case "IncrementalDedup" :: sigs :: corpus :: batch :: out :: rest
+          if rest.isEmpty || rest == List("admit") =>
+        incrementalDedup(spark, sigs, corpus, batch, out,
+          admit = rest.nonEmpty)
       case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
         decontaminateCorpus(spark, in, out, bench)
       case "DecontaminateCorpus" :: in :: out :: bench :: "drop" :: Nil =>

@@ -364,6 +364,49 @@ class JobsSpec extends SparkSpec {
     assert(e1 != e2)   // new epoch -> new permutation
   }
 
+  test("IncrementalDedup admit cycle: round 2 sees round 1's novel docs") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val textB = "red blue gree yellow purple orange black white brown" +
+      " pink cyan teal navy gold silver maroon olive coral beige plum"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(s"$work/incorpus")
+    Dedup.minhashWide(corpus).write.mode("overwrite")
+      .parquet(s"$work/insigs")
+
+    // round 1: one dup of X (verbatim — band match guaranteed; a
+    // 0.7-jaccard variant can legitimately miss all 4 LSH bands),
+    // one novel doc; admit the novel one
+    Seq((10L, textX), (11L, textB))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/inbatch1")
+    Jobs.incrementalDedup(spark, s"$work/insigs",
+      s"parquet:$work/incorpus", s"parquet:$work/inbatch1",
+      s"$work/inv1", admit = true)
+    val v1 = spark.read.parquet(s"$work/inv1")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(v1(10L).contains(1L) && v1(11L).isEmpty)
+
+    // round 2: a near-dup of round 1's ADMITTED novel doc — only
+    // detectable if admit appended both its signatures and its text
+    Seq((20L, textB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/inbatch2")
+    Jobs.incrementalDedup(spark, s"$work/insigs",
+      s"parquet:$work/incorpus", s"parquet:$work/inbatch2",
+      s"$work/inv2", admit = false)
+    val v2 = spark.read.parquet(s"$work/inv2")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(v2(20L).contains(11L),
+      s"round-2 dup not traced to the admitted doc: $v2")
+    val report = spark.read.text(s"$work/inv1_report").as[String]
+      .collect().head
+    assert(report.contains("batch=2 dup=1 novel=1 admitted=1"), report)
+  }
+
   test("PrepareTrainingData: gate, dedup, scrub, chunk, shard end-to-end") {
     import spark.implicits._
     // 8 distinct words of mean length 5.25, repeated to 40 words:
