@@ -469,39 +469,61 @@ object Jobs {
     * them without any corpus re-processing. Store and corpus must be
     * parquet directories for the admit append.
     */
-  def incrementalDedup(spark: SparkSession, sigStore: String,
-                       corpusIn: String, batchIn: String, out: String,
-                       admit: Boolean, threshold: Double = 0.5): Unit = {
+  /** Shared core of the admit cycle (used by [[incrementalDedup]] and
+    * the streaming twin `NearDupStream.storeAdmitStream`): verdicts
+    * for `batch` against the persisted store; with `admit`, novel
+    * signatures append to the store and novel (doc_id, text) rows to
+    * the corpus directory. The verdict frame is MATERIALIZED via an
+    * eager localCheckpoint before any append: its plan reads the very
+    * files the appends mutate, and a plain persist is NOT enough — the
+    * append's commit refreshes the written path, which cascades a cache
+    * invalidation through every plan referencing it and silently
+    * recomputes the verdicts against the already-mutated store (the
+    * observed failure: a batch doc matching its own just-admitted
+    * signature). The checkpoint is RDD-backed; no path refresh can
+    * touch it.
+    */
+  def admitCycle(spark: SparkSession, batch: DataFrame, sigStore: String,
+                 corpusDir: String, threshold: Double,
+                 admit: Boolean): DataFrame = {
     import graft.pipeline.Dedup
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val corpus = loadDocs(spark, corpusIn)
-    val batch = loadDocs(spark, batchIn)
+    val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
     val batchSigs = Dedup.minhashWide(batch).persist(MEMORY_AND_DISK)
     val verdicts = Dedup.incrementalNearDupsFromSigs(
       spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
-      .persist(MEMORY_AND_DISK)
+      .localCheckpoint() // eager; RDD-backed — see scaladoc
     try {
-      verdicts.write.mode("overwrite").parquet(out)
-      val (nBatch, nDup) =
-        (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
-      var appended = 0L
       if (admit) {
-        require(corpusIn.startsWith("parquet:"),
-          s"admit appends to the corpus — need a parquet: input, got $corpusIn")
         val novel = verdicts.filter(col("dup_of").isNull).select("doc_id")
         batchSigs.join(novel, Seq("doc_id"), "left_semi")
           .write.mode("append").parquet(sigStore)
         batch.join(novel, Seq("doc_id"), "left_semi")
           .select("doc_id", "text")
-          .write.mode("append").parquet(corpusIn.stripPrefix("parquet:"))
-        appended = nBatch - nDup
+          .write.mode("append").parquet(corpusDir)
       }
+      verdicts
+    } finally { batchSigs.unpersist(); () }
+  }
+
+  def incrementalDedup(spark: SparkSession, sigStore: String,
+                       corpusIn: String, batchIn: String, out: String,
+                       admit: Boolean, threshold: Double = 0.5): Unit = {
+    require(corpusIn.startsWith("parquet:"),
+      s"the admit cycle reads/appends a parquet corpus dir, got $corpusIn")
+    val batch = loadDocs(spark, batchIn)
+    val verdicts = admitCycle(spark, batch, sigStore,
+      corpusIn.stripPrefix("parquet:"), threshold, admit)
+    try {
+      verdicts.write.mode("overwrite").parquet(out)
+      val (nBatch, nDup) =
+        (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
       import spark.implicits._
       Seq(s"batch=$nBatch dup=$nDup novel=${nBatch - nDup}" +
-        s" admitted=$appended threshold=$threshold")
+        s" admitted=${if (admit) nBatch - nDup else 0} threshold=$threshold")
         .toDF("value").coalesce(1).write.mode("overwrite")
         .text(out + "_report")
-    } finally { verdicts.unpersist(); batchSigs.unpersist(); () }
+    }
   }
 
   /** The whole last mile in one job: corpus in → training examples

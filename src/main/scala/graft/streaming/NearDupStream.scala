@@ -37,6 +37,34 @@ object NearDupStream {
   final case class Collision(band: Int, sig: String, doc_id: Long,
                              keeper: Long)
 
+  /** The PERSISTED-store admit cycle as a stream: every micro-batch
+    * runs `Jobs.admitCycle` — band-checked against the signature
+    * store, exact-verified against the (candidate-pruned) corpus,
+    * verdicts appended to a parquet ledger, novel docs admitted
+    * (signatures + text). Complements [[collisionLedger]]: the ledger
+    * holds only the active horizon in operator state and forgets on
+    * restart; the store cycle is durable across restarts and shared
+    * with batch writers, at the cost of a store read per micro-batch.
+    * Intra-micro-batch duplicates follow the batch API's contract
+    * (out of scope — compose with `Dedup.nearDupKeepers` upstream).
+    */
+  def storeAdmitStream(docs: DataFrame, sigStore: String,
+                       corpusDir: String, verdictsDir: String,
+                       checkpointDir: String,
+                       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.jobs.Jobs.admitCycle(batch.sparkSession, batch.toDF(),
+            sigStore, corpusDir, threshold, admit = true)
+            .withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(verdictsDir)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** (doc_id, text, ingestCol) stream → collision ledger.
     *
     * @param horizonMs how long a signature stays in state past its

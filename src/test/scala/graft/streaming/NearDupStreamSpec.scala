@@ -58,6 +58,40 @@ class NearDupStreamSpec extends SparkSpec {
     assert(streamed.length == expected.length, "one ledger row per (doc, band)")
   }
 
+  test("storeAdmitStream: admits persist across separate stream runs") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("storeadmit").toString
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val textB = "red blue gree yellow purple orange black white brown" +
+      " pink cyan teal navy gold silver maroon olive coral beige plum"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$work/corpus")
+    Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
+
+    def runRound(file: String, rows: Seq[(Long, String)]): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(s"$work/in/$file")
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$work/in/$file").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$work/in/*")
+      NearDupStream.storeAdmitStream(stream, s"$work/sigs",
+        s"$work/corpus", s"$work/verdicts", s"$work/ckpt")
+        .awaitTermination()
+    }
+    // run 1: one dup of the corpus doc, one novel doc (admitted);
+    // run 2 is a SEPARATE stream instance from the same checkpoint —
+    // its dup verdict can only trace to run 1's admitted doc if the
+    // admit writes are durable
+    runRound("f=1", Seq((10L, textX), (11L, textB)))
+    runRound("f=2", Seq((20L, textB)))
+    val v = spark.read.parquet(s"$work/verdicts")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(v(10L).contains(1L) && v(11L).isEmpty)
+    assert(v(20L).contains(11L), s"round-2 verdict lost the admit: $v")
+  }
+
   test("collision pairs are exactly the batch LSH candidate pairs") {
     val ledger = spark.table("ndl_out") // from the previous test's run
     val streamPairs = ledger.filter(col("doc_id") =!= col("keeper"))
