@@ -469,6 +469,15 @@ object Jobs {
     * them without any corpus re-processing. Store and corpus must be
     * parquet directories for the admit append.
     */
+  /** The benchmark k-gram hash set every decontamination path scrubs
+    * or drops against — ONE definition so the standalone job, the
+    * composed job, and any future caller can't drift apart.
+    */
+  def benchShingleHashes(spark: SparkSession, benchSpec: String,
+                         k: Int): DataFrame =
+    TextOps.shingleRows(loadDocs(spark, benchSpec), k)
+      .select(graft.functions.DetHash.h60(col("s")).as("sh")).distinct()
+
   /** Shared core of the admit cycle (used by [[incrementalDedup]] and
     * the streaming twin `NearDupStream.storeAdmitStream`): verdicts
     * for `batch` against the persisted store; with `admit`, novel
@@ -492,15 +501,32 @@ object Jobs {
     val batchSigs = Dedup.minhashWide(batch).persist(MEMORY_AND_DISK)
     val verdicts = Dedup.incrementalNearDupsFromSigs(
       spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
+      // Replay idempotence: a doc whose best match is ITSELF (same id
+      // already in the store — a partially-committed earlier run of
+      // this very batch) is "already admitted", not a duplicate; its
+      // re-append below is absorbed by the distinct()s downstream.
+      .withColumn("dup_of",
+        when(col("dup_of") === col("doc_id"), lit(null))
+          .otherwise(col("dup_of")))
       .localCheckpoint() // eager; RDD-backed — see scaladoc
     try {
       if (admit) {
         val novel = verdicts.filter(col("dup_of").isNull).select("doc_id")
-        batchSigs.join(novel, Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(sigStore)
+        // Append ORDER is the crash-safety argument (plain parquet
+        // dirs have no two-path transaction): corpus text FIRST, then
+        // signatures. A doc becomes visible to future band joins only
+        // once its text is present, so a crash between the writes
+        // leaves harmless orphan text, never an unverifiable orphan
+        // signature (which would make a later real duplicate pass as
+        // novel). Retries that re-append are absorbed downstream:
+        // verification distinct()s shingles and candidates, so
+        // duplicate store rows change no verdict. For exactly-once
+        // stores, point sigStore/corpusDir at a transactional table.
         batch.join(novel, Seq("doc_id"), "left_semi")
           .select("doc_id", "text")
           .write.mode("append").parquet(corpusDir)
+        batchSigs.join(novel, Seq("doc_id"), "left_semi")
+          .write.mode("append").parquet(sigStore)
       }
       verdicts
     } finally { batchSigs.unpersist(); () }
@@ -514,16 +540,14 @@ object Jobs {
     val batch = loadDocs(spark, batchIn)
     val verdicts = admitCycle(spark, batch, sigStore,
       corpusIn.stripPrefix("parquet:"), threshold, admit)
-    try {
-      verdicts.write.mode("overwrite").parquet(out)
-      val (nBatch, nDup) =
-        (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
-      import spark.implicits._
-      Seq(s"batch=$nBatch dup=$nDup novel=${nBatch - nDup}" +
-        s" admitted=${if (admit) nBatch - nDup else 0} threshold=$threshold")
-        .toDF("value").coalesce(1).write.mode("overwrite")
-        .text(out + "_report")
-    }
+    verdicts.write.mode("overwrite").parquet(out)
+    val (nBatch, nDup) =
+      (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
+    import spark.implicits._
+    Seq(s"batch=$nBatch dup=$nDup novel=${nBatch - nDup}" +
+      s" admitted=${if (admit) nBatch - nDup else 0} threshold=$threshold")
+      .toDF("value").coalesce(1).write.mode("overwrite")
+      .text(out + "_report")
   }
 
   /** The whole last mile in one job: corpus in → training examples
@@ -566,9 +590,7 @@ object Jobs {
     val n3 = near.count()
     try {
       stage("decontam")
-      val bench = graft.text.TextOps
-        .shingleRows(loadDocs(spark, benchSpec), 5)
-        .select(graft.functions.DetHash.h60(col("s")).as("sh")).distinct()
+      val bench = benchShingleHashes(spark, benchSpec, 5)
       val scrubbed = TextMetrics.scrubContaminated(near, bench)
         .persist(MEMORY_AND_DISK)
       val nTouched = scrubbed.filter(col("n_removed") > 0).count()
@@ -576,8 +598,11 @@ object Jobs {
         .select(col("doc_id"), col("clean_text").as("text"))
       try {
         stage("chunk_dedup_shards")
+        // persisted across its two consumer actions (the shard write
+        // and the report count) — the chunk chain re-tokenizes the
+        // whole cleaned corpus otherwise
         val wins = TextMetrics.chunkWindows(clean, win, stride,
-          withText = true)
+          withText = true).persist(MEMORY_AND_DISK)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("wh").orderBy(col("doc_id"), col("win_id"))
         val examples = wins
@@ -591,6 +616,7 @@ object Jobs {
           out)
         stage("report")
         val nWin = wins.count()
+        wins.unpersist()
         val nEx = spark.read.parquet(out).count()
         import spark.implicits._
         Seq(s"input=$n0 gopher=$n1 exact_dedup=$n2 near_dedup=$n3" +
@@ -640,8 +666,7 @@ object Jobs {
     import graft.functions.DetHash
     import graft.pipeline.TextMetrics
     val docs = loadDocs(spark, in)
-    val bench = TextOps.shingleRows(loadDocs(spark, benchIn), k)
-      .select(DetHash.h60(col("s")).as("sh")).distinct()
+    val bench = benchShingleHashes(spark, benchIn, k)
     mode match {
       case "drop" =>
         // doc-level treatment (the px24 flag as a job): DROP any doc

@@ -60,6 +60,15 @@ object Sharding {
     * Determinism note: the quota multiplies the 6-dp ROUNDED weight
     * (the px46 cross-engine contract) by an integer target, so the
     * float path is pinned; ties inside a language break on doc id.
+    *
+    * SELECTION, not resampling: a language whose quota exceeds its
+    * doc count contributes everything it has and stops — this op
+    * materializes the DOWNSAMPLING half of the temperature rule
+    * (sampling without replacement). Upsampling a minority language
+    * past its own size means repeating examples, which belongs to the
+    * training loader's epoch schedule, not the corpus build; detect
+    * the capped case from the output itself (`quota` rides every row
+    * — a language with max(rk) < quota was exhausted).
     */
   def temperatureSample(docs: DataFrame, langCol: String = "lang",
                         alphaE: String = "3e-1", targetDiv: Int = 2,

@@ -2715,6 +2715,17 @@ object PipelineQueries {
     * [[graft.pipeline.Bpe.foldPassExpr]] (DuckDB's accumulator seeds
     * from the first element; Spark seeds '' and adopts the first
     * element — same trajectory from step 2 on).
+    *
+    * PRECONDITION: the corpus must sustain k merge rounds. If pairs
+    * were exhausted earlier, the Spark trainer stops early but this
+    * replay's empty m-CTE would CROSS-JOIN the dictionary away and the
+    * correctness gate would go LOUDLY red (empty oracle vs non-empty
+    * Spark) — a detectable config error, not silent corruption. Every
+    * gated SF sustains far more than 8 rounds (31-word vocab, hundreds
+    * of pairs). An always-1-row sentinel-merge form was A/B'd and
+    * REJECTED: identical results, but 2.1× slower in DuckDB (1.22 →
+    * 2.52 s at sf0.01) — padding the baseline to cover an impossible
+    * case is worse than documenting the precondition.
     */
   private def duckBpeCtes(k: Int): String = {
     val rounds = (1 to k).map { i =>

@@ -51,18 +51,34 @@ object NearDupStream {
   def storeAdmitStream(docs: DataFrame, sigStore: String,
                        corpusDir: String, verdictsDir: String,
                        checkpointDir: String,
-                       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+                       threshold: Double = 0.5,
+                       trigger: org.apache.spark.sql.streaming.Trigger =
+                         org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
-        if (!batch.isEmpty) {
-          graft.jobs.Jobs.admitCycle(batch.sparkSession, batch.toDF(),
+        // Replay guard: foreachBatch is at-least-once, and the admit
+        // appends are not idempotent at the row level — a replayed
+        // micro-batch would band-match its own already-admitted
+        // signatures (self-dup verdicts) and double-append. batch_ids
+        // are monotonic, so "already in the ledger" (one parquet-stats
+        // max over the ledger) detects the replay; the appends
+        // themselves are retry-absorbent per admitCycle's ordering
+        // contract (text before sigs, distinct() downstream).
+        val spark = batch.sparkSession
+        val done = try {
+          spark.read.parquet(verdictsDir)
+            .agg(max("batch_id")).head().getLong(0) >= id
+        } catch { case _: org.apache.spark.sql.AnalysisException => false }
+        if (!batch.isEmpty && !done) {
+          graft.jobs.Jobs.admitCycle(spark, batch.toDF(),
             sigStore, corpusDir, threshold, admit = true)
             .withColumn("batch_id", lit(id))
             .write.mode("append").parquet(verdictsDir)
         }
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** (doc_id, text, ingestCol) stream → collision ledger.
