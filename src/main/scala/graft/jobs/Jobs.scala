@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * IndexDocVectors, RunQueryIndex, IndexInverted, RunQueryInverted,
   * GenerateFeedbackQueries, RunQueryWeighted, RunQueryIndexWeighted
   * (the reference's feedback loop, sequential-scan or index-backed),
-  * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DedupCorpus,
-  * SemDedupCorpus (embedding-cluster semantic dedup), CurateCorpus,
-  * SpamFilter, QueryStats, KBAFilter, TrecToMallet, TrecToParquet.
+  * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DumpIndex,
+  * DedupCorpus, SemDedupCorpus (embedding-cluster semantic dedup),
+  * CurateCorpus, DecontaminateCorpus, IncrementalDedup (persisted-
+  * store admit cycle), EpochShards, PrepareTrainingData (the composed
+  * last mile), SpamFilter, QueryStats, KBAFilter, TrecToMallet,
+  * TrecToParquet, SeqToParquet, ParquetToSeq.
   */
 object Jobs {
 
