@@ -46,6 +46,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.train(docs, 5).isEmpty)
   }
 
+  test("degenerate dictionaries: empty corpus, and minCount filtering all") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, 3).isEmpty)
+    val hapax = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(Bpe.train(hapax, 3, "text", minCount = 2L).isEmpty)
+    // encode still behaves on an empty dict
+    assert(Bpe.encodeWords(Bpe.wordDict(empty), Seq(("a", "b")))
+      .count() == 0)
+  }
+
   test("minCount drops tail words from the dict before the rounds") {
     // "zq" is a hapax; with minCount=2 it can't vote (z,q) into the
     // merge table, and the dict shrinks to the repeated word only

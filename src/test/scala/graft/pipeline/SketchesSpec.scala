@@ -44,6 +44,11 @@ class SketchesSpec extends SparkSpec {
     assert(viaMg == exact)
   }
 
+  test("empty corpus yields an empty (not failing) top-k") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Sketches.topKTermsMg(empty, 5).count() == 0)
+  }
+
   test("recount plan: candidates broadcast, corpus side never reshuffled on term") {
     val docs = Tables(spark, sfTiny, "documents")
     val plan = Sketches.topKTermsMg(docs, 5).queryExecution
