@@ -153,4 +153,22 @@ object Bpe {
       .groupBy("sym").agg(sum("wc").as("cnt"))
       .orderBy(desc("cnt"), asc("sym"))
       .limit(n)
+
+  /** Deterministic vocabulary table over an encoded dictionary:
+    * (sym, id, cnt) with CONTIGUOUS ids starting at `firstId`,
+    * assigned by (frequency desc, sym) — the frequency-ranked id
+    * convention tokenizer exports use, reproducible bit-for-bit
+    * across reruns and engines. The id window is a single global
+    * sort over the VOCABULARY (symbols ≤ distinct words × chars —
+    * tokenizer-export-sized, never corpus-sized); token-id encoding
+    * of a corpus is then a broadcast join of this table onto the
+    * exploded symbols.
+    */
+  def vocab(encoded: DataFrame, firstId: Long = 0L): DataFrame =
+    encoded
+      .select(col("wc"), explode(col("syms")).as("sym"))
+      .groupBy("sym").agg(sum("wc").as("cnt"))
+      .withColumn("id", expr(
+        s"row_number() OVER (ORDER BY cnt DESC, sym) - 1 + $firstId"))
+      .select("sym", "id", "cnt")
 }

@@ -104,6 +104,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocab assigns contiguous frequency-ranked ids deterministically") {
+    val docs = Seq((1L, "ab ab ab cd cd zz")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 1) // learns (a,b)
+    val enc = Bpe.encodeWords(Bpe.wordDict(docs), merges)
+    val v = Bpe.vocab(enc).as[(String, Long, Long)].collect()
+      .sortBy(_._2)
+    // freq-ranked: ab(3) first, then c/d/z (1 or 2 each, sym-tiebreak)
+    assert(v.head == ("ab", 0L, 3L))
+    assert(v.map(_._2).toSeq == (0L until v.length).toSeq) // contiguous
+    val v2 = Bpe.vocab(enc).as[(String, Long, Long)].collect().sortBy(_._2)
+    assert(v.sameElements(v2)) // reproducible
+    assert(Bpe.vocab(enc, firstId = 10L).as[(String, Long, Long)]
+      .collect().map(_._2).min == 10L)
+  }
+
   test("encode is a narrow map: no shuffle in the encode plan") {
     val words = Seq(("abc", 1L)).toDF("w", "wc")
     val plan = Bpe.encodeWords(words, Seq(("a", "b"), ("ab", "c")))
