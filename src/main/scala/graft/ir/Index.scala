@@ -94,8 +94,19 @@ object Index {
           count(lit(1)).as("df"), sum("tf").as("cf"))
     }
 
+  /** Default postings-row bound: the sharded layout measured BETTER on
+    * build time, scoring time, AND peak memory at 2.5M docs
+    * (BENCH_NOTES §3g: 35.5 s vs 41.8 s build, 9.9 s vs 14–21 s
+    * scoring, 10.8 GB vs 18+ GB heap), and it is the only layout that
+    * survives head-term skew at corpus scale — so it is the DEFAULT
+    * (r11; compact was). Pass maxPostings = 0 for the compact
+    * single-row-per-term layout, appropriate only for small corpora
+    * where the one extra exchange outweighs skew risk.
+    */
+  val DefaultMaxPostings: Int = 65536
+
   def writeInverted(docs: DataFrame, path: String, files: Int = 0,
-                    maxPostings: Int = 0): Unit = {
+                    maxPostings: Int = DefaultMaxPostings): Unit = {
     // persist both stages: the range partitioner's boundary-sampling
     // job, the postings shuffle write, and the doclen write are THREE
     // actions over the same tokenize subtree — uncached, the corpus

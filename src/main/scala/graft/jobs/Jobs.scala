@@ -494,6 +494,16 @@ object Jobs {
     * observed failure: a batch doc matching its own just-admitted
     * signature). The checkpoint is RDD-backed; no path refresh can
     * touch it.
+    *
+    * Sub-shingle docs (fewer tokens than one MinHash shingle, so
+    * [[Dedup.minhashWide]] emits no signature) come back
+    * `signed = false` and are NEVER admitted: the near-dup system
+    * cannot attest their novelty, and silently appending unverifiable
+    * rows re-admits the same tiny doc on every recurrence — the
+    * corpus grows a duplicate per sighting that no later batch can
+    * flag. Callers who care about tiny docs route them through an
+    * exact-hash dedup (`Dedup.exactKeepers`) instead; the verdict
+    * frame makes the hand-off explicit rather than silent.
     */
   def admitCycle(spark: SparkSession, batch: DataFrame, sigStore: String,
                  corpusDir: String, threshold: Double,
@@ -511,10 +521,14 @@ object Jobs {
       .withColumn("dup_of",
         when(col("dup_of") === col("doc_id"), lit(null))
           .otherwise(col("dup_of")))
+      .join(batchSigs.select("doc_id").withColumn("signed", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("signed", coalesce(col("signed"), lit(false)))
       .localCheckpoint() // eager; RDD-backed — see scaladoc
     try {
       if (admit) {
-        val novel = verdicts.filter(col("dup_of").isNull).select("doc_id")
+        val novel = verdicts
+          .filter(col("dup_of").isNull && col("signed")).select("doc_id")
         // Append ORDER is the crash-safety argument (plain parquet
         // dirs have no two-path transaction): corpus text FIRST, then
         // signatures. A doc becomes visible to future band joins only
@@ -544,11 +558,12 @@ object Jobs {
     val verdicts = admitCycle(spark, batch, sigStore,
       corpusIn.stripPrefix("parquet:"), threshold, admit)
     verdicts.write.mode("overwrite").parquet(out)
-    val (nBatch, nDup) =
-      (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count())
+    val (nBatch, nDup, nAdm) =
+      (verdicts.count(), verdicts.filter(col("dup_of").isNotNull).count(),
+        verdicts.filter(col("dup_of").isNull && col("signed")).count())
     import spark.implicits._
     Seq(s"batch=$nBatch dup=$nDup novel=${nBatch - nDup}" +
-      s" admitted=${if (admit) nBatch - nDup else 0} threshold=$threshold")
+      s" admitted=${if (admit) nAdm else 0} threshold=$threshold")
       .toDF("value").coalesce(1).write.mode("overwrite")
       .text(out + "_report")
   }
@@ -564,12 +579,37 @@ object Jobs {
     * doc-level survivors persist MEMORY_AND_DISK across their multiple
     * consumer actions — at real scale each stage is a written parquet
     * artifact instead.
+    *
+    * Signature-store hand-off (`sigStore`/`storeCorpus`, both-or-
+    * neither): with a store, the composed job PARTICIPATES in the
+    * [[admitCycle]] instead of being a one-shot — after its own
+    * internal near-dedup, survivors are checked against the persisted
+    * MinHash store (docs near-dup'ing an already-admitted doc drop at
+    * the new `store_dedup` funnel stage), and the remaining novel
+    * survivors' signatures + text are ADMITTED, so the next prep run
+    * or streaming batch is checked against this run's output without
+    * re-processing it. A missing store bootstraps empty (first prep
+    * run seeds the cycle); the append ordering/crash-safety contract
+    * is admitCycle's. Without a store the job behaves exactly as
+    * before — one-shot prep, nothing persisted beyond `out`.
+    *
+    * The store holds NEAR-DEDUP SURVIVORS (pre-decontamination):
+    * dedup semantics want future dups of a doc flagged even when that
+    * doc's benchmark-contaminated spans were later scrubbed from the
+    * training output — the store is the "content we have seen"
+    * ledger, not the training-example set.
     */
   def prepareTrainingData(spark: SparkSession, in: String, out: String,
                           benchSpec: String, seed: Int, nShards: Int,
-                          win: Int = 128, stride: Int = 64): Unit = {
+                          win: Int = 128, stride: Int = 64,
+                          sigStore: String = null,
+                          storeCorpus: String = null,
+                          storeThreshold: Double = 0.5): Unit = {
     import graft.pipeline.{Dedup, Sharding, TextMetrics}
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    require((sigStore == null) == (storeCorpus == null),
+      "sigStore and storeCorpus come together (the store's band check" +
+        " verifies candidates against the admitted corpus text)")
     def stage(n: String): Unit =
       spark.sparkContext.setJobDescription(s"prep:$n")
     val docs0 = loadDocs(spark, in)
@@ -587,10 +627,32 @@ object Jobs {
     stage("exact_dedup")
     val n2 = exact.count()
     stage("near_dedup") // set BEFORE construction: clusters checkpoint eagerly
-    val near = exact
+    val nearInternal = exact
       .join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
-    val n3 = near.count()
+    val n3 = nearInternal.count()
+    // store hand-off: check internal survivors against the persisted
+    // signature store, drop store-dups, admit the novel rest
+    val near = if (sigStore == null) nearInternal else {
+      stage("store_dedup")
+      val fs = new org.apache.hadoop.fs.Path(sigStore)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore))) {
+        // bootstrap: empty store + corpus with the right schemas, so
+        // the first prep run rides the same admitCycle code path
+        Dedup.minhashWide(nearInternal).limit(0)
+          .write.parquet(sigStore)
+        nearInternal.select("doc_id", "text").limit(0)
+          .write.parquet(storeCorpus)
+      }
+      val verdicts = admitCycle(spark, nearInternal.select("doc_id", "text"),
+        sigStore, storeCorpus, storeThreshold, admit = true)
+      nearInternal
+        .join(verdicts.filter(col("dup_of").isNull).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        .persist(MEMORY_AND_DISK)
+    }
+    val n3b = if (sigStore == null) n3 else near.count()
     try {
       stage("decontam")
       val bench = benchShingleHashes(spark, benchSpec, 5)
@@ -622,7 +684,10 @@ object Jobs {
         wins.unpersist()
         val nEx = spark.read.parquet(out).count()
         import spark.implicits._
+        val storePart =
+          if (sigStore == null) "" else s" store_dedup=$n3b"
         Seq(s"input=$n0 gopher=$n1 exact_dedup=$n2 near_dedup=$n3" +
+          storePart +
           s" decontam_touched=$nTouched windows=$nWin examples=$nEx" +
           s" shards=$nShards seed=$seed win=$win stride=$stride")
           .toDF("value").coalesce(1).write.mode("overwrite")
@@ -630,7 +695,9 @@ object Jobs {
         spark.sparkContext.setJobDescription(null)
       } finally { scrubbed.unpersist(); () }
     } finally {
-      near.unpersist(); exact.unpersist(); gated.unpersist()
+      near.unpersist()
+      if (!(near eq nearInternal)) nearInternal.unpersist()
+      exact.unpersist(); gated.unpersist()
       ()
     }
   }
@@ -968,6 +1035,12 @@ object Jobs {
           nShards :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,
           nShards.toInt)
+      // trailing sigStore + storeCorpus join the persisted admit
+      // cycle: store-dups drop, novel survivors are admitted
+      case "PrepareTrainingData" :: in :: out :: bench :: seed ::
+          nShards :: sigs :: storeCorp :: Nil =>
+        prepareTrainingData(spark, in, out, bench, seed.toInt,
+          nShards.toInt, sigStore = sigs, storeCorpus = storeCorp)
       case "IncrementalDedup" :: sigs :: corpus :: batch :: out :: rest
           if rest.isEmpty || rest == List("admit") =>
         incrementalDedup(spark, sigs, corpus, batch, out,
@@ -1010,10 +1083,13 @@ object Jobs {
         writeRun(Index.scoreFromIndex(Index.load(spark, idx),
           Topics.readPlain(spark, topics), Retrieval.lmdirPart,
           Retrieval.lmdirFinal, conjunctive = false, TopK), out, "graft-lmdi")
+      // sharded postings layout by default (Index.DefaultMaxPostings —
+      // it measured better on build/scoring/memory at 2.5M docs AND is
+      // the only head-term-skew-safe shape, BENCH_NOTES §3g); trailing
+      // maxPostings overrides the bound, 0 = the compact one-row-per-
+      // term layout for SMALL corpora only (IndexSpec equivalence)
       case "IndexInverted" :: in :: out :: Nil =>
         Index.writeInverted(loadDocs(spark, in), out)
-      // optional trailing maxPostings bounds every postings row (head-
-      // term skew pressure valve at corpus scale; IndexSpec equivalence)
       case "IndexInverted" :: in :: out :: maxP :: Nil =>
         Index.writeInverted(loadDocs(spark, in), out,
           maxPostings = maxP.toInt)

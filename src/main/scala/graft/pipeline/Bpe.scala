@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -133,6 +133,89 @@ object Bpe {
             minCount: Long = 1L): Seq[(String, String)] =
     trainEncoded(docs, k, textCol, minCount)._1
 
+  /** The k ≫ 8 trainer: ONE corpus-sized Spark pass (the [[wordDict]]
+    * aggregation), then the exact merge loop IN DRIVER MEMORY.
+    *
+    * Why this exists: [[trainEncoded]] runs one Spark action per merge
+    * round, which is the right shape while the dictionary is larger
+    * than a driver — but a production tokenizer is k ≈ 32,000 merges,
+    * i.e. 32,000 sequential driver-coordinated jobs whose per-round
+    * scheduling constant dwarfs the per-round work (the r11 probe,
+    * BENCH_NOTES §3j, measures the curve: the distributed loop's cost
+    * is linear in k at ~0.1–0.2 s/round while the in-memory loop runs
+    * thousands of rounds per second on the same dictionary). After the
+    * `minCount` cap the dictionary IS driver-sized — that cap is the
+    * same head-vocabulary lever every production BPE trainer exposes —
+    * so the exact loop (identical pair counting, identical
+    * (cnt desc, a, b) tie-break, identical left-to-right
+    * non-overlapping merge application) fits in memory and emits the
+    * same merge table bit-for-bit (BpeSpec pins equality against the
+    * distributed loop).
+    *
+    * `maxDict` guards the collect: training is refused (loudly) if the
+    * capped dictionary still exceeds it — raise `minCount`, don't
+    * raise the cap, is almost always the right response at 100 TB.
+    */
+  def trainLocal(docs: DataFrame, k: Int, textCol: String = "text",
+                 minCount: Long = 1L,
+                 maxDict: Int = 10000000): Seq[(String, String)] = {
+    val dictDf = wordDict(docs, textCol, minCount)
+    val n = dictDf.count()
+    require(n <= maxDict,
+      s"dictionary has $n words (> maxDict=$maxDict) after minCount=" +
+        s"$minCount; raise minCount so the head vocabulary fits the driver")
+    val dict = dictDf.collect()
+      .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+        r.getLong(1)))
+    trainLocalFromDict(dict, k)
+  }
+
+  /** The exact merge loop over an in-memory (symbols, weight)
+    * dictionary — semantics identical to one [[foldPassExpr]] round
+    * per merge: count adjacent pairs weighted by word count, take the
+    * (cnt desc, a asc, b asc) top pair, apply it left-to-right
+    * non-overlapping, repeat. Stops early when no pair remains.
+    */
+  private[pipeline] def trainLocalFromDict(
+      dict0: Array[(Array[String], Long)], k: Int)
+      : Seq[(String, String)] = {
+    var dict = dict0
+    val merges = ArrayBuffer.empty[(String, String)]
+    var done = false
+    for (_ <- 1 to k if !done) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      dict.foreach { case (cs, wc) =>
+        var i = 0
+        while (i < cs.length - 1) {
+          val key = (cs(i), cs(i + 1))
+          counts.update(key, counts.getOrElse(key, 0L) + wc)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), _) = counts.minBy { case ((pa, pb), cnt) =>
+          (-cnt, pa, pb)
+        }
+        merges += ((a, b))
+        dict = dict.map { case (cs, wc) =>
+          // left-to-right non-overlapping: merge when the PREVIOUSLY
+          // EMITTED symbol is exactly `a` and the next is `b` — the
+          // in-memory twin of foldPassExpr's endswith(acc, sep+a) test
+          val out = ArrayBuffer.empty[String]
+          cs.foreach { x =>
+            if (out.nonEmpty && out.last == a && x == b)
+              out(out.length - 1) = a + b
+            else out += x
+          }
+          (out.toArray, wc)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Apply a learned merge table to a word column: adds `syms`, the
     * BPE symbol array. Pure narrow map — merges are literals.
     */
@@ -144,12 +227,20 @@ object Bpe {
           splitExpr(foldPassExpr(arr, s"'${esc(a)}'", s"'${esc(b)}'"))
       }))
 
+  /** Weight column for symbol statistics: the dictionary's word count
+    * when the frame carries one, else 1 per row (a raw word list
+    * counts each row once).
+    */
+  private def wcOr1(encoded: DataFrame): Column =
+    if (encoded.columns.contains("wc")) col("wc") else lit(1L)
+
   /** Corpus symbol frequencies under the encoding: top `n`
-    * (sym, cnt), weighted by word count when present.
+    * (sym, cnt), weighted by word count when present (frames without
+    * a `wc` column count each row once).
     */
   def symbolCounts(encoded: DataFrame, n: Int): DataFrame =
     encoded
-      .select(col("wc"), explode(col("syms")).as("sym"))
+      .select(wcOr1(encoded).as("wc"), explode(col("syms")).as("sym"))
       .groupBy("sym").agg(sum("wc").as("cnt"))
       .orderBy(desc("cnt"), asc("sym"))
       .limit(n)
@@ -166,7 +257,7 @@ object Bpe {
     */
   def vocab(encoded: DataFrame, firstId: Long = 0L): DataFrame =
     encoded
-      .select(col("wc"), explode(col("syms")).as("sym"))
+      .select(wcOr1(encoded).as("wc"), explode(col("syms")).as("sym"))
       .groupBy("sym").agg(sum("wc").as("cnt"))
       .withColumn("id", expr(
         s"row_number() OVER (ORDER BY cnt DESC, sym) - 1 + $firstId"))

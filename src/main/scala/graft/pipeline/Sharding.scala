@@ -48,47 +48,115 @@ object Sharding {
       .repartition(nShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"), col(idCol))
 
-  /** Materialize a temperature-resampled training mix (the mT5/XLM-R
-    * w_l ∝ p_l^α rule px46 computes the WEIGHTS for, turned into an
-    * actual document selection): per-language quota = round(w6 ·
-    * (total div targetDiv)), members chosen deterministically by
-    * seeded-hash order — so reruns, engines, and incremental rebuilds
-    * pick the identical mix. Everything stays in one plan: the
-    * language table is tiny (broadcast), the selection is one window
-    * over the corpus partitioned by language.
-    *
-    * Determinism note: the quota multiplies the 6-dp ROUNDED weight
-    * (the px46 cross-engine contract) by an integer target, so the
-    * float path is pinned; ties inside a language break on doc id.
-    *
-    * SELECTION, not resampling: a language whose quota exceeds its
-    * doc count contributes everything it has and stops — this op
-    * materializes the DOWNSAMPLING half of the temperature rule
-    * (sampling without replacement). Upsampling a minority language
-    * past its own size means repeating examples, which belongs to the
-    * training loader's epoch schedule, not the corpus build; detect
-    * the capped case from the output itself (`quota` rides every row
-    * — a language with max(rk) < quota was exhausted).
+  /** Per-language quota table for the temperature mix: (lang, n_docs,
+    * quota) with quota = round(w6 · (total div targetDiv)) where w6 is
+    * the 6-dp-rounded α-flattened weight (the px46 cross-engine
+    * contract) — the float path is pinned, so reruns and engines agree
+    * bit-for-bit. Tiny: one per-language count + two global windows
+    * over the language table.
     */
-  def temperatureSample(docs: DataFrame, langCol: String = "lang",
-                        alphaE: String = "3e-1", targetDiv: Int = 2,
-                        seed: Int = 7,
-                        idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val quotas = docs.groupBy(langCol)
+  private def tempQuotas(docs: DataFrame, langCol: String,
+                         alphaE: String, targetDiv: Int): DataFrame =
+    docs.groupBy(langCol)
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("pa", expr(
         s"power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), $alphaE)"))
       .withColumn("quota", expr(
         s"CAST(round(round(pa / sum(pa) OVER (), 6) * " +
           s"(sum(n_docs) OVER () div $targetDiv)) AS BIGINT)"))
-      .select(col(langCol), col("quota"))
-    val w = Window.partitionBy(langCol)
-      .orderBy(DetHash.h60(col(idCol).cast("string"), seed), col(idCol))
-    docs.join(broadcast(quotas), Seq(langCol))
-      .withColumn("rk", row_number().over(w).cast("bigint"))
-      .filter(col("rk") <= col("quota"))
+      .select(col(langCol), col("n_docs"), col("quota"))
+
+  /** Materialize a temperature-resampled training mix (the mT5/XLM-R
+    * w_l ∝ p_l^α rule px46 computes the WEIGHTS for, turned into an
+    * actual document selection): per-language quota = round(w6 ·
+    * (total div targetDiv)), members = the quota smallest docs by
+    * (h60(seed|id), id) — so reruns, engines, and incremental
+    * rebuilds pick the identical mix, and a new seed is a fresh
+    * deterministic redraw.
+    *
+    * Scale shape (NOT a per-language window): ranking the corpus
+    * with `row_number() OVER (PARTITION BY lang ...)` exchanges
+    * everything on a handful of language keys — a 70%-English 100 TB
+    * corpus would push ~70 TB through ONE task's sort. Instead the
+    * quota-th smallest (hash, id) pair — the selection CUT — is
+    * found exactly in two cheap passes: (1) a per-(lang, bucket)
+    * histogram over the top 16 bits of the hash (map-side combined
+    * to ≤ 65536 rows per language) locates the bucket containing
+    * the quota-th pair and how deep in it (`need`); (2) only that
+    * boundary bucket's rows (~n/65536 per language, broadcast-inner-
+    * joined out of the corpus) are ranked — partitioned by
+    * (lang, bkt), never bare lang — to read off the exact cut pair.
+    * Selection is then one NARROW filter against the broadcast cut:
+    * keep iff (h, id) ≤ (cut_h, cut_id), or everything when
+    * quota ≥ n_docs. No corpus-sized exchange anywhere; PlanShapeSpec
+    * pins it.
+    *
+    * SELECTION, not resampling: a language whose quota exceeds its
+    * doc count contributes everything it has and stops — this op
+    * materializes the DOWNSAMPLING half of the temperature rule
+    * (sampling without replacement). Upsampling a minority language
+    * past its own size means repeating examples, which belongs to
+    * the training loader's epoch schedule, not the corpus build;
+    * [[temperatureReport]] surfaces the capped languages as data.
+    */
+  def temperatureSample(docs: DataFrame, langCol: String = "lang",
+                        alphaE: String = "3e-1", targetDiv: Int = 2,
+                        seed: Int = 7,
+                        idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
+    val keyed = docs.withColumn("_tsh",
+      DetHash.h60(col(idCol).cast("string"), seed))
+    val hist = keyed
+      .select(col(langCol), expr("shiftright(_tsh, 44)").as("bkt"))
+      .groupBy(langCol, "bkt").agg(count(lit(1)).as("c"))
+    // the bucket holding the quota-th smallest pair, + depth inside it
+    val bounds = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(langCol).orderBy("bkt")))
+      .join(quotas.select(langCol, "quota"), Seq(langCol))
+      .filter(col("cum") - col("c") < col("quota") &&
+        col("quota") <= col("cum"))
+      .select(col(langCol), col("bkt"),
+        (col("quota") - col("cum") + col("c")).as("need"))
+    // exact cut pair: the need-th smallest (h, id) inside that bucket
+    val cut = keyed
+      .select(col(langCol), expr("shiftright(_tsh, 44)").as("bkt"),
+        col("_tsh"), col(idCol))
+      .join(broadcast(bounds), Seq(langCol, "bkt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(langCol), col("bkt"))
+          .orderBy(col("_tsh"), col(idCol))).cast("bigint"))
+      .filter(col("rk") === col("need"))
+      .select(col(langCol), col("_tsh").as("cut_h"),
+        col(idCol).as("cut_id"))
+    val sel = quotas.join(cut, Seq(langCol), "left")
+    keyed.join(broadcast(sel), Seq(langCol))
+      .filter(col("quota") >= col("n_docs") ||
+        (col("cut_h").isNotNull &&
+          (col("_tsh") < col("cut_h") ||
+            (col("_tsh") === col("cut_h") &&
+              col(idCol) <= col("cut_id")))))
+      .drop("_tsh", "n_docs", "cut_h", "cut_id")
   }
+
+  /** Data-card telemetry for [[temperatureSample]]: per language
+    * (lang, n_docs, quota, n_sel, capped). The selection keeps
+    * exactly min(quota, n_docs) docs — the cut pair is the quota-th
+    * smallest hash when quota ≤ n, everything otherwise — so the
+    * report needs only the (tiny) quota table, no second corpus
+    * pass. `capped = true` marks a language whose quota exceeded its
+    * corpus (the upsampling the selection deliberately does NOT do);
+    * surfacing it here lets data cards report exhaustion without
+    * re-deriving it from the selection.
+    */
+  def temperatureReport(docs: DataFrame, langCol: String = "lang",
+                        alphaE: String = "3e-1",
+                        targetDiv: Int = 2): DataFrame =
+    tempQuotas(docs, langCol, alphaE, targetDiv)
+      .select(col(langCol), col("n_docs"), col("quota"),
+        least(col("quota"), col("n_docs")).as("n_sel"),
+        (col("quota") > col("n_docs")).as("capped"))
 
   /** Writes the epoch layout as parquet partitioned by `shard` — the
     * addressable form: worker w reads `path/shard=w/` and sorts its

@@ -121,18 +121,70 @@ object TextMetrics {
     * nBuckets = tail). CCNet trains on head+middle and drops the
     * tail; the bucket column IS that verdict. Ties and float noise
     * are pinned: ppl is 6-dp rounded (engine-portable) and the
-    * window orders by (ppl, doc_id). One window over the per-doc
-    * frame — corpus-sized but single-pass; the partition key is the
-    * language, so skew follows the language mix (salt or sub-bucket
-    * a dominant language if one holds >1 partition of data).
+    * order is (ppl, doc_id) — bit-identical to
+    * `ntile(n) OVER (PARTITION BY lang ORDER BY ppl, doc_id)`.
+    *
+    * Scale shape (NOT a per-language window): a `ntile` window
+    * partitioned by language hash-exchanges the whole corpus on a
+    * handful of language keys and sorts each language in ONE task —
+    * a multi-TB single-task spill sort once one language dominates a
+    * 100 TB corpus. Instead the ntile boundaries are derived from a
+    * per-(lang, ppl) HISTOGRAM (corpus-sized input, but the shuffle
+    * key is two columns and map-side combine collapses it to the
+    * distinct-ppl count per language); a tiny per-language cumsum
+    * over that histogram finds each boundary's cut value `(ppl at
+    * rank k_b)` plus how many docs of that exact ppl fall below the
+    * boundary (`need`). Buckets are then assigned by NARROW
+    * comparison against the broadcast cut list — only the boundary
+    * tie-band (docs whose ppl EQUALS a cut value, a few per
+    * language) needs a rank, computed on that filtered sliver alone,
+    * partitioned by (lang, ppl). PlanShapeSpec pins the shape: no
+    * window partitioned by the bare language column ever consumes
+    * un-aggregated corpus rows.
+    *
+    * ntile boundary math (rank k_b = end of bucket b over n rows):
+    * q = n div nB, r = n mod nB ⇒ k_b = b·q + min(b, r); a row with
+    * global rank g (by ppl, doc_id) lands in bucket
+    * 1 + |{b : g > k_b}| — exactly SQL ntile's front-loaded split.
     */
   def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
                         langCol: String = "lang"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(langCol).orderBy(col("ppl"), col("doc_id"))
-    perplexity(docs)
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    val p = perplexity(docs)
       .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
-      .withColumn("bucket", ntile(nBuckets).over(w).cast("bigint"))
+    if (nBuckets == 1) return p.withColumn("bucket", lit(1L))
+    val hist = p.groupBy(col(langCol), col("ppl"))
+      .agg(count(lit(1)).as("c"))
+    val cuts = hist
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy(langCol).orderBy("ppl")))
+      .withColumn("n", sum("c").over(Window.partitionBy(langCol)))
+      .withColumn("b", explode(expr(s"sequence(1, ${nBuckets - 1})")))
+      .withColumn("kb", expr(
+        s"b * (n div $nBuckets) + least(CAST(b AS BIGINT), n % $nBuckets)"))
+      .filter(col("cum") - col("c") < col("kb") && col("kb") <= col("cum"))
+      .select(col(langCol),
+        struct(col("ppl").as("cut"),
+          (col("kb") - col("cum") + col("c")).as("need")).as("bd"))
+      .groupBy(langCol)
+      .agg(collect_list("bd").as("bnds"))
+    // tie-band rank: only rows whose ppl IS a cut value need one
+    val withB = p.join(broadcast(cuts), Seq(langCol))
+    val isTie = expr("exists(bnds, bd -> bd.cut = ppl)")
+    val tied = withB.filter(isTie)
+      .withColumn("trk", row_number().over(
+        Window.partitionBy(col(langCol), col("ppl")).orderBy("doc_id"))
+        .cast("bigint"))
+    val rest = withB.filter(!isTie)
+      .withColumn("trk", lit(null).cast("bigint"))
+    tied.unionByName(rest)
+      .withColumn("bucket", expr(
+        """1 + size(filter(bnds, bd ->
+          |  ppl > bd.cut OR (ppl = bd.cut AND trk > bd.need)))"""
+          .stripMargin).cast("bigint"))
+      .select(col("doc_id"), col("dl"), col("xent"), col("ppl"),
+        col(langCol), col("bucket"))
   }
 
   /** Within-doc repetition ratio over n-token shingles (the Gopher
@@ -237,6 +289,16 @@ object TextMetrics {
     * speed at any corpus size. Output rows ≈ tokens/stride, bounded
     * by construction.
     */
+  /** Hard ceiling on windows per doc: consumers (px61,
+    * `Jobs.prepareTrainingData`) arg-min the keeper through a packed
+    * `doc_id * 2^20 + win_id` bigint, which silently corrupts once
+    * win_id reaches 2^20 (≈16.8M tokens at stride 16 — far past any
+    * real document, but "improbable" is not "guarded"). Enforced as a
+    * runtime raise_error on the per-doc window count, so a pathological
+    * doc fails the job loudly instead of folding into the wrong keeper.
+    */
+  val MaxWindowsPerDoc: Int = 1 << 20
+
   def chunkWindows(docs: DataFrame, win: Int, stride: Int,
                    withText: Boolean = false): DataFrame = {
     require(win > 0 && stride > 0 && stride <= win,
@@ -249,6 +311,12 @@ object TextMetrics {
       .withColumn("nw", expr(
         s"1 + CAST(ceil(greatest(size(toks) - $win, 0)" +
           s" / CAST($stride AS DOUBLE)) AS INT)"))
+      .withColumn("nw", expr(
+        s"""IF(nw <= $MaxWindowsPerDoc, nw, CAST(raise_error(
+           |  concat('chunkWindows: doc ', CAST(doc_id AS STRING), ' has ',
+           |    CAST(nw AS STRING), ' windows; the packed win_id overflows',
+           |    ' at $MaxWindowsPerDoc — raise stride or split the doc'))
+           |  AS INT))""".stripMargin))
       .select(col("doc_id"), col("toks"),
         explode(expr("sequence(0, nw - 1)")).as("k"))
       .select(col("doc_id"), col("k").cast("long").as("win_id"),

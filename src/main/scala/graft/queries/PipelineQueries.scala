@@ -2390,9 +2390,10 @@ object PipelineQueries {
     // only a slice. One keyed agg over the window fingerprints; the
     // keeper is the min (doc_id, win_id), arg-min'd through a packed
     // bigint (doc_id·2²⁰ + win_id; win_id < 2²⁰ ⇔ docs under ~16M
-    // tokens at stride 16 — assert-guarded in chunk semantics, far
-    // above any real doc) so both engines take ONE min instead of a
-    // two-level window. Duplicated windows only (n_copies ≥ 2).
+    // tokens at stride 16 — enforced by chunkWindows' raise_error
+    // guard on MaxWindowsPerDoc, far above any real doc) so both
+    // engines take ONE min instead of a two-level window. Duplicated
+    // windows only (n_copies ≥ 2).
     Decl(
       "px61_window_dedup",
       (s, dir) => graft.pipeline.TextMetrics
@@ -2506,7 +2507,11 @@ object PipelineQueries {
     // HashAggregate, and `stack` unpivots — no per-stage corpus scans.
     // Composes px43 (gopher), px01 (exact keepers), px24 (benchmark
     // 5-gram overlap; doc_id < 50 is the "eval suite", excluded from
-    // the corpus itself).
+    // the corpus itself). SEQUENTIAL semantics (r11, ADVICE): the
+    // dedup keeper is chosen among GOPHER SURVIVORS, exactly like the
+    // composed prepareTrainingData job runs the stages — a dup group
+    // whose corpus-global min-id copy fails the gate still keeps its
+    // best gated copy, so the card's numbers match the job's output.
     Decl(
       "px66_curation_funnel",
       (s, dir) => {
@@ -2514,7 +2519,9 @@ object PipelineQueries {
         val docs = all.filter(col("doc_id") >= 50)
         val g = graft.pipeline.TextMetrics.gopherRules(docs)
           .select("doc_id", "keep")
-        val uniq = graft.pipeline.Dedup.exactKeepers(docs)
+        val gated = docs.join(g.filter(col("keep") === 1)
+          .select("doc_id"), Seq("doc_id"), "left_semi")
+        val uniq = graft.pipeline.Dedup.exactKeepers(gated)
           .withColumn("uniq", lit(1)).select("doc_id", "uniq")
         val sh = TextOps.shingleRows(all, 5)
           .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
@@ -2567,8 +2574,9 @@ object PipelineQueries {
               |  FROM gw),
               |g AS (SELECT doc_id,
               |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep FROM gm),
-              |kp AS (SELECT min(doc_id) AS doc_id FROM corpus
-              |       GROUP BY md5(text)),
+              |kp AS (SELECT min(c.doc_id) AS doc_id FROM corpus c
+              |       JOIN g ON g.doc_id = c.doc_id AND g.keep = 1
+              |       GROUP BY md5(c.text)),
               |$duckToksList,
               |s5 AS (SELECT doc_id, unnest(list_transform(
               |    generate_series(1, greatest(len(tk) - 4, 0)),

@@ -47,6 +47,12 @@ object NearDupStream {
     * with batch writers, at the cost of a store read per micro-batch.
     * Intra-micro-batch duplicates follow the batch API's contract
     * (out of scope — compose with `Dedup.nearDupKeepers` upstream).
+    *
+    * Ledger layout: `verdictsDir/batch_id=N/…` (parquet partitioned by
+    * batch id). Consumers reading the whole ledger see `batch_id` as a
+    * partition column; the stream itself only ever probes one
+    * partition directory per micro-batch (the replay guard), so guard
+    * cost stays O(1) no matter how long the stream has been running.
     */
   def storeAdmitStream(docs: DataFrame, sigStore: String,
                        corpusDir: String, verdictsDir: String,
@@ -60,21 +66,25 @@ object NearDupStream {
         // Replay guard: foreachBatch is at-least-once, and the admit
         // appends are not idempotent at the row level — a replayed
         // micro-batch would band-match its own already-admitted
-        // signatures (self-dup verdicts) and double-append. batch_ids
-        // are monotonic, so "already in the ledger" (one parquet-stats
-        // max over the ledger) detects the replay; the appends
-        // themselves are retry-absorbent per admitCycle's ordering
-        // contract (text before sigs, distinct() downstream).
+        // signatures (self-dup verdicts) and double-append. The ledger
+        // is PARTITIONED by batch_id, so "this batch already appended"
+        // is one O(1) directory-existence probe — NOT a scan: the r10
+        // max(batch_id) read was parquet-footer cheap on day one but
+        // O(ledger files) after months of micro-batches, a slow leak.
+        // The appends themselves stay retry-absorbent per admitCycle's
+        // ordering contract (text before sigs, distinct() downstream).
         val spark = batch.sparkSession
-        val done = try {
-          spark.read.parquet(verdictsDir)
-            .agg(max("batch_id")).head().getLong(0) >= id
-        } catch { case _: org.apache.spark.sql.AnalysisException => false }
+        val part = new org.apache.hadoop.fs.Path(
+          verdictsDir, s"batch_id=$id")
+        val done = part
+          .getFileSystem(spark.sessionState.newHadoopConf())
+          .exists(part)
         if (!batch.isEmpty && !done) {
           graft.jobs.Jobs.admitCycle(spark, batch.toDF(),
             sigStore, corpusDir, threshold, admit = true)
             .withColumn("batch_id", lit(id))
-            .write.mode("append").parquet(verdictsDir)
+            .write.partitionBy("batch_id").mode("append")
+            .parquet(verdictsDir)
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -88,4 +88,25 @@ class EdgeCaseSpec extends SparkSpec {
     assert(v(3L) == 0) // 4 words < the 30-word floor, also dropped
     assert(v.size == 3, "every input doc must get a verdict row")
   }
+
+  test("chunkWindows: packed-win_id overflow fails LOUDLY, not silently") {
+    import graft.pipeline.TextMetrics
+    // a doc pushed past MaxWindowsPerDoc windows (win=stride=1 makes
+    // every token a window) must raise, because px61 and
+    // prepareTrainingData pack doc_id·2^20 + win_id into one bigint
+    val tokens = TextMetrics.MaxWindowsPerDoc + 1
+    val long = spark.range(1).select(lit(7L).as("doc_id"),
+      concat_ws(" ", array_repeat(lit("a"), tokens)).as("text"))
+    val e = intercept[Exception] {
+      TextMetrics.chunkWindows(long, 1, 1).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflows")), e.toString)
+    // and the guard boundary itself is fine: exactly 2^20 windows pass
+    val atMax = spark.range(1).select(lit(7L).as("doc_id"),
+      concat_ws(" ", array_repeat(lit("a"), tokens - 1)).as("text"))
+    assert(TextMetrics.chunkWindows(atMax, 1, 1).count() ==
+      TextMetrics.MaxWindowsPerDoc.toLong)
+  }
 }

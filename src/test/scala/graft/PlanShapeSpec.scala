@@ -199,6 +199,40 @@ class PlanShapeSpec extends SparkSpec {
       "no join-back in the sharded build")
   }
 
+  test("px68/px69: no per-language window consumes un-aggregated corpus rows") {
+    // the r10 scale-killer: ntile/row_number OVER (PARTITION BY lang)
+    // pushed the whole corpus through one task per language. The r11
+    // rewrite assigns buckets/selection from broadcast cut points; the
+    // only windows keyed by ≤1 column must sit above an aggregate (the
+    // per-(lang, ppl) / per-(lang, bkt) histogram or the language count)
+    // — never above raw corpus rows. Broadcast sides are exempt: their
+    // size is bounded by the exchange itself.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def rawCorpus(p: SparkPlan): Boolean = p match {
+      case _: BaseAggregateExec => false
+      case _: BroadcastExchangeExec => false
+      case _: FileSourceScanExec => true
+      case other => other.children.exists(rawCorpus)
+    }
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      for (q <- Seq("px68_ccnet_buckets", "px69_temperature_select")) {
+        val exec = SparkEntry.queries(q)(spark, sfTiny)
+          .queryExecution.executedPlan
+        val offenders = exec.collect {
+          case w: WindowExec
+            if w.partitionSpec.length <= 1 && rawCorpus(w.child) => w
+        }
+        assert(offenders.isEmpty,
+          s"$q: ${offenders.size} per-language window(s) over raw corpus rows:\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("px43_gopher_filter: zero shuffles — a pure narrow map") {
     val p = plan("px43_gopher_filter")
     assert(!p.contains("Exchange"),

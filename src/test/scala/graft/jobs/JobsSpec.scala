@@ -452,6 +452,81 @@ class JobsSpec extends SparkSpec {
     assert(dirs.nonEmpty && dirs.subsetOf(Set("shard=0", "shard=1")))
   }
 
+  test("PrepareTrainingData: signature-store hand-off closes the admit loop") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("prepstore").toString
+    val wordsA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val textA = Seq.fill(5)(wordsA).mkString(" ")
+    val wordsC = "quebec romeo sierra tango uncle victor whisky xray"
+    val textC = Seq.fill(5)(wordsC).mkString(" ")
+    Seq((1L, textA), (4L, "tiny doc")).toDF("doc_id", "text")
+      .write.parquet(s"$w/in1")
+    Seq((100L, "benchmark text that matches nothing here at all"))
+      .toDF("doc_id", "text").write.parquet(s"$w/bench")
+
+    // run 1 BOOTSTRAPS the store: gopher survivor 1 admitted
+    Jobs.prepareTrainingData(spark, s"parquet:$w/in1", s"$w/out1",
+      s"parquet:$w/bench", seed = 1, nShards = 2, win = 16, stride = 8,
+      sigStore = s"$w/sigs", storeCorpus = s"$w/storecorpus")
+    assert(spark.read.parquet(s"$w/sigs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    assert(spark.read.parquet(s"$w/storecorpus").select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+
+    // a later admit batch dedups against the PREP-emitted store: the
+    // dup traces to the prep-surviving doc without re-processing prep
+    val v = Jobs.admitCycle(spark, Seq((50L, textA)).toDF("doc_id", "text"),
+      s"$w/sigs", s"$w/storecorpus", 0.5, admit = false)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(v(50L).contains(1L), s"store dup not traced: $v")
+
+    // run 2 PARTICIPATES: doc 7 (= run 1's textA under a new id) drops
+    // at the store_dedup stage; novel doc 8 survives and is admitted
+    Seq((7L, textA), (8L, textC)).toDF("doc_id", "text")
+      .write.parquet(s"$w/in2")
+    Jobs.prepareTrainingData(spark, s"parquet:$w/in2", s"$w/out2",
+      s"parquet:$w/bench", seed = 1, nShards = 2, win = 16, stride = 8,
+      sigStore = s"$w/sigs", storeCorpus = s"$w/storecorpus")
+    val report2 = spark.read.text(s"$w/out2_report").as[String]
+      .collect().head
+    assert(report2.contains("near_dedup=2 store_dedup=1"), report2)
+    assert(spark.read.parquet(s"$w/sigs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L, 8L))
+    // run 2's examples come from the novel doc only
+    val ex2 = spark.read.parquet(s"$w/out2")
+    assert(ex2.count() > 0 &&
+      ex2.filter(col("text").contains("alpha")).count() == 0)
+  }
+
+  test("admitCycle: sub-shingle docs are flagged unsigned, never admitted") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("subshingle").toString
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$w/corpus")
+    graft.pipeline.Dedup.minhashWide(corpus).write.parquet(s"$w/sigs")
+    def round(id: Long): Map[Long, (Option[Long], Boolean)] =
+      Jobs.admitCycle(spark, Seq((id, "hi there")).toDF("doc_id", "text"),
+        s"$w/sigs", s"$w/corpus", 0.5, admit = true)
+        .select("doc_id", "dup_of", "signed")
+        .as[(Long, Option[Long], Boolean)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+    // a 2-token doc is below the 3-shingle resolution: no signature,
+    // so the cycle cannot attest novelty — flagged, NOT admitted
+    val v1 = round(30L)
+    assert(v1(30L) == (None, false), v1.toString)
+    assert(spark.read.parquet(s"$w/sigs").count() == 1)
+    assert(spark.read.parquet(s"$w/corpus").count() == 1,
+      "unsigned doc must not be appended to the corpus")
+    // recurrence of the same tiny doc: still refused — the r10 code
+    // re-appended a duplicate (doc_id, text) row on EVERY sighting
+    val v2 = round(31L)
+    assert(v2(31L) == (None, false))
+    assert(spark.read.parquet(s"$w/corpus").count() == 1)
+  }
+
   test("DecontaminateCorpus: benchmark span scrubbed from text, report counts") {
     import spark.implicits._
     Seq((100L, "the quick brown fox jumps over lazy dogs"))

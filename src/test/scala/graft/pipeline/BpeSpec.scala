@@ -56,6 +56,33 @@ class BpeSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("trainLocal == the distributed loop, merge-for-merge") {
+    // the k >> 8 escape hatch (one corpus pass + in-memory rounds)
+    // must emit the identical merge table: same pair counts, same
+    // (cnt desc, a, b) tie-break, same greedy left-to-right apply —
+    // across composing merges, ties, early stop, and minCount
+    val fixtures = Seq(
+      Seq((1L, "aaab aaab ab")),                     // composing merges
+      Seq((1L, "ba ab")),                            // tie-break
+      Seq((1L, "a b c a")),                          // early stop
+      Seq((1L, "the cat sat on the mat the cat ran"),
+        (2L, "a cat and a rat sat"),
+        (3L, "then the bat sat on that mat")))       // realistic mix
+    for (rows <- fixtures; k <- Seq(3, 8, 50)) {
+      val docs = rows.toDF("doc_id", "text")
+      assert(Bpe.trainLocal(docs, k) == Bpe.train(docs, k),
+        s"k=$k rows=$rows")
+    }
+    val hapax = Seq((1L, "zq zq ab")).toDF("doc_id", "text")
+    assert(Bpe.trainLocal(hapax, 4, minCount = 2L) ==
+      Bpe.train(hapax, 4, minCount = 2L))
+    // the maxDict guard refuses un-collectable dictionaries loudly
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(hapax, 2, maxDict = 1)
+    }
+    assert(e.getMessage.contains("minCount"))
+  }
+
   test("minCount drops tail words from the dict before the rounds") {
     // "zq" is a hapax; with minCount=2 it can't vote (z,q) into the
     // merge table, and the dict shrinks to the repeated word only

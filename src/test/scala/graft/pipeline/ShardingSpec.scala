@@ -65,6 +65,46 @@ class ShardingSpec extends SparkSpec {
     }
   }
 
+  test("temperatureSample == the per-language window formula (cut-point path)") {
+    // the de-skewed two-pass cut must pick the EXACT same membership as
+    // row_number() OVER (PARTITION BY lang ORDER BY h60(seed|id), id)
+    // <= quota — replayed driver-side on the fixture
+    val quotas = Sharding.temperatureReport(docs)
+      .select("lang", "quota").as[(String, Long)].collect().toMap
+    val keyed = docs.select(col("lang"), col("doc_id"),
+      graft.functions.DetHash.h60(col("doc_id").cast("string"), 7).as("h"))
+      .as[(String, Long, Long)].collect()
+    val expect = keyed.groupBy(_._1).toSeq.flatMap { case (l, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(quotas(l).toInt).map(_._2)
+    }.toSet
+    val got = Sharding.temperatureSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == expect,
+      s"missing=${expect -- got} extra=${got -- expect}")
+  }
+
+  test("temperatureReport: n_sel matches the selection; capped langs flagged") {
+    val docs2 = spark.range(100).select(
+      when($"id" < 97, "en").otherwise("xx").as("lang"),
+      $"id".as("doc_id"))
+    val rep = Sharding.temperatureReport(docs2)
+      .select("lang", "n_docs", "quota", "n_sel", "capped")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val got = Sharding.temperatureSample(docs2)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    rep.values.foreach { case (l, n, q, nSel, capped) =>
+      assert(nSel == got.getOrElse(l, 0L),
+        s"$l: report n_sel=$nSel actual=${got.get(l)}")
+      assert(capped == (q > n))
+    }
+    // the 3-doc minority is upweighted past its size: capped, fully kept
+    assert(rep("xx")._5 && rep("xx")._4 == 3L)
+    assert(!rep("en")._5)
+    // degenerate target: total div 200 == 0 => every quota 0, empty mix
+    assert(Sharding.temperatureSample(docs2, targetDiv = 200).isEmpty)
+  }
+
   test("plan shapes: one exchange in epochShuffle; broadcast quota join") {
     val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
       .queryExecution.executedPlan.toString

@@ -72,6 +72,26 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("px68 cut-point buckets == the ntile window, any nBuckets") {
+    // the de-skewed histogram/cut-point assignment must be bit-equal to
+    // ntile(n) OVER (PARTITION BY lang ORDER BY ppl, doc_id) — checked
+    // across bucket counts that exercise uneven splits and n < nBuckets
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfTiny, "documents")
+    for (nb <- Seq(2, 3, 4, 7)) {
+      val got = graft.pipeline.TextMetrics.perplexityBuckets(docs, nb)
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+      val expect = graft.pipeline.TextMetrics.perplexity(docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(nb).over(w).cast("bigint"))
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got == expect, s"nBuckets=$nb: " +
+        s"diff=${(got.toSet diff expect.toSet).take(5)}")
+    }
+  }
+
   test("px68 ccnet buckets: balanced per-lang terciles, bands ordered by ppl") {
     import spark.implicits._
     val perDoc = graft.pipeline.TextMetrics
