@@ -107,8 +107,16 @@ object Sharding {
     val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
     val keyed = docs.withColumn("_tsh",
       DetHash.h60(col(idCol).cast("string"), seed))
-    val hist = keyed
-      .select(col(langCol), expr("shiftright(_tsh, 44)").as("bkt"))
+    // the histogram and cut passes need only (lang, id, hash) — a
+    // ~25 B/row projection, lazily checkpointed so the two passes
+    // share one scan+hash; the final full-width selection pass stays
+    // a plain narrow scan (checkpointing the whole corpus would be
+    // the wrong shape at scale)
+    val slim = keyed
+      .select(col(langCol), col(idCol), col("_tsh"),
+        expr("shiftright(_tsh, 44)").as("bkt"))
+      .localCheckpoint(false)
+    val hist = slim
       .groupBy(langCol, "bkt").agg(count(lit(1)).as("c"))
     // the bucket holding the quota-th smallest pair, + depth inside it
     val bounds = hist
@@ -120,9 +128,7 @@ object Sharding {
       .select(col(langCol), col("bkt"),
         (col("quota") - col("cum") + col("c")).as("need"))
     // exact cut pair: the need-th smallest (h, id) inside that bucket
-    val cut = keyed
-      .select(col(langCol), expr("shiftright(_tsh, 44)").as("bkt"),
-        col("_tsh"), col(idCol))
+    val cut = slim
       .join(broadcast(bounds), Seq(langCol, "bkt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(langCol), col("bkt"))

@@ -151,9 +151,18 @@ object TextMetrics {
                         langCol: String = "lang"): DataFrame = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
     import org.apache.spark.sql.expressions.Window
-    val p = perplexity(docs)
+    val p0 = perplexity(docs)
       .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
-    if (nBuckets == 1) return p.withColumn("bucket", lit(1L))
+    if (nBuckets == 1) return p0.withColumn("bucket", lit(1L))
+    // three consumers (histogram, tie-band, rest) read the per-doc
+    // frame; WITHOUT a materialization each clone re-derives the whole
+    // perplexity chain, because the histogram's column pruning
+    // specializes its subtree away from ReusedExchange (the ir30
+    // lesson — measured 3× the px29 cost at sf0.1). The per-doc frame
+    // is ~40 B/doc — the px29 output artifact a real pipeline would
+    // have written anyway — so a lazy localCheckpoint is the at-scale
+    // shape too, not just a bench fix.
+    val p = p0.localCheckpoint(false)
     val hist = p.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("c"))
     val cuts = hist
