@@ -149,11 +149,6 @@ object TextMetrics {
     */
   def perplexityBuckets(docs: DataFrame, nBuckets: Int = 3,
                         langCol: String = "lang"): DataFrame = {
-    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    import org.apache.spark.sql.expressions.Window
-    val p0 = perplexity(docs)
-      .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
-    if (nBuckets == 1) return p0.withColumn("bucket", lit(1L))
     // three consumers (histogram, tie-band, rest) read the per-doc
     // frame; WITHOUT a materialization each clone re-derives the whole
     // perplexity chain, because the histogram's column pruning
@@ -162,7 +157,23 @@ object TextMetrics {
     // is ~40 B/doc — the px29 output artifact a real pipeline would
     // have written anyway — so a lazy localCheckpoint is the at-scale
     // shape too, not just a bench fix.
-    val p = p0.localCheckpoint(false)
+    perplexityBucketsFromScores(
+      perplexity(docs)
+        .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+        .localCheckpoint(false),
+      nBuckets, langCol)
+  }
+
+  /** The bucket ASSIGNMENT half of [[perplexityBuckets]], for callers
+    * who already hold a per-doc scored frame (doc_id, …, ppl, lang) —
+    * a written px29 artifact in a real pipeline. Appends `bucket`;
+    * every input column rides through.
+    */
+  def perplexityBucketsFromScores(p: DataFrame, nBuckets: Int = 3,
+                                  langCol: String = "lang"): DataFrame = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    if (nBuckets == 1) return p.withColumn("bucket", lit(1L))
     val hist = p.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("c"))
     val cuts = hist
@@ -192,8 +203,7 @@ object TextMetrics {
         """1 + size(filter(bnds, bd ->
           |  ppl > bd.cut OR (ppl = bd.cut AND trk > bd.need)))"""
           .stripMargin).cast("bigint"))
-      .select(col("doc_id"), col("dl"), col("xent"), col("ppl"),
-        col(langCol), col("bucket"))
+      .select(p.columns.map(col) :+ col("bucket"): _*)
   }
 
   /** Within-doc repetition ratio over n-token shingles (the Gopher
