@@ -2715,6 +2715,36 @@ object PipelineQueries {
               |  CAST(sum(r.doc_id) AS BIGINT) AS sel_sig
               |FROM r JOIN q USING (lang) WHERE rk <= quota
               |GROUP BY r.lang""".stripMargin),
+      survey = Seq("MIX-TEMPERATURE")),
+
+    // Temperature-mix TELEMETRY (r11, the data-card companion of
+    // px69): per-language n_docs / quota / n_sel / capped, where
+    // capped marks a language whose quota exceeded its corpus — the
+    // upsampling the selection deliberately does NOT perform. The
+    // selection keeps exactly min(quota, n_docs) docs (the cut pair
+    // is the quota-th smallest hash), so the report needs only the
+    // tiny per-language quota table — no corpus pass. Library op:
+    // Sharding.temperatureReport; capped rides as 0/1 INT (the repo's
+    // verdict-column convention).
+    Decl(
+      "px70_temperature_report",
+      (s, dir) => graft.pipeline.Sharding
+        .temperatureReport(Tables(s, dir, "documents"))
+        .select(col("lang"), col("n_docs"), col("quota"), col("n_sel"),
+          col("capped").cast("int").as("capped")),
+      Some(s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              |            FROM documents GROUP BY lang),
+              |x AS (SELECT lang, n_docs,
+              |    power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 3e-1)
+              |      AS pa,
+              |    sum(n_docs) OVER () AS td FROM per),
+              |q AS (SELECT lang, n_docs, CAST(round(
+              |        round(pa / sum(pa) OVER (), 6) * (td // 2))
+              |      AS BIGINT) AS quota FROM x)
+              |SELECT lang, n_docs, quota,
+              |  least(quota, n_docs) AS n_sel,
+              |  CASE WHEN quota > n_docs THEN 1 ELSE 0 END AS capped
+              |FROM q""".stripMargin),
       survey = Seq("MIX-TEMPERATURE"))
   )
 

@@ -108,6 +108,19 @@ class ReadmeApiSpec extends SparkSpec {
 
     val top = Sketches.topKTermsMg(docs, k = 10, capacity = 4096)
     assert(top.count() === 10)
+
+    // the k >> 8 path: identical merges from the in-memory exact loop
+    val merges32k = Bpe.trainLocal(docs, k = 8)
+    assert(merges32k == merges)
+
+    // temperature mix + its data-card report agree on the selection
+    val mix = Sharding.temperatureSample(docs)
+    val report = Sharding.temperatureReport(docs)
+    val got = mix.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    report.select("lang", "n_sel").collect().foreach { r =>
+      assert(got.getOrElse(r.getString(0), 0L) === r.getLong(1))
+    }
   }
 
   test("curation quickstart: span-level decontamination") {
