@@ -167,7 +167,8 @@ object TextMetrics {
   /** The bucket ASSIGNMENT half of [[perplexityBuckets]], for callers
     * who already hold a per-doc scored frame (doc_id, …, ppl, lang) —
     * a written px29 artifact in a real pipeline. Appends `bucket`;
-    * every input column rides through.
+    * every input column rides through (helper columns are
+    * `_pb`-prefixed so caller frames can't collide with them).
     */
   def perplexityBucketsFromScores(p: DataFrame, nBuckets: Int = 3,
                                   langCol: String = "lang"): DataFrame = {
@@ -175,33 +176,36 @@ object TextMetrics {
     import org.apache.spark.sql.expressions.Window
     if (nBuckets == 1) return p.withColumn("bucket", lit(1L))
     val hist = p.groupBy(col(langCol), col("ppl"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("_pb_c"))
     val cuts = hist
-      .withColumn("cum", sum("c").over(
+      .withColumn("_pb_cum", sum("_pb_c").over(
         Window.partitionBy(langCol).orderBy("ppl")))
-      .withColumn("n", sum("c").over(Window.partitionBy(langCol)))
-      .withColumn("b", explode(expr(s"sequence(1, ${nBuckets - 1})")))
-      .withColumn("kb", expr(
-        s"b * (n div $nBuckets) + least(CAST(b AS BIGINT), n % $nBuckets)"))
-      .filter(col("cum") - col("c") < col("kb") && col("kb") <= col("cum"))
+      .withColumn("_pb_n", sum("_pb_c").over(Window.partitionBy(langCol)))
+      .withColumn("_pb_b", explode(expr(s"sequence(1, ${nBuckets - 1})")))
+      .withColumn("_pb_kb", expr(
+        s"_pb_b * (_pb_n div $nBuckets)" +
+          s" + least(CAST(_pb_b AS BIGINT), _pb_n % $nBuckets)"))
+      .filter(col("_pb_cum") - col("_pb_c") < col("_pb_kb") &&
+        col("_pb_kb") <= col("_pb_cum"))
       .select(col(langCol),
         struct(col("ppl").as("cut"),
-          (col("kb") - col("cum") + col("c")).as("need")).as("bd"))
+          (col("_pb_kb") - col("_pb_cum") + col("_pb_c")).as("need"))
+          .as("_pb_bd"))
       .groupBy(langCol)
-      .agg(collect_list("bd").as("bnds"))
+      .agg(collect_list("_pb_bd").as("_pb_bnds"))
     // tie-band rank: only rows whose ppl IS a cut value need one
     val withB = p.join(broadcast(cuts), Seq(langCol))
-    val isTie = expr("exists(bnds, bd -> bd.cut = ppl)")
+    val isTie = expr("exists(_pb_bnds, bd -> bd.cut = ppl)")
     val tied = withB.filter(isTie)
-      .withColumn("trk", row_number().over(
+      .withColumn("_pb_trk", row_number().over(
         Window.partitionBy(col(langCol), col("ppl")).orderBy("doc_id"))
         .cast("bigint"))
     val rest = withB.filter(!isTie)
-      .withColumn("trk", lit(null).cast("bigint"))
+      .withColumn("_pb_trk", lit(null).cast("bigint"))
     tied.unionByName(rest)
       .withColumn("bucket", expr(
-        """1 + size(filter(bnds, bd ->
-          |  ppl > bd.cut OR (ppl = bd.cut AND trk > bd.need)))"""
+        """1 + size(filter(_pb_bnds, bd ->
+          |  ppl > bd.cut OR (ppl = bd.cut AND _pb_trk > bd.need)))"""
           .stripMargin).cast("bigint"))
       .select(p.columns.map(col) :+ col("bucket"): _*)
   }
