@@ -507,11 +507,17 @@ object Jobs {
     */
   def admitCycle(spark: SparkSession, batch: DataFrame, sigStore: String,
                  corpusDir: String, threshold: Double,
-                 admit: Boolean): DataFrame = {
+                 admit: Boolean,
+                 preSigned: DataFrame = null): DataFrame = {
     import graft.pipeline.Dedup
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val corpus = spark.read.parquet(corpusDir).select("doc_id", "text")
-    val batchSigs = Dedup.minhashWide(batch).persist(MEMORY_AND_DISK)
+    // preSigned: the batch's WIDE signatures when the caller already
+    // computed them (prepareTrainingData signs once for its internal
+    // near-dedup AND this check) — must cover exactly `batch`'s
+    // signable docs
+    val batchSigs = (if (preSigned != null) preSigned
+      else Dedup.minhashWide(batch)).persist(MEMORY_AND_DISK)
     val verdicts = Dedup.incrementalNearDupsFromSigs(
       spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
       // Replay idempotence: a doc whose best match is ITSELF (same id
@@ -627,8 +633,13 @@ object Jobs {
     stage("exact_dedup")
     val n2 = exact.count()
     stage("near_dedup") // set BEFORE construction: clusters checkpoint eagerly
+    // the corpus is SIGNED ONCE: the same wide-signature frame feeds
+    // the internal near-dedup edges and (store path) the admit check +
+    // store append — no second minhash pass over the survivors
+    val exactSigs = Dedup.minhashWide(exact).persist(MEMORY_AND_DISK)
     val nearInternal = exact
-      .join(Dedup.nearDupKeepers(exact), Seq("doc_id"), "left_semi")
+      .join(Dedup.nearDupKeepersFromSigs(exactSigs, exact),
+        Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
     val n3 = nearInternal.count()
     // store hand-off: check internal survivors against the persisted
@@ -640,13 +651,14 @@ object Jobs {
       if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore))) {
         // bootstrap: empty store + corpus with the right schemas, so
         // the first prep run rides the same admitCycle code path
-        Dedup.minhashWide(nearInternal).limit(0)
-          .write.parquet(sigStore)
+        exactSigs.limit(0).write.parquet(sigStore)
         nearInternal.select("doc_id", "text").limit(0)
           .write.parquet(storeCorpus)
       }
       val verdicts = admitCycle(spark, nearInternal.select("doc_id", "text"),
-        sigStore, storeCorpus, storeThreshold, admit = true)
+        sigStore, storeCorpus, storeThreshold, admit = true,
+        preSigned = exactSigs.join(nearInternal.select("doc_id"),
+          Seq("doc_id"), "left_semi"))
       nearInternal
         .join(verdicts.filter(col("dup_of").isNull).select("doc_id"),
           Seq("doc_id"), "left_semi")
@@ -697,7 +709,7 @@ object Jobs {
     } finally {
       near.unpersist()
       if (!(near eq nearInternal)) nearInternal.unpersist()
-      exact.unpersist(); gated.unpersist()
+      exactSigs.unpersist(); exact.unpersist(); gated.unpersist()
       ()
     }
   }

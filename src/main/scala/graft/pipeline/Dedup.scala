@@ -116,7 +116,14 @@ object Dedup {
     * consumers ([[nearDupKeepers]]) use this.
     */
   def lshEdges(docs: DataFrame): DataFrame =
-    bandSigs(minhashWide(docs))
+    lshEdgesFromSigs(minhashWide(docs))
+
+  /** [[lshEdges]] from already-computed WIDE signatures (doc_id,
+    * m0..m15) — the signature-store path: sign the corpus once, build
+    * edges, verdicts, and store appends from the same frame.
+    */
+  def lshEdgesFromSigs(sigs: DataFrame): DataFrame =
+    bandSigs(sigs)
       .withColumn("d1", org.apache.spark.sql.functions.min("doc_id")
         .over(org.apache.spark.sql.expressions.Window
           .partitionBy("band", "sig")))
@@ -267,7 +274,14 @@ object Dedup {
     * px21 pin it against a round-exact oracle).
     */
   def nearDupKeepers(docs: DataFrame): DataFrame =
-    connectedComponents(docs, lshEdges(docs))
+    nearDupKeepersFromSigs(minhashWide(docs), docs)
+
+  /** [[nearDupKeepers]] from already-computed WIDE signatures — lets a
+    * caller who needs the signatures again (the store admit hand-off
+    * in `Jobs.prepareTrainingData`) sign the corpus ONCE.
+    */
+  def nearDupKeepersFromSigs(sigs: DataFrame, docs: DataFrame): DataFrame =
+    connectedComponents(docs, lshEdgesFromSigs(sigs))
       .groupBy("lbl").agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
