@@ -210,6 +210,75 @@ object TextMetrics {
       .select(p.columns.map(col) :+ col("bucket"): _*)
   }
 
+  /** The Gopher/RefinedWeb repetition-rule signals beyond the shingle
+    * ratio ([[repetitionRatio]]): per doc,
+    *  - `top2_frac` — the character fraction claimed by the most
+    *    frequent word 2-gram (occurrences × the pair's char length /
+    *    total word chars; Gopher's "top n-gram character fraction"
+    *    family at n = 2, drop threshold 0.20 in the paper), and
+    *  - `dup5_char_frac` — the fraction of characters COVERED by
+    *    duplicated 5-grams (positional union, so overlapping
+    *    occurrences count once and the frac is always ≤ 1 — the
+    *    "duplicated n-gram character fraction" rules).
+    *
+    * Cross-engine contract: top pair ties break (cnt desc, a, b);
+    * fracs 6-dp rounded; docs with < 2 (resp. < 5) tokens score 0.
+    *
+    * Scale: tokenize + pair/shingle explodes are narrow; every
+    * aggregation/window keys on doc_id or (doc_id, shingle) — the
+    * fine-grained keys this file's other per-doc ops use. No
+    * corpus-wide key anywhere.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = docs.select(col("doc_id"),
+      coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
+        array().cast("array<string>")).as("tk"))
+      .withColumn("tot", expr(
+        "aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+    val pairs = tk
+      .select(col("doc_id"), col("tot"), explode(expr(
+        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+      .groupBy(col("doc_id"), col("tot"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top2 = pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id")
+          .orderBy(desc("cnt"), asc("a"), asc("b"))))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), expr(
+        "round(cnt * (length(a) + length(b)) / CAST(tot AS DOUBLE), 6)")
+        .as("top2_frac"))
+    val sh = tk.select(col("doc_id"),
+      posexplode(TextOps.shinglesFromToks(col("tk"), 5)).as(Seq("i0", "s")))
+    val dupPos = sh
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy("doc_id", "s")))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"),
+        explode(sequence(col("i0") + 1, col("i0") + 5)).as("pos"))
+      .distinct()
+    val tkpos = tk
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        length(col("tok")).as("len"))
+    val dupChars = tkpos.join(dupPos, Seq("doc_id", "pos"))
+      .groupBy("doc_id")
+      .agg(expr("CAST(sum(len) AS BIGINT)").as("dchars"))
+    tk.select(col("doc_id"), expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
+        col("tot"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(dupChars, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(expr(
+          "round(dchars / CAST(nullif(tot, 0) AS DOUBLE), 6)"), lit(0.0))
+          .as("dup5_char_frac"))
+  }
+
   /** Within-doc repetition ratio over n-token shingles (the Gopher
     * repetition filter): 1 − distinct/total. Docs shorter than one
     * shingle emit no row.

@@ -2745,7 +2745,57 @@ object PipelineQueries {
               |  least(quota, n_docs) AS n_sel,
               |  CASE WHEN quota > n_docs THEN 1 ELSE 0 END AS capped
               |FROM q""".stripMargin),
-      survey = Seq("MIX-TEMPERATURE"))
+      survey = Seq("MIX-TEMPERATURE")),
+
+    // Gopher/RefinedWeb repetition rules beyond px30's shingle ratio
+    // (r11): top-2-gram character fraction (occurrences × pair chars /
+    // total chars — Gopher drops > 0.20) and duplicated-5-gram
+    // character COVERAGE (positional union, overlap counted once so
+    // the frac is ≤ 1). Library op: TextMetrics.repetitionSignals.
+    Decl(
+      "px71_repetition_rules",
+      (s, dir) => graft.pipeline.TextMetrics
+        .repetitionSignals(Tables(s, dir, "documents")),
+      Some(s"""WITH ${duckToksList},
+              |t AS (SELECT doc_id, tk, CAST(coalesce(
+              |        list_sum(list_transform(tk, x -> len(x))), 0)
+              |        AS BIGINT) AS tot FROM tk),
+              |p AS (SELECT doc_id, tot, tk[i] AS a, tk[i+1] AS b
+              |      FROM (SELECT doc_id, tot, tk,
+              |            unnest(generate_series(1, len(tk) - 1)) AS i
+              |            FROM t)),
+              |pc AS (SELECT doc_id, tot, a, b, count(*) AS cnt
+              |       FROM p GROUP BY 1, 2, 3, 4),
+              |tp AS (SELECT doc_id, round(cnt * (len(a) + len(b))
+              |         / CAST(tot AS DOUBLE), 6) AS top2_frac,
+              |         row_number() OVER (PARTITION BY doc_id
+              |           ORDER BY cnt DESC, a, b) AS rk
+              |       FROM pc),
+              |s5 AS (SELECT doc_id, i, tk[i] || ' ' || tk[i+1] || ' ' ||
+              |         tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4] AS s
+              |       FROM (SELECT doc_id, tk, unnest(generate_series(1,
+              |             greatest(len(tk) - 4, 0))) AS i FROM t)),
+              |sc AS (SELECT doc_id, s FROM s5 GROUP BY doc_id, s
+              |       HAVING count(*) >= 2),
+              |cov AS (SELECT DISTINCT doc_id, pos FROM (
+              |        SELECT s5.doc_id,
+              |          unnest(generate_series(s5.i, s5.i + 4)) AS pos
+              |        FROM s5 JOIN sc USING (doc_id, s))),
+              |tkp AS (SELECT doc_id, pos, tk[pos] AS tok
+              |        FROM (SELECT doc_id, tk, unnest(generate_series(1,
+              |              len(tk))) AS pos FROM t)),
+              |dc AS (SELECT cov.doc_id, CAST(sum(len(tok)) AS BIGINT)
+              |         AS dchars
+              |       FROM cov JOIN tkp USING (doc_id, pos)
+              |       GROUP BY cov.doc_id)
+              |SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+              |  tot AS tot_chars,
+              |  coalesce(tp.top2_frac, 0e0) AS top2_frac,
+              |  coalesce(round(dc.dchars / CAST(nullif(tot, 0) AS DOUBLE),
+              |    6), 0e0) AS dup5_char_frac
+              |FROM t LEFT JOIN tp ON tp.doc_id = t.doc_id AND tp.rk = 1
+              |LEFT JOIN dc ON dc.doc_id = t.doc_id""".stripMargin),
+      survey = Seq("TEXT-REPETITION"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

@@ -41,4 +41,28 @@ class GopherRulesSpec extends SparkSpec {
     val v = verdicts(Seq("one two three four"))
     assert(v(0) == Row(4L, 3.75, 1.0, 0.0, 0))  // 15 chars / 4 words
   }
+
+  test("repetitionSignals: hand-computed top-2gram and dup-5gram coverage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"), // the 5-gram "a b c d e" repeats:
+                                   // its two spans cover ALL 10 tokens
+      (2L, "ab ab ab"),            // top pair (ab,ab) ×2, overlap-counted
+      (3L, "one two three four five six seven"), // all pairs unique
+      (4L, ""),                    // empty -> all zeros
+      (5L, "x"))                   // sub-pair -> zeros
+      .toDF("doc_id", "text")
+    val m = TextMetrics.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(m(1L) == (10L, 10L, 0.4, 1.0))       // top (a,b): 2·2/10
+    // Gopher's top-n-gram frac counts every occurrence, so overlapping
+    // repeats can push it past 1 — a signal, not a probability
+    assert(m(2L) == (3L, 6L, 1.333333, 0.0))    // 2·4/6; < 5 tokens
+    // all-unique pairs tie at cnt=1 -> lexicographic ("five","six"),
+    // 7 chars over the 27-char doc
+    assert(m(3L) == (7L, 27L, 0.259259, 0.0))
+    assert(m(4L) == (0L, 0L, 0.0, 0.0))
+    assert(m(5L) == (1L, 1L, 0.0, 0.0))
+  }
 }
