@@ -22,9 +22,11 @@ import org.apache.spark.sql.functions._
   * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DumpIndex,
   * DedupCorpus, SemDedupCorpus (embedding-cluster semantic dedup),
   * CurateCorpus, DecontaminateCorpus, IncrementalDedup (persisted-
-  * store admit cycle), EpochShards, PrepareTrainingData (the composed
-  * last mile), SpamFilter, QueryStats, KBAFilter, TrecToMallet,
-  * TrecToParquet, SeqToParquet, ParquetToSeq.
+  * store admit cycle), EpochShards, TemperatureMix (materialized
+  * α-flattened language mix + data-card report), PrepareTrainingData
+  * (the composed last mile, optionally store-participating),
+  * SpamFilter, QueryStats, KBAFilter, TrecToMallet, TrecToParquet,
+  * SeqToParquet, ParquetToSeq.
   */
 object Jobs {
 
@@ -724,6 +726,35 @@ object Jobs {
     graft.pipeline.Sharding.writeEpochShards(
       loadDocs(spark, in), "doc_id", seed, nShards, out)
 
+  /** Materialize the temperature-resampled training mix as a curation
+    * stage: the α-flattened per-language selection
+    * ([[graft.pipeline.Sharding.temperatureSample]]) written as
+    * parquet, with the [[graft.pipeline.Sharding.temperatureReport]]
+    * data-card table (lang, n_docs, quota, n_sel, capped) beside it —
+    * capped languages are visible in the report, never silently
+    * upsampled. Deterministic per seed: reruns and incremental
+    * rebuilds select the identical mix.
+    */
+  def temperatureMix(spark: SparkSession, in: String, out: String,
+                     alphaE: String = "3e-1", targetDiv: Int = 2,
+                     seed: Int = 7): Unit = {
+    import graft.pipeline.Sharding
+    // full-schema read (not loadDocs' (doc_id, text) projection): the
+    // selection keys on the corpus's language column and every other
+    // column rides through to the materialized mix
+    require(in.startsWith("parquet:"),
+      s"TemperatureMix needs a parquet corpus with a 'lang' column, got $in")
+    val docs = spark.read.parquet(in.stripPrefix("parquet:"))
+    require(docs.columns.contains("lang"),
+      s"corpus at $in has no 'lang' column (found: ${docs.columns.mkString(", ")})")
+    Sharding.temperatureSample(docs, alphaE = alphaE,
+        targetDiv = targetDiv, seed = seed)
+      .write.mode("overwrite").parquet(out)
+    Sharding.temperatureReport(docs, alphaE = alphaE,
+        targetDiv = targetDiv)
+      .coalesce(1).write.mode("overwrite").parquet(out + "_report")
+  }
+
   def dedupCorpus(spark: SparkSession, in: String, out: String): Unit = {
     val docs = loadDocs(spark, in)
     val keepers = docs
@@ -1043,6 +1074,11 @@ object Jobs {
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "EpochShards" :: in :: out :: seed :: nShards :: Nil =>
         epochShards(spark, in, out, seed.toInt, nShards.toInt)
+      case "TemperatureMix" :: in :: out :: rest if rest.size <= 3 =>
+        temperatureMix(spark, in, out,
+          alphaE = rest.headOption.getOrElse("3e-1"),
+          targetDiv = rest.lift(1).map(_.toInt).getOrElse(2),
+          seed = rest.lift(2).map(_.toInt).getOrElse(7))
       case "PrepareTrainingData" :: in :: out :: bench :: seed ::
           nShards :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,

@@ -499,6 +499,35 @@ class JobsSpec extends SparkSpec {
       ex2.filter(col("text").contains("alpha")).count() == 0)
   }
 
+  test("TemperatureMix: selection parquet + capped-language report") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, when}
+    val w = Files.createTempDirectory("tempmix").toString
+    spark.range(100).select(
+        when(col("id") < 97, "en").otherwise("xx").as("lang"),
+        col("id").as("doc_id"), lit("body text").as("text"))
+      .write.parquet(s"$w/in")
+    Jobs.temperatureMix(spark, s"parquet:$w/in", s"$w/mix")
+    val sel = spark.read.parquet(s"$w/mix")
+    val rep = spark.read.parquet(s"$w/mix_report")
+      .select("lang", "n_docs", "quota", "n_sel", "capped")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // report counts == materialized selection; the 3-doc minority is
+    // capped (upweighted past its size) and fully kept, never repeated
+    val got = sel.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    rep.values.foreach { case (l, _, _, nSel, _) =>
+      assert(got.getOrElse(l, 0L) == nSel, s"$l: $nSel vs ${got.get(l)}")
+    }
+    assert(rep("xx")._5 && rep("xx")._4 == 3L && !rep("en")._5)
+    // determinism: a rerun materializes the identical mix
+    Jobs.temperatureMix(spark, s"parquet:$w/in", s"$w/mix2")
+    assert(spark.read.parquet(s"$w/mix2").select("doc_id").as[Long]
+      .collect().sorted.sameElements(
+        sel.select("doc_id").as[Long].collect().sorted))
+  }
+
   test("admitCycle: sub-shingle docs are flagged unsigned, never admitted") {
     import spark.implicits._
     val w = Files.createTempDirectory("subshingle").toString
