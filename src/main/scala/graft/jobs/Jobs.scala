@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   * (the reference's feedback loop, sequential-scan or index-backed),
   * RunQueryKDE, RunQueryKDESweep (α-sweep eval report), DumpIndex,
   * DedupCorpus, SemDedupCorpus (embedding-cluster semantic dedup),
+  * ExactSubstrDedup (duplicated-span excision, Lee et al. 2022),
   * CurateCorpus, DecontaminateCorpus, IncrementalDedup (persisted-
   * store admit cycle), EpochShards, TemperatureMix (materialized
   * α-flattened language mix + data-card report), PrepareTrainingData
@@ -818,6 +819,33 @@ object Jobs {
     }
   }
 
+  /** Exact-substring dedup as a curation stage (Lee et al. 2022's
+    * ExactSubstr removal, [[graft.pipeline.Dedup.scrubDupSpans]]):
+    * every corpus-duplicated n-gram keeps only its first occurrence;
+    * all other occurrences' spans are excised and survivors stitched.
+    * Output keeps the corpus schema with `text` replaced by the
+    * deduplicated text, plus a one-line report.
+    */
+  def exactSubstrDedup(spark: SparkSession, in: String, out: String,
+                       n: Int = 5): Unit = {
+    import graft.pipeline.Dedup
+    val scrubbed = Dedup.scrubDupSpans(loadDocs(spark, in), n)
+      .persist() // two actions: the write + the report aggregate
+    try {
+      scrubbed.select(col("doc_id"), col("clean_text").as("text"))
+        .write.mode("overwrite").parquet(out)
+      val r = scrubbed.agg(count(lit(1)).as("n"),
+        sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END"))
+          .as("touched"),
+        sum("n_removed").as("removed")).head()
+      import spark.implicits._
+      Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
+          s"tokens_removed=${r.getLong(2)} n=$n")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(out + "_report")
+    } finally { scrubbed.unpersist(); () }
+  }
+
   /** Semantic dedup as a curation stage (SemDeDup, Abbas et al. 2023):
     * drop every document whose embedding has a lower-id neighbor at
     * cosine ≥ `threshold` within its k-means cluster. Embeddings come
@@ -1093,6 +1121,9 @@ object Jobs {
           if rest.isEmpty || rest == List("admit") =>
         incrementalDedup(spark, sigs, corpus, batch, out,
           admit = rest.nonEmpty)
+      case "ExactSubstrDedup" :: in :: out :: rest if rest.size <= 1 =>
+        exactSubstrDedup(spark, in, out,
+          n = rest.headOption.map(_.toInt).getOrElse(5))
       case "DecontaminateCorpus" :: in :: out :: bench :: Nil =>
         decontaminateCorpus(spark, in, out, bench)
       case "DecontaminateCorpus" :: in :: out :: bench :: "drop" :: Nil =>

@@ -520,6 +520,67 @@ object Dedup {
         col("dup_of"), col("jac"))
   }
 
+  /** Exact-substring dedup MATERIALIZED (the removal half of
+    * [[dupSpans]] — Lee et al. 2022's ExactSubstr treatment at n-gram
+    * granularity): every n-gram occurring ≥ 2 times CORPUS-WIDE keeps
+    * only its first occurrence (min (doc_id, pos)); every other
+    * occurrence's token span is removed and the survivors are
+    * stitched back per doc. Unlike [[dupSpans]]' distinct-doc
+    * criterion (a detection statistic), removal counts ALL
+    * occurrences — within-doc repeats are duplicated text too.
+    *
+    * → (doc_id, clean_text, n_kept, n_removed), one row per input doc
+    * (fully-scrubbed docs stay, clean_text = ''). Deterministic:
+    * keeper choice is min (doc_id, pos); note a keeper span can still
+    * lose tokens to ANOTHER n-gram's non-keeper occurrence overlapping
+    * it — inherent to greedy span removal, same both engines.
+    *
+    * Scale: the dup set is one hash-keyed aggregation; only
+    * duplicated hashes survive the join back; covered positions are
+    * an exact ×n explode of NON-FIRST occurrences only; the stitch is
+    * one doc-keyed aggregation — O(tokens) end to end, no doc-pair
+    * join anywhere (the property that makes span dedup feasible at
+    * 100 TB where pairwise comparison is quadratic).
+    */
+  def scrubDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      coalesce(org.apache.spark.sql.functions.filter(
+          TextOps.tokensCol(col("text")), t => t =!= ""),
+        org.apache.spark.sql.functions.array().cast("array<string>"))
+        .as("tk"))
+    val sh = tk
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesFromToks(col("tk"), n))
+          .as(Seq("i0", "s")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"),
+        DetHash.h60(col("s")).as("h"))
+    val firsts = sh.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("f"))
+      .filter(col("c") >= 2)
+      .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
+    val covered = sh.join(firsts, Seq("h"))
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+    val kept = tk
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+      .join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", org.apache.spark.sql.functions.transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          x => x.getField("tok"))).as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

@@ -2795,7 +2795,46 @@ object PipelineQueries {
               |    6), 0e0) AS dup5_char_frac
               |FROM t LEFT JOIN tp ON tp.doc_id = t.doc_id AND tp.rk = 1
               |LEFT JOIN dc ON dc.doc_id = t.doc_id""".stripMargin),
-      survey = Seq("TEXT-REPETITION"))
+      survey = Seq("TEXT-REPETITION")),
+
+    // ExactSubstr dedup MATERIALIZED (r11 — Lee et al. 2022's removal
+    // step, the surgical twin of px47's detection statistic): every
+    // corpus-duplicated 5-gram keeps only its min-(doc_id, pos)
+    // occurrence; all other occurrences' spans are excised and the
+    // survivors stitched back. Library op: Dedup.scrubDupSpans.
+    Decl(
+      "px72_exact_substr_dedup",
+      (s, dir) => graft.pipeline.Dedup
+        .scrubDupSpans(Tables(s, dir, "documents")),
+      Some(s"""WITH $duckToksList,
+              |st AS (SELECT doc_id,
+              |         unnest(generate_series(1, greatest(len(tk) - 4, 0)))
+              |           AS i, tk FROM tk),
+              |hs AS (SELECT doc_id, i,
+              |         ${H("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]" +
+                   " || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h FROM st),
+              |r AS (SELECT doc_id, i, row_number() OVER (
+              |        PARTITION BY h ORDER BY doc_id, i) AS rk,
+              |        count(*) OVER (PARTITION BY h) AS c FROM hs),
+              |cov AS (SELECT DISTINCT doc_id, pos FROM (
+              |        SELECT doc_id, i + os.o AS pos FROM r
+              |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)
+              |          os
+              |        WHERE c >= 2 AND rk > 1)),
+              |tp AS (SELECT doc_id, unnest(tk) AS tok,
+              |         unnest(generate_series(1, len(tk))) AS pos FROM tk),
+              |kept AS (SELECT doc_id, pos, tok FROM tp
+              |         WHERE NOT EXISTS (SELECT 1 FROM cov
+              |           WHERE cov.doc_id = tp.doc_id AND cov.pos = tp.pos)),
+              |ka AS (SELECT doc_id,
+              |         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |         count(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+              |       coalesce(ka.n_kept, 0) AS n_kept,
+              |       t.n_tok - coalesce(ka.n_kept, 0) AS n_removed
+              |FROM (SELECT doc_id, len(tk) AS n_tok FROM tk) t
+              |LEFT JOIN ka USING (doc_id)""".stripMargin),
+      survey = Seq("DEDUP-EXACT-SUBSTR"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

@@ -588,6 +588,22 @@ class JobsSpec extends SparkSpec {
       Seq("input=2 dropped=1 kept=1"))
   }
 
+  test("ExactSubstrDedup: duplicated span excised corpus-wide, keeper intact") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("exsub").toString
+    Seq(
+      (1L, "a b c d e x y z w v"),
+      (2L, "q r s t u a b c d e"))
+      .toDF("doc_id", "text").write.parquet(s"$w/in")
+    Jobs.exactSubstrDedup(spark, s"parquet:$w/in", s"$w/out")
+    val out = spark.read.parquet(s"$w/out").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a b c d e x y z w v")
+    assert(out(2L) == "q r s t u")
+    assert(runLines(s"$w/out_report") ==
+      Seq("input=2 touched=1 tokens_removed=5 n=5"))
+  }
+
   test("SemDedupCorpus: drops the higher-id near-identical embedding, keeps unembedded docs") {
     import spark.implicits._
     val w = Files.createTempDirectory("semdedup_job").toString

@@ -62,4 +62,21 @@ class DecontamSpec extends SparkSpec {
     assert(out(21L) === (("", 0L, 0L)))
     assert(out(22L) === (("", 0L, 0L)))
   }
+
+  test("scrubDupSpans: min-(doc, pos) keeper survives, every later occurrence excised") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e x y z w v"),             // keeper of "a b c d e"
+      (2L, "q r s t u a b c d e"),             // cross-doc repeat -> cut
+      (3L, "m n o p q"),                       // unique -> untouched
+      (4L, "k l m n o f g h i j k l m n o"))   // WITHIN-doc repeat -> cut
+      .toDF("doc_id", "text")
+    val m = Dedup.scrubDupSpans(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L) === (("a b c d e x y z w v", 10L, 0L)))
+    assert(m(2L) === (("q r s t u", 5L, 5L)))
+    assert(m(3L) === (("m n o p q", 5L, 0L)))
+    assert(m(4L) === (("k l m n o f g h i j", 10L, 5L)))
+  }
 }
