@@ -46,6 +46,22 @@ object ScaleProbe {
       graft.pipeline.Dedup.connectedComponents(big, edges).count())
     }
 
+    if (args.contains("spans")) {
+      // ExactSubstr removal (r11): the O(tokens) claim measured — the
+      // detection statistic and the materialized removal on the same
+      // replicated corpus (replicas make EVERY 5-gram duplicated, the
+      // worst case: the covered-position explode touches ~all tokens)
+      t("dup_spans_detect")(
+        graft.pipeline.Dedup.dupSpans(big).count())
+      // force the full stitch: a bare count() lets Catalyst prune the
+      // clean_text aggregation away and times only the join skeleton
+      t("scrub_dup_spans")(
+        graft.pipeline.Dedup.scrubDupSpans(big)
+          .agg(expr("sum(length(clean_text))").as("chk"),
+            expr("CAST(sum(n_removed) AS BIGINT)").as("rm"))
+          .head().getLong(1))
+    }
+
     if (args.contains("emb")) {
       // similarity-search twin: IVF's candidate cut vs brute force on
       // an N×-replicated vector table (timing is value-independent)
