@@ -80,7 +80,16 @@ object Bench {
       val t0 = System.nanoTime()
       val g0 = gcMs
       val c0 = cpuTicks
-      try d.run(spark, sfDir).count()
+      // FULL-OUTPUT materialization (r11 bench-integrity fix): a bare
+      // count() lets Catalyst column-prune every output expression not
+      // needed for row multiplicity — windows (q16/q22's running sums
+      // never executed), the px62/px72 collect_list stitches, any
+      // derived column — so Spark was timing plan SKELETONS while the
+      // DuckDB yardstick fetchall()s complete results. toRdd executes
+      // the physical plan with the query's full output schema
+      // (InternalRows, counted on the executors — no driver transfer,
+      // which DuckDB's in-process fetch doesn't pay either).
+      try d.run(spark, sfDir).queryExecution.toRdd.count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
         -1L
