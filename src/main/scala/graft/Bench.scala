@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * lands entirely on whichever query happens to run first.
   */
 object Bench {
+
+  /** Execute a query producing its FULL declared output (r11 bench-
+    * integrity fix, BENCH_NOTES §0g): a bare count() lets Catalyst
+    * column-prune every output expression not needed for row
+    * multiplicity — windows, text stitches, even aggregate sum
+    * columns — so it times a smaller query than the one declared
+    * (which the DuckDB yardstick always materializes in full). toRdd
+    * runs the physical plan with the query's complete output schema;
+    * rows are counted as InternalRows on the executors, no driver
+    * transfer. BenchForceSpec pins the no-pruning property.
+    */
+  def materialize(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,16 +93,7 @@ object Bench {
       val t0 = System.nanoTime()
       val g0 = gcMs
       val c0 = cpuTicks
-      // FULL-OUTPUT materialization (r11 bench-integrity fix): a bare
-      // count() lets Catalyst column-prune every output expression not
-      // needed for row multiplicity — windows (q16/q22's running sums
-      // never executed), the px62/px72 collect_list stitches, any
-      // derived column — so Spark was timing plan SKELETONS while the
-      // DuckDB yardstick fetchall()s complete results. toRdd executes
-      // the physical plan with the query's full output schema
-      // (InternalRows, counted on the executors — no driver transfer,
-      // which DuckDB's in-process fetch doesn't pay either).
-      try d.run(spark, sfDir).queryExecution.toRdd.count()
+      try materialize(d.run(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
         -1L
