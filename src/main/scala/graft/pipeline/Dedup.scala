@@ -562,23 +562,12 @@ object Dedup {
     val covered = sh.join(firsts, Seq("h"))
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"),
-        explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
       .distinct()
-    val kept = tk
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
-      .join(covered, Seq("doc_id", "p"), "left_anti")
-      .groupBy("doc_id")
-      .agg(concat_ws(" ", org.apache.spark.sql.functions.transform(
-          array_sort(collect_list(struct(col("p"), col("tok")))),
-          x => x.getField("tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+    // shared narrow removal kernel (array_except surgery on touched
+    // docs, straight concat on the untouched majority) — see
+    // TextMetrics.scrubByCoveredPositions
+    TextMetrics.scrubByCoveredPositions(tk, covered)
   }
 
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */

@@ -505,21 +505,42 @@ object TextMetrics {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
       .distinct()
-    val kept = tk
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("tok"))
-      .join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy("doc_id")
-      .agg(
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok"))).as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    tk.select(col("doc_id"), size(col("tk")).cast("long").as("n_tok"))
-      .join(kept, Seq("doc_id"), "left")
+    scrubByCoveredPositions(tk, covered)
+  }
+
+  /** Shared removal kernel: excise `covered` (doc_id, pos) token
+    * positions from a tokenized corpus `tk` (doc_id, tk) and stitch —
+    * → (doc_id, clean_text, n_kept, n_removed), one row per doc.
+    *
+    * Shape (r11 rewrite): the covered positions aggregate to ONE
+    * small array per TOUCHED doc (hits-only shuffle), then a single
+    * doc-keyed join + NARROW array surgery rebuilds the text —
+    * `array_except(sequence(1, n), cov)` keeps surviving positions in
+    * order (hash-based, O(n) per doc), `element_at` re-reads the
+    * tokens. Untouched docs (the overwhelming majority of a real
+    * decontamination pass) take the no-surgery branch: one concat_ws.
+    * The r10 shape exploded EVERY token of EVERY doc and re-stitched
+    * through an (doc_id, pos) anti-join + collect_list aggregation —
+    * two corpus-sized shuffles to mostly reproduce input text
+    * (measured 1.72 s px62 / 2.00 s px72 at sf0.1 under the honest
+    * §0g bench; the rewrite's A/B is in the §0g addendum).
+    */
+  private[pipeline] def scrubByCoveredPositions(
+      tk: DataFrame, covered: DataFrame): DataFrame = {
+    val covArr = covered.groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("_sc_cov"))
+    tk.join(covArr, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        when(col("_sc_cov").isNull, concat_ws(" ", col("tk")))
+          .otherwise(concat_ws(" ",
+            transform(
+              array_except(sequence(lit(1), size(col("tk"))),
+                col("_sc_cov")),
+              p => element_at(col("tk"), p)))).as("clean_text"),
+        when(col("_sc_cov").isNull, size(col("tk")).cast("long"))
+          .otherwise((size(col("tk")) - size(col("_sc_cov")))
+            .cast("long")).as("n_kept"),
+        coalesce(size(col("_sc_cov")), lit(0)).cast("long")
+          .as("n_removed"))
   }
 }

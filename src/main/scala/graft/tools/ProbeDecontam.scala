@@ -43,6 +43,15 @@ object ProbeDecontam {
           sum("n_removed").as("removed")).head()
       println(f"""[decontam] {"rep":$r,"n":$n,"docs":${agg.getLong(0)},"bench_grams":$nBench,"touched":${agg.getLong(1)},"tokens_removed":${agg.getLong(2)},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
     }
+    // full-cost rep: force the clean_text rebuild too (the stats-only
+    // aggregate above lets Catalyst prune the stitch — §0g lesson)
+    for (r <- 3 to 4) {
+      val t0 = System.nanoTime()
+      val agg = TextMetrics.scrubContaminated(big, bench)
+        .agg(expr("sum(length(clean_text))").as("chk"),
+          expr("CAST(sum(n_removed) AS BIGINT)").as("removed")).head()
+      println(f"""[decontam] {"rep":$r,"full_text":true,"n":$n,"chk":${agg.getLong(0)},"tokens_removed":${agg.getLong(1)},"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+    }
     spark.stop()
   }
 }
