@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * ExactSubstrDedup (duplicated-span excision, Lee et al. 2022),
   * CurateCorpus, DecontaminateCorpus, IncrementalDedup (persisted-
   * store admit cycle), EpochShards, TemperatureMix (materialized
-  * α-flattened language mix + data-card report), PrepareTrainingData
+  * α-flattened language mix + data-card report), TokenizeAndPack
+  * (BPE-train → token ids → fixed-length sequences → epoch shards,
+  * the tokenizer last mile), PrepareTrainingData
   * (the composed last mile, optionally store-participating),
   * SpamFilter, QueryStats, KBAFilter, TrecToMallet, TrecToParquet,
   * SeqToParquet, ParquetToSeq.
@@ -717,6 +719,79 @@ object Jobs {
     }
   }
 
+  /** The tokenizer last mile composed (r11): BPE-train via the
+    * in-memory exact loop over the minCount-capped head dictionary
+    * (the k ≫ 8 path, BENCH_NOTES §3j), token-id encode through the
+    * frequency-ranked [[graft.pipeline.Bpe.vocab]], per-doc id
+    * streams cut into fixed-length NON-overlapping training
+    * sequences (the pretraining-loader shape; stride = seqLen —
+    * overlap belongs to the fine-tuning chunker, `chunkWindows`),
+    * and the reproducible `shard=` epoch layout.
+    *
+    * Output: `shard=N/` parquet of (example_id, ids ARRAY<BIGINT>,
+    * n_ids), plus `out + "_vocab"` (sym, id, cnt) and a one-line
+    * report. Deterministic end to end: same corpus + params ⇒ same
+    * merges, ids, examples, and shard layout.
+    *
+    * Scale shape: train = one corpus pass + driver loop (§3j);
+    * word→ids is a dictionary-sized broadcast join; the id stream is
+    * one doc-keyed aggregation; packing is a narrow explode;
+    * resharding is [[graft.pipeline.Sharding.writeEpochShards]]'s one
+    * repartition. No corpus-wide sort anywhere.
+    */
+  def tokenizeAndPack(spark: SparkSession, in: String, out: String,
+                      kMerges: Int = 256, minCount: Long = 1L,
+                      seqLen: Int = 128, seed: Int = 0,
+                      nShards: Int = 8): Unit = {
+    import graft.pipeline.{Bpe, Sharding}
+    val docs = loadDocs(spark, in)
+    val merges = Bpe.trainLocal(docs, kMerges, minCount = minCount)
+    // one dictionary-sized encode; word → ordered symbol-id array
+    val dict = Bpe.encodeWords(Bpe.wordDict(docs), merges)
+      .persist() // consumed by vocab AND the word-id table
+    try {
+      val voc = Bpe.vocab(dict).persist()
+      val wid = dict
+        .select(col("w"), posexplode(col("syms")).as(Seq("sp", "sym")))
+        .join(broadcast(voc.select("sym", "id")), Seq("sym"))
+        .groupBy("w")
+        .agg(transform(array_sort(collect_list(struct(col("sp"), col("id")))),
+          x => x.getField("id")).as("wids"))
+      // per-doc ordered id stream -> fixed-length examples
+      val stream = docs
+        .select(col("doc_id"), posexplode(expr(
+          "filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')"))
+          .as(Seq("p", "w")))
+        .join(broadcast(wid), Seq("w"))
+        .groupBy("doc_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("p"), col("wids")))),
+          x => x.getField("wids"))).as("ids"))
+      val examples = stream
+        .withColumn("nw", expr(
+          s"CAST(ceil(size(ids) / CAST($seqLen AS DOUBLE)) AS INT)"))
+        .select(col("doc_id"), col("ids"),
+          explode(expr("sequence(0, nw - 1)")).as("k"))
+        .select(
+          concat(col("doc_id").cast("string"), lit("_"),
+            col("k").cast("string")).as("example_id"),
+          expr(s"slice(ids, k * $seqLen + 1, $seqLen)").as("ids"))
+        .withColumn("n_ids", size(col("ids")).cast("long"))
+      Sharding.writeEpochShards(examples, "example_id", seed, nShards, out)
+      voc.write.mode("overwrite").parquet(out + "_vocab")
+      val r = spark.read.parquet(out)
+        .agg(count(lit(1)).as("n"),
+          expr("CAST(sum(n_ids) AS BIGINT)").as("ids")).head()
+      import spark.implicits._
+      Seq(s"examples=${r.getLong(0)} ids=${r.getLong(1)}" +
+        s" merges=${merges.length} vocab=${voc.count()}" +
+        s" seq_len=$seqLen shards=$nShards seed=$seed")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(out + "_report")
+      voc.unpersist(); ()
+    } finally { dict.unpersist(); () }
+  }
+
   /** Reproducible epoch layout for training: the corpus resharded by
     * seeded hash with a deterministic in-shard order, one `shard=`
     * directory per loader worker (seed = epoch number; a new seed is a
@@ -1102,6 +1177,13 @@ object Jobs {
       case "DedupCorpus" :: in :: out :: Nil => dedupCorpus(spark, in, out)
       case "EpochShards" :: in :: out :: seed :: nShards :: Nil =>
         epochShards(spark, in, out, seed.toInt, nShards.toInt)
+      case "TokenizeAndPack" :: in :: out :: rest if rest.size <= 5 =>
+        tokenizeAndPack(spark, in, out,
+          kMerges = rest.headOption.map(_.toInt).getOrElse(256),
+          minCount = rest.lift(1).map(_.toLong).getOrElse(1L),
+          seqLen = rest.lift(2).map(_.toInt).getOrElse(128),
+          seed = rest.lift(3).map(_.toInt).getOrElse(0),
+          nShards = rest.lift(4).map(_.toInt).getOrElse(8))
       case "TemperatureMix" :: in :: out :: rest if rest.size <= 3 =>
         temperatureMix(spark, in, out,
           alphaE = rest.headOption.getOrElse("3e-1"),

@@ -57,13 +57,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(countOf(p, "BroadcastHashJoin") >= 2, p)
   }
 
-  test("px62_decontam_scrub: bench join broadcasts, covered-pos join stays anti") {
+  test("px62_decontam_scrub: bench join broadcasts, stitch is narrow array surgery") {
     val p = plan("px62_decontam_scrub")
     // the benchmark hash set rides a broadcast (bounded by the eval
-    // suites); survivors come back through a left_anti — and nothing
-    // in the plan is a cartesian
+    // suites); the r11 kernel rebuilds text NARROWLY from a per-doc
+    // covered-position array (LeftOuter join of the hits-only
+    // aggregate) — the r10 per-token anti-join + collect_list
+    // re-stitch is gone (§0g addendum: 6.3× at 2.5M docs), and
+    // nothing in the plan is a cartesian
     assert(countOf(p, "BroadcastHashJoin") >= 1, p)
-    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("LeftOuter"), p)
+    assert(!p.contains("LeftAnti"),
+      "the per-token anti-join stitch must not come back:\n" + p)
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -588,6 +588,47 @@ class JobsSpec extends SparkSpec {
       Seq("input=2 dropped=1 kept=1"))
   }
 
+  test("TokenizeAndPack: lossless ids, bounded sequences, deterministic shards") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("tokpack").toString
+    val texts = Seq(
+      (1L, "the cat sat on the mat the cat ran off"),
+      (2L, "a cat and a rat sat on a mat"),
+      (3L, "then the bat sat on that very mat"))
+    texts.toDF("doc_id", "text").write.parquet(s"$w/in")
+    Jobs.tokenizeAndPack(spark, s"parquet:$w/in", s"$w/out",
+      kMerges = 6, seqLen = 8, seed = 3, nShards = 2)
+
+    val voc = spark.read.parquet(s"$w/out_vocab")
+      .select("sym", "id").as[(String, Long)].collect().toMap
+    val inv = voc.map(_.swap)
+    val ex = spark.read.parquet(s"$w/out")
+      .select("example_id", "ids").as[(String, Seq[Long])].collect()
+    // every sequence bounded by seqLen; only a doc's LAST window short
+    ex.foreach { case (_, ids) => assert(ids.nonEmpty && ids.size <= 8) }
+    // lossless: decoding every doc's concatenated windows reproduces
+    // the doc's words (BPE merges partition each word; 0x1F-free join)
+    val merges = graft.pipeline.Bpe.trainLocal(
+      texts.toDF("doc_id", "text"), 6)
+    val byDoc = ex.groupBy(_._1.split("_")(0).toLong).view
+      .mapValues(_.sortBy(_._1.split("_")(1).toInt).flatMap(_._2)).toMap
+    for ((id, text) <- texts) {
+      val decoded = byDoc(id).map(inv).mkString("")
+      assert(decoded == text.split(" ").mkString(""),
+        s"doc $id: $decoded")
+    }
+    assert(merges.nonEmpty) // the trainer actually learned merges
+    // shard layout + rerun determinism
+    val dirs = new java.io.File(s"$w/out").listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).toSet
+    assert(dirs.nonEmpty && dirs.subsetOf(Set("shard=0", "shard=1")))
+    Jobs.tokenizeAndPack(spark, s"parquet:$w/in", s"$w/out2",
+      kMerges = 6, seqLen = 8, seed = 3, nShards = 2)
+    val ex2 = spark.read.parquet(s"$w/out2")
+      .select("example_id", "ids").as[(String, Seq[Long])].collect()
+    assert(ex.sortBy(_._1).sameElements(ex2.sortBy(_._1)))
+  }
+
   test("ExactSubstrDedup: duplicated span excised corpus-wide, keeper intact") {
     import spark.implicits._
     val w = Files.createTempDirectory("exsub").toString
