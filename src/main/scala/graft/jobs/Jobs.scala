@@ -738,6 +738,13 @@ object Jobs {
     * one doc-keyed aggregation; packing is a narrow explode;
     * resharding is [[graft.pipeline.Sharding.writeEpochShards]]'s one
     * repartition. No corpus-wide sort anywhere.
+    *
+    * `minCount > 1` caps only the TRAINING dictionary (the §3j
+    * head-cap lever); the ENCODE dictionary stays the full vocabulary
+    * — tail words are still tokenized by the head-trained merges
+    * (character-level where no merge applies), exactly how production
+    * BPE handles rare words. Coverage is total either way: every
+    * corpus token appears in the id stream.
     */
   def tokenizeAndPack(spark: SparkSession, in: String, out: String,
                       kMerges: Int = 256, minCount: Long = 1L,
@@ -746,11 +753,11 @@ object Jobs {
     import graft.pipeline.{Bpe, Sharding}
     val docs = loadDocs(spark, in)
     val merges = Bpe.trainLocal(docs, kMerges, minCount = minCount)
-    // one dictionary-sized encode; word → ordered symbol-id array
+    // one dictionary-sized encode (FULL vocab); word → ordered id array
     val dict = Bpe.encodeWords(Bpe.wordDict(docs), merges)
       .persist() // consumed by vocab AND the word-id table
+    val voc = Bpe.vocab(dict).persist()
     try {
-      val voc = Bpe.vocab(dict).persist()
       val wid = dict
         .select(col("w"), posexplode(col("syms")).as(Seq("sp", "sym")))
         .join(broadcast(voc.select("sym", "id")), Seq("sym"))
@@ -788,8 +795,7 @@ object Jobs {
         s" seq_len=$seqLen shards=$nShards seed=$seed")
         .toDF("value").coalesce(1).write.mode("overwrite")
         .text(out + "_report")
-      voc.unpersist(); ()
-    } finally { dict.unpersist(); () }
+    } finally { voc.unpersist(); dict.unpersist(); () }
   }
 
   /** Reproducible epoch layout for training: the corpus resharded by
