@@ -37,6 +37,18 @@ object DetHash {
   /** Spark SQL string form of [[h60]], for use inside expr() strings. */
   def sparkH60Sql(e: String): String = s"h60($e)"
 
+  /** DRIVER-side twin of [[h60]] — same first-15-hex-chars-of-md5
+    * formula on a plain String, for deterministic literal material
+    * baked into plans (e.g. `Ann.randomProject`'s ±1 matrix).
+    * Bit-equality with the native column expression is asserted in
+    * VecOpsSpec.
+    */
+  def h60Local(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+
   /** DuckDB SQL fragment for the same hash, for oracle authoring. */
   def duckH60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"

@@ -174,6 +174,47 @@ object Ann {
     * bounded at any corpus size (the codebook is broadcast-small by
     * construction).
     */
+  /** Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    * ±1 matrix (Achlioptas 2003: Rademacher entries satisfy the JL
+    * guarantee): out_j = Σ_i e_i · s(i, j) / √dOut, with the sign
+    * drawn from the engine-portable md5 hash — s(i, j) = +1 iff
+    * h60("seed|i|j") is even. Same seed ⇒ same matrix on every run,
+    * engine, and machine, so projections of separately-processed
+    * corpus slices land in the SAME reduced space (the property
+    * random matrices from an RNG lose the moment two jobs seed
+    * differently).
+    *
+    * The standard pre-reduction before clustering / ANN at 100 TB:
+    * distances are preserved within (1 ± ε) for dOut = O(log n / ε²),
+    * and every downstream op (k-means, SemDeDup, IVF) gets a
+    * dIn/dOut-fold cheaper kernel.
+    *
+    * Scale: the matrix is a dOut × dIn literal baked into the plan
+    * (no broadcast, no join); the projection is a pure narrow map —
+    * one sequential fold per output dim, `dIn` multiply-adds each.
+    * → (idCol, proj: array&lt;double&gt;, 6-dp rounded — the
+    * cross-engine float contract).
+    */
+  def randomProject(emb: DataFrame, dIn: Int, dOut: Int, seed: Int = 5,
+                    idCol: String = "vec_id",
+                    embCol: String = "embedding"): DataFrame = {
+    val m: Seq[Seq[Double]] = (0 until dOut).map { j =>
+      (0 until dIn).map { i =>
+        if (graft.functions.DetHash.h60Local(s"$seed|$i|$j") % 2 == 0) 1.0
+        else -1.0
+      }
+    }
+    val mLit = typedLit(m)
+    val scale = math.sqrt(dOut.toDouble)
+    emb.select(col(idCol),
+      transform(sequence(lit(0), lit(dOut - 1)), j =>
+        round(
+          aggregate(
+            zip_with(col(embCol), element_at(mLit, j + 1),
+              (a, b) => a.cast("double") * b),
+            lit(0.0), (s, v) => s + v) / scale, 6)).as("proj"))
+  }
+
   private def requireDimMatches(df: DataFrame, embCol: String,
                                 codebook: DataFrame, who: String): Unit = {
     val cb = codebook

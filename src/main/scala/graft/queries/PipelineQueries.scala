@@ -2834,7 +2834,34 @@ object PipelineQueries {
               |       t.n_tok - coalesce(ka.n_kept, 0) AS n_removed
               |FROM (SELECT doc_id, len(tk) AS n_tok FROM tk) t
               |LEFT JOIN ka USING (doc_id)""".stripMargin),
-      survey = Seq("DEDUP-EXACT-SUBSTR"))
+      survey = Seq("DEDUP-EXACT-SUBSTR")),
+
+    // Johnson–Lindenstrauss random projection (r11, Achlioptas 2003):
+    // 64-dim embeddings -> 16 dims through the deterministic
+    // hash-derived ±1 matrix (library op: Ann.randomProject; long-form
+    // (vec_id, j, v) output — the ADVICE-r01 scalar-columns rule).
+    // Both engines fold the i-axis IN ORDER (Spark aggregate /
+    // DuckDB list_sum over an ordered list), then round 6dp.
+    Decl(
+      "px73_random_projection",
+      (s, dir) => graft.pipeline.Ann
+        .randomProject(Tables(s, dir, "embeddings"), 64, 16)
+        .select(col("vec_id"),
+          posexplode(col("proj")).as(Seq("j", "v")))
+        .select(col("vec_id"), col("j").cast("bigint").as("j"), col("v")),
+      Some(s"""WITH mm AS (SELECT j, i, CASE WHEN
+              |    ('0x' || substr(md5('5' || '|' || i || '|' || j), 1, 15))
+              |      ::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END AS s
+              |  FROM (SELECT unnest(generate_series(0, 15)) AS j)
+              |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+              |m2 AS (SELECT j, list(s ORDER BY i) AS srow
+              |       FROM mm GROUP BY j)
+              |SELECT e.vec_id, CAST(m2.j AS BIGINT) AS j,
+              |  round(list_sum(list_transform(generate_series(1, 64),
+              |    p -> CAST(embedding[p] AS DOUBLE) * srow[p])) / sqrt(16),
+              |    6) AS v
+              |FROM embeddings e CROSS JOIN m2""".stripMargin),
+      survey = Seq("EMB-RANDOM-PROJECTION"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

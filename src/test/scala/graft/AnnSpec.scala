@@ -77,4 +77,37 @@ class AnnSpec extends SparkSpec {
     // the query's own probe list
     assert(ivf.size <= exact.size)
   }
+
+  test("randomProject: deterministic, linear, and JL distance-preserving on average") {
+    import spark.implicits._
+    val emb = Tables(spark, sfTiny, "embeddings")
+    val p1 = Ann.randomProject(emb, 64, 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    val p2 = Ann.randomProject(emb, 64, 16)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p1 == p2) // same seed -> identical projection, bit for bit
+    assert(p1.values.forall(_.size == 16))
+    // a different seed is a different (still deterministic) matrix
+    val p3 = Ann.randomProject(emb, 64, 16, seed = 6)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(p1 != p3)
+
+    // JL property: squared pairwise distances preserved on AVERAGE
+    // (E[||Px - Py||²] = ||x - y||², Rademacher matrix) — generous
+    // per-pair band at dOut = 16, tight mean band over many pairs
+    val orig = emb.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ids = orig.keys.toSeq.sorted.take(30)
+    val ratios = for {
+      Seq(a, b) <- ids.combinations(2).toSeq
+      od = d2(orig(a), orig(b)) if od > 0
+    } yield d2(p1(a), p1(b)) / od
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.25, s"mean distortion $mean")
+    assert(ratios.count(r => r > 0.2 && r < 5.0) >= ratios.size * 9 / 10,
+      "individual pair distortions out of any plausible JL band")
+  }
 }

@@ -84,6 +84,17 @@ class VecOpsSpec extends SparkSpec {
     assert(edge.getLong(2) == edge.getLong(4))
   }
 
+  test("driver-side h60Local == the native column, bit for bit") {
+    // DetHash.h60Local bakes deterministic literal material (the
+    // randomProject ±1 matrix) into plans — it must be the SAME hash
+    import spark.implicits._
+    val inputs = Seq("abc", "", "5|0|0", "5|63|15", "ü ☃ 漢字", "a|b|c")
+    val native = inputs.toDF("s").selectExpr("h60(s)")
+      .collect().map(_.getLong(0))
+    val local = inputs.map(graft.functions.DetHash.h60Local)
+    assert(native.toSeq == local)
+  }
+
   test("char_trigrams == transform(sequence, substring) formula") {
     val diff = Tables(spark, sfTiny, "documents")
       .selectExpr("lower(text) AS t")
