@@ -198,6 +198,15 @@ object Ann {
   def randomProject(emb: DataFrame, dIn: Int, dOut: Int, seed: Int = 5,
                     idCol: String = "vec_id",
                     embCol: String = "embedding"): DataFrame = {
+    // dim fail-fast (the PQ convention): a mismatched dIn would
+    // zip_with into null padding and poison the fold to NULL silently.
+    // One LIMIT-1 probe job; empty frames skip the check (and project
+    // to an empty frame)
+    emb.select(size(col(embCol))).limit(1).collect().headOption
+      .foreach { r =>
+        require(r.getInt(0) == dIn,
+          s"randomProject: vector dim ${r.getInt(0)} != dIn $dIn")
+      }
     val m: Seq[Seq[Double]] = (0 until dOut).map { j =>
       (0 until dIn).map { i =>
         if (graft.functions.DetHash.h60Local(s"$seed|$i|$j") % 2 == 0) 1.0

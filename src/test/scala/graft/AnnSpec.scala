@@ -109,5 +109,11 @@ class AnnSpec extends SparkSpec {
     assert(mean > 0.8 && mean < 1.25, s"mean distortion $mean")
     assert(ratios.count(r => r > 0.2 && r < 5.0) >= ratios.size * 9 / 10,
       "individual pair distortions out of any plausible JL band")
+
+    // fail-fast on a wrong dIn; empty frames pass through empty
+    intercept[IllegalArgumentException] {
+      Ann.randomProject(emb, 32, 16)
+    }
+    assert(Ann.randomProject(emb.limit(0), 64, 16).count() == 0)
   }
 }

@@ -244,6 +244,15 @@ class PlanShapeSpec extends SparkSpec {
       s"the Gopher rule filter must run at scan speed, no shuffle:\n$p")
   }
 
+  test("px73_random_projection: zero shuffles — literal matrix, narrow fold") {
+    // the ±1 matrix is baked into the plan as a literal; the fold and
+    // the long-form posexplode are narrow — nothing exchanges, no join
+    val p = plan("px73_random_projection")
+    assert(!p.contains("Exchange"),
+      s"the JL projection must run at scan speed, no shuffle:\n$p")
+    assert(!p.contains("Join"), s"the matrix must not arrive via a join:\n$p")
+  }
+
   test("AQE skew-join splits a pathological key at runtime (skew=true)") {
     // Doctrine rule 3 says hot keys are handled by salting (q24) for
     // one-key-exceeds-an-executor skew and by AQE's skew-join split for
