@@ -609,6 +609,14 @@ object Jobs {
     * doc's benchmark-contaminated spans were later scrubbed from the
     * training output — the store is the "content we have seen"
     * ledger, not the training-example set.
+    *
+    * Boundary (inherited from [[admitCycle]]'s sub-shingle policy):
+    * docs below the MinHash shingle resolution carry no signature,
+    * are kept in THIS run's output (they passed every in-run gate,
+    * including the in-run exact dedup) but are never admitted — so
+    * the cross-RUN store check does not apply to them. A tiny doc
+    * recurring across runs re-enters each run's output; route tiny
+    * docs through an exact-hash ledger upstream if that matters.
     */
   def prepareTrainingData(spark: SparkSession, in: String, out: String,
                           benchSpec: String, seed: Int, nShards: Int,
@@ -653,13 +661,17 @@ object Jobs {
       stage("store_dedup")
       val fs = new org.apache.hadoop.fs.Path(sigStore)
         .getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore))) {
-        // bootstrap: empty store + corpus with the right schemas, so
-        // the first prep run rides the same admitCycle code path
-        exactSigs.limit(0).write.parquet(sigStore)
+      // bootstrap EACH missing artifact independently (empty frames
+      // with the right schemas), corpus FIRST — matching admitCycle's
+      // text-before-sigs crash ordering. A crash between the two
+      // writes, or a pre-existing store paired with a fresh corpus
+      // path, then self-heals on the next run instead of wedging on
+      // a path-not-found read.
+      if (!fs.exists(new org.apache.hadoop.fs.Path(storeCorpus)))
         nearInternal.select("doc_id", "text").limit(0)
           .write.parquet(storeCorpus)
-      }
+      if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore)))
+        exactSigs.limit(0).write.parquet(sigStore)
       val verdicts = admitCycle(spark, nearInternal.select("doc_id", "text"),
         sigStore, storeCorpus, storeThreshold, admit = true,
         preSigned = exactSigs.join(nearInternal.select("doc_id"),
@@ -784,17 +796,25 @@ object Jobs {
             col("k").cast("string")).as("example_id"),
           expr(s"slice(ids, k * $seqLen + 1, $seqLen)").as("ids"))
         .withColumn("n_ids", size(col("ids")).cast("long"))
-      Sharding.writeEpochShards(examples, "example_id", seed, nShards, out)
-      voc.write.mode("overwrite").parquet(out + "_vocab")
-      val r = spark.read.parquet(out)
-        .agg(count(lit(1)).as("n"),
-          expr("CAST(sum(n_ids) AS BIGINT)").as("ids")).head()
-      import spark.implicits._
-      Seq(s"examples=${r.getLong(0)} ids=${r.getLong(1)}" +
-        s" merges=${merges.length} vocab=${voc.count()}" +
-        s" seq_len=$seqLen shards=$nShards seed=$seed")
-        .toDF("value").coalesce(1).write.mode("overwrite")
-        .text(out + "_report")
+        .persist() // two actions: the shard write + the report agg
+      try {
+        Sharding.writeEpochShards(examples, "example_id", seed, nShards,
+          out)
+        voc.write.mode("overwrite").parquet(out + "_vocab")
+        // report from the persisted frame (a read-back of an EMPTY
+        // partitioned dir can't infer a schema) with null-safe sums —
+        // an empty or all-filtered corpus reports zeros, no crash
+        val r = examples
+          .agg(count(lit(1)).as("n"),
+            coalesce(expr("CAST(sum(n_ids) AS BIGINT)"), lit(0L))
+              .as("ids")).head()
+        import spark.implicits._
+        Seq(s"examples=${r.getLong(0)} ids=${r.getLong(1)}" +
+          s" merges=${merges.length} vocab=${voc.count()}" +
+          s" seq_len=$seqLen shards=$nShards seed=$seed")
+          .toDF("value").coalesce(1).write.mode("overwrite")
+          .text(out + "_report")
+      } finally { examples.unpersist(); () }
     } finally { voc.unpersist(); dict.unpersist(); () }
   }
 
@@ -882,22 +902,34 @@ object Jobs {
             .text(out + "_report")
         } finally { kept.unpersist(); () }
       case _ =>
-        val scrubbed = TextMetrics.scrubContaminated(docs, bench, k)
-          .persist() // two actions: the write + the report aggregate
-        try {
-          scrubbed.select(col("doc_id"), col("clean_text").as("text"))
-            .write.mode("overwrite").parquet(out)
-          val r = scrubbed.agg(count(lit(1)).as("n"),
-            sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END"))
-              .as("touched"),
-            sum("n_removed").as("removed")).head()
-          import spark.implicits._
-          Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
-              s"tokens_removed=${r.getLong(2)}")
-            .toDF("value").coalesce(1).write.mode("overwrite")
-            .text(out + "_report")
-        } finally { scrubbed.unpersist(); () }
+        writeScrubbed(spark, TextMetrics.scrubContaminated(docs, bench, k),
+          out)
     }
+  }
+
+  /** Shared tail of every span-scrubbing curation job: write the
+    * scrubbed corpus as (doc_id, text) parquet + the touched/removed
+    * one-line report. Null-safe aggregates — an empty or fully-
+    * filtered corpus reports zeros instead of NPE-ing after the main
+    * output was already written (EdgeCaseSpec doctrine).
+    */
+  private def writeScrubbed(spark: SparkSession, scrubbed: DataFrame,
+                            out: String, reportSuffix: String = ""): Unit = {
+    val s = scrubbed.persist() // two actions: the write + the report
+    try {
+      s.select(col("doc_id"), col("clean_text").as("text"))
+        .write.mode("overwrite").parquet(out)
+      val r = s.agg(count(lit(1)).as("n"),
+        coalesce(sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END")),
+          lit(0L)).as("touched"),
+        coalesce(expr("CAST(sum(n_removed) AS BIGINT)"), lit(0L))
+          .as("removed")).head()
+      import spark.implicits._
+      Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
+          s"tokens_removed=${r.getLong(2)}$reportSuffix")
+        .toDF("value").coalesce(1).write.mode("overwrite")
+        .text(out + "_report")
+    } finally { s.unpersist(); () }
   }
 
   /** Exact-substring dedup as a curation stage (Lee et al. 2022's
@@ -908,24 +940,10 @@ object Jobs {
     * deduplicated text, plus a one-line report.
     */
   def exactSubstrDedup(spark: SparkSession, in: String, out: String,
-                       n: Int = 5): Unit = {
-    import graft.pipeline.Dedup
-    val scrubbed = Dedup.scrubDupSpans(loadDocs(spark, in), n)
-      .persist() // two actions: the write + the report aggregate
-    try {
-      scrubbed.select(col("doc_id"), col("clean_text").as("text"))
-        .write.mode("overwrite").parquet(out)
-      val r = scrubbed.agg(count(lit(1)).as("n"),
-        sum(expr("CASE WHEN n_removed > 0 THEN 1 ELSE 0 END"))
-          .as("touched"),
-        sum("n_removed").as("removed")).head()
-      import spark.implicits._
-      Seq(s"input=${r.getLong(0)} touched=${r.getLong(1)} " +
-          s"tokens_removed=${r.getLong(2)} n=$n")
-        .toDF("value").coalesce(1).write.mode("overwrite")
-        .text(out + "_report")
-    } finally { scrubbed.unpersist(); () }
-  }
+                       n: Int = 5): Unit =
+    writeScrubbed(spark,
+      graft.pipeline.Dedup.scrubDupSpans(loadDocs(spark, in), n),
+      out, reportSuffix = s" n=$n")
 
   /** Semantic dedup as a curation stage (SemDeDup, Abbas et al. 2023):
     * drop every document whose embedding has a lower-id neighbor at

@@ -198,15 +198,6 @@ object Ann {
   def randomProject(emb: DataFrame, dIn: Int, dOut: Int, seed: Int = 5,
                     idCol: String = "vec_id",
                     embCol: String = "embedding"): DataFrame = {
-    // dim fail-fast (the PQ convention): a mismatched dIn would
-    // zip_with into null padding and poison the fold to NULL silently.
-    // One LIMIT-1 probe job; empty frames skip the check (and project
-    // to an empty frame)
-    emb.select(size(col(embCol))).limit(1).collect().headOption
-      .foreach { r =>
-        require(r.getInt(0) == dIn,
-          s"randomProject: vector dim ${r.getInt(0)} != dIn $dIn")
-      }
     val m: Seq[Seq[Double]] = (0 until dOut).map { j =>
       (0 until dIn).map { i =>
         if (graft.functions.DetHash.h60Local(s"$seed|$i|$j") % 2 == 0) 1.0
@@ -215,11 +206,21 @@ object Ann {
     }
     val mLit = typedLit(m)
     val scale = math.sqrt(dOut.toDouble)
+    // dim guard PER ROW (the PQ fail-fast convention, but rows can
+    // disagree with each other): a mismatched vector would zip_with
+    // into null padding and poison the fold to NULL silently — it
+    // raises instead. NULL embeddings stay NULL rows (nullIntolerant
+    // convention), they never trip the guard.
+    val guarded = when(col(embCol).isNull.or(size(col(embCol)) === dIn),
+      col(embCol)).otherwise(expr(
+      s"""CAST(raise_error(concat('randomProject: vector dim ',
+         |  CAST(size($embCol) AS STRING), ' != dIn $dIn'))
+         |  AS ARRAY<FLOAT>)""".stripMargin))
     emb.select(col(idCol),
       transform(sequence(lit(0), lit(dOut - 1)), j =>
         round(
           aggregate(
-            zip_with(col(embCol), element_at(mLit, j + 1),
+            zip_with(guarded, element_at(mLit, j + 1),
               (a, b) => a.cast("double") * b),
             lit(0.0), (s, v) => s + v) / scale, 6)).as("proj"))
   }

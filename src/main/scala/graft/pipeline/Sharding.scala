@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.DetHash
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Deterministic, reproducible training-epoch shuffling.
   *
@@ -104,54 +104,65 @@ object Sharding {
                         seed: Int = 7,
                         idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NULL-language docs are a language of their own (grouping already
+    // treats them so; plain equi-joins would silently drop them — the
+    // r10 shape's bug). Internally every join keys on `_tsl`, the
+    // language coalesced to a reserved NUL ("\\u0000") sentinel; original
+    // columns ride through untouched.
+    def tsl(c: Column): Column =
+      coalesce(c.cast("string"), lit("\u0000"))
     val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
-    val keyed = docs.withColumn("_tsh",
-      DetHash.h60(col(idCol).cast("string"), seed))
+      .withColumn("_tsl", tsl(col(langCol))).drop(langCol)
+    val keyed = docs
+      .withColumn("_tsl", tsl(col(langCol)))
+      .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
     // the histogram and cut passes need only (lang, id, hash) — a
     // ~25 B/row projection, lazily checkpointed so the two passes
     // share one scan+hash; the final full-width selection pass stays
     // a plain narrow scan (checkpointing the whole corpus would be
     // the wrong shape at scale)
     val slim = keyed
-      .select(col(langCol), col(idCol), col("_tsh"),
+      .select(col("_tsl"), col(idCol), col("_tsh"),
         expr("shiftright(_tsh, 44)").as("bkt"))
       .localCheckpoint(false)
     val hist = slim
-      .groupBy(langCol, "bkt").agg(count(lit(1)).as("c"))
+      .groupBy("_tsl", "bkt").agg(count(lit(1)).as("c"))
     // the bucket holding the quota-th smallest pair, + depth inside it
     val bounds = hist
       .withColumn("cum", sum("c").over(
-        Window.partitionBy(langCol).orderBy("bkt")))
-      .join(quotas.select(langCol, "quota"), Seq(langCol))
+        Window.partitionBy("_tsl").orderBy("bkt")))
+      .join(quotas.select("_tsl", "quota"), Seq("_tsl"))
       .filter(col("cum") - col("c") < col("quota") &&
         col("quota") <= col("cum"))
-      .select(col(langCol), col("bkt"),
+      .select(col("_tsl"), col("bkt"),
         (col("quota") - col("cum") + col("c")).as("need"))
     // exact cut pair: the need-th smallest (h, id) inside that bucket
     val cut = slim
-      .join(broadcast(bounds), Seq(langCol, "bkt"))
+      .join(broadcast(bounds), Seq("_tsl", "bkt"))
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col(langCol), col("bkt"))
+        Window.partitionBy(col("_tsl"), col("bkt"))
           .orderBy(col("_tsh"), col(idCol))).cast("bigint"))
       .filter(col("rk") === col("need"))
-      .select(col(langCol), col("_tsh").as("cut_h"),
+      .select(col("_tsl"), col("_tsh").as("cut_h"),
         col(idCol).as("cut_id"))
-    val sel = quotas.join(cut, Seq(langCol), "left")
-    keyed.join(broadcast(sel), Seq(langCol))
+    val sel = quotas.join(cut, Seq("_tsl"), "left")
+    keyed.join(broadcast(sel), Seq("_tsl"))
       .filter(col("quota") >= col("n_docs") ||
         (col("cut_h").isNotNull &&
           (col("_tsh") < col("cut_h") ||
             (col("_tsh") === col("cut_h") &&
               col(idCol) <= col("cut_id")))))
-      .drop("_tsh", "n_docs", "cut_h", "cut_id")
+      .drop("_tsl", "_tsh", "n_docs", "cut_h", "cut_id")
   }
 
   /** Data-card telemetry for [[temperatureSample]]: per language
     * (lang, n_docs, quota, n_sel, capped). The selection keeps
     * exactly min(quota, n_docs) docs — the cut pair is the quota-th
     * smallest hash when quota ≤ n, everything otherwise — so the
-    * report needs only the (tiny) quota table, no second corpus
-    * pass. `capped = true` marks a language whose quota exceeded its
+    * report derives entirely from the quota table: ONE per-language
+    * count aggregate over the corpus (narrow scan, map-side combined
+    * to |languages| rows), never a pass over the selection itself.
+    * `capped = true` marks a language whose quota exceeded its
     * corpus (the upsampling the selection deliberately does NOT do);
     * surfacing it here lets data cards report exhaustion without
     * re-deriving it from the selection.

@@ -193,8 +193,14 @@ object TextMetrics {
           .as("_pb_bd"))
       .groupBy(langCol)
       .agg(collect_list("_pb_bd").as("_pb_bnds"))
-    // tie-band rank: only rows whose ppl IS a cut value need one
-    val withB = p.join(broadcast(cuts), Seq(langCol))
+    // tie-band rank: only rows whose ppl IS a cut value need one.
+    // NULL-SAFE join: docs with a NULL language are a language of
+    // their own (groupBy and window partitioning already treat them
+    // so — the r10 ntile window bucketed them, and a plain equi-join
+    // here would silently drop them, a real web-corpus condition)
+    val withB = p.join(broadcast(cuts.withColumnRenamed(langCol, "_pb_l")),
+        col(langCol) <=> col("_pb_l"))
+      .drop("_pb_l")
     val isTie = expr("exists(_pb_bnds, bd -> bd.cut = ppl)")
     val tied = withB.filter(isTie)
       .withColumn("_pb_trk", row_number().over(

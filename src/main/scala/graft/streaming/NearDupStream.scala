@@ -53,6 +53,15 @@ object NearDupStream {
     * partition column; the stream itself only ever probes one
     * partition directory per micro-batch (the replay guard), so guard
     * cost stays O(1) no matter how long the stream has been running.
+    *
+    * MIGRATION from the pre-r11 flat layout (root-level part files
+    * with a batch_id DATA column): move each old batch's files into
+    * `batch_id=N/` directories (dropping the now-partition column is
+    * optional — readers take the partition value) BEFORE restarting
+    * the stream. A mixed flat+partitioned directory is unreadable,
+    * and the directory probe cannot see flat-layout batches — a
+    * restart over an unmigrated ledger would replay (and re-append)
+    * the last flat batch.
     */
   def storeAdmitStream(docs: DataFrame, sigStore: String,
                        corpusDir: String, verdictsDir: String,

@@ -110,10 +110,20 @@ class AnnSpec extends SparkSpec {
     assert(ratios.count(r => r > 0.2 && r < 5.0) >= ratios.size * 9 / 10,
       "individual pair distortions out of any plausible JL band")
 
-    // fail-fast on a wrong dIn; empty frames pass through empty
-    intercept[IllegalArgumentException] {
-      Ann.randomProject(emb, 32, 16)
+    // PER-ROW dim fail-fast: a frame whose rows disagree on dims must
+    // raise loudly on the mismatched ROW (not silently emit nulls)
+    val mixed = spark.range(1)
+      .select(lit(1L).as("vec_id"),
+        expr("CAST(array_repeat(0.5, 64) AS ARRAY<FLOAT>)").as("embedding"))
+      .union(spark.range(1).select(lit(2L).as("vec_id"),
+        expr("CAST(array_repeat(0.5, 32) AS ARRAY<FLOAT>)").as("embedding")))
+    val e = intercept[Exception] {
+      Ann.randomProject(mixed, 64, 16).collect()
     }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("randomProject: vector dim")), e.toString)
+    // empty frames pass through empty; NULL embeddings stay null
     assert(Ann.randomProject(emb.limit(0), 64, 16).count() == 0)
   }
 }

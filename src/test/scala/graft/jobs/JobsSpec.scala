@@ -645,6 +645,24 @@ class JobsSpec extends SparkSpec {
       Seq("input=2 touched=1 tokens_removed=5 n=5"))
   }
 
+  test("empty corpus: scrub and tokenize jobs report zeros, no crash") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("emptyjobs").toString
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.parquet(s"$w/in")
+    Jobs.exactSubstrDedup(spark, s"parquet:$w/in", s"$w/ex")
+    assert(runLines(s"$w/ex_report") ==
+      Seq("input=0 touched=0 tokens_removed=0 n=5"))
+    Jobs.decontaminateCorpus(spark, s"parquet:$w/in", s"$w/dc",
+      s"parquet:$w/in")
+    assert(runLines(s"$w/dc_report") ==
+      Seq("input=0 touched=0 tokens_removed=0"))
+    Jobs.tokenizeAndPack(spark, s"parquet:$w/in", s"$w/tp",
+      kMerges = 4, seqLen = 8, seed = 1, nShards = 2)
+    assert(runLines(s"$w/tp_report").head.startsWith(
+      "examples=0 ids=0 merges=0 vocab=0"))
+  }
+
   test("SemDedupCorpus: drops the higher-id near-identical embedding, keeps unembedded docs") {
     import spark.implicits._
     val w = Files.createTempDirectory("semdedup_job").toString

@@ -105,6 +105,21 @@ class ShardingSpec extends SparkSpec {
     assert(Sharding.temperatureSample(docs2, targetDiv = 200).isEmpty)
   }
 
+  test("temperatureSample: NULL-language docs form their own language") {
+    val d = spark.range(40).select(
+      when($"id" < 30, "en").otherwise(lit(null).cast("string")).as("lang"),
+      $"id".as("doc_id"))
+    val rep = Sharding.temperatureReport(d)
+      .select("lang", "n_sel").as[(Option[String], Long)].collect().toMap
+    assert(rep.contains(None), "report must carry the null-lang group")
+    val got = Sharding.temperatureSample(d)
+      .groupBy("lang").count().as[(Option[String], Long)].collect().toMap
+    // selection counts match the report for BOTH groups — including
+    // the null language, which a plain equi-join would silently drop
+    assert(got.getOrElse(None, 0L) == rep(None), s"$got vs $rep")
+    assert(got.getOrElse(Some("en"), 0L) == rep(Some("en")))
+  }
+
   test("plan shapes: one exchange in epochShuffle; broadcast quota join") {
     val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
       .queryExecution.executedPlan.toString

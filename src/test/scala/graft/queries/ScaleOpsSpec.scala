@@ -92,6 +92,22 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("px68 buckets: NULL-language docs are a language of their own, not dropped") {
+    // web corpora have docs with missing language metadata; the r10
+    // ntile window bucketed them in their own partition — the cut-point
+    // assignment must too (a plain equi-join would silently drop them)
+    import spark.implicits._
+    val p = Seq(
+      (1L, 5L, 1.5, "en"), (2L, 5L, 2.5, "en"), (3L, 5L, 3.5, "en"),
+      (10L, 5L, 1.0, null), (11L, 5L, 2.0, null), (12L, 5L, 3.0, null))
+      .toDF("doc_id", "dl", "ppl", "lang")
+    val got = graft.pipeline.TextMetrics
+      .perplexityBucketsFromScores(p, 3)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L,
+      10L -> 1L, 11L -> 2L, 12L -> 3L), got.toString)
+  }
+
   test("px68 ccnet buckets: balanced per-lang terciles, bands ordered by ppl") {
     import spark.implicits._
     val perDoc = graft.pipeline.TextMetrics
