@@ -563,7 +563,8 @@ object Dedup {
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-      .distinct()
+    // no distinct(): the scrub kernel's collect_set dedups overlapping
+    // spans' positions with map-side combine — one exchange fewer
     // shared narrow removal kernel (array_except surgery on touched
     // docs, straight concat on the untouched majority) — see
     // TextMetrics.scrubByCoveredPositions

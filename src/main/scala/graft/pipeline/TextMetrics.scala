@@ -169,6 +169,32 @@ object TextMetrics {
     * a written px29 artifact in a real pipeline. Appends `bucket`;
     * every input column rides through (helper columns are
     * `_pb`-prefixed so caller frames can't collide with them).
+    *
+    * NULL ppl rows (possible only in caller-supplied frames — the
+    * internal [[perplexity]] never emits one) are bucketed, not
+    * dropped: NULL sorts FIRST (Spark's default ascending order), so
+    * they land in the head bucket(s) — the same place Spark's own
+    * `ntile(n) OVER (ORDER BY ppl, doc_id)` puts them.
+    *
+    * The histogram cumsum is a DISTRIBUTED prefix sum (r12): with
+    * 6-dp ppl the (lang, ppl) histogram is near one row per doc, so
+    * the r11 `sum OVER (PARTITION BY lang ORDER BY ppl)` funneled a
+    * dominant language's whole histogram through ONE task — the last
+    * corpus-cardinality single-task sort in the codebase. px69's
+    * uniform-hash bucket trick does not transplant here (ppl is a
+    * real value: any STATIC coarse bucketing leaves the boundary
+    * bucket unbounded when values concentrate), so the cumsum is
+    * computed the textbook distributed way instead: range-partition
+    * the histogram by (lang, ppl) — Spark's range sampler balances
+    * rows per partition regardless of the value distribution — take
+    * a local cumsum inside each partition slice, and add broadcast
+    * per-slice offsets. Every sort task is bounded by histSize /
+    * shufflePartitions BY CONSTRUCTION; the only per-language
+    * single-task windows left run over ≤ numPartitions offset rows.
+    * Partition boundaries may move between runs (the range sampler),
+    * but `off + local` telescopes to the same global cumsum — outputs
+    * are partitioning-independent. SkewProbe measures the win on a
+    * 90%-one-language corpus at 10M docs.
     */
   def perplexityBucketsFromScores(p: DataFrame, nBuckets: Int = 3,
                                   langCol: String = "lang"): DataFrame = {
@@ -177,10 +203,29 @@ object TextMetrics {
     if (nBuckets == 1) return p.withColumn("bucket", lit(1L))
     val hist = p.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("_pb_c"))
-    val cuts = hist
-      .withColumn("_pb_cum", sum("_pb_c").over(
-        Window.partitionBy(langCol).orderBy("ppl")))
-      .withColumn("_pb_n", sum("_pb_c").over(Window.partitionBy(langCol)))
+    val nPart = p.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = hist
+      .repartitionByRange(nPart, col(langCol), col("ppl"))
+      .withColumn("_pb_pid", spark_partition_id())
+    // local cumsum: each (lang, slice) group holds at most one range
+    // partition's rows — bounded by the range sampler, never by the
+    // language's corpus share
+    val local = ranged.withColumn("_pb_lcum", sum("_pb_c").over(
+      Window.partitionBy(col(langCol), col("_pb_pid")).orderBy("ppl")))
+    // per-slice totals → per-language slice offsets + language totals;
+    // ≤ nPart rows per language, broadcastable by construction
+    val offs = ranged.groupBy(col(langCol), col("_pb_pid"))
+      .agg(sum("_pb_c").as("_pb_pc"))
+      .withColumn("_pb_off", coalesce(sum("_pb_pc").over(
+        Window.partitionBy(langCol).orderBy("_pb_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_pb_n", sum("_pb_pc").over(Window.partitionBy(langCol)))
+      .select(col(langCol).as("_pb_ol"), col("_pb_pid").as("_pb_op"),
+        col("_pb_off"), col("_pb_n"))
+    val cuts = local
+      .join(broadcast(offs), col(langCol) <=> col("_pb_ol") &&
+        col("_pb_pid") === col("_pb_op"))
+      .withColumn("_pb_cum", col("_pb_lcum") + col("_pb_off"))
       .withColumn("_pb_b", explode(expr(s"sequence(1, ${nBuckets - 1})")))
       .withColumn("_pb_kb", expr(
         s"_pb_b * (_pb_n div $nBuckets)" +
@@ -201,7 +246,10 @@ object TextMetrics {
     val withB = p.join(broadcast(cuts.withColumnRenamed(langCol, "_pb_l")),
         col(langCol) <=> col("_pb_l"))
       .drop("_pb_l")
-    val isTie = expr("exists(_pb_bnds, bd -> bd.cut = ppl)")
+    // `<=>` everywhere ppl meets a cut: a NULL-ppl row (caller-supplied
+    // frames) must match its own NULL cut, and "above the cut" must
+    // treat NULL as smallest (nulls-first), or the row silently drops
+    val isTie = expr("exists(_pb_bnds, bd -> bd.cut <=> ppl)")
     val tied = withB.filter(isTie)
       .withColumn("_pb_trk", row_number().over(
         Window.partitionBy(col(langCol), col("ppl")).orderBy("doc_id"))
@@ -211,7 +259,8 @@ object TextMetrics {
     tied.unionByName(rest)
       .withColumn("bucket", expr(
         """1 + size(filter(_pb_bnds, bd ->
-          |  ppl > bd.cut OR (ppl = bd.cut AND _pb_trk > bd.need)))"""
+          |  (bd.cut IS NULL AND ppl IS NOT NULL) OR ppl > bd.cut
+          |  OR (ppl <=> bd.cut AND _pb_trk > bd.need)))"""
           .stripMargin).cast("bigint"))
       .select(p.columns.map(col) :+ col("bucket"): _*)
   }
@@ -236,53 +285,92 @@ object TextMetrics {
     * corpus-wide key anywhere.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    // NARROW per-doc kernel (r12): every signal here is a pure
+    // function of one doc's token array, so the r11 shape's five
+    // exchanges (pair groupBy, two doc-keyed windows, a distinct, a
+    // positional join) reproduced per-row math through the shuffle
+    // machinery. Instead: sort the doc's pair/shingle arrays in-row
+    // and scan —
+    //  - top 2-gram: longest run in the SORTED pair array (ascending
+    //    scan keeps the FIRST maximal run, which IS the (cnt desc,
+    //    a asc, b asc) tie-break);
+    //  - dup-5-gram coverage: sorted (shingle, pos) array → positions
+    //    whose value has an equal neighbor are the duplicated spans'
+    //    starts → one interval-union fold sums the covered token
+    //    chars (overlaps counted once, same as the r11 distinct).
+    // Zero exchanges: scan → project → project, whatever the corpus
+    // size; per-row cost is O(tokens · log tokens) (the array sorts),
+    // per-row memory O(tokens) — the minhashWideNarrow convention.
+    // ProbePx71 A/Bs this kernel against the r11 shuffle shape.
     val tk = docs.select(col("doc_id"),
       coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
         array().cast("array<string>")).as("tk"))
-      .withColumn("tot", expr(
-        "aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
-    val pairs = tk
-      .select(col("doc_id"), col("tot"), explode(expr(
-        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
-          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
-          |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
-      .groupBy(col("doc_id"), col("tot"),
-        col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
-    val top2 = pairs
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id")
-          .orderBy(desc("cnt"), asc("a"), asc("b"))))
-      .filter(col("rk") === 1)
-      .select(col("doc_id"), expr(
-        "round(cnt * (length(a) + length(b)) / CAST(tot AS DOUBLE), 6)")
-        .as("top2_frac"))
-    val sh = tk.select(col("doc_id"),
-      posexplode(TextOps.shinglesFromToks(col("tk"), 5)).as(Seq("i0", "s")))
-    val dupPos = sh
-      .withColumn("c", count(lit(1)).over(
-        Window.partitionBy("doc_id", "s")))
-      .filter(col("c") >= 2)
-      .select(col("doc_id"),
-        explode(sequence(col("i0") + 1, col("i0") + 5)).as("pos"))
-      .distinct()
-    val tkpos = tk
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"),
-        length(col("tok")).as("len"))
-    val dupChars = tkpos.join(dupPos, Seq("doc_id", "pos"))
-      .groupBy("doc_id")
-      .agg(expr("CAST(sum(len) AS BIGINT)").as("dchars"))
-    tk.select(col("doc_id"), expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
-        col("tot"))
-      .join(top2, Seq("doc_id"), "left")
-      .join(dupChars, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
-        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
-        coalesce(expr(
-          "round(dchars / CAST(nullif(tot, 0) AS DOUBLE), 6)"), lit(0.0))
-          .as("dup5_char_frac"))
+    // heavy derived arrays in their OWN projection (the shingleRows
+    // convention): referenced repeatedly below, so CollapseProject
+    // keeps them from being inlined (= recomputed) per use
+    val staged = tk.select(col("doc_id"), col("tk"),
+      expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
+      expr("aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+        .as("tot"),
+      expr(
+        """array_sort(zip_with(
+          |  slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |  slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |  (x, y) -> struct(x AS a, y AS b)))""".stripMargin)
+        .as("_rs_pairs"),
+      array_sort(transform(TextOps.shinglesFromToks(col("tk"), 5),
+        (s, i) => struct(s.as("s"), i.as("i")))).as("_rs_si"))
+    // duplicated-shingle span starts, in position order: an element of
+    // the (shingle, pos)-sorted array is duplicated iff a NEIGHBOR
+    // holds the same shingle
+    val starts = staged.withColumn("_rs_ds", expr(
+      """array_sort(filter(transform(sequence(1, size(_rs_si)), j -> IF(
+        |    (j > 1 AND element_at(_rs_si, j).s = element_at(_rs_si, j - 1).s)
+        | OR (j < size(_rs_si)
+        |     AND element_at(_rs_si, j).s = element_at(_rs_si, j + 1).s),
+        |  element_at(_rs_si, j).i, CAST(NULL AS INT))),
+        |  x -> x IS NOT NULL))""".stripMargin))
+    starts.select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
+      // longest-run scan over the sorted pairs; ONLY a strictly longer
+      // run replaces the best, so ties keep the lexicographically
+      // smallest pair — the (cnt desc, a asc, b asc) contract
+      expr(
+        """aggregate(_rs_pairs,
+          |  named_struct('pa', CAST(NULL AS STRING), 'pb', CAST(NULL AS STRING),
+          |    'run', CAST(0 AS BIGINT),
+          |    'ba', CAST(NULL AS STRING), 'bb', CAST(NULL AS STRING),
+          |    'bc', CAST(0 AS BIGINT)),
+          |  (s, x) -> IF(s.pa <=> x.a AND s.pb <=> x.b,
+          |    named_struct('pa', s.pa, 'pb', s.pb, 'run', s.run + 1,
+          |      'ba', s.ba, 'bb', s.bb, 'bc', s.bc),
+          |    named_struct('pa', x.a, 'pb', x.b, 'run', CAST(1 AS BIGINT),
+          |      'ba', IF(s.run > s.bc, s.pa, s.ba),
+          |      'bb', IF(s.run > s.bc, s.pb, s.bb),
+          |      'bc', greatest(s.run, s.bc))),
+          |  s -> IF(greatest(s.run, s.bc) = 0 OR tot = 0,
+          |    CAST(0.0 AS DOUBLE),
+          |    round(IF(s.run > s.bc,
+          |        s.run * (length(s.pa) + length(s.pb)),
+          |        s.bc * (length(s.ba) + length(s.bb)))
+          |      / CAST(tot AS DOUBLE), 6)))""".stripMargin)
+        .as("top2_frac"),
+      // interval-union fold over the ordered span starts: span i0
+      // covers token positions i0+1 .. i0+5 (1-based); 'last' clamps
+      // the next span's low end so overlapping chars count once.
+      // last <= i0+4 for every successor (starts are distinct and
+      // ascending), so the inner sequence is never descending
+      expr(
+        """IF(tot = 0, CAST(0.0 AS DOUBLE),
+          |  round(aggregate(_rs_ds,
+          |    named_struct('ch', CAST(0 AS BIGINT), 'last', -1),
+          |    (st, i0) -> named_struct(
+          |      'ch', st.ch + aggregate(
+          |        sequence(greatest(i0 + 1, st.last + 1), i0 + 5),
+          |        CAST(0 AS BIGINT),
+          |        (a, p) -> a + length(element_at(tk, p))),
+          |      'last', i0 + 5),
+          |    st -> st.ch) / CAST(tot AS DOUBLE), 6))""".stripMargin)
+        .as("dup5_char_frac"))
   }
 
   /** Within-doc repetition ratio over n-token shingles (the Gopher
@@ -510,7 +598,8 @@ object TextMetrics {
     val covered = hs.join(broadcast(bench.select("sh").distinct()), Seq("sh"))
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
-      .distinct()
+    // no distinct(): the kernel's collect_set dedups positions with
+    // map-side combine — one exchange fewer on the hit stream
     scrubByCoveredPositions(tk, covered)
   }
 
@@ -533,8 +622,15 @@ object TextMetrics {
     */
   private[pipeline] def scrubByCoveredPositions(
       tk: DataFrame, covered: DataFrame): DataFrame = {
+    // collect_SET (r12): duplicate (doc, pos) hits — overlapping
+    // spans, repeated benchmark shingles — dedup inside the
+    // aggregation buffer with map-side combine, so callers don't need
+    // a corpus-exchange distinct() ahead of this kernel; n_removed =
+    // size(cov) needs distinct positions and now gets them here. The
+    // buffer stays bounded by the doc's token count; element order is
+    // irrelevant (array_except + size are the only consumers).
     val covArr = covered.groupBy("doc_id")
-      .agg(collect_list(col("pos")).as("_sc_cov"))
+      .agg(collect_set(col("pos")).as("_sc_cov"))
     tk.join(covArr, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("_sc_cov").isNull, concat_ws(" ", col("tk")))

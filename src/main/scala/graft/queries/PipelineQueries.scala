@@ -456,20 +456,27 @@ object PipelineQueries {
     Decl(
       "px27_minhash_estimate",
       (s, dir) => {
-        // NO persist (round-4 A/B, ProbePx27, 3 rounds at sf0.1):
-        // recompute-in-parallel 2.3–2.9 s vs 3.8–8.1 s with the
-        // round-3 eager persists — the three serialized
-        // persist+count actions and the columnar cache build cost more
-        // than recomputing the minhash subtrees in parallel stages now
-        // that the exact side is candidate-pruned (r2's 17.3 s was the
-        // UNPRUNED whole-corpus exact side, not the recompute per se;
-        // a LAZY persist remains the worst of all — consumer stages
-        // race on uncomputed cache partitions, measured 30 s storms).
-        // At 100 TB the wide signatures are a WRITTEN artifact next to
-        // the corpus (one pass, reused by every downstream job), never
-        // an in-query cache — same resolution as ir30's tf.
+        // LAZY localCheckpoint on the wide signatures (r12 re-
+        // adjudication, ProbePx27 under the §0g full-output yardstick):
+        // the r4 "recompute beats persist" verdict was measured under
+        // count() forcing, which column-pruned the a/b branches'
+        // minhash aggregations to near-skeletons — recompute only
+        // LOOKED free. With every branch executing for real, the
+        // persist matrix at sf0.1 (3 rounds, warm):
+        //   recompute 3.0–3.7 s / persist(wide) 4.3–5.1 / persist-all
+        //   3.7–3.9 / EAGER lcp 2.4–2.7 / LAZY lcp 1.8–2.3 s.
+        // persist() still loses (columnar cache build + serialized
+        // count actions), but an RDD-backed localCheckpoint computes
+        // the signature pass ONCE with none of that overhead — the
+        // r4 note's "lazy persist storms" was a .persist() artifact,
+        // not a laziness one (perplexityBuckets' lazy localCheckpoint
+        // precedent). At 100 TB the wide signatures are a WRITTEN
+        // artifact next to the corpus (one pass, reused by every
+        // downstream job) — the checkpoint is that artifact's in-query
+        // stand-in, same resolution as ir30's tf.
         val wide = graft.pipeline.Dedup
           .minhashWide(Tables(s, dir, "documents"))
+          .localCheckpoint(false)
         val cands = graft.pipeline.Dedup
           .candidatesFromBands(graft.pipeline.Dedup.bandSigs(wide))
         // Agreement as a ROW-LEVEL expression over the wide signatures:

@@ -6,12 +6,31 @@ import graft.text.TextOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** px27 persist-matrix probe (round-12 re-adjudication).
+  *
+  * The r4 "recompute beats persist" verdict was taken under the
+  * count() forcing semantics BENCH_NOTES §0g later showed to prune
+  * plans: under count(), the a/b signature joins only needed doc_id,
+  * so the 2nd/3rd minhashWide recomputes were column-pruned to
+  * near-skeletons and "recompute" was measured against an artificially
+  * tiny cost. Under the honest toRdd yardstick every recompute pays
+  * the full 16-min aggregation, so the A/B must be re-run with the
+  * full-output forcing (this probe) across persist subsets:
+  *   none        — the shipped r11 shape (3 real minhash passes)
+  *   wide        — eager-persist the wide signatures only
+  *   wide+cands  — also the LSH candidate pairs
+  *   all         — r3's everything-eager shape (wide, cands, shingles)
+  *
+  * Usage: sbt "runMain graft.tools.ProbePx27" → probes + BENCH_NOTES.
+  */
 object ProbePx27 {
-  def body(s: SparkSession, dir: String, eager: Boolean): DataFrame = {
-    def mat(df: DataFrame): DataFrame =
-      if (eager) { val p = df.persist(); p.count(); p } else df
-    val wide = mat(Dedup.minhashWide(Tables(s, dir, "documents")))
-    val cands = mat(Dedup.candidatesFromBands(Dedup.bandSigs(wide)))
+  def body(s: SparkSession, dir: String, persist: Set[String]): DataFrame = {
+    def mat(key: String)(df: DataFrame): DataFrame =
+      if (persist(s"lcpE:$key")) df.localCheckpoint(true)
+      else if (persist(s"lcpL:$key")) df.localCheckpoint(false)
+      else if (persist(key)) { val p = df.persist(); p.count(); p } else df
+    val wide = mat("wide")(Dedup.minhashWide(Tables(s, dir, "documents")))
+    val cands = mat("cands")(Dedup.candidatesFromBands(Dedup.bandSigs(wide)))
     val a = wide.select(col("doc_id").as("d1") +:
       (0 until 16).map(i => col(s"m$i").as(s"a$i")): _*)
     val b = wide.select(col("doc_id").as("d2") +:
@@ -25,7 +44,7 @@ object ProbePx27 {
       .unionByName(cands.select(col("d2").as("doc_id"))).distinct()
     val candTexts = Tables(s, dir, "documents")
       .join(candDocs, Seq("doc_id"), "left_semi")
-    val ds = mat(TextOps.shingleRows(candTexts, 3)
+    val ds = mat("ds")(TextOps.shingleRows(candTexts, 3)
       .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
       .distinct())
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("sz"))
@@ -51,12 +70,22 @@ object ProbePx27 {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
-    for (r <- 1 to 3) {
-      t(s"eager-$r") { val n = body(s, dir, eager = true).count()
+    val modes =
+      if (args.contains("lcp")) Seq(
+        "none" -> Set.empty[String],
+        "lcpE-wide" -> Set("lcpE:wide"),
+        "lcpL-wide" -> Set("lcpL:wide"))
+      else Seq(
+        "none" -> Set.empty[String],
+        "wide" -> Set("wide"),
+        "wide+cands" -> Set("wide", "cands"),
+        "all" -> Set("wide", "cands", "ds"))
+    for (r <- 1 to 3; (label, ps) <- modes)
+      t(s"$label-$r") {
+        // full-output forcing (BENCH_NOTES §0g): count() would prune
+        // jac_est/jac_exact and half the minhash work out of the plan
+        val n = graft.Bench.materialize(body(s, dir, ps))
         s.catalog.clearCache(); n }
-      t(s"lazy-$r") { val n = body(s, dir, eager = false).count()
-        s.catalog.clearCache(); n }
-    }
     s.stop()
   }
 }

@@ -55,6 +55,9 @@ object SkewProbe {
 
     import spark.implicits._
     if (!args.contains("only69")) {
+    // only68: skip the px69 half (r12 — fills the 10M-doc px68 cell
+    // the r11 run left empty; the score chain dominates wall time at
+    // that N, so the px69 half is measured separately)
     // ---- px68 shapes: shared per-doc scored frame, materialized ----
     val p = graft.pipeline.TextMetrics.perplexity(big)
       .join(big.select(col("doc_id"), col("lang")), Seq("doc_id"))
@@ -80,6 +83,10 @@ object SkewProbe {
       r.map(_._3).sum
     }
     require(winB == cutB, s"px68 shapes diverged")
+    }
+    if (args.contains("only68")) {
+      println(s"""[skew] {"phase":"equal","px68":true}""")
+      spark.stop(); return
     }
 
     // ---- px69 shapes: end-to-end on the slim (doc_id, lang) frame ----

@@ -92,6 +92,27 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("px68 buckets: NULL ppl rows bucket nulls-first, not dropped (caller frames)") {
+    // the internal perplexity() never emits NULL, but the assignment
+    // half is public for caller-supplied px29 artifacts — a NULL ppl
+    // must land where Spark's own ntile window puts it (nulls first),
+    // including when a CUT itself falls on a NULL-ppl row
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val p = Seq(
+      (1L, None: Option[Double], "en"), (2L, None: Option[Double], "en"),
+      (3L, Some(2.0), "en"), (4L, Some(3.0), "en"),
+      (10L, Some(1.0), "fr"))
+      .toDF("doc_id", "ppl", "lang")
+    val got = graft.pipeline.TextMetrics
+      .perplexityBucketsFromScores(p, 3)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+    val expect = p.withColumn("bucket", ntile(3).over(w).cast("bigint"))
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got == expect, s"got $got expect $expect")
+  }
+
   test("px68 buckets: NULL-language docs are a language of their own, not dropped") {
     // web corpora have docs with missing language metadata; the r10
     // ntile window bucketed them in their own partition — the cut-point
