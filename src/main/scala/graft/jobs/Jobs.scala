@@ -579,6 +579,52 @@ object Jobs {
       .text(out + "_report")
   }
 
+  /** Bounds the small-file growth of the admit cycle's append-only
+    * stores: [[admitCycle]] and [[prepareTrainingData]] append a few
+    * parquet files to `sigStore`/`storeCorpus` per batch, so months of
+    * micro-batches turn each store into a many-small-files table —
+    * the same slow leak the r11 verdict-ledger partitioning fixed for
+    * the ledger, closed here for the stores. Rewrites the dir to
+    * ~`targetFileBytes`-sized files with a NARROW coalesce (no
+    * shuffle — compaction is a layout operation), then swaps:
+    * write `_compact_tmp` → rename store → `_compact_old` → rename
+    * tmp → store → delete old. Plain filesystems have no atomic
+    * two-directory swap; a crash between the renames leaves
+    * `_compact_old` present and the store path missing, and the next
+    * run recovers by renaming it back (done on entry here). Rows are
+    * preserved as-is, duplicate retry rows included — they change no
+    * verdict (admitCycle's contract), and dropping them would make
+    * compaction a semantic operation instead of a layout one. Run
+    * under the same single-writer discipline the append ordering
+    * already assumes; for concurrent-safe compaction point the
+    * stores at a transactional table format.
+    */
+  def compactStore(spark: SparkSession, path: String,
+                   targetFileBytes: Long = 512L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val old = new Path(path + "_compact_old")
+    val tmp = new Path(path + "_compact_tmp")
+    if (fs.exists(old) && !fs.exists(p))
+      require(fs.rename(old, p),
+        s"compactStore: crash recovery rename failed: $old -> $p")
+    require(fs.exists(p), s"compactStore: no store at $path")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+      .min(Int.MaxValue.toLong).toInt
+    spark.read.parquet(path).coalesce(n)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    require(fs.rename(p, old), s"compactStore: rename failed: $p -> $old")
+    require(fs.rename(tmp, p), s"compactStore: rename failed: $tmp -> $p")
+    fs.delete(old, true)
+    // this session's shared file-status cache may still list the
+    // pre-swap files; drop it so the next read sees the compact layout
+    spark.catalog.refreshByPath(path)
+  }
+
   /** The whole last mile in one job: corpus in → training examples
     * out, composed from the already-gated stages — Gopher gate, exact
     * + near dedup, span-surgical benchmark decontamination, overlap
@@ -770,31 +816,60 @@ object Jobs {
       .persist() // consumed by vocab AND the word-id table
     val voc = Bpe.vocab(dict).persist()
     try {
+      // NO broadcast hints on the dictionary joins (r12): only the
+      // TRAINING dictionary is minCount-capped — the encode dictionary
+      // is the full vocabulary, which grows with corpus size (hapaxes),
+      // so a hard broadcast hint would exceed driver/broadcast limits
+      // at scale. The planner broadcasts when statistics allow and
+      // degrades to a shuffle join when they don't.
       val wid = dict
         .select(col("w"), posexplode(col("syms")).as(Seq("sp", "sym")))
-        .join(broadcast(voc.select("sym", "id")), Seq("sym"))
+        .join(voc.select("sym", "id"), Seq("sym"))
         .groupBy("w")
         .agg(transform(array_sort(collect_list(struct(col("sp"), col("id")))),
           x => x.getField("id")).as("wids"))
-      // per-doc ordered id stream -> fixed-length examples
-      val stream = docs
+      // examples CUT WITHOUT materializing any doc's full id stream
+      // (r12): the old groupBy(doc_id) + flatten(collect_list(...))
+      // built one aggregation buffer holding EVERY id of a doc —
+      // collect_list buffers cannot spill mid-group, so a book-length
+      // doc (10M tokens ≈ 80 MB of longs) was an unspillable buffer
+      // and a multi-GB row downstream. Instead: a doc-keyed WINDOW
+      // (spillable sort) assigns each word its id-stream offset, each
+      // word is sliced onto the example(s) it overlaps, and the
+      // aggregation key is (doc_id, example#) — no buffer ever exceeds
+      // seqLen ids, whatever the doc length.
+      import org.apache.spark.sql.expressions.Window
+      val words = docs
         .select(col("doc_id"), posexplode(expr(
           "filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')"))
           .as(Seq("p", "w")))
-        .join(broadcast(wid), Seq("w"))
-        .groupBy("doc_id")
+        .join(wid, Seq("w"))
+        .withColumn("nid", size(col("wids")))
+        .withColumn("off", sum("nid").over(
+          Window.partitionBy("doc_id").orderBy("p")) - col("nid"))
+      // a word's ids sit at global 0-based positions off .. off+nid-1;
+      // example k owns positions k*seqLen .. (k+1)*seqLen-1, so the
+      // word overlaps examples (off div seqLen) .. ((off+nid-1) div
+      // seqLen) and contributes the matching slice to each
+      val pieces = words
+        .select(col("doc_id"), col("p"), col("off"), col("nid"),
+          col("wids"), explode(expr(
+            s"sequence(off div $seqLen, (off + nid - 1) div $seqLen)"))
+            .as("k"))
+        .select(col("doc_id"), col("k"), col("p"), expr(
+          s"""slice(wids, greatest(k * $seqLen - off, 0) + 1,
+             |  least(nid, (k + 1) * $seqLen - off)
+             |    - greatest(k * $seqLen - off, 0))""".stripMargin)
+          .as("piece"))
+      val examples = pieces
+        .groupBy("doc_id", "k")
         .agg(flatten(transform(
-          array_sort(collect_list(struct(col("p"), col("wids")))),
-          x => x.getField("wids"))).as("ids"))
-      val examples = stream
-        .withColumn("nw", expr(
-          s"CAST(ceil(size(ids) / CAST($seqLen AS DOUBLE)) AS INT)"))
-        .select(col("doc_id"), col("ids"),
-          explode(expr("sequence(0, nw - 1)")).as("k"))
+          array_sort(collect_list(struct(col("p"), col("piece")))),
+          x => x.getField("piece"))).as("ids"))
         .select(
           concat(col("doc_id").cast("string"), lit("_"),
             col("k").cast("string")).as("example_id"),
-          expr(s"slice(ids, k * $seqLen + 1, $seqLen)").as("ids"))
+          col("ids"))
         .withColumn("n_ids", size(col("ids")).cast("long"))
         .persist() // two actions: the shard write + the report agg
       try {
@@ -1223,6 +1298,8 @@ object Jobs {
           nShards :: sigs :: storeCorp :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,
           nShards.toInt, sigStore = sigs, storeCorpus = storeCorp)
+      case "CompactStore" :: paths if paths.nonEmpty =>
+        paths.foreach(p => compactStore(spark, p))
       case "IncrementalDedup" :: sigs :: corpus :: batch :: out :: rest
           if rest.isEmpty || rest == List("admit") =>
         incrementalDedup(spark, sigs, corpus, batch, out,

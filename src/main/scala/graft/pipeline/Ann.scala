@@ -216,13 +216,18 @@ object Ann {
       s"""CAST(raise_error(concat('randomProject: vector dim ',
          |  CAST(size($embCol) AS STRING), ' != dIn $dIn'))
          |  AS ARRAY<FLOAT>)""".stripMargin))
+    // a NULL embedding yields a genuinely NULL proj COLUMN VALUE, not
+    // an array of dOut NULL elements (which the per-dim folds would
+    // otherwise produce — downstream proj.isNull checks would miss
+    // those rows)
     emb.select(col(idCol),
-      transform(sequence(lit(0), lit(dOut - 1)), j =>
-        round(
-          aggregate(
-            zip_with(guarded, element_at(mLit, j + 1),
-              (a, b) => a.cast("double") * b),
-            lit(0.0), (s, v) => s + v) / scale, 6)).as("proj"))
+      when(col(embCol).isNull, lit(null).cast("array<double>"))
+        .otherwise(transform(sequence(lit(0), lit(dOut - 1)), j =>
+          round(
+            aggregate(
+              zip_with(guarded, element_at(mLit, j + 1),
+                (a, b) => a.cast("double") * b),
+              lit(0.0), (s, v) => s + v) / scale, 6))).as("proj"))
   }
 
   private def requireDimMatches(df: DataFrame, embCol: String,

@@ -106,15 +106,15 @@ object Sharding {
     import org.apache.spark.sql.expressions.Window
     // NULL-language docs are a language of their own (grouping already
     // treats them so; plain equi-joins would silently drop them — the
-    // r10 shape's bug). Internally every join keys on `_tsl`, the
-    // language coalesced to a reserved NUL ("\\u0000") sentinel; original
-    // columns ride through untouched.
-    def tsl(c: Column): Column =
-      coalesce(c.cast("string"), lit("\u0000"))
+    // r10 shape's bug). Every internal join is NULL-SAFE (`<=>`) on
+    // the language value itself (r12) — the r11 NUL sentinel was
+    // documented as reserved but still collided with a real NUL-string
+    // language value; perplexityBucketsFromScores' <=> join is the
+    // convention. Internal frames carry the language as `_tsl`;
+    // original columns ride through untouched.
     val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
-      .withColumn("_tsl", tsl(col(langCol))).drop(langCol)
+      .select(col(langCol).as("_tsl"), col("n_docs"), col("quota"))
     val keyed = docs
-      .withColumn("_tsl", tsl(col(langCol)))
       .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
     // the histogram and cut passes need only (lang, id, hash) — a
     // ~25 B/row projection, lazily checkpointed so the two passes
@@ -122,7 +122,7 @@ object Sharding {
     // a plain narrow scan (checkpointing the whole corpus would be
     // the wrong shape at scale)
     val slim = keyed
-      .select(col("_tsl"), col(idCol), col("_tsh"),
+      .select(col(langCol).as("_tsl"), col(idCol), col("_tsh"),
         expr("shiftright(_tsh, 44)").as("bkt"))
       .localCheckpoint(false)
     val hist = slim
@@ -131,22 +131,25 @@ object Sharding {
     val bounds = hist
       .withColumn("cum", sum("c").over(
         Window.partitionBy("_tsl").orderBy("bkt")))
-      .join(quotas.select("_tsl", "quota"), Seq("_tsl"))
+      .join(quotas.select(col("_tsl").as("_tsq"), col("quota")),
+        col("_tsl") <=> col("_tsq"))
       .filter(col("cum") - col("c") < col("quota") &&
         col("quota") <= col("cum"))
-      .select(col("_tsl"), col("bkt"),
+      .select(col("_tsl").as("_tsb"), col("bkt").as("_tsbk"),
         (col("quota") - col("cum") + col("c")).as("need"))
     // exact cut pair: the need-th smallest (h, id) inside that bucket
     val cut = slim
-      .join(broadcast(bounds), Seq("_tsl", "bkt"))
+      .join(broadcast(bounds), col("_tsl") <=> col("_tsb") &&
+        col("bkt") === col("_tsbk"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("_tsl"), col("bkt"))
           .orderBy(col("_tsh"), col(idCol))).cast("bigint"))
       .filter(col("rk") === col("need"))
-      .select(col("_tsl"), col("_tsh").as("cut_h"),
+      .select(col("_tsl").as("_tsc"), col("_tsh").as("cut_h"),
         col(idCol).as("cut_id"))
-    val sel = quotas.join(cut, Seq("_tsl"), "left")
-    keyed.join(broadcast(sel), Seq("_tsl"))
+    val sel = quotas.join(cut, col("_tsl") <=> col("_tsc"), "left")
+      .drop("_tsc")
+    keyed.join(broadcast(sel), col(langCol) <=> col("_tsl"))
       .filter(col("quota") >= col("n_docs") ||
         (col("cut_h").isNotNull &&
           (col("_tsh") < col("cut_h") ||

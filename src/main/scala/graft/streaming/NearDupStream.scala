@@ -49,19 +49,25 @@ object NearDupStream {
     * (out of scope — compose with `Dedup.nearDupKeepers` upstream).
     *
     * Ledger layout: `verdictsDir/batch_id=N/…` (parquet partitioned by
-    * batch id). Consumers reading the whole ledger see `batch_id` as a
-    * partition column; the stream itself only ever probes one
-    * partition directory per micro-batch (the replay guard), so guard
+    * batch id), with a `_COMMITTED` marker file inside each partition
+    * written AFTER that batch's append returns. The marker — not the
+    * bare directory — is the replay guard (r12): a crash mid-commit
+    * leaves a partial partition, and treating its existence as "done"
+    * would silently drop the rest of the batch on restart; a
+    * marker-less partition is instead deleted and the batch redone.
+    * The stream only ever probes one marker per micro-batch, so guard
     * cost stays O(1) no matter how long the stream has been running.
     *
     * MIGRATION from the pre-r11 flat layout (root-level part files
     * with a batch_id DATA column): move each old batch's files into
     * `batch_id=N/` directories (dropping the now-partition column is
-    * optional — readers take the partition value) BEFORE restarting
-    * the stream. A mixed flat+partitioned directory is unreadable,
-    * and the directory probe cannot see flat-layout batches — a
-    * restart over an unmigrated ledger would replay (and re-append)
-    * the last flat batch.
+    * optional — readers take the partition value) and touch a
+    * `_COMMITTED` file in each BEFORE restarting the stream. A mixed
+    * flat+partitioned directory is unreadable, and the marker probe
+    * cannot see flat-layout batches — a restart over an unmigrated
+    * ledger would replay (and re-append) the last flat batch; an
+    * r11-partitioned ledger without markers would re-run its most
+    * recent batches (absorbed downstream, but wasteful).
     */
   def storeAdmitStream(docs: DataFrame, sigStore: String,
                        corpusDir: String, verdictsDir: String,
@@ -85,15 +91,27 @@ object NearDupStream {
         val spark = batch.sparkSession
         val part = new org.apache.hadoop.fs.Path(
           verdictsDir, s"batch_id=$id")
-        val done = part
-          .getFileSystem(spark.sessionState.newHadoopConf())
-          .exists(part)
-        if (!batch.isEmpty && !done) {
+        // "already appended" = the COMMIT MARKER exists, not the bare
+        // partition directory (r12): FileOutputCommitter moves task
+        // files into the partition dir BEFORE job commit completes, so
+        // a crash mid-commit leaves a partial directory — under the
+        // r11 directory probe a restart would see it and silently skip
+        // the rest of the batch forever. The marker is written strictly
+        // AFTER the parquet append returns; a replay that finds the
+        // directory without the marker deletes the partial partition
+        // and redoes the batch (exactly-once per batch on the ledger;
+        // the admitCycle store appends it redoes are absorbed by the
+        // downstream distinct()s, the existing at-least-once contract).
+        val fs = part.getFileSystem(spark.sessionState.newHadoopConf())
+        val marker = new org.apache.hadoop.fs.Path(part, "_COMMITTED")
+        if (!batch.isEmpty && !fs.exists(marker)) {
+          if (fs.exists(part)) fs.delete(part, true)
           graft.jobs.Jobs.admitCycle(spark, batch.toDF(),
             sigStore, corpusDir, threshold, admit = true)
             .withColumn("batch_id", lit(id))
             .write.partitionBy("batch_id").mode("append")
             .parquet(verdictsDir)
+          fs.create(marker, true).close()
         }
       }
       .option("checkpointLocation", checkpointDir)

@@ -126,4 +126,17 @@ class AnnSpec extends SparkSpec {
     // empty frames pass through empty; NULL embeddings stay null
     assert(Ann.randomProject(emb.limit(0), 64, 16).count() == 0)
   }
+
+  test("randomProject: NULL embedding yields a genuinely NULL proj value") {
+    import spark.implicits._
+    // a NULL input vector must produce proj IS NULL — not an array of
+    // dOut NULL elements, which downstream proj.isNull checks miss
+    val rows = Seq((1L, Some(Seq.fill(4)(1.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val out = Ann.randomProject(rows, 4, 2)
+    assert(out.filter(col("vec_id") === 2 && col("proj").isNull)
+      .count() == 1, out.collect().mkString(", "))
+    assert(out.filter(col("vec_id") === 1).head().getSeq[Double](1)
+      .size == 2)
+  }
 }

@@ -89,6 +89,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(v.size == 3, "every input doc must get a verdict row")
   }
 
+  test("tokenizeAndPack: book-length doc cuts losslessly with bounded buffers") {
+    // the r12 packing shape aggregates by (doc, example#), so no
+    // collect_list buffer ever holds more than seqLen ids — a long doc
+    // must cut into exactly-full examples (short tail allowed) whose
+    // concatenation decodes back to the document
+    val w = java.nio.file.Files
+      .createTempDirectory("tokpack_long").toString
+    val words = (0 until 3000).map(i => s"w${i % 7}")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      .write.parquet(s"$w/in")
+    graft.jobs.Jobs.tokenizeAndPack(spark, s"parquet:$w/in", s"$w/out",
+      kMerges = 4, seqLen = 16, seed = 1, nShards = 2)
+    val inv = spark.read.parquet(s"$w/out_vocab").select("sym", "id")
+      .as[(String, Long)].collect().map(_.swap).toMap
+    val ex = spark.read.parquet(s"$w/out")
+      .select("example_id", "ids").as[(String, Seq[Long])].collect()
+      .sortBy(_._1.split("_")(1).toInt)
+    assert(ex.length >= 100, s"expected many examples, got ${ex.length}")
+    ex.init.foreach { case (id, ids) =>
+      assert(ids.size == 16, s"$id not full: ${ids.size}") }
+    assert(ex.last._2.nonEmpty && ex.last._2.size <= 16)
+    assert(ex.flatMap(_._2).map(inv).mkString("") == words.mkString(""))
+  }
+
   test("chunkWindows: packed-win_id overflow fails LOUDLY, not silently") {
     import graft.pipeline.TextMetrics
     // a doc pushed past MaxWindowsPerDoc windows (win=stride=1 makes

@@ -629,6 +629,40 @@ class JobsSpec extends SparkSpec {
     assert(ex.sortBy(_._1).sameElements(ex2.sortBy(_._1)))
   }
 
+  test("CompactStore: layout-only — verdicts identical, file count shrinks") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compact").toString
+    val t = Map(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "solar wind over quiet hills brings dawn mist rain light",
+      3L -> "nine green bottles stand upon the old stone wall today",
+      4L -> "quick brown foxes jump over many lazy sleeping dogs here")
+    Seq((1L, t(1L))).toDF("doc_id", "text").write.parquet(s"$w/corpus")
+    graft.pipeline.Dedup.minhashWide(Seq((1L, t(1L)))
+      .toDF("doc_id", "text")).write.parquet(s"$w/sigs")
+    // three admit batches append small files to both stores
+    for (i <- 2L to 4L)
+      Jobs.admitCycle(spark, Seq((i, t(i))).toDF("doc_id", "text"),
+        s"$w/sigs", s"$w/corpus", 0.5, admit = true).count()
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.startsWith("part-"))
+    val (cb, sb) = (parts(s"$w/corpus"), parts(s"$w/sigs"))
+    assert(cb >= 4 && sb >= 4, s"stores should have piled up files: $cb/$sb")
+    val probe = Seq((100L, t(2L)),
+      (101L, "totally novel words never seen in any store row before now"))
+      .toDF("doc_id", "text")
+    def verdict() = Jobs.admitCycle(spark, probe, s"$w/sigs",
+      s"$w/corpus", 0.5, admit = false).select("doc_id", "dup_of")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    val before = verdict()
+    assert(before == Seq((100L, Some(2L)), (101L, None)), before.toString)
+    Jobs.compactStore(spark, s"$w/corpus")
+    Jobs.compactStore(spark, s"$w/sigs")
+    assert(parts(s"$w/corpus") < cb && parts(s"$w/sigs") < sb,
+      "compaction must reduce the file count")
+    assert(verdict() == before, "compaction changed a verdict")
+  }
+
   test("ExactSubstrDedup: duplicated span excised corpus-wide, keeper intact") {
     import spark.implicits._
     val w = Files.createTempDirectory("exsub").toString

@@ -92,6 +92,51 @@ class NearDupStreamSpec extends SparkSpec {
     assert(v(20L).contains(11L), s"round-2 verdict lost the admit: $v")
   }
 
+  test("storeAdmitStream: marker-less partial partition replays; marked one skips") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("storeadmit_marker").toString
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val textB = "red blue gree yellow purple orange black white brown" +
+      " pink cyan teal navy gold silver maroon olive coral beige plum"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$work/corpus")
+    Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
+    // the crash-mid-commit state: batch 0's partition directory exists
+    // (FileOutputCommitter moved task files in) but the job never
+    // committed — no _COMMITTED marker
+    val part = new java.io.File(s"$work/verdicts/batch_id=0")
+    part.mkdirs()
+    val stale = new java.io.File(part, "part-stale.parquet")
+    stale.createNewFile()
+
+    Seq((10L, textX), (11L, textB)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$work/in")
+    def run(ckpt: String): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .parquet(s"$work/in")
+      NearDupStream.storeAdmitStream(stream, s"$work/sigs",
+        s"$work/corpus", s"$work/verdicts", s"$work/$ckpt")
+        .awaitTermination()
+    }
+    run("ckpt1")
+    // the partial partition was deleted and the batch redone in full
+    assert(!stale.exists(), "stale partial file must not survive replay")
+    assert(new java.io.File(part, "_COMMITTED").exists(), "marker written")
+    val v1 = spark.read.parquet(s"$work/verdicts")
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect()
+    assert(v1.length == 2 &&
+      v1.toMap == Map(10L -> Some(1L), 11L -> None), v1.mkString(", "))
+    // replay the SAME data as batch 0 from a FRESH checkpoint: the
+    // marker skips it — no duplicate ledger rows, no store growth
+    val sigRows = spark.read.parquet(s"$work/sigs").count()
+    run("ckpt2")
+    assert(spark.read.parquet(s"$work/verdicts").count() == 2,
+      "marked batch must not append again")
+    assert(spark.read.parquet(s"$work/sigs").count() == sigRows)
+  }
+
   test("collision pairs are exactly the batch LSH candidate pairs") {
     val ledger = spark.table("ndl_out") // from the previous test's run
     val streamPairs = ledger.filter(col("doc_id") =!= col("keeper"))
