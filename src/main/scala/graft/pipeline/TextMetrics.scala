@@ -285,92 +285,72 @@ object TextMetrics {
     * corpus-wide key anywhere.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    // NARROW per-doc kernel (r12): every signal here is a pure
-    // function of one doc's token array, so the r11 shape's five
-    // exchanges (pair groupBy, two doc-keyed windows, a distinct, a
-    // positional join) reproduced per-row math through the shuffle
-    // machinery. Instead: sort the doc's pair/shingle arrays in-row
-    // and scan —
-    //  - top 2-gram: longest run in the SORTED pair array (ascending
-    //    scan keeps the FIRST maximal run, which IS the (cnt desc,
-    //    a asc, b asc) tie-break);
-    //  - dup-5-gram coverage: sorted (shingle, pos) array → positions
-    //    whose value has an equal neighbor are the duplicated spans'
-    //    starts → one interval-union fold sums the covered token
-    //    chars (overlaps counted once, same as the r11 distinct).
-    // Zero exchanges: scan → project → project, whatever the corpus
-    // size; per-row cost is O(tokens · log tokens) (the array sorts),
-    // per-row memory O(tokens) — the minhashWideNarrow convention.
-    // ProbePx71 A/Bs this kernel against the r11 shuffle shape.
+    // LEAN shuffle shape (r12). Two alternatives were A/B'd
+    // (ProbePx71, probes/px71.log):
+    //  - a pure NARROW kernel (sorted in-row arrays + fold scans, zero
+    //    exchanges) LOST 1.3-1.4x at 160k docs — higher-order
+    //    functions are CodegenFallback, so per-element lambdas over
+    //    big arrays lose to Tungsten hash aggregation even after
+    //    paying the exchanges; the kernel is preserved in the probe as
+    //    the rejected branch;
+    //  - the r11 five-exchange shape (pair groupBy + rank window,
+    //    per-(doc,shingle) count window + positional distinct +
+    //    positional join) reproduced per-row math through shuffle
+    //    machinery it doesn't need.
+    // This shape keeps the Tungsten aggregation paths but halves the
+    // exchanges:
+    //  - top 2-gram: `min(struct(-cnt, a, b))` per doc — one
+    //    partial-aggregable pass instead of the rank window's full
+    //    exchange + sort ((-cnt, a, b) min IS the (cnt desc, a asc,
+    //    b asc) tie-break);
+    //  - dup-5-gram coverage: per-(doc, shingle) position lists,
+    //    duplicated shingles exploded to covered positions, one
+    //    collect_set per TOUCHED doc, chars summed by a narrow fold
+    //    against the token array (the scrub-kernel trick) — no
+    //    count window, no positional distinct, no positional join.
+    // Every key is doc-fine-grained; buffers are bounded by one doc's
+    // token count (the collect_set bound the scrub kernel documents).
     val tk = docs.select(col("doc_id"),
       coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
         array().cast("array<string>")).as("tk"))
-    // heavy derived arrays in their OWN projection (the shingleRows
-    // convention): referenced repeatedly below, so CollapseProject
-    // keeps them from being inlined (= recomputed) per use
-    val staged = tk.select(col("doc_id"), col("tk"),
-      expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
-      expr("aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
-        .as("tot"),
-      expr(
-        """array_sort(zip_with(
-          |  slice(tk, 1, greatest(size(tk) - 1, 0)),
-          |  slice(tk, 2, greatest(size(tk) - 1, 0)),
-          |  (x, y) -> struct(x AS a, y AS b)))""".stripMargin)
-        .as("_rs_pairs"),
-      array_sort(transform(TextOps.shinglesFromToks(col("tk"), 5),
-        (s, i) => struct(s.as("s"), i.as("i")))).as("_rs_si"))
-    // duplicated-shingle span starts, in position order: an element of
-    // the (shingle, pos)-sorted array is duplicated iff a NEIGHBOR
-    // holds the same shingle
-    val starts = staged.withColumn("_rs_ds", expr(
-      """array_sort(filter(transform(sequence(1, size(_rs_si)), j -> IF(
-        |    (j > 1 AND element_at(_rs_si, j).s = element_at(_rs_si, j - 1).s)
-        | OR (j < size(_rs_si)
-        |     AND element_at(_rs_si, j).s = element_at(_rs_si, j + 1).s),
-        |  element_at(_rs_si, j).i, CAST(NULL AS INT))),
-        |  x -> x IS NOT NULL))""".stripMargin))
-    starts.select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
-      // longest-run scan over the sorted pairs; ONLY a strictly longer
-      // run replaces the best, so ties keep the lexicographically
-      // smallest pair — the (cnt desc, a asc, b asc) contract
-      expr(
-        """aggregate(_rs_pairs,
-          |  named_struct('pa', CAST(NULL AS STRING), 'pb', CAST(NULL AS STRING),
-          |    'run', CAST(0 AS BIGINT),
-          |    'ba', CAST(NULL AS STRING), 'bb', CAST(NULL AS STRING),
-          |    'bc', CAST(0 AS BIGINT)),
-          |  (s, x) -> IF(s.pa <=> x.a AND s.pb <=> x.b,
-          |    named_struct('pa', s.pa, 'pb', s.pb, 'run', s.run + 1,
-          |      'ba', s.ba, 'bb', s.bb, 'bc', s.bc),
-          |    named_struct('pa', x.a, 'pb', x.b, 'run', CAST(1 AS BIGINT),
-          |      'ba', IF(s.run > s.bc, s.pa, s.ba),
-          |      'bb', IF(s.run > s.bc, s.pb, s.bb),
-          |      'bc', greatest(s.run, s.bc))),
-          |  s -> IF(greatest(s.run, s.bc) = 0 OR tot = 0,
-          |    CAST(0.0 AS DOUBLE),
-          |    round(IF(s.run > s.bc,
-          |        s.run * (length(s.pa) + length(s.pb)),
-          |        s.bc * (length(s.ba) + length(s.bb)))
-          |      / CAST(tot AS DOUBLE), 6)))""".stripMargin)
-        .as("top2_frac"),
-      // interval-union fold over the ordered span starts: span i0
-      // covers token positions i0+1 .. i0+5 (1-based); 'last' clamps
-      // the next span's low end so overlapping chars count once.
-      // last <= i0+4 for every successor (starts are distinct and
-      // ascending), so the inner sequence is never descending
-      expr(
-        """IF(tot = 0, CAST(0.0 AS DOUBLE),
-          |  round(aggregate(_rs_ds,
-          |    named_struct('ch', CAST(0 AS BIGINT), 'last', -1),
-          |    (st, i0) -> named_struct(
-          |      'ch', st.ch + aggregate(
-          |        sequence(greatest(i0 + 1, st.last + 1), i0 + 5),
-          |        CAST(0 AS BIGINT),
-          |        (a, p) -> a + length(element_at(tk, p))),
-          |      'last', i0 + 5),
-          |    st -> st.ch) / CAST(tot AS DOUBLE), 6))""".stripMargin)
-        .as("dup5_char_frac"))
+      .withColumn("tot", expr(
+        "aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
+    val pairs = tk
+      .select(col("doc_id"), col("tot"), explode(expr(
+        """zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |         slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("p"))
+      .groupBy(col("doc_id"), col("tot"),
+        col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val top2 = pairs
+      .groupBy("doc_id")
+      .agg(min(struct((-col("cnt")).as("nc"), col("a"), col("b")))
+        .as("t"), max("tot").as("tt"))
+      .select(col("doc_id"), expr(
+        "round((-t.nc) * (length(t.a) + length(t.b)) / CAST(tt AS DOUBLE), 6)")
+        .as("top2_frac"))
+    val sh = tk.select(col("doc_id"),
+      posexplode(TextOps.shinglesFromToks(col("tk"), 5)).as(Seq("i0", "s")))
+    val cov = sh
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"), collect_list(col("i0")).as("is"))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "flatten(transform(is, i0 -> sequence(i0 + 1, i0 + 5)))"))
+        .as("pos"))
+      .groupBy("doc_id").agg(collect_set(col("pos")).as("cov"))
+    tk.select(col("doc_id"), expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
+        col("tot"), col("tk"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
+        coalesce(col("top2_frac"), lit(0.0)).as("top2_frac"),
+        coalesce(expr(
+          """round(aggregate(cov, CAST(0 AS BIGINT),
+            |  (a, p) -> a + length(element_at(tk, p)))
+            |  / CAST(nullif(tot, 0) AS DOUBLE), 6)""".stripMargin),
+          lit(0.0)).as("dup5_char_frac"))
   }
 
   /** Within-doc repetition ratio over n-token shingles (the Gopher

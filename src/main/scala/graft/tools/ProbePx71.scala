@@ -70,6 +70,70 @@ object ProbePx71 {
           .as("dup5_char_frac"))
   }
 
+  /** The REJECTED pure-narrow kernel (zero exchanges; kept verbatim
+    * for the adjudication record): per-doc sorted arrays + fold scans.
+    * Lost 1.3-1.4x to the shuffle shapes at 160k docs — higher-order
+    * functions are CodegenFallback, so the per-element lambdas run
+    * interpreted while the shuffle shapes stay on Tungsten paths.
+    */
+  def narrowShape(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
+        array().cast("array<string>")).as("tk"))
+    val staged = tk.select(col("doc_id"), col("tk"),
+      expr("CAST(size(tk) AS BIGINT)").as("n_tok"),
+      expr("aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))")
+        .as("tot"),
+      expr(
+        """array_sort(zip_with(
+          |  slice(tk, 1, greatest(size(tk) - 1, 0)),
+          |  slice(tk, 2, greatest(size(tk) - 1, 0)),
+          |  (x, y) -> struct(x AS a, y AS b)))""".stripMargin)
+        .as("_rs_pairs"),
+      array_sort(transform(TextOps.shinglesFromToks(col("tk"), 5),
+        (s, i) => struct(s.as("s"), i.as("i")))).as("_rs_si"))
+    val starts = staged.withColumn("_rs_ds", expr(
+      """array_sort(filter(transform(sequence(1, size(_rs_si)), j -> IF(
+        |    (j > 1 AND element_at(_rs_si, j).s = element_at(_rs_si, j - 1).s)
+        | OR (j < size(_rs_si)
+        |     AND element_at(_rs_si, j).s = element_at(_rs_si, j + 1).s),
+        |  element_at(_rs_si, j).i, CAST(NULL AS INT))),
+        |  x -> x IS NOT NULL))""".stripMargin))
+    starts.select(col("doc_id"), col("n_tok"), col("tot").as("tot_chars"),
+      expr(
+        """aggregate(_rs_pairs,
+          |  named_struct('pa', CAST(NULL AS STRING), 'pb', CAST(NULL AS STRING),
+          |    'run', CAST(0 AS BIGINT),
+          |    'ba', CAST(NULL AS STRING), 'bb', CAST(NULL AS STRING),
+          |    'bc', CAST(0 AS BIGINT)),
+          |  (s, x) -> IF(s.pa <=> x.a AND s.pb <=> x.b,
+          |    named_struct('pa', s.pa, 'pb', s.pb, 'run', s.run + 1,
+          |      'ba', s.ba, 'bb', s.bb, 'bc', s.bc),
+          |    named_struct('pa', x.a, 'pb', x.b, 'run', CAST(1 AS BIGINT),
+          |      'ba', IF(s.run > s.bc, s.pa, s.ba),
+          |      'bb', IF(s.run > s.bc, s.pb, s.bb),
+          |      'bc', greatest(s.run, s.bc))),
+          |  s -> IF(greatest(s.run, s.bc) = 0 OR tot = 0,
+          |    CAST(0.0 AS DOUBLE),
+          |    round(IF(s.run > s.bc,
+          |        s.run * (length(s.pa) + length(s.pb)),
+          |        s.bc * (length(s.ba) + length(s.bb)))
+          |      / CAST(tot AS DOUBLE), 6)))""".stripMargin)
+        .as("top2_frac"),
+      expr(
+        """IF(tot = 0, CAST(0.0 AS DOUBLE),
+          |  round(aggregate(_rs_ds,
+          |    named_struct('ch', CAST(0 AS BIGINT), 'last', -1),
+          |    (st, i0) -> named_struct(
+          |      'ch', st.ch + aggregate(
+          |        sequence(greatest(i0 + 1, st.last + 1), i0 + 5),
+          |        CAST(0 AS BIGINT),
+          |        (a, p) -> a + length(element_at(tk, p))),
+          |      'last', i0 + 5),
+          |    st -> st.ch) / CAST(tot AS DOUBLE), 6))""".stripMargin)
+        .as("dup5_char_frac"))
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(1)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,9 +149,9 @@ object ProbePx71 {
 
     // outputs identical (checked once, full equality both directions)
     val a = graft.pipeline.TextMetrics.repetitionSignals(docs)
-    val b = oldShape(docs)
-    require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
-      "px71 shapes diverged")
+    for (b <- Seq(oldShape(docs), narrowShape(docs)))
+      require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "px71 shapes diverged")
 
     def t(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -95,8 +159,9 @@ object ProbePx71 {
       println(f"[px71] $label%-12s n=$n docs=$nd ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$r")
     }
     for (r <- 1 to 3) {
-      t(s"narrow-$r")(graft.pipeline.TextMetrics.repetitionSignals(docs))
-      t(s"shuffle-$r")(oldShape(docs))
+      t(s"lean-$r")(graft.pipeline.TextMetrics.repetitionSignals(docs))
+      t(s"r11-$r")(oldShape(docs))
+      t(s"narrow-$r")(narrowShape(docs))
     }
     spark.stop()
   }
