@@ -35,12 +35,15 @@ object ProbePx04g {
         .groupBy("pk").agg(count(lit(1)).as("inter"))
         .select(expr("shiftright(pk, 32)").as("d1"),
           expr("pk & 4294967295").as("d2"), col("inter"))
-      inter
+      val out = inter
         .join(sizes.select(col("doc_id").as("d1"), col("sz").as("sa")), Seq("d1"))
         .join(sizes.select(col("doc_id").as("d2"), col("sz").as("sb")), Seq("d2"))
         .withColumn("jac", expr("round(inter / (sa + sb - inter), 6)"))
         .orderBy(desc("jac"), asc("d1"), asc("d2"))
-        .limit(20).count()
+        .limit(20).select("d1", "d2", "inter", "jac")
+      // full-output forcing (r12; BENCH_NOTES 0g) — the r10 runs of
+      // this probe drove with count(), which pruned the jac column
+      graft.Bench.materialize(out)
     }
 
     def t(label: String)(f: => Long): Unit = {
@@ -52,17 +55,26 @@ object ProbePx04g {
     // pass `ckptfirst` to flip the order: round 1 carries the session's
     // first-codegen cost, so each shape must be measured holding lane 1
     val ckptFirst = args.contains("ckptfirst")
-    def one(r: Int, ckpt: Boolean): Unit =
-      if (ckpt) t(s"ckpt-$r") {
+    def one(r: Int, mode: String): Unit = mode match {
+      case "eager" => t(s"ckptE-$r") {
         val m = raw.localCheckpoint() // eager: build cost inside the timer
         val n = finish(m)
         m.unpersist(blocking = true)
         n
       }
-      else t(s"recompute-$r") { finish(raw) }
-    for (r <- 1 to 3) {
-      one(r, ckptFirst); one(r, !ckptFirst)
+      case "lazy" => t(s"ckptL-$r") {
+        // r12: the px27 re-adjudication (BENCH_NOTES 0h) showed LAZY
+        // localCheckpoint beating both recompute and the eager build
+        val m = raw.localCheckpoint(false)
+        val n = finish(m)
+        m.unpersist(blocking = true)
+        n
+      }
+      case _ => t(s"recompute-$r") { finish(raw) }
     }
+    val modes0 = Seq("recompute", "eager", "lazy")
+    val modes = if (ckptFirst) modes0.reverse else modes0
+    for (r <- 1 to 3; m <- modes) one(r, m)
     s.stop()
   }
 }
