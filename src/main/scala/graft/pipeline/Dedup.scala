@@ -542,7 +542,24 @@ object Dedup {
     * join anywhere (the property that makes span dedup feasible at
     * 100 TB where pairwise comparison is quadratic).
     */
-  def scrubDupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+  def scrubDupSpans(docs: DataFrame, n: Int = 5): DataFrame =
+    scrubDupSpans(docs, n, 1)
+
+  /** [[scrubDupSpans]] with Lee et al.'s MINIMUM MATCH LENGTH: only
+    * maximal covered RUNS of at least `minLen` tokens are excised
+    * (the paper removes duplicated substrings ≥ 50 tokens; an
+    * isolated duplicated n-gram — a common phrase — survives).
+    * Covered positions from non-first duplicated n-gram occurrences
+    * group into consecutive islands per doc (gaps-and-islands on a
+    * DOC-KEYED window over hit rows only); islands shorter than
+    * `minLen` are dropped, the rest are excised by the shared scrub
+    * kernel. `minLen <= n` is exactly [[scrubDupSpans]] (every
+    * covered island is ≥ n tokens by construction). Runs separated
+    * by < n untouched tokens merge through their overlapping covers —
+    * inherent to the n-gram approximation of the suffix-array method,
+    * same in both engines.
+    */
+  def scrubDupSpans(docs: DataFrame, n: Int, minLen: Int): DataFrame = {
     val tk = docs.select(col("doc_id"),
       coalesce(org.apache.spark.sql.functions.filter(
           TextOps.tokensCol(col("text")), t => t =!= ""),
@@ -568,7 +585,59 @@ object Dedup {
     // shared narrow removal kernel (array_except surgery on touched
     // docs, straight concat on the untouched majority) — see
     // TextMetrics.scrubByCoveredPositions
-    TextMetrics.scrubByCoveredPositions(tk, covered)
+    if (minLen <= n) TextMetrics.scrubByCoveredPositions(tk, covered)
+    else {
+      import org.apache.spark.sql.expressions.Window
+      val isl = covered.distinct()
+        .withColumn("_ds_g", col("pos") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("pos")))
+        .groupBy(col("doc_id"), col("_ds_g"))
+        .agg(min("pos").as("_ds_s"), max("pos").as("_ds_e"))
+        .filter(col("_ds_e") - col("_ds_s") + 1 >= minLen)
+        .select(col("doc_id"),
+          explode(sequence(col("_ds_s"), col("_ds_e"))).as("pos"))
+      TextMetrics.scrubByCoveredPositions(tk, isl)
+    }
+  }
+
+  /** DETECTION of long duplicated runs (the statistic behind
+    * [[scrubDupSpans]]'s minLen variant): maximal per-doc runs of
+    * consecutive corpus-duplicated n-gram starts, reported as token
+    * spans of length ≥ `minLen`. A copied block of m tokens yields
+    * one island of exactly m (its m−n+1 duplicated starts are
+    * consecutive); an isolated duplicated n-gram yields n < minLen
+    * and is not reported. All occurrences count (within-doc repeats
+    * included), matching the removal op's dup criterion — unlike
+    * [[dupSpans]]' distinct-doc detection statistic.
+    *
+    * → (doc_id, start_pos, end_pos, span_len), 1-based inclusive
+    * token positions. Scale: one hash-keyed dup aggregation, hits-only
+    * join back (the exchange under both is built once and reused),
+    * doc-keyed gaps-and-islands window over DUPLICATED starts only —
+    * O(tokens), no doc-pair join.
+    */
+  def dupRunSpans(docs: DataFrame, n: Int = 5, minLen: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = docs
+      .select(col("doc_id"),
+        posexplode(TextOps.shinglesCol(col("text"), n))
+          .as(Seq("i0", "s")))
+      .select(col("doc_id"), (col("i0") + 1).as("pos"),
+        DetHash.h60(col("s")).as("h"))
+    val dupH = sh.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    sh.join(dupH, Seq("h"))
+      .withColumn("_dr_g", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("_dr_g"))
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + (n - 1)).as("end_pos"))
+      .filter(col("end_pos") - col("start_pos") + 1 >= minLen)
+      .select(col("doc_id"),
+        col("start_pos").cast("bigint").as("start_pos"),
+        col("end_pos").cast("bigint").as("end_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("bigint")
+          .as("span_len"))
   }
 
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */

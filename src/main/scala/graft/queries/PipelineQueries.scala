@@ -2868,7 +2868,83 @@ object PipelineQueries {
               |    p -> CAST(embedding[p] AS DOUBLE) * srow[p])) / sqrt(16),
               |    6) AS v
               |FROM embeddings e CROSS JOIN m2""".stripMargin),
-      survey = Seq("EMB-RANDOM-PROJECTION"))
+      survey = Seq("EMB-RANDOM-PROJECTION")),
+
+    // Long-duplicated-run DETECTION (r12, Lee et al. 2022's minimum
+    // match length): maximal per-doc runs of consecutive corpus-
+    // duplicated 5-gram starts, reported as token spans >= 15 tokens —
+    // the statistic px75's removal acts on. Gaps-and-islands on a
+    // doc-keyed window over duplicated starts only.
+    Decl(
+      "px74_dup_run_spans",
+      (s, dir) => graft.pipeline.Dedup
+        .dupRunSpans(Tables(s, dir, "documents"), 5, 15),
+      Some(s"""WITH $duckToksList,
+              |st AS (SELECT doc_id,
+              |         unnest(generate_series(1, greatest(len(tk) - 4, 0)))
+              |           AS i, tk FROM tk),
+              |hs AS (SELECT doc_id, i,
+              |         ${H("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]" +
+                   " || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h FROM st),
+              |c AS (SELECT h FROM hs GROUP BY h HAVING count(*) >= 2),
+              |d AS (SELECT doc_id, i AS pos FROM hs
+              |      WHERE h IN (SELECT h FROM c)),
+              |g AS (SELECT doc_id, pos, pos - row_number() OVER (
+              |        PARTITION BY doc_id ORDER BY pos) AS grp FROM d),
+              |isl AS (SELECT doc_id, min(pos) AS s, max(pos) + 4 AS e
+              |        FROM g GROUP BY doc_id, grp)
+              |SELECT doc_id, CAST(s AS BIGINT) AS start_pos,
+              |  CAST(e AS BIGINT) AS end_pos,
+              |  CAST(e - s + 1 AS BIGINT) AS span_len
+              |FROM isl WHERE e - s + 1 >= 15""".stripMargin),
+      survey = Seq("DEDUP-DUP-RUNS")),
+
+    // ExactSubstr removal with MINIMUM MATCH LENGTH (r12 — the Lee et
+    // al. 2022 contract proper: only duplicated runs >= minLen tokens
+    // are excised, isolated duplicated 5-grams — common phrases —
+    // survive; px72 is the minLen=1 degenerate). Covered positions
+    // island-grouped per doc, short islands dropped, shared scrub
+    // kernel stitches.
+    Decl(
+      "px75_exactsubstr_minlen",
+      (s, dir) => graft.pipeline.Dedup
+        .scrubDupSpans(Tables(s, dir, "documents"), 5, 15),
+      Some(s"""WITH $duckToksList,
+              |st AS (SELECT doc_id,
+              |         unnest(generate_series(1, greatest(len(tk) - 4, 0)))
+              |           AS i, tk FROM tk),
+              |hs AS (SELECT doc_id, i,
+              |         ${H("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]" +
+                   " || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h FROM st),
+              |r AS (SELECT doc_id, i, row_number() OVER (
+              |        PARTITION BY h ORDER BY doc_id, i) AS rk,
+              |        count(*) OVER (PARTITION BY h) AS c FROM hs),
+              |cov AS (SELECT DISTINCT doc_id, pos FROM (
+              |        SELECT doc_id, i + os.o AS pos FROM r
+              |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)
+              |          os
+              |        WHERE c >= 2 AND rk > 1)),
+              |gi AS (SELECT doc_id, pos, pos - row_number() OVER (
+              |        PARTITION BY doc_id ORDER BY pos) AS grp FROM cov),
+              |lcov AS (SELECT doc_id, unnest(generate_series(s, e)) AS pos
+              |         FROM (SELECT doc_id, min(pos) AS s, max(pos) AS e
+              |               FROM gi GROUP BY doc_id, grp
+              |               HAVING max(pos) - min(pos) + 1 >= 15)),
+              |tp AS (SELECT doc_id, unnest(tk) AS tok,
+              |         unnest(generate_series(1, len(tk))) AS pos FROM tk),
+              |kept AS (SELECT doc_id, pos, tok FROM tp
+              |         WHERE NOT EXISTS (SELECT 1 FROM lcov
+              |           WHERE lcov.doc_id = tp.doc_id
+              |             AND lcov.pos = tp.pos)),
+              |ka AS (SELECT doc_id,
+              |         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+              |         count(*) AS n_kept FROM kept GROUP BY doc_id)
+              |SELECT t.doc_id, coalesce(ka.clean_text, '') AS clean_text,
+              |       coalesce(ka.n_kept, 0) AS n_kept,
+              |       t.n_tok - coalesce(ka.n_kept, 0) AS n_removed
+              |FROM (SELECT doc_id, len(tk) AS n_tok FROM tk) t
+              |LEFT JOIN ka USING (doc_id)""".stripMargin),
+      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

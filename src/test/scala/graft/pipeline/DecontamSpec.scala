@@ -79,4 +79,38 @@ class DecontamSpec extends SparkSpec {
     assert(m(3L) === (("m n o p q", 5L, 0L)))
     assert(m(4L) === (("k l m n o f g h i j", 10L, 5L)))
   }
+
+  test("minLen variant: long copied block excised, isolated dup 5-gram survives") {
+    import spark.implicits._
+    // a 20-token block B shared by docs 1 and 2; a single shared
+    // 5-gram between docs 3 and 4
+    val block = (1 to 20).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $block"),       // B at 4..23 (keeper)
+      (2L, s"$block delta epsilon zeta"),     // B at 1..20 -> excised
+      (3L, "p1 p2 p3 p4 p5 unique tail words follow now"), // keeper
+      (4L, "other start p1 p2 p3 p4 p5 closing words here"))
+      .toDF("doc_id", "text")
+
+    // detection reports ALL long-run occurrences, keeper included
+    val spans = Dedup.dupRunSpans(docs, 5, 15).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(spans == Set((1L, 4L, 23L, 20L), (2L, 1L, 20L, 20L)), spans)
+
+    // removal: only the non-first LONG run goes; the isolated dup
+    // 5-gram in doc 4 (island of 5 < 15) survives...
+    val m = Dedup.scrubDupSpans(docs, 5, 15).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L)._3 == 0L && m(1L)._2 == 23L)
+    assert(m(2L) === (("delta epsilon zeta", 3L, 20L)))
+    assert(m(3L)._3 == 0L)
+    assert(m(4L) === (("other start p1 p2 p3 p4 p5 closing words here",
+      10L, 0L)))
+    // ...whereas the minLen=1 base removes it
+    val base = Dedup.scrubDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(base(4L) == 5L, s"base variant must cut the short dup: $base")
+  }
 }
