@@ -2899,6 +2899,123 @@ object PipelineQueries {
               |FROM isl WHERE e - s + 1 >= 15""".stripMargin),
       survey = Seq("DEDUP-DUP-RUNS")),
 
+    // Cluster-balanced temperature mix (r12): the DoReMi/domain-
+    // balancing shape — balance the training mix by EMBEDDING CLUSTER
+    // instead of language metadata. Composes the px34 deterministic
+    // k-means labeling with px69's exact temperature selection, the
+    // cluster id standing in for the language key (temperatureSample
+    // is key-type agnostic; its de-skewed cut-point machinery carries
+    // over unchanged). Per cluster: quota, selected count, and the
+    // selection signature pinning exact membership cross-engine.
+    Decl(
+      "px76_cluster_balanced_mix",
+      (s, dir) => {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        def assign(cent: org.apache.spark.sql.DataFrame) =
+          e.join(cent, Seq("i"))
+            .withColumn("d", expr("(x - c) * (x - c)"))
+            .groupBy("vid", "cid").agg(sum("d").as("dist2"))
+            .withColumn("r", expr(
+              "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
+            .filter(col("r") === 1).select("vid", "cid")
+        val c0 = e.filter(col("vid") < 4)
+          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+        val c1 = e.join(assign(c0), Seq("vid"))
+          .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
+        val labels = assign(c1)
+        graft.pipeline.Sharding
+          .temperatureSample(labels, langCol = "cid", idCol = "vid")
+          .groupBy("cid")
+          .agg(max("quota").as("quota"), count(lit(1)).as("n_sel"),
+            expr("CAST(sum(vid) AS BIGINT)").as("sel_sig"))
+          .select(col("cid").cast("bigint").as("cid"), col("quota"),
+            col("n_sel"), col("sel_sig"))
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
+              |d1 AS (SELECT e.vid, c0.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c0 USING (i) GROUP BY e.vid, c0.cid),
+              |a1 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d1) t
+              |       WHERE r = 1),
+              |c1 AS (SELECT cid, i, sum(x) / count(x) AS c
+              |       FROM e JOIN a1 USING (vid) GROUP BY cid, i),
+              |d2 AS (SELECT e.vid, c1.cid, sum((x - c) * (x - c)) AS dist2
+              |       FROM e JOIN c1 USING (i) GROUP BY e.vid, c1.cid),
+              |a2 AS (SELECT vid, cid FROM (
+              |         SELECT vid, cid, row_number() OVER (PARTITION BY vid
+              |           ORDER BY round(dist2, 6), cid) AS r FROM d2) t
+              |       WHERE r = 1),
+              |per AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_docs
+              |        FROM a2 GROUP BY cid),
+              |x AS (SELECT cid, n_docs,
+              |    power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 3e-1)
+              |      AS pa,
+              |    sum(n_docs) OVER () AS td FROM per),
+              |q AS (SELECT cid, CAST(round(
+              |        round(pa / sum(pa) OVER (), 6) * (td // 2))
+              |      AS BIGINT) AS quota FROM x),
+              |r AS (SELECT a2.cid, a2.vid, row_number() OVER (
+              |        PARTITION BY a2.cid
+              |        ORDER BY ${DetHash.duckH60("CAST(vid AS VARCHAR)", 7)},
+              |                 vid) AS rk
+              |      FROM a2)
+              |SELECT CAST(r.cid AS BIGINT) AS cid, max(q.quota) AS quota,
+              |  count(*) AS n_sel, CAST(sum(r.vid) AS BIGINT) AS sel_sig
+              |FROM r JOIN q USING (cid) WHERE rk <= quota
+              |GROUP BY r.cid""".stripMargin),
+      survey = Seq("MIX-TEMPERATURE", "EMB-KMEANS")),
+
+    // Contamination DECISION RULE (r12): px24 counts shared shingles;
+    // published pipelines act on the per-doc overlap FRACTION — a doc
+    // is flagged once >= 10% of its distinct 5-grams hit the benchmark
+    // set (the GPT-3/PaLM-family n-gram-collision rule with the
+    // threshold as a knob). frac is 6-dp rounded BEFORE the compare so
+    // the verdict boundary is deterministic cross-engine (the
+    // round-then-compare contract); dirty rides as 0/1 INT.
+    Decl(
+      "px77_contam_fraction",
+      (s, dir) => {
+        val dsh = TextOps.shingleRows(Tables(s, dir, "documents"), 5)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+          .distinct()
+        val bench = dsh.filter(col("doc_id") < 50)
+          .select("sh").distinct()
+        val corpus = dsh.filter(col("doc_id") >= 50)
+        val tot = corpus.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+        val hit = corpus.join(bench, Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        tot.join(hit, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_grams"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("frac", expr("round(n_hit / n_grams, 6)"))
+          .withColumn("dirty",
+            expr("CAST(frac >= 1e-1 AS INT)"))
+      },
+      Some(s"""WITH $duckToksList,
+              |sh AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(tk) - 4, 0)),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+              |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+              |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
+              |bench AS (SELECT DISTINCT sh FROM dsh WHERE doc_id < 50),
+              |tot AS (SELECT doc_id, count(*) AS n_grams FROM dsh
+              |        WHERE doc_id >= 50 GROUP BY doc_id),
+              |hit AS (SELECT d.doc_id, count(*) AS n_hit
+              |        FROM dsh d JOIN bench USING (sh)
+              |        WHERE d.doc_id >= 50 GROUP BY d.doc_id)
+              |SELECT t.doc_id, t.n_grams, coalesce(h.n_hit, 0) AS n_hit,
+              |  round(coalesce(h.n_hit, 0) / t.n_grams, 6) AS frac,
+              |  CAST(round(coalesce(h.n_hit, 0) / t.n_grams, 6) >= 1e-1
+              |    AS INT) AS dirty
+              |FROM tot t LEFT JOIN hit h USING (doc_id)""".stripMargin),
+      survey = Seq("DECONTAM-EXACT")),
+
     // ExactSubstr removal with MINIMUM MATCH LENGTH (r12 — the Lee et
     // al. 2022 contract proper: only duplicated runs >= minLen tokens
     // are excised, isolated duplicated 5-grams — common phrases —
