@@ -2925,7 +2925,12 @@ object PipelineQueries {
           .select(col("vid").as("cid"), col("i"), col("x").as("c"))
         val c1 = e.join(assign(c0), Seq("vid"))
           .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
-        val labels = assign(c1)
+        // the label chain (two assignment rounds of joins + window)
+        // is consumed THREE times inside temperatureSample (quota
+        // table, slim histogram frame, final selection scan) — the
+        // px27/§0h lesson: lazily checkpoint the aggregation subtree
+        // once instead of recomputing it per consumer
+        val labels = assign(c1).localCheckpoint(false)
         graft.pipeline.Sharding
           .temperatureSample(labels, langCol = "cid", idCol = "vid")
           .groupBy("cid")
