@@ -103,7 +103,6 @@ object Sharding {
                         alphaE: String = "3e-1", targetDiv: Int = 2,
                         seed: Int = 7,
                         idCol: String = "doc_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // NULL-language docs are a language of their own (grouping already
     // treats them so; plain equi-joins would silently drop them — the
     // r10 shape's bug). Every internal join is NULL-SAFE (`<=>`) on
@@ -116,6 +115,37 @@ object Sharding {
       .select(col(langCol).as("_tsl"), col("n_docs"), col("quota"))
     val keyed = docs
       .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
+    val sel = cutBounds(keyed, quotas, langCol, idCol)
+    keyed.join(broadcast(sel), col(langCol) <=> col("_tsl"))
+      .filter(cutKeep(idCol))
+      .drop("_tsl", "_tsh", "n_docs", "cut_h", "cut_id")
+  }
+
+  /** The keep predicate against a [[cutBounds]] row: everything when
+    * the quota covers the language, else (h, id) ≤ (cut_h, cut_id).
+    * A language with no cut row (quota 0, or ≥ n_docs with the first
+    * disjunct) keeps nothing through the second disjunct. */
+  private def cutKeep(idCol: String): Column =
+    col("quota") >= col("n_docs") ||
+      (col("cut_h").isNotNull &&
+        (col("_tsh") < col("cut_h") ||
+          (col("_tsh") === col("cut_h") &&
+            col(idCol) <= col("cut_id"))))
+
+  /** The exact selection CUT per language — the two-pass histogram
+    * trick shared by [[temperatureSample]] and [[repeatBudgetMix]].
+    * `keyed` is the corpus with the seeded `_tsh` hash; `quotas` is
+    * the tiny (_tsl, n_docs, quota) table. Returns one broadcastable
+    * row per language: (_tsl, n_docs, quota, cut_h, cut_id), where
+    * (cut_h, cut_id) is the quota-th smallest pair (NULL when quota
+    * is 0 or ≥ n_docs). No corpus-sized exchange: pass 1 is a
+    * map-side-combined 16-bit-bucket histogram, pass 2 ranks ONLY the
+    * boundary bucket's rows (partitioned by (lang, bkt), never bare
+    * lang — PlanShapeSpec pins it).
+    */
+  private def cutBounds(keyed: DataFrame, quotas: DataFrame,
+                        langCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // the histogram and cut passes need only (lang, id, hash) — a
     // ~25 B/row projection, lazily checkpointed so the two passes
     // share one scan+hash; the final full-width selection pass stays
@@ -147,15 +177,76 @@ object Sharding {
       .filter(col("rk") === col("need"))
       .select(col("_tsl").as("_tsc"), col("_tsh").as("cut_h"),
         col(idCol).as("cut_id"))
-    val sel = quotas.join(cut, col("_tsl") <=> col("_tsc"), "left")
+    quotas.join(cut, col("_tsl") <=> col("_tsc"), "left")
       .drop("_tsc")
+  }
+
+  /** Per-language plan for a REPEAT-BUDGET mix — the upsampling half
+    * [[temperatureSample]] deliberately leaves out, under the
+    * data-constrained-scaling contract (Muennighoff et al. 2023:
+    * repeating data pays off up to ~4 epochs; UniMax, Chung et al.
+    * 2023: temperature sampling with a per-language epoch cap).
+    * Desired quota is [[tempQuotas]]' temperature rule, allowed to
+    * EXCEED a language's corpus; `allocated = min(quota,
+    * maxRepeat · n_docs)` caps the repetition; `full_epochs` whole
+    * passes plus an `n_partial`-doc partial epoch realize it exactly.
+    * `capped` marks a language that hit the epoch cap (its quota is
+    * unmet — the data card's "need more data here" signal).
+    * → (lang, n_docs, quota, allocated, full_epochs, n_partial,
+    * capped). Tiny: the [[tempQuotas]] aggregate plus narrow integer
+    * math.
+    */
+  def repeatBudgetPlan(docs: DataFrame, langCol: String = "lang",
+                       alphaE: String = "3e-1", targetDiv: Int = 2,
+                       maxRepeat: Int = 4): DataFrame = {
+    require(maxRepeat >= 1, s"need maxRepeat >= 1, got $maxRepeat")
+    tempQuotas(docs, langCol, alphaE, targetDiv)
+      .withColumn("allocated",
+        least(col("quota"), lit(maxRepeat.toLong) * col("n_docs")))
+      .withColumn("full_epochs", expr("allocated div n_docs"))
+      .withColumn("n_partial", expr("allocated % n_docs"))
+      .withColumn("capped", col("quota") > col("allocated"))
+  }
+
+  /** Materialize the repeat-budget mix as per-doc repeat counts:
+    * every doc of a language appears `full_epochs` times, and the
+    * `n_partial` smallest docs by (h60(seed|id), id) — the same
+    * seeded-hash order [[temperatureSample]] selects by — appear once
+    * more; docs with a zero count are dropped. Output = the original
+    * columns + `rep`. Deterministic across reruns, engines, and
+    * incremental rebuilds; a new seed redraws the partial epoch.
+    *
+    * Scale shape: the partial-epoch membership is decided by the
+    * broadcast [[cutBounds]] pair — one narrow filter expression, the
+    * same no-corpus-exchange construction as [[temperatureSample]];
+    * the epoch replication itself belongs to the epoch assembly
+    * ([[epochShuffle]] per epoch seed), not here — emitting
+    * `rep`-exploded rows would multiply the corpus before the
+    * resharding that actually needs it.
+    */
+  def repeatBudgetMix(docs: DataFrame, langCol: String = "lang",
+                      alphaE: String = "3e-1", targetDiv: Int = 2,
+                      maxRepeat: Int = 4, seed: Int = 7,
+                      idCol: String = "doc_id"): DataFrame = {
+    val plan = repeatBudgetPlan(docs, langCol, alphaE, targetDiv,
+      maxRepeat)
+    val keyed = docs
+      .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
+    val pq = plan.select(col(langCol).as("_tsl"), col("n_docs"),
+      col("n_partial").as("quota"))
+    // cut row per language (quota = n_partial < n_docs always), plus
+    // the full-epoch count riding along — still |languages| rows
+    val sel = cutBounds(keyed, pq, langCol, idCol)
+      .join(plan.select(col(langCol).as("_rbl"), col("full_epochs")),
+        col("_tsl") <=> col("_rbl"))
+      .drop("_rbl")
     keyed.join(broadcast(sel), col(langCol) <=> col("_tsl"))
-      .filter(col("quota") >= col("n_docs") ||
-        (col("cut_h").isNotNull &&
-          (col("_tsh") < col("cut_h") ||
-            (col("_tsh") === col("cut_h") &&
-              col(idCol) <= col("cut_id")))))
-      .drop("_tsl", "_tsh", "n_docs", "cut_h", "cut_id")
+      .withColumn("rep",
+        (col("full_epochs") +
+          when(cutKeep(idCol), 1L).otherwise(0L)).cast("bigint"))
+      .filter(col("rep") > 0)
+      .drop("_tsl", "_tsh", "n_docs", "quota", "cut_h", "cut_id",
+        "full_epochs")
   }
 
   /** Data-card telemetry for [[temperatureSample]]: per language

@@ -3066,7 +3066,78 @@ object PipelineQueries {
               |       t.n_tok - coalesce(ka.n_kept, 0) AS n_removed
               |FROM (SELECT doc_id, len(tk) AS n_tok FROM tk) t
               |LEFT JOIN ka USING (doc_id)""".stripMargin),
-      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN"))
+      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN")),
+
+    // Repeat-budget PLAN (r12): the upsampling half the temperature
+    // selection deliberately leaves out, under the data-constrained-
+    // scaling contract (Muennighoff 2023: repeats pay off up to ~4
+    // epochs; UniMax: per-language epoch cap). Desired quota may
+    // exceed a language's corpus; allocated = min(quota, 4·n_docs);
+    // realized as full_epochs whole passes + an n_partial-doc partial
+    // epoch. capped = the language hit the epoch cap with its quota
+    // unmet. Library op: Sharding.repeatBudgetPlan.
+    Decl(
+      "px78_repeat_budget",
+      (s, dir) => graft.pipeline.Sharding
+        .repeatBudgetPlan(Tables(s, dir, "documents"), targetDiv = 1)
+        .select(col("lang"), col("n_docs"), col("quota"),
+          col("allocated"), col("full_epochs"), col("n_partial"),
+          col("capped").cast("int").as("capped")),
+      Some(s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              |            FROM documents GROUP BY lang),
+              |x AS (SELECT lang, n_docs,
+              |    power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 3e-1)
+              |      AS pa,
+              |    sum(n_docs) OVER () AS td FROM per),
+              |q AS (SELECT lang, n_docs, CAST(round(
+              |        round(pa / sum(pa) OVER (), 6) * (td // 1))
+              |      AS BIGINT) AS quota FROM x),
+              |p AS (SELECT lang, n_docs, quota,
+              |        least(quota, 4 * n_docs) AS allocated FROM q)
+              |SELECT lang, n_docs, quota, allocated,
+              |  allocated // n_docs AS full_epochs,
+              |  allocated % n_docs AS n_partial,
+              |  CASE WHEN quota > allocated THEN 1 ELSE 0 END AS capped
+              |FROM p""".stripMargin),
+      survey = Seq("MIX-REPEAT-BUDGET")),
+
+    // Repeat-budget mix MATERIALIZED (r12): per-doc repeat counts —
+    // full_epochs for every doc of the language, +1 for the n_partial
+    // smallest by the same seeded-hash order px69 selects by; rep = 0
+    // docs dropped. The partial-epoch membership is the broadcast
+    // cut-pair filter (no per-language corpus window — PlanShapeSpec's
+    // rule); the oracle ranks with a window because DuckDB may.
+    // Library op: Sharding.repeatBudgetMix.
+    Decl(
+      "px79_repeat_mix",
+      (s, dir) => graft.pipeline.Sharding
+        .repeatBudgetMix(Tables(s, dir, "documents"), targetDiv = 1)
+        .select(col("doc_id"), col("lang"), col("rep")),
+      Some(s"""WITH per AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+              |            FROM documents GROUP BY lang),
+              |x AS (SELECT lang, n_docs,
+              |    power(n_docs / CAST(sum(n_docs) OVER () AS DOUBLE), 3e-1)
+              |      AS pa,
+              |    sum(n_docs) OVER () AS td FROM per),
+              |q AS (SELECT lang, n_docs, CAST(round(
+              |        round(pa / sum(pa) OVER (), 6) * (td // 1))
+              |      AS BIGINT) AS quota FROM x),
+              |p AS (SELECT lang, n_docs,
+              |        least(quota, 4 * n_docs) // n_docs AS full_epochs,
+              |        least(quota, 4 * n_docs) % n_docs AS n_partial
+              |      FROM q),
+              |r AS (SELECT d.lang, d.doc_id, row_number() OVER (
+              |        PARTITION BY d.lang
+              |        ORDER BY ${DetHash.duckH60("CAST(doc_id AS VARCHAR)", 7)},
+              |                 doc_id) AS rk
+              |      FROM documents d)
+              |SELECT r.doc_id, r.lang,
+              |  CAST(p.full_epochs + CASE WHEN r.rk <= p.n_partial
+              |    THEN 1 ELSE 0 END AS BIGINT) AS rep
+              |FROM r JOIN p USING (lang)
+              |WHERE p.full_epochs + CASE WHEN r.rk <= p.n_partial
+              |  THEN 1 ELSE 0 END > 0""".stripMargin),
+      survey = Seq("MIX-REPEAT-BUDGET"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

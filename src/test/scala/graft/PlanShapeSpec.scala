@@ -225,7 +225,8 @@ class PlanShapeSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      for (q <- Seq("px68_ccnet_buckets", "px69_temperature_select")) {
+      for (q <- Seq("px68_ccnet_buckets", "px69_temperature_select",
+        "px79_repeat_mix")) {
         val exec = SparkEntry.queries(q)(spark, sfTiny)
           .queryExecution.executedPlan
         val offenders = exec.collect {

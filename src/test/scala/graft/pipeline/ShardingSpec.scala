@@ -120,6 +120,73 @@ class ShardingSpec extends SparkSpec {
     assert(got.getOrElse(Some("en"), 0L) == rep(Some("en")))
   }
 
+  test("repeatBudgetMix: rep accounting matches the plan, deterministically") {
+    val plan = Sharding.repeatBudgetPlan(docs, targetDiv = 1)
+      .select("lang", "n_docs", "allocated", "full_epochs", "n_partial")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // targetDiv=1 upsamples the minority languages at this SF
+    assert(plan.values.exists(_._4 >= 1L), s"no upsampled language: $plan")
+    val mix = Sharding.repeatBudgetMix(docs, targetDiv = 1)
+      .select("lang", "doc_id", "rep").as[(String, Long, Long)].collect()
+    val mixB = Sharding.repeatBudgetMix(docs, targetDiv = 1)
+      .select("lang", "doc_id", "rep").as[(String, Long, Long)].collect()
+    assert(mix.sortBy(r => (r._1, r._2))
+      .sameElements(mixB.sortBy(r => (r._1, r._2)))) // bit-for-bit rerun
+    for ((lang, (_, n, alloc, full, part)) <- plan) {
+      val rows = mix.filter(_._1 == lang)
+      assert(rows.map(_._3).sum == alloc,
+        s"$lang: sum(rep) ${rows.map(_._3).sum} != allocated $alloc")
+      assert(rows.count(_._3 == full + 1) == part,
+        s"$lang: partial-epoch membership count off")
+      // rep==full rows are the rest of the language (or absent if full==0)
+      assert(rows.length == (if (full > 0) n else part))
+    }
+    // the partial epoch is the same membership temperatureSample picks:
+    // for a DOWNSAMPLED language (full==0), the rep>=1 set at equal
+    // quota must equal the temperature selection
+    val down = plan.collect { case (l, (_, _, _, 0L, _)) => l }
+    assert(down.nonEmpty)
+    val ts = Sharding.temperatureSample(docs, targetDiv = 1)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    for (l <- down)
+      assert(mix.filter(_._1 == l).map(_._2).sorted
+        .sameElements(ts.filter(_._1 == l).map(_._2).sorted), l)
+  }
+
+  test("repeatBudgetPlan: the epoch cap binds on an extreme minority") {
+    val d = spark.range(1000).select(
+      when($"id" < 997, "en").otherwise("xx").as("lang"),
+      $"id".as("doc_id"))
+    val p = Sharding.repeatBudgetPlan(d, targetDiv = 1)
+      .select("lang", "quota", "allocated", "full_epochs", "n_partial",
+        "capped")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // xx: 3 docs, alpha-flattened quota far above 4x3 => cap binds
+    assert(p("xx")._6 && p("xx")._3 == 12L &&
+      p("xx")._4 == 4L && p("xx")._5 == 0L, p.toString)
+    assert(!p("en")._6 && p("en")._4 == 0L)
+    val mix = Sharding.repeatBudgetMix(d, targetDiv = 1)
+      .filter($"lang" === "xx").select("rep").as[Long].collect()
+    assert(mix.length == 3 && mix.forall(_ == 4L)) // every doc, 4 epochs
+  }
+
+  test("repeatBudgetMix: NULL-language docs form their own language") {
+    val d = spark.range(40).select(
+      when($"id" < 30, "en").otherwise(lit(null).cast("string")).as("lang"),
+      $"id".as("doc_id"))
+    val plan = Sharding.repeatBudgetPlan(d, targetDiv = 1)
+      .select("lang", "allocated").as[(Option[String], Long)]
+      .collect().toMap
+    assert(plan.contains(None), "plan must carry the null-lang group")
+    val got = Sharding.repeatBudgetMix(d, targetDiv = 1)
+      .groupBy("lang").agg(sum("rep")).as[(Option[String], Long)]
+      .collect().toMap
+    assert(got.getOrElse(None, 0L) == plan(None), s"$got vs $plan")
+    assert(got.getOrElse(Some("en"), 0L) == plan(Some("en")))
+  }
+
   test("plan shapes: one exchange in epochShuffle; broadcast quota join") {
     val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
       .queryExecution.executedPlan.toString
