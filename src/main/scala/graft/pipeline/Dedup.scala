@@ -640,6 +640,31 @@ object Dedup {
           .as("span_len"))
   }
 
+  /** Leakage-aware K-fold split over ANY per-doc group labeling
+    * (near-dup cluster, URL host, licence pool — whatever must not
+    * straddle an evaluation boundary): every member of a group lands
+    * in the same fold because the fold is a seeded hash of the GROUP
+    * label, never the doc — so a near-dup of a validation doc can
+    * never leak into train. `fold = h60(seed|lbl) mod nFolds`;
+    * `split` = "val" for the top `nVal` folds, "train" otherwise.
+    * Pure narrow map over the label frame — the no-straddle guarantee
+    * costs nothing beyond the labeling itself ([[clusters]] /
+    * [[connectedComponents]] upstream). Deterministic across reruns
+    * and engines; a new seed is a fresh fold redraw with the same
+    * guarantee.
+    */
+  def leakageSplit(labels: DataFrame, nFolds: Int = 10, nVal: Int = 1,
+                   seed: Int = 11,
+                   lblCol: String = "lbl"): DataFrame = {
+    require(nFolds >= 2 && nVal >= 1 && nVal < nFolds,
+      s"need 2 <= nFolds and 1 <= nVal < nFolds, got ($nFolds, $nVal)")
+    labels
+      .withColumn("fold",
+        DetHash.h60(col(lblCol).cast("string"), seed) % nFolds)
+      .withColumn("split",
+        when(col("fold") < nFolds - nVal, "train").otherwise("val"))
+  }
+
   /** Exact-dup survivor filter: keep the min-id doc per content hash. */
   def exactKeepers(docs: DataFrame): DataFrame =
     docs.groupBy(md5(col("text")).as("h"))

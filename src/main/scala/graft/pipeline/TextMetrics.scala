@@ -625,4 +625,32 @@ object TextMetrics {
         coalesce(size(col("_sc_cov")), lit(0)).cast("long")
           .as("n_removed"))
   }
+
+  /** Feature-hashed document vectors (the hashing trick, Weinberger
+    * et al. 2009): model-free L2-normalized bag-of-words features —
+    * bucket `j = h60(token) mod dim`, count token OCCURRENCES per
+    * bucket, normalize by the doc's L2 norm. Sparse long form
+    * (doc_id, j, c, w): zero buckets are absent, so the output is
+    * O(tokens) not O(docs · dim), and the rows feed classifiers
+    * (Classify), brute/ANN cosine (Ann) and dedup directly — doc
+    * features at corpus scale with no model artifact to ship.
+    *
+    * Scale shape: one (doc, bucket) aggregation (map-side combined —
+    * the key space is docs × ≤dim); the norm is a window over the
+    * AGGREGATED rows, partitioned by doc over ≤dim rows each — never
+    * raw corpus rows. Determinism: counts are integers, the norm is
+    * sqrt of an integer sum, and `w` is 6-dp-rounded — the repo's
+    * cross-engine float contract.
+    */
+  def featureHashVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
+    require(dim >= 2, s"need dim >= 2, got $dim")
+    docs
+      .select(col("doc_id"),
+        explode(graft.text.TextOps.tokensCol(col("text"))).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("j", graft.functions.DetHash.h60(col("t")) % dim)
+      .groupBy("doc_id", "j").agg(count(lit(1)).as("c"))
+      .withColumn("w", expr(
+        "round(c / sqrt(sum(c * c) OVER (PARTITION BY doc_id)), 6)"))
+  }
 }

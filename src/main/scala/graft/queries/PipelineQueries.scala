@@ -3137,7 +3137,47 @@ object PipelineQueries {
               |FROM r JOIN p USING (lang)
               |WHERE p.full_epochs + CASE WHEN r.rk <= p.n_partial
               |  THEN 1 ELSE 0 END > 0""".stripMargin),
-      survey = Seq("MIX-REPEAT-BUDGET"))
+      survey = Seq("MIX-REPEAT-BUDGET")),
+
+    // Leakage-aware train/val split (r12): fold by seeded hash of the
+    // near-dup CLUSTER label, never the doc — a near-dup of a val doc
+    // can never leak into train (the dedup-aware eval-split rule; the
+    // labeling is px19's 3-round contract here, [[Dedup.clusters]];
+    // swap in px42's exact CC for arbitrary-diameter chains). Narrow
+    // map over the label frame. Library op: Dedup.leakageSplit.
+    Decl(
+      "px80_leakage_split",
+      (s, dir) => graft.pipeline.Dedup
+        .leakageSplit(dupClusters(s, dir))
+        .select(col("doc_id"), col("lbl").as("cluster"), col("fold"),
+          col("split")),
+      Some(duckDupClustersSql(
+        s"""SELECT doc_id, lbl AS cluster,
+           |  ${DetHash.duckH60("CAST(lbl AS VARCHAR)", 11)} % 10 AS fold,
+           |  CASE WHEN ${DetHash.duckH60("CAST(lbl AS VARCHAR)", 11)} % 10 < 9
+           |    THEN 'train' ELSE 'val' END AS split
+           |FROM l3""".stripMargin)),
+      survey = Seq("SPLIT-LEAKAGE")),
+
+    // Feature-hashed doc vectors (r12, hashing trick): model-free
+    // L2-normalized bag-of-words features, sparse long form — the
+    // no-model featurization that feeds classifiers/ANN/dedup at
+    // corpus scale. Library op: TextMetrics.featureHashVectors.
+    Decl(
+      "px81_feature_hashing",
+      (s, dir) => graft.pipeline.TextMetrics
+        .featureHashVectors(Tables(s, dir, "documents"))
+        .filter(col("doc_id") < 200),
+      Some(s"""WITH $duckToksList,
+              |t AS (SELECT doc_id, unnest(tk) AS tok FROM tk
+              |      WHERE doc_id < 200),
+              |c AS (SELECT doc_id, ${H("tok")} % 64 AS j,
+              |        CAST(count(*) AS BIGINT) AS c
+              |      FROM t GROUP BY 1, 2)
+              |SELECT doc_id, j, c, round(c / sqrt(sum(c * c)
+              |    OVER (PARTITION BY doc_id)), 6) AS w
+              |FROM c""".stripMargin),
+      survey = Seq("TEXT-FEATURE-HASH"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

@@ -88,4 +88,31 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc == approx)
     assert(cc(7L) == 5L && cc(2L) == 1L && cc(4L) == 3L)
   }
+
+  test("leakageSplit: cluster members never straddle the split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sfTiny, "documents")
+    val labels = Dedup.clusters(docs, Dedup.lshCandidates(docs))
+    val sp = Dedup.leakageSplit(labels)
+    // the no-leak guarantee: one fold and one split per cluster label
+    assert(sp.groupBy("lbl")
+      .agg(countDistinct("fold").as("nf"), countDistinct("split").as("ns"))
+      .filter($"nf" > 1 || $"ns" > 1).isEmpty)
+    val rows = sp.select("doc_id", "fold", "split")
+      .as[(Long, Long, String)].collect()
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 10))
+    // nVal=1 of 10: only fold 9 is val, and both sides are populated
+    assert(rows.forall(r => (r._3 == "val") == (r._2 == 9L)))
+    assert(rows.exists(_._3 == "val") && rows.exists(_._3 == "train"))
+    // deterministic rerun
+    val again = Dedup.leakageSplit(labels)
+      .select("doc_id", "fold", "split").as[(Long, Long, String)].collect()
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a real multi-doc cluster exists at this SF and stays together
+    val multi = sp.groupBy("lbl").agg(count(lit(1)).as("n"),
+        countDistinct("split").as("ns"))
+      .filter($"n" > 1).select("ns").as[Long].collect()
+    assert(multi.nonEmpty && multi.forall(_ == 1L))
+  }
 }

@@ -65,4 +65,34 @@ class GopherRulesSpec extends SparkSpec {
     assert(m(4L) == (0L, 0L, 0.0, 0.0))
     assert(m(5L) == (1L, 1L, 0.0, 0.0))
   }
+
+  test("featureHashVectors: unit norms, bucket range, sparse empties") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "alpha beta beta gamma"),
+      (1L, "alpha alpha alpha alpha"), // one bucket, w = 1 exactly
+      (2L, ""),                        // no tokens -> no rows
+      (3L, "??? !!!")                  // punctuation-only -> no rows
+    ).toDF("doc_id", "text")
+    val v = TextMetrics.featureHashVectors(docs, dim = 8)
+      .select("doc_id", "j", "c", "w")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(v.forall(r => r._2 >= 0 && r._2 < 8))
+    assert(!v.exists(r => r._1 == 2L || r._1 == 3L))
+    // doc 1 collapses to a single bucket with weight exactly 1
+    val d1 = v.filter(_._1 == 0L)
+    assert(d1.map(_._3).sum == 4L) // occurrence counts, not distinct
+    val one = v.filter(_._1 == 1L)
+    assert(one.length == 1 && one.head._3 == 4L && one.head._4 == 1.0)
+    // L2 norms are 1 up to the 6-dp rounding of each component
+    val norm0 = math.sqrt(d1.map(r => r._4 * r._4).sum)
+    assert(math.abs(norm0 - 1.0) < 1e-5, s"norm $norm0")
+    // deterministic rerun, bit for bit
+    val again = TextMetrics.featureHashVectors(docs, dim = 8)
+      .select("doc_id", "j", "c", "w")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(v.sortBy(r => (r._1, r._2)).sameElements(
+      again.sortBy(r => (r._1, r._2))))
+  }
 }
