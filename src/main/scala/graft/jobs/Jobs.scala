@@ -523,15 +523,14 @@ object Jobs {
     // signable docs
     val batchSigs = (if (preSigned != null) preSigned
       else Dedup.minhashWide(batch)).persist(MEMORY_AND_DISK)
+    // Replay idempotence: a doc from a partially-committed earlier
+    // run of this very batch never candidates against its OWN stored
+    // copy (the nid =!= oid filter inside incrementalNearDupsFromSigs)
+    // — a redo's verdict rows are identical to an uncrashed run's,
+    // and its re-append below is absorbed by the distinct()s
+    // downstream.
     val verdicts = Dedup.incrementalNearDupsFromSigs(
       spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
-      // Replay idempotence: a doc whose best match is ITSELF (same id
-      // already in the store — a partially-committed earlier run of
-      // this very batch) is "already admitted", not a duplicate; its
-      // re-append below is absorbed by the distinct()s downstream.
-      .withColumn("dup_of",
-        when(col("dup_of") === col("doc_id"), lit(null))
-          .otherwise(col("dup_of")))
       .join(batchSigs.select("doc_id").withColumn("signed", lit(true)),
         Seq("doc_id"), "left")
       .withColumn("signed", coalesce(col("signed"), lit(false)))
@@ -791,11 +790,16 @@ object Jobs {
     * report. Deterministic end to end: same corpus + params ⇒ same
     * merges, ids, examples, and shard layout.
     *
-    * Scale shape: train = one corpus pass + driver loop (§3j);
-    * word→ids is a dictionary-sized broadcast join; the id stream is
-    * one doc-keyed aggregation; packing is a narrow explode;
-    * resharding is [[graft.pipeline.Sharding.writeEpochShards]]'s one
-    * repartition. No corpus-wide sort anywhere.
+    * Scale shape (r12): train = one corpus pass + driver loop (§3j);
+    * word→ids is a plain equi-join with NO broadcast hint (only the
+    * training dictionary is minCount-capped — the encode dictionary
+    * grows with the corpus, so the planner decides from statistics);
+    * each word gets its id-stream offset from a doc-keyed SPILLABLE
+    * window, examples aggregate by (doc, example#) so no buffer
+    * exceeds seqLen ids (book-length docs can't build unspillable
+    * rows); resharding is
+    * [[graft.pipeline.Sharding.writeEpochShards]]'s one repartition.
+    * No corpus-wide sort anywhere.
     *
     * `minCount > 1` caps only the TRAINING dictionary (the §3j
     * head-cap lever); the ENCODE dictionary stays the full vocabulary

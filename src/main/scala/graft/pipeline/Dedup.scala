@@ -481,7 +481,14 @@ object Dedup {
     // exchanges, so parallel recompute beats the serialized
     // materialization barrier — the same verdict as the px04/px27
     // persist A/Bs (BENCH_NOTES §2).
+    // nid =!= oid: a redone batch (crash after the store append,
+    // before the caller's commit marker) finds its OWN stored copy in
+    // the band index; dropping the self-pair here keeps it out of
+    // n_cand, the verification join, and the best-match ranking — so
+    // a redo produces rows identical to an uncrashed run's (jac/dup_of
+    // never report a doc as its own duplicate).
     val cand = newBands.join(exBands, Seq("band", "sig"))
+      .filter(col("nid") =!= col("oid"))
       .select("nid", "oid").distinct()
     // Verification corpus = candidate existing docs only. The id set
     // is bounded by |batch| × per-doc candidates, so it broadcasts;
@@ -560,11 +567,37 @@ object Dedup {
     * same in both engines.
     */
   def scrubDupSpans(docs: DataFrame, n: Int, minLen: Int): DataFrame = {
-    val tk = docs.select(col("doc_id"),
+    val tk = tokArrays(docs)
+    val covered = coveredPositions(tk, n)
+    // no distinct(): the scrub kernel's collect_set dedups overlapping
+    // spans' positions with map-side combine — one exchange fewer
+    // shared narrow removal kernel (array_except surgery on touched
+    // docs, straight concat on the untouched majority) — see
+    // TextMetrics.scrubByCoveredPositions
+    if (minLen <= n) TextMetrics.scrubByCoveredPositions(tk, covered)
+    else {
+      val isl = coveredIslands(covered, minLen)
+        .select(col("doc_id"),
+          explode(sequence(col("_ds_s"), col("_ds_e"))).as("pos"))
+      TextMetrics.scrubByCoveredPositions(tk, isl)
+    }
+  }
+
+  /** (doc_id, tk) token arrays, empty array for token-less docs. */
+  private def tokArrays(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       coalesce(org.apache.spark.sql.functions.filter(
           TextOps.tokensCol(col("text")), t => t =!= ""),
         org.apache.spark.sql.functions.array().cast("array<string>"))
         .as("tk"))
+
+  /** Covered positions per doc: every token position under a
+    * NON-FIRST occurrence of a corpus-duplicated n-gram (the
+    * min-(doc_id, pos) occurrence is the keeper). One hash-keyed dup
+    * aggregation + a hits-only join back (the exchange under both is
+    * built once and reused); overlapping covers emit repeats — the
+    * consumers dedup (collect_set / distinct). */
+  private def coveredPositions(tk: DataFrame, n: Int): DataFrame = {
     val sh = tk
       .select(col("doc_id"),
         posexplode(TextOps.shinglesFromToks(col("tk"), n))
@@ -576,39 +609,64 @@ object Dedup {
         min(struct(col("doc_id"), col("pos"))).as("f"))
       .filter(col("c") >= 2)
       .select(col("h"), col("f.doc_id").as("fdoc"), col("f.pos").as("fpos"))
-    val covered = sh.join(firsts, Seq("h"))
+    sh.join(firsts, Seq("h"))
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
-    // no distinct(): the scrub kernel's collect_set dedups overlapping
-    // spans' positions with map-side combine — one exchange fewer
-    // shared narrow removal kernel (array_except surgery on touched
-    // docs, straight concat on the untouched majority) — see
-    // TextMetrics.scrubByCoveredPositions
-    if (minLen <= n) TextMetrics.scrubByCoveredPositions(tk, covered)
-    else {
-      import org.apache.spark.sql.expressions.Window
-      val isl = covered.distinct()
-        .withColumn("_ds_g", col("pos") - row_number().over(
-          Window.partitionBy("doc_id").orderBy("pos")))
-        .groupBy(col("doc_id"), col("_ds_g"))
-        .agg(min("pos").as("_ds_s"), max("pos").as("_ds_e"))
-        .filter(col("_ds_e") - col("_ds_s") + 1 >= minLen)
-        .select(col("doc_id"),
-          explode(sequence(col("_ds_s"), col("_ds_e"))).as("pos"))
-      TextMetrics.scrubByCoveredPositions(tk, isl)
-    }
   }
 
-  /** DETECTION of long duplicated runs (the statistic behind
-    * [[scrubDupSpans]]'s minLen variant): maximal per-doc runs of
+  /** Consecutive islands of covered positions, ≥ minLen long:
+    * (doc_id, _ds_s, _ds_e) in the covered stream's INT position
+    * type (element_at downstream needs INT). Doc-keyed
+    * gaps-and-islands window over hit rows only. */
+  private def coveredIslands(covered: DataFrame,
+                             minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    covered.distinct()
+      .withColumn("_ds_g", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy(col("doc_id"), col("_ds_g"))
+      .agg(min("pos").as("_ds_s"), max("pos").as("_ds_e"))
+      .filter(col("_ds_e") - col("_ds_s") + 1 >= minLen)
+      .select(col("doc_id"), col("_ds_s"), col("_ds_e"))
+  }
+
+  /** EXACTLY what [[scrubDupSpans]]`(docs, n, minLen)` will excise,
+    * as spans: the ≥ minLen islands of covered positions (non-keeper
+    * duplicated n-gram occurrences, covers merged when closer than
+    * n). This is the removal's own statistic — NOT [[dupRunSpans]],
+    * which detects duplicated runs EVERYWHERE (keeper occurrences
+    * included, islands over consecutive duplicated STARTS): nearby
+    * distinct duplicated substrings whose covers touch can merge
+    * past minLen here while each is too short for [[dupRunSpans]] to
+    * report, and the keeper copy of a block is reported there but
+    * never cut here. Use dupRunSpans for "where is duplicated
+    * material", this for "what would the scrub remove"
+    * (DecontamSpec pins both contracts and their divergence).
+    */
+  def dupRemovalSpans(docs: DataFrame, n: Int = 5,
+                      minLen: Int = 15): DataFrame =
+    coveredIslands(coveredPositions(tokArrays(docs), n), minLen)
+      .select(col("doc_id"),
+        col("_ds_s").cast("bigint").as("start_pos"),
+        col("_ds_e").cast("bigint").as("end_pos"),
+        (col("_ds_e") - col("_ds_s") + 1).cast("bigint").as("span_len"))
+
+  /** DETECTION of long duplicated runs: maximal per-doc runs of
     * consecutive corpus-duplicated n-gram starts, reported as token
     * spans of length ≥ `minLen`. A copied block of m tokens yields
     * one island of exactly m (its m−n+1 duplicated starts are
     * consecutive); an isolated duplicated n-gram yields n < minLen
-    * and is not reported. All occurrences count (within-doc repeats
-    * included), matching the removal op's dup criterion — unlike
-    * [[dupSpans]]' distinct-doc detection statistic.
+    * and is not reported. All occurrences count (keeper copies and
+    * within-doc repeats included) — this answers "where is long
+    * duplicated material", on BOTH sides of every duplication.
+    * It is deliberately NOT the removal's statistic: what
+    * [[scrubDupSpans]]`(n, minLen)` excises is [[dupRemovalSpans]]
+    * (keeper occurrences exempt; covers of nearby distinct
+    * duplicated substrings merge when closer than n, so removal can
+    * cut a ≥ minLen island whose individual runs are each too short
+    * to appear here). Unlike [[dupSpans]]' distinct-doc statistic,
+    * within-doc repeats count.
     *
     * → (doc_id, start_pos, end_pos, span_len), 1-based inclusive
     * token positions. Scale: one hash-keyed dup aggregation, hits-only
@@ -651,7 +709,10 @@ object Dedup {
     * costs nothing beyond the labeling itself ([[clusters]] /
     * [[connectedComponents]] upstream). Deterministic across reruns
     * and engines; a new seed is a fresh fold redraw with the same
-    * guarantee.
+    * guarantee. Labels must be NON-NULL (cluster labels are doc ids
+    * by construction): a NULL label hashes to a NULL fold, which
+    * lands in "val" — conservative (never leaks into train) but not
+    * a grouping.
     */
   def leakageSplit(labels: DataFrame, nFolds: Int = 10, nVal: Int = 1,
                    seed: Int = 11,

@@ -2848,7 +2848,10 @@ object PipelineQueries {
     // hash-derived ±1 matrix (library op: Ann.randomProject; long-form
     // (vec_id, j, v) output — the ADVICE-r01 scalar-columns rule).
     // Both engines fold the i-axis IN ORDER (Spark aggregate /
-    // DuckDB list_sum over an ordered list), then round 6dp.
+    // DuckDB list_sum over an ordered list), then round 6dp. A NULL
+    // embedding projects to a genuinely NULL proj (r12 contract), so
+    // it contributes NO long-form rows — the oracle filters NULL
+    // embeddings to match.
     Decl(
       "px73_random_projection",
       (s, dir) => graft.pipeline.Ann
@@ -2867,13 +2870,17 @@ object PipelineQueries {
               |  round(list_sum(list_transform(generate_series(1, 64),
               |    p -> CAST(embedding[p] AS DOUBLE) * srow[p])) / sqrt(16),
               |    6) AS v
-              |FROM embeddings e CROSS JOIN m2""".stripMargin),
+              |FROM embeddings e CROSS JOIN m2
+              |WHERE e.embedding IS NOT NULL""".stripMargin),
       survey = Seq("EMB-RANDOM-PROJECTION")),
 
     // Long-duplicated-run DETECTION (r12, Lee et al. 2022's minimum
     // match length): maximal per-doc runs of consecutive corpus-
-    // duplicated 5-gram starts, reported as token spans >= 15 tokens —
-    // the statistic px75's removal acts on. Gaps-and-islands on a
+    // duplicated 5-gram starts, reported as token spans >= 15 tokens.
+    // Reports duplicated material on BOTH sides (keeper copies
+    // included) — deliberately NOT px75's removal statistic, which is
+    // Dedup.dupRemovalSpans (keeper-exempt, covers merge within n;
+    // DecontamSpec pins the divergence). Gaps-and-islands on a
     // doc-keyed window over duplicated starts only.
     Decl(
       "px74_dup_run_spans",

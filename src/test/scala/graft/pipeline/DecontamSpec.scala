@@ -113,4 +113,44 @@ class DecontamSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(base(4L) == 5L, s"base variant must cut the short dup: $base")
   }
+
+  test("dupRemovalSpans IS the removal statistic; dupRunSpans diverges by design") {
+    import spark.implicits._
+    // Keeper exemption: doc 0 is the min-(doc, pos) keeper of both
+    // duplicated 5-grams (w1..w5 at 1, w3..w7 at 3); doc 2 carries
+    // the copies, split by x9 at position 6.
+    val docs = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7"),
+      (2L, "w1 w2 w3 w4 w5 x9 w3 w4 w5 w6 w7")
+    ).toDF("doc_id", "text")
+    // doc 2's covers 1..5 and 7..11 don't touch: nothing >= 8 to cut
+    val rem = Dedup.dupRemovalSpans(docs, 5, 8).collect()
+    assert(!rem.exists(_.getLong(0) == 2L), rem.mkString(","))
+    // at minLen 5 detection reports the KEEPER doc's runs, the
+    // removal statistic never does — the keeper is exempt from cuts
+    val det5 = Dedup.dupRunSpans(docs, 5, 5).collect().map(_.getLong(0)).toSet
+    val rem5 = Dedup.dupRemovalSpans(docs, 5, 5).collect().map(_.getLong(0)).toSet
+    assert(det5.contains(0L) && !rem5.contains(0L), s"$det5 / $rem5")
+
+    // Cover merge: doc 7 carries doc 6's two 5-gram blocks
+    // back-to-back, so its covers 1..5 and 6..10 fuse into one
+    // 10-token island — the removal cuts it at minLen 8 though each
+    // duplicated run alone spans 5; the bridge grams (a2..b1 etc.)
+    // exist only in doc 7, so detection sees two short runs and
+    // reports nothing.
+    val docs2 = Seq(
+      (6L, "a1 a2 a3 a4 a5 ZZ b1 b2 b3 b4 b5"),
+      (7L, "a1 a2 a3 a4 a5 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val rem2 = Dedup.dupRemovalSpans(docs2, 5, 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(rem2 == Set((7L, 1L, 10L, 10L)), rem2)
+    assert(Dedup.dupRunSpans(docs2, 5, 8).isEmpty)
+    // and the removal statistic is EXACTLY what the scrub excises
+    val scrub = Dedup.scrubDupSpans(docs2, 5, 8).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(3)))).toMap
+    assert(scrub(7L) == (("", 10L)), scrub)   // the whole doc was the island
+    assert(scrub(6L)._2 == 0L)                // keeper untouched
+  }
 }

@@ -117,6 +117,26 @@ class IncrementalSpec extends SparkSpec {
         out.mkString(", "))
   }
 
+  test("a redone batch never reads as its own duplicate " +
+    "(self-candidates excluded at the band stage)") {
+    // the store already holds this very batch (crash after the admit
+    // append, before the caller's commit marker): every doc's only
+    // band match is its own stored copy
+    val store = existingDocs.unionAll(batchDocs)
+    val out = Dedup.incrementalNearDupsFromSigs(
+      Dedup.minhashWide(store), store,
+      Dedup.minhashWide(batchDocs), batchDocs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.isNullAt(3)))
+      .sortBy(_._1)
+    // doc 100 still matches its REAL near-dup (doc 1) but never
+    // itself; its self-pair is not in n_cand either
+    assert(out(0) == ((100L, 1L, 1L, false)), out.mkString(", "))
+    // doc 101's only stored match is itself: zero candidates, novel,
+    // jac NULL — the row an uncrashed run would produce
+    assert(out(1) == ((101L, 0L, -1L, true)), out.mkString(", "))
+  }
+
   test("incrementalNearDups: corpus re-read is pruned to candidates " +
     "before shingling (semi-join below the explode)") {
     val plan = Dedup.incrementalNearDups(existingDocs, batchDocs, 0.5)
