@@ -609,6 +609,17 @@ object Jobs {
       require(fs.rename(old, p),
         s"compactStore: crash recovery rename failed: $old -> $p")
     require(fs.exists(p), s"compactStore: no store at $path")
+    // FLAT stores only (sigStore/storeCorpus). A partitioned dataset
+    // (e.g. the batch_id= verdicts ledger) would silently flatten:
+    // the partition column becomes a data column, the layout every
+    // reader expects disappears, and side files like the ledger's
+    // _COMMITTED replay markers are dropped. Fail fast instead.
+    val partDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"compactStore: $path is PARTITIONED (${partDirs.head.getPath.getName}, " +
+        s"...); compaction would flatten the layout and drop partition " +
+        s"side files — compact flat stores only")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)

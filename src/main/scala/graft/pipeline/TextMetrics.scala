@@ -204,9 +204,18 @@ object TextMetrics {
     val hist = p.groupBy(col(langCol), col("ppl"))
       .agg(count(lit(1)).as("_pb_c"))
     val nPart = p.sparkSession.sessionState.conf.numShufflePartitions
+    // lazily checkpointed: `local` and `offs` below both consume this
+    // frame, and the slice ids MUST come from the same physical
+    // partitioning — two independent executions of repartitionByRange
+    // can sample different boundaries (the range sampler seeds off
+    // the RDD id), which would silently misalign the (lang, pid)
+    // offset join. The checkpoint pins ONE computed RDD (pid values
+    // frozen in the rows), so correctness does not depend on
+    // exchange reuse; it is also the px27/§0h multi-consumer shape.
     val ranged = hist
       .repartitionByRange(nPart, col(langCol), col("ppl"))
       .withColumn("_pb_pid", spark_partition_id())
+      .localCheckpoint(false)
     // local cumsum: each (lang, slice) group holds at most one range
     // partition's rows — bounded by the range sampler, never by the
     // language's corpus share
@@ -308,8 +317,17 @@ object TextMetrics {
     //    collect_set per TOUCHED doc, chars summed by a narrow fold
     //    against the token array (the scrub-kernel trick) — no
     //    count window, no positional distinct, no positional join.
-    // Every key is doc-fine-grained; buffers are bounded by one doc's
-    // token count (the collect_set bound the scrub kernel documents).
+    // Every key is doc-fine-grained. Buffer bound, precisely: the
+    // per-doc position collect_set plans as ObjectHashAggregate,
+    // whose sort-based fallback (default threshold 128 in-memory
+    // groups) sorts input spillably and then builds ONE group buffer
+    // at a time — so a task's worst case is a single doc's distinct
+    // positions (ints), the same order as the doc's own `tk` array
+    // row this operator already carries. That bound is IRREDUCIBLE
+    // for a per-doc distinct-union statistic short of re-paying the
+    // positional (doc, pos) exchanges the §0j A/B rejected — unlike
+    // tokenizeAndPack's buffer, which was reducible to seqLen because
+    // its output never needed the whole doc at once.
     val tk = docs.select(col("doc_id"),
       coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
         array().cast("array<string>")).as("tk"))

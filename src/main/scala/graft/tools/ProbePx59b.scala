@@ -76,7 +76,7 @@ object ProbePx59b {
 
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local()
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     Tables(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
       .filter(col("t") =!= "").groupBy("t").count().count()

@@ -663,6 +663,19 @@ class JobsSpec extends SparkSpec {
     assert(verdict() == before, "compaction changed a verdict")
   }
 
+  test("CompactStore refuses a partitioned dataset (would flatten + drop markers)") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactpart").toString
+    Seq((1L, 10L, "x"), (2L, 11L, "y")).toDF("doc_id", "batch_id", "v")
+      .write.partitionBy("batch_id").parquet(s"$w/ledger")
+    val e = intercept[IllegalArgumentException] {
+      Jobs.compactStore(spark, s"$w/ledger")
+    }
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+    // and the store is untouched — the guard fired before any write
+    assert(new java.io.File(s"$w/ledger/batch_id=10").exists())
+  }
+
   test("ExactSubstrDedup: duplicated span excised corpus-wide, keeper intact") {
     import spark.implicits._
     val w = Files.createTempDirectory("exsub").toString

@@ -92,6 +92,29 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("px68 buckets survive exchange reuse being disabled (checkpointed slice ids)") {
+    // the distributed prefix sum's `local` and `offs` branches must
+    // observe the SAME physical range partitioning; the lazy
+    // localCheckpoint pins it, so correctness cannot silently depend
+    // on plan-level exchange reuse — this pins the checkpoint
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfTiny, "documents")
+    val prev = spark.conf.get("spark.sql.exchange.reuse")
+    try {
+      spark.conf.set("spark.sql.exchange.reuse", "false")
+      val got = graft.pipeline.TextMetrics.perplexityBuckets(docs, 3)
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      val w = Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id"))
+      val expect = graft.pipeline.TextMetrics.perplexity(docs)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(w).cast("bigint"))
+        .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+      assert(got == expect,
+        s"diff=${(got.toSet diff expect.toSet).take(5)}")
+    } finally spark.conf.set("spark.sql.exchange.reuse", prev)
+  }
+
   test("px68 buckets: NULL ppl rows bucket nulls-first, not dropped (caller frames)") {
     // the internal perplexity() never emits NULL, but the assignment
     // half is public for caller-supplied px29 artifacts — a NULL ppl
