@@ -3184,7 +3184,41 @@ object PipelineQueries {
               |SELECT doc_id, j, c, round(c / sqrt(sum(c * c)
               |    OVER (PARTITION BY doc_id)), 6) AS w
               |FROM c""".stripMargin),
-      survey = Seq("TEXT-FEATURE-HASH"))
+      survey = Seq("TEXT-FEATURE-HASH")),
+
+    // The removal's OWN span statistic (r12 review close): exactly
+    // what px75's scrub excises — ≥ minLen islands of covered
+    // positions, keeper occurrences exempt, covers merged within n.
+    // Gated cross-engine so the px74 (detect-everywhere) vs px82
+    // (removal-preview) divergence is itself oracle-pinned. Library
+    // op: Dedup.dupRemovalSpans.
+    Decl(
+      "px82_removal_spans",
+      (s, dir) => graft.pipeline.Dedup
+        .dupRemovalSpans(Tables(s, dir, "documents"), 5, 15),
+      Some(s"""WITH $duckToksList,
+              |st AS (SELECT doc_id,
+              |         unnest(generate_series(1, greatest(len(tk) - 4, 0)))
+              |           AS i, tk FROM tk),
+              |hs AS (SELECT doc_id, i,
+              |         ${H("tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]" +
+                   " || ' ' || tk[i+3] || ' ' || tk[i+4]")} AS h FROM st),
+              |r AS (SELECT doc_id, i, row_number() OVER (
+              |        PARTITION BY h ORDER BY doc_id, i) AS rk,
+              |        count(*) OVER (PARTITION BY h) AS c FROM hs),
+              |cov AS (SELECT DISTINCT doc_id, pos FROM (
+              |        SELECT doc_id, i + os.o AS pos FROM r
+              |        CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS o)
+              |          os
+              |        WHERE c >= 2 AND rk > 1)),
+              |gi AS (SELECT doc_id, pos, pos - row_number() OVER (
+              |        PARTITION BY doc_id ORDER BY pos) AS grp FROM cov)
+              |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+              |  CAST(max(pos) AS BIGINT) AS end_pos,
+              |  CAST(max(pos) - min(pos) + 1 AS BIGINT) AS span_len
+              |FROM gi GROUP BY doc_id, grp
+              |HAVING max(pos) - min(pos) + 1 >= 15""".stripMargin),
+      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

@@ -154,6 +154,19 @@ class ShardingSpec extends SparkSpec {
         .sameElements(ts.filter(_._1 == l).map(_._2).sorted), l)
   }
 
+  test("repeatBudgetMix(maxRepeat = 1) membership == temperatureSample") {
+    // with the epoch cap at 1, allocated = min(quota, n_docs): a
+    // capped language keeps everything (full_epochs = 1), an uncapped
+    // one keeps its n_partial = quota smallest by the same hash order
+    // — exactly temperatureSample's min(quota, n_docs) selection
+    val mix = Sharding.repeatBudgetMix(docs, targetDiv = 1, maxRepeat = 1)
+      .select("doc_id", "rep").as[(Long, Long)].collect()
+    assert(mix.forall(_._2 == 1L), "no doc can repeat at cap 1")
+    val ts = Sharding.temperatureSample(docs, targetDiv = 1)
+      .select("doc_id").as[Long].collect()
+    assert(mix.map(_._1).sorted.sameElements(ts.sorted))
+  }
+
   test("repeatBudgetPlan: the epoch cap binds on an extreme minority") {
     val d = spark.range(1000).select(
       when($"id" < 997, "en").otherwise("xx").as("lang"),
