@@ -133,4 +133,33 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextMetrics.chunkWindows(atMax, 1, 1).count() ==
       TextMetrics.MaxWindowsPerDoc.toLong)
   }
+
+  test("r12 op parameter guards fail loudly; empty corpora stay empty") {
+    import graft.pipeline.{Dedup, Sharding, TextMetrics}
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // parameter contracts raise at build time, not deep in a job
+    intercept[IllegalArgumentException](
+      Sharding.repeatBudgetPlan(empty, maxRepeat = 0))
+    intercept[IllegalArgumentException](
+      Dedup.leakageSplit(empty.withColumnRenamed("text", "lbl"), nFolds = 1))
+    intercept[IllegalArgumentException](
+      Dedup.leakageSplit(empty.withColumnRenamed("text", "lbl"),
+        nFolds = 10, nVal = 10))
+    intercept[IllegalArgumentException](
+      TextMetrics.featureHashVectors(empty, dim = 1))
+    // empty corpora flow through to empty results, no crash
+    val el = empty.withColumn("lang", lit("en"))
+    assert(Sharding.repeatBudgetMix(el).isEmpty)
+    assert(Sharding.repeatBudgetPlan(el).isEmpty)
+    assert(Dedup.dupRemovalSpans(empty).isEmpty)
+    assert(TextMetrics.featureHashVectors(empty).isEmpty)
+    // custom fold split: nFolds=5, nVal=2 -> folds 3 and 4 are val
+    val lbls = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L))
+      .toDF("doc_id", "lbl")
+    val sp = Dedup.leakageSplit(lbls, nFolds = 5, nVal = 2)
+      .select("fold", "split").as[(Long, String)].collect()
+    assert(sp.forall { case (f, s) => (s == "val") == (f >= 3) },
+      sp.mkString(","))
+  }
 }
