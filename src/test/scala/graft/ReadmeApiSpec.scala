@@ -123,6 +123,26 @@ class ReadmeApiSpec extends SparkSpec {
     }
   }
 
+  test("training-prep quickstart: repeat budget, leakage split, feature hash") {
+    import graft.pipeline.{Dedup, Sharding, TextMetrics}
+    // mirror the README's mixing & splits snippet
+    val plan = Sharding.repeatBudgetPlan(docs, targetDiv = 1)
+    val reps = Sharding.repeatBudgetMix(docs, targetDiv = 1)
+    assert(plan.columns.toSet.contains("capped") &&
+      reps.columns.contains("rep"))
+    val alloc = plan.agg(expr("sum(allocated)")).head().getLong(0)
+    assert(reps.agg(expr("sum(rep)")).head().getLong(0) === alloc)
+
+    val labels = Dedup.clusters(docs, Dedup.lshCandidates(docs))
+    val split = Dedup.leakageSplit(labels)
+    assert(split.columns.toSet ==
+      Set("doc_id", "lbl", "fold", "split"))
+
+    val fv = TextMetrics.featureHashVectors(docs, dim = 256)
+    assert(fv.filter(col("j") < 0 || col("j") >= 256).isEmpty)
+    assert(fv.filter(col("w") > 1.000001).isEmpty) // L2-normalized
+  }
+
   test("curation quickstart: span-level decontamination") {
     import graft.text.TextOps
     val evalDocs = docs.filter(col("doc_id") < 20)
