@@ -86,5 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("krovetz_ex"),
       new ExpressionInfo(classOf[KrovetzEx].getName, "krovetz_ex"),
       (exprs: Seq[Expression]) => KrovetzEx(exprs(0))))
+    e.injectFunction((
+      new FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
   }
 }

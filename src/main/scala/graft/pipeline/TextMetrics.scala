@@ -644,6 +644,26 @@ object TextMetrics {
           .as("n_removed"))
   }
 
+  /** Compressibility quality signal (CCNet / RedPajama-v2 style):
+    * per-doc DEFLATE length and ratio = deflate_bytes / n_bytes.
+    * Highly compressible text (ratio → 0) is boilerplate or
+    * repetition; incompressible text (ratio → 1+) is noise or already
+    * compressed — natural language sits in between, and the standard
+    * filter keeps a band. Pure narrow map over the corpus via the
+    * native `deflate_len` expression (a per-thread zlib Deflater
+    * inside whole-stage codegen — no UDF, no shuffle). No DuckDB
+    * oracle exists for DEFLATE, so this signal is spec-verified by
+    * zlib-invariant ORDERING properties, not a cross-engine hash
+    * (the only non-oracle-able op in the text family; documented in
+    * COVERAGE.md). Empty docs report ratio NULL (0/0).
+    */
+  def compressionSignal(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      octet_length(col("text")).cast("long").as("n_bytes"),
+      expr("deflate_len(text)").as("deflate_bytes"))
+      .withColumn("ratio", expr(
+        "round(deflate_bytes / CAST(nullif(n_bytes, 0) AS DOUBLE), 6)"))
+
   /** Feature-hashed document vectors (the hashing trick, Weinberger
     * et al. 2009): model-free L2-normalized bag-of-words features —
     * bucket `j = h60(token) mod dim`, count token OCCURRENCES per

@@ -66,6 +66,32 @@ class GopherRulesSpec extends SparkSpec {
     assert(m(5L) == (1L, 1L, 0.0, 0.0))
   }
 
+  test("compressionSignal: ordering properties, zlib-invariant") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      (0L, "spam " * 400),                                 // pure repetition
+      (1L, ("the quick brown fox jumps over a lazy dog " +
+        "while autumn rain settles on quiet rooftops ") * 25),  // natural-ish
+      (2L, Seq.fill(2000)(rnd.nextPrintableChar()).mkString), // noise
+      (3L, "")                                             // empty
+    ).toDF("doc_id", "text")
+    val m = TextMetrics.compressionSignal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))).toMap
+    // repetition compresses hardest, random text barely at all —
+    // orderings hold for ANY zlib build, unlike absolute byte counts
+    assert(m(0L)._3 < m(1L)._3 && m(1L)._3 < m(2L)._3, m.toString)
+    assert(m(0L)._3 < 0.05, s"pure repetition must crush: ${m(0L)}")
+    assert(m(2L)._3 > 0.8, s"random text must not: ${m(2L)}")
+    assert(m(3L)._3.isNaN && m(3L)._1 == 0L) // empty: ratio NULL
+    // deterministic within this JVM, and the SQL-text form agrees
+    val viaSql = docs.filter($"doc_id" === 1L)
+      .select(expr("deflate_len(text)")).head().getLong(0)
+    assert(viaSql == m(1L)._2)
+  }
+
   test("featureHashVectors: unit norms, bucket range, sparse empties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
