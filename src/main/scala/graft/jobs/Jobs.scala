@@ -947,6 +947,43 @@ object Jobs {
       .coalesce(1).write.mode("overwrite").parquet(out + "_report")
   }
 
+  /** [[temperatureMix]]'s upsampling sibling: materialize the
+    * repeat-budget mix (per-doc `rep` counts) + its per-language plan
+    * table. Same corpus contract (parquet with a `lang` column). */
+  def repeatMix(spark: SparkSession, in: String, out: String,
+                alphaE: String = "3e-1", targetDiv: Int = 1,
+                maxRepeat: Int = 4, seed: Int = 7): Unit = {
+    import graft.pipeline.Sharding
+    require(in.startsWith("parquet:"),
+      s"RepeatMix needs a parquet corpus with a 'lang' column, got $in")
+    val docs = spark.read.parquet(in.stripPrefix("parquet:"))
+    require(docs.columns.contains("lang"),
+      s"corpus at $in has no 'lang' column (found: ${docs.columns.mkString(", ")})")
+    Sharding.repeatBudgetMix(docs, alphaE = alphaE,
+        targetDiv = targetDiv, maxRepeat = maxRepeat, seed = seed)
+      .write.mode("overwrite").parquet(out)
+    Sharding.repeatBudgetPlan(docs, alphaE = alphaE,
+        targetDiv = targetDiv, maxRepeat = maxRepeat)
+      .coalesce(1).write.mode("overwrite").parquet(out + "_plan")
+  }
+
+  /** Leakage-aware split over the corpus's own near-dup clusters:
+    * label via LSH candidates + min-label propagation, fold by the
+    * cluster label's seeded hash, write (doc_id, cluster, fold,
+    * split). No dup group straddles train/val. */
+  def leakageSplit(spark: SparkSession, in: String, out: String,
+                   nFolds: Int = 10, nVal: Int = 1,
+                   seed: Int = 11): Unit = {
+    import graft.pipeline.Dedup
+    val docs = loadDocs(spark, in)
+    Dedup.leakageSplit(
+        Dedup.clusters(docs, Dedup.lshCandidates(docs)),
+        nFolds = nFolds, nVal = nVal, seed = seed)
+      .select(col("doc_id"), col("lbl").as("cluster"), col("fold"),
+        col("split"))
+      .write.mode("overwrite").parquet(out)
+  }
+
   def dedupCorpus(spark: SparkSession, in: String, out: String): Unit = {
     val docs = loadDocs(spark, in)
     val keepers = docs
@@ -1303,6 +1340,17 @@ object Jobs {
           alphaE = rest.headOption.getOrElse("3e-1"),
           targetDiv = rest.lift(1).map(_.toInt).getOrElse(2),
           seed = rest.lift(2).map(_.toInt).getOrElse(7))
+      case "RepeatMix" :: in :: out :: rest if rest.size <= 4 =>
+        repeatMix(spark, in, out,
+          alphaE = rest.headOption.getOrElse("3e-1"),
+          targetDiv = rest.lift(1).map(_.toInt).getOrElse(1),
+          maxRepeat = rest.lift(2).map(_.toInt).getOrElse(4),
+          seed = rest.lift(3).map(_.toInt).getOrElse(7))
+      case "LeakageSplit" :: in :: out :: rest if rest.size <= 3 =>
+        leakageSplit(spark, in, out,
+          nFolds = rest.headOption.map(_.toInt).getOrElse(10),
+          nVal = rest.lift(1).map(_.toInt).getOrElse(1),
+          seed = rest.lift(2).map(_.toInt).getOrElse(11))
       case "PrepareTrainingData" :: in :: out :: bench :: seed ::
           nShards :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,

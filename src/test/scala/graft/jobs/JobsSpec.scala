@@ -528,6 +528,40 @@ class JobsSpec extends SparkSpec {
         sel.select("doc_id").as[Long].collect().sorted))
   }
 
+  test("RepeatMix + LeakageSplit jobs: plan accounting, no group straddles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, lit, when}
+    val w = Files.createTempDirectory("repmix").toString
+    spark.range(100).select(
+        when(col("id") < 97, "en").otherwise("xx").as("lang"),
+        col("id").as("doc_id"), lit("body text").as("text"))
+      .write.parquet(s"$w/in")
+    Jobs.repeatMix(spark, s"parquet:$w/in", s"$w/mix")
+    val mix = spark.read.parquet(s"$w/mix")
+    val plan = spark.read.parquet(s"$w/mix_plan")
+      .select("lang", "allocated", "capped")
+      .as[(String, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the 3-doc minority is upweighted past 4x its size: cap binds,
+    // every doc repeated exactly 4 times in the materialized mix
+    assert(plan("xx")._3 && plan("xx")._2 == 12L)
+    val xx = mix.filter($"lang" === "xx").select("rep").as[Long].collect()
+    assert(xx.length == 3 && xx.forall(_ == 4L))
+    val got = mix.groupBy("lang").agg(expr("sum(rep)"))
+      .as[(String, Long)].collect().toMap
+    plan.values.foreach { case (l, alloc, _) =>
+      assert(got.getOrElse(l, 0L) == alloc, s"$l: ${got.get(l)} vs $alloc") }
+
+    // split over the tiny real corpus: cluster-coherent folds
+    Jobs.leakageSplit(spark, s"parquet:$sfTiny/documents.parquet",
+      s"$w/split")
+    val sp = spark.read.parquet(s"$w/split")
+    assert(sp.columns.toSet ==
+      Set("doc_id", "cluster", "fold", "split"))
+    assert(sp.groupBy("cluster")
+      .agg(expr("count(distinct split)").as("ns"))
+      .filter($"ns" > 1).isEmpty, "a dup cluster straddles the split")
+  }
+
   test("admitCycle: sub-shingle docs are flagged unsigned, never admitted") {
     import spark.implicits._
     val w = Files.createTempDirectory("subshingle").toString
