@@ -697,6 +697,24 @@ class JobsSpec extends SparkSpec {
     assert(verdict() == before, "compaction changed a verdict")
   }
 
+  test("CompactStore: crash between the two renames recovers on re-entry") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactcrash").toString
+    val rows = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+    rows.toDF("doc_id", "text").write.parquet(s"$w/store")
+    // simulate the crash window: the store was renamed aside but the
+    // compacted tmp never swapped in — on restart the data lives ONLY
+    // at store_compact_old
+    val f = new java.io.File(s"$w/store")
+    assert(f.renameTo(new java.io.File(s"$w/store_compact_old")))
+    Jobs.compactStore(spark, s"$w/store")
+    // recovery restored the store, re-ran the compaction, cleaned up
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    assert(!new java.io.File(s"$w/store_compact_tmp").exists())
+  }
+
   test("CompactStore refuses a partitioned dataset (would flatten + drop markers)") {
     import spark.implicits._
     val w = Files.createTempDirectory("compactpart").toString
