@@ -3218,7 +3218,52 @@ object PipelineQueries {
               |  CAST(max(pos) - min(pos) + 1 AS BIGINT) AS span_len
               |FROM gi GROUP BY doc_id, grp
               |HAVING max(pos) - min(pos) + 1 >= 15""".stripMargin),
-      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN"))
+      survey = Seq("DEDUP-EXACT-SUBSTR-MINLEN")),
+
+    // Multi-benchmark contamination ATTRIBUTION (r12): real decontam
+    // runs check dozens of benchmark sets at once and must report
+    // WHICH benchmark leaked into which doc — px77's pooled verdict
+    // can't. Per-(doc, benchmark) distinct-5-gram hits + fraction;
+    // the benchmark table stays a per-set distinct (tiny, broadcast
+    // side at scale), the corpus side is the shared px77 distinct-
+    // shingle pass.
+    Decl(
+      "px83_contam_attribution",
+      (s, dir) => {
+        val dsh = TextOps.shingleRows(Tables(s, dir, "documents"), 5)
+          .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
+          .distinct()
+        val bench = dsh.filter(col("doc_id") < 50)
+          .select(concat(lit("b"), pmod(col("doc_id"), lit(2)))
+            .as("bench"), col("sh"))
+          .distinct()
+        val corpus = dsh.filter(col("doc_id") >= 50)
+        val tot = corpus.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"))
+        corpus.join(bench, Seq("sh"))
+          .groupBy("doc_id", "bench").agg(count(lit(1)).as("n_hit"))
+          .join(tot, Seq("doc_id"))
+          .select(col("doc_id"), col("bench"), col("n_grams"),
+            col("n_hit"),
+            expr("round(n_hit / n_grams, 6)").as("frac"))
+      },
+      Some(s"""WITH $duckToksList,
+              |sh AS (SELECT doc_id, unnest(list_transform(
+              |    generate_series(1, greatest(len(tk) - 4, 0)),
+              |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' '
+              |         || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+              |dsh AS (SELECT DISTINCT doc_id, ${H("s")} AS sh FROM sh),
+              |bench AS (SELECT DISTINCT 'b' || CAST(doc_id % 2 AS VARCHAR)
+              |            AS bench, sh FROM dsh WHERE doc_id < 50),
+              |tot AS (SELECT doc_id, count(*) AS n_grams FROM dsh
+              |        WHERE doc_id >= 50 GROUP BY doc_id),
+              |hit AS (SELECT d.doc_id, b.bench, count(*) AS n_hit
+              |        FROM dsh d JOIN bench b USING (sh)
+              |        WHERE d.doc_id >= 50 GROUP BY d.doc_id, b.bench)
+              |SELECT h.doc_id, h.bench, t.n_grams, h.n_hit,
+              |  round(h.n_hit / t.n_grams, 6) AS frac
+              |FROM hit h JOIN tot t USING (doc_id)""".stripMargin),
+      survey = Seq("DECONTAM-EXACT"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
