@@ -927,18 +927,25 @@ object Jobs {
     * upsampled. Deterministic per seed: reruns and incremental
     * rebuilds select the identical mix.
     */
+  /** Shared mix-job corpus contract: full-schema parquet read (not
+    * loadDocs' (doc_id, text) projection — the selection keys on the
+    * corpus's language column and every other column rides through
+    * to the materialized mix), with the `lang` column required. */
+  private def loadLangCorpus(spark: SparkSession, in: String,
+                             job: String): DataFrame = {
+    require(in.startsWith("parquet:"),
+      s"$job needs a parquet corpus with a 'lang' column, got $in")
+    val docs = spark.read.parquet(in.stripPrefix("parquet:"))
+    require(docs.columns.contains("lang"),
+      s"corpus at $in has no 'lang' column (found: ${docs.columns.mkString(", ")})")
+    docs
+  }
+
   def temperatureMix(spark: SparkSession, in: String, out: String,
                      alphaE: String = "3e-1", targetDiv: Int = 2,
                      seed: Int = 7): Unit = {
     import graft.pipeline.Sharding
-    // full-schema read (not loadDocs' (doc_id, text) projection): the
-    // selection keys on the corpus's language column and every other
-    // column rides through to the materialized mix
-    require(in.startsWith("parquet:"),
-      s"TemperatureMix needs a parquet corpus with a 'lang' column, got $in")
-    val docs = spark.read.parquet(in.stripPrefix("parquet:"))
-    require(docs.columns.contains("lang"),
-      s"corpus at $in has no 'lang' column (found: ${docs.columns.mkString(", ")})")
+    val docs = loadLangCorpus(spark, in, "TemperatureMix")
     Sharding.temperatureSample(docs, alphaE = alphaE,
         targetDiv = targetDiv, seed = seed)
       .write.mode("overwrite").parquet(out)
@@ -949,16 +956,13 @@ object Jobs {
 
   /** [[temperatureMix]]'s upsampling sibling: materialize the
     * repeat-budget mix (per-doc `rep` counts) + its per-language plan
-    * table. Same corpus contract (parquet with a `lang` column). */
+    * table. Same corpus contract (parquet with a `lang` column) and
+    * the same targetDiv default as the sibling and the library op. */
   def repeatMix(spark: SparkSession, in: String, out: String,
-                alphaE: String = "3e-1", targetDiv: Int = 1,
+                alphaE: String = "3e-1", targetDiv: Int = 2,
                 maxRepeat: Int = 4, seed: Int = 7): Unit = {
     import graft.pipeline.Sharding
-    require(in.startsWith("parquet:"),
-      s"RepeatMix needs a parquet corpus with a 'lang' column, got $in")
-    val docs = spark.read.parquet(in.stripPrefix("parquet:"))
-    require(docs.columns.contains("lang"),
-      s"corpus at $in has no 'lang' column (found: ${docs.columns.mkString(", ")})")
+    val docs = loadLangCorpus(spark, in, "RepeatMix")
     Sharding.repeatBudgetMix(docs, alphaE = alphaE,
         targetDiv = targetDiv, maxRepeat = maxRepeat, seed = seed)
       .write.mode("overwrite").parquet(out)
@@ -1343,7 +1347,7 @@ object Jobs {
       case "RepeatMix" :: in :: out :: rest if rest.size <= 4 =>
         repeatMix(spark, in, out,
           alphaE = rest.headOption.getOrElse("3e-1"),
-          targetDiv = rest.lift(1).map(_.toInt).getOrElse(1),
+          targetDiv = rest.lift(1).map(_.toInt).getOrElse(2),
           maxRepeat = rest.lift(2).map(_.toInt).getOrElse(4),
           seed = rest.lift(3).map(_.toInt).getOrElse(7))
       case "LeakageSplit" :: in :: out :: rest if rest.size <= 3 =>

@@ -655,7 +655,9 @@ object TextMetrics {
     * oracle exists for DEFLATE, so this signal is spec-verified by
     * zlib-invariant ORDERING properties, not a cross-engine hash
     * (the only non-oracle-able op in the text family; documented in
-    * COVERAGE.md). Empty docs report ratio NULL (0/0).
+    * COVERAGE.md). An empty doc reports (n_bytes = 0, deflate_bytes =
+    * 8 — the fixed empty-stream frame, see [[
+    * graft.functions.DeflateLen]] — ratio = NULL via nullif).
     */
   def compressionSignal(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),

@@ -37,8 +37,13 @@ object ProbeR12Ops {
         val csRows = Bench.materialize(TextMetrics.compressionSignal(big))
         val csSec = (System.nanoTime() - t0) / 1e9
         println(f"""[r12ops] {"n":$n,"docs":$docs,"run":$r,"fv_sec":$fvSec%.2f,"fv_rows":$fvRows,"cs_sec":$csSec%.2f,"cs_rows":$csRows,"corpus_mb":$mb%.0f,"deflate_mb_s":${mb / csSec}%.0f}""")
-        spark.catalog.clearCache()
       }
+      // free THIS replica's localCheckpoint blocks before building the
+      // next (larger) one — catalog.clearCache() does not touch
+      // checkpointed RDD blocks, and leaving them resident would put
+      // the next scale row under avoidable memory pressure
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     spark.stop()
   }

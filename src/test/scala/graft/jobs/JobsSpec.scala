@@ -536,7 +536,9 @@ class JobsSpec extends SparkSpec {
         when(col("id") < 97, "en").otherwise("xx").as("lang"),
         col("id").as("doc_id"), lit("body text").as("text"))
       .write.parquet(s"$w/in")
-    Jobs.repeatMix(spark, s"parquet:$w/in", s"$w/mix")
+    // targetDiv = 1 (budget = the whole corpus) so the 3-doc
+    // minority's quota clears 4x its size and the epoch cap binds
+    Jobs.repeatMix(spark, s"parquet:$w/in", s"$w/mix", targetDiv = 1)
     val mix = spark.read.parquet(s"$w/mix")
     val plan = spark.read.parquet(s"$w/mix_plan")
       .select("lang", "allocated", "capped")
