@@ -137,6 +137,51 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/sigs").count() == sigRows)
   }
 
+  test("storeAdmitStream: redo AFTER the store append committed reads clean") {
+    import spark.implicits._
+    // The worst crash window: admitCycle already appended the novel
+    // doc's text + signature, then died before the ledger's
+    // _COMMITTED marker. The redo finds the novel doc's OWN copy in
+    // the store — the nid =!= oid band filter must keep the rewritten
+    // verdict rows identical to an uncrashed run's (novel, jac NULL,
+    // zero candidates), never "duplicate of itself".
+    val work = Files.createTempDirectory("storeadmit_redo").toString
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val textB = "red blue gree yellow purple orange black white brown" +
+      " pink cyan teal navy gold silver maroon olive coral beige plum"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$work/corpus")
+    Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
+    // the crashed run's completed half: novel doc 11 already admitted
+    val novel = Seq((11L, textB)).toDF("doc_id", "text")
+    novel.write.mode("append").parquet(s"$work/corpus")
+    Dedup.minhashWide(novel).write.mode("append").parquet(s"$work/sigs")
+    // ...and its un-committed half: marker-less partial partition
+    val part = new java.io.File(s"$work/verdicts/batch_id=0")
+    part.mkdirs()
+    new java.io.File(part, "part-stale.parquet").createNewFile()
+
+    Seq((10L, textX), (11L, textB)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$work/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$work/in").schema)
+      .parquet(s"$work/in")
+    NearDupStream.storeAdmitStream(stream, s"$work/sigs",
+      s"$work/corpus", s"$work/verdicts", s"$work/ckpt")
+      .awaitTermination()
+    val v = spark.read.parquet(s"$work/verdicts")
+      .select("doc_id", "n_cand", "dup_of", "jac")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.isNullAt(3)))).toMap
+    // doc 10 still dups against the REAL corpus doc...
+    assert(v(10L) == ((1L, 1L, false)), v.toString)
+    // ...and doc 11's only stored match is itself: the redo row is
+    // the uncrashed row — novel, zero candidates, NULL jac
+    assert(v(11L) == ((0L, -1L, true)), v.toString)
+  }
+
   test("collision pairs are exactly the batch LSH candidate pairs") {
     val ledger = spark.table("ndl_out") // from the previous test's run
     val streamPairs = ledger.filter(col("doc_id") =!= col("keeper"))
