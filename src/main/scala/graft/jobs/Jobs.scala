@@ -972,16 +972,27 @@ object Jobs {
   }
 
   /** Leakage-aware split over the corpus's own near-dup clusters:
-    * label via LSH candidates + min-label propagation, fold by the
-    * cluster label's seeded hash, write (doc_id, cluster, fold,
-    * split). No dup group straddles train/val. */
+    * label via LSH candidates + EXACT connected components, fold by
+    * the component label's seeded hash, write (doc_id, cluster, fold,
+    * split). No dup group straddles train/val — the labeling is
+    * [[graft.pipeline.Dedup.connectedComponents]]' fixpoint, so the
+    * guarantee holds for dup CHAINS of any diameter (r12 verdict: the
+    * former 3-round [[graft.pipeline.Dedup.clusters]] labeling let a
+    * diameter->3 chain converge to two labels that hash to independent
+    * folds, silently violating this contract; px80's QUERY keeps the
+    * declared 3-round contract — the JOB ships the exact one). */
   def leakageSplit(spark: SparkSession, in: String, out: String,
                    nFolds: Int = 10, nVal: Int = 1,
-                   seed: Int = 11): Unit = {
+                   seed: Int = 11, edgesIn: Option[String] = None): Unit = {
     import graft.pipeline.Dedup
     val docs = loadDocs(spark, in)
+    // edgesIn: a precomputed candidate-edge parquet (d1, d2) — the
+    // 100 TB path, where the LSH edge list is a written artifact of
+    // the dedup pass and the split job only labels + folds over it.
+    val edges = edgesIn.map(spark.read.parquet(_).select("d1", "d2"))
+      .getOrElse(Dedup.lshCandidates(docs))
     Dedup.leakageSplit(
-        Dedup.clusters(docs, Dedup.lshCandidates(docs)),
+        Dedup.connectedComponents(docs, edges),
         nFolds = nFolds, nVal = nVal, seed = seed)
       .select(col("doc_id"), col("lbl").as("cluster"), col("fold"),
         col("split"))
@@ -1350,11 +1361,12 @@ object Jobs {
           targetDiv = rest.lift(1).map(_.toInt).getOrElse(2),
           maxRepeat = rest.lift(2).map(_.toInt).getOrElse(4),
           seed = rest.lift(3).map(_.toInt).getOrElse(7))
-      case "LeakageSplit" :: in :: out :: rest if rest.size <= 3 =>
+      case "LeakageSplit" :: in :: out :: rest if rest.size <= 4 =>
         leakageSplit(spark, in, out,
           nFolds = rest.headOption.map(_.toInt).getOrElse(10),
           nVal = rest.lift(1).map(_.toInt).getOrElse(1),
-          seed = rest.lift(2).map(_.toInt).getOrElse(11))
+          seed = rest.lift(2).map(_.toInt).getOrElse(11),
+          edgesIn = rest.lift(3))
       case "PrepareTrainingData" :: in :: out :: bench :: seed ::
           nShards :: Nil =>
         prepareTrainingData(spark, in, out, bench, seed.toInt,

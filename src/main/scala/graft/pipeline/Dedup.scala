@@ -467,8 +467,19 @@ object Dedup {
                                   existing: DataFrame,
                                   batchSigs: DataFrame, batch: DataFrame,
                                   threshold: Double): DataFrame = {
+    // Redo idempotence (r12 advice): after a crash BETWEEN the store
+    // append and the caller's commit marker, the WHOLE batch is
+    // already in the store — so a replayed doc would band-candidate
+    // not just against its own stored copy but against its stored
+    // BATCH-MATES, skewing n_cand and possibly dup_of vs an uncrashed
+    // run. Anti-join the stored band index against the batch's full
+    // id set: a no-op in uncrashed runs (store ids are disjoint from
+    // batch ids by the admit contract) and exact replay idempotence on
+    // redo. The batch id set is |batch|-bounded, so it broadcasts.
     val exBands = bandSigs(existingSigs)
       .select(col("doc_id").as("oid"), col("band"), col("sig"))
+      .join(broadcast(batchSigs.select(col("doc_id").as("oid")).distinct()),
+        Seq("oid"), "left_anti")
     val newBands = bandSigs(batchSigs)
       .select(col("doc_id").as("nid"), col("band"), col("sig"))
     // Candidate list: tiny by construction (≤ |batch| × per-doc band
@@ -481,14 +492,10 @@ object Dedup {
     // exchanges, so parallel recompute beats the serialized
     // materialization barrier — the same verdict as the px04/px27
     // persist A/Bs (BENCH_NOTES §2).
-    // nid =!= oid: a redone batch (crash after the store append,
-    // before the caller's commit marker) finds its OWN stored copy in
-    // the band index; dropping the self-pair here keeps it out of
-    // n_cand, the verification join, and the best-match ranking — so
-    // a redo produces rows identical to an uncrashed run's (jac/dup_of
-    // never report a doc as its own duplicate).
+    // (the anti-join above already removed every stored row with a
+    // batch id, self-pairs included, so no nid =!= oid filter is
+    // needed — a redo produces rows identical to an uncrashed run's)
     val cand = newBands.join(exBands, Seq("band", "sig"))
-      .filter(col("nid") =!= col("oid"))
       .select("nid", "oid").distinct()
     // Verification corpus = candidate existing docs only. The id set
     // is bounded by |batch| × per-doc candidates, so it broadcasts;

@@ -89,6 +89,44 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(7L) == 5L && cc(2L) == 1L && cc(4L) == 3L)
   }
 
+  test("Jobs LeakageSplit labels with EXACT components: deep chains land in one fold") {
+    import spark.implicits._
+    // The r12 verdict's case: a dup chain of diameter > 3 converges
+    // to SEVERAL labels under 3-round min-label propagation, which
+    // hash to independent folds — silently violating the job's "no
+    // dup group straddles train/val" contract. The CLI now labels
+    // with the exact fixpoint; this drives the CLI's precomputed-edge
+    // path (the 100 TB shape: the LSH edge list is a written artifact
+    // of the dedup pass) with a diameter-7 chain 8-9-…-15 plus
+    // isolated docs and a tight pair.
+    val docs = (1L to 20L).map(i => (i, s"doc $i body")).toDF("doc_id", "text")
+    val edges = ((8L to 14L).map(i => (i, i + 1)) ++ Seq((3L, 5L)))
+      .toDF("d1", "d2")
+    val w = java.nio.file.Files.createTempDirectory("leakcc").toString
+    docs.write.parquet(s"$w/in")
+    edges.write.parquet(s"$w/edges")
+
+    // non-vacuity guard: 3-round labeling provably splits this chain
+    val approx = labelsOf(Dedup.clusters(docs, edges, rounds = 3))
+    assert((8L to 15L).map(approx).toSet.size > 1,
+      s"if 3 rounds solve diameter 7, the fixture is vacuous: $approx")
+
+    graft.jobs.Jobs.leakageSplit(spark, s"parquet:$w/in", s"$w/split",
+      edgesIn = Some(s"$w/edges"))
+    val sp = spark.read.parquet(s"$w/split")
+      .select("doc_id", "cluster", "fold", "split")
+      .as[(Long, Long, Long, String)].collect()
+    val byDoc = sp.map(r => r._1 -> r).toMap
+    assert(sp.length == 20)
+    // the whole chain carries ONE exact label, ONE fold, ONE split
+    assert((8L to 15L).map(byDoc(_)._2).toSet == Set(8L))
+    assert((8L to 15L).map(byDoc(_)._3).toSet.size == 1)
+    assert((8L to 15L).map(byDoc(_)._4).toSet.size == 1)
+    // the pair stays together; isolated docs keep their own label
+    assert(byDoc(5L)._2 == 3L && byDoc(5L)._3 == byDoc(3L)._3)
+    assert(byDoc(1L)._2 == 1L && byDoc(20L)._2 == 20L)
+  }
+
   test("leakageSplit: cluster members never straddle the split") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -137,6 +137,33 @@ class IncrementalSpec extends SparkSpec {
     assert(out(1) == ((101L, 0L, -1L, true)), out.mkString(", "))
   }
 
+  test("a redone batch never candidates against its stored BATCH-MATES " +
+    "(redo == uncrashed, bit-identical, r12 advice)") {
+    // batch of two near-identical docs (intra-batch dups are out of
+    // scope by contract: both read novel in an uncrashed run). After
+    // a crash-after-append the store holds BOTH, so a replay that only
+    // dropped self-pairs would see doc 300 candidate against stored
+    // 301 (n_cand 1, dup_of 301) — a verdict the uncrashed run never
+    // produced. The band-stage anti-join on the batch id set makes the
+    // redo bit-identical.
+    val batch2 = Seq(
+      (300L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (301L, (0 until 41).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val uncrashed = Dedup.incrementalNearDups(existingDocs, batch2, 0.5)
+      .collect().sortBy(_.getLong(0))
+    val redoStore = existingDocs.unionAll(batch2)
+    val redo = Dedup.incrementalNearDupsFromSigs(
+      Dedup.minhashWide(redoStore), redoStore,
+      Dedup.minhashWide(batch2), batch2, 0.5)
+      .collect().sortBy(_.getLong(0))
+    assert(uncrashed.sameElements(redo),
+      s"redo diverged: ${uncrashed.mkString(",")} vs ${redo.mkString(",")}")
+    // and the uncrashed verdicts really are both-novel (non-vacuity)
+    assert(uncrashed.map(r => (r.getLong(1), r.isNullAt(2))).toSeq ==
+      Seq((0L, true), (0L, true)))
+  }
+
   test("incrementalNearDups: corpus re-read is pruned to candidates " +
     "before shingling (semi-join below the explode)") {
     val plan = Dedup.incrementalNearDups(existingDocs, batchDocs, 0.5)
