@@ -40,7 +40,13 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
 
 object DeflateLen {
   // one Deflater per thread, reset between rows — constructing a
-  // Deflater allocates native zlib state, far costlier than a reset
+  // Deflater allocates native zlib state, far costlier than a reset.
+  // The native state is deliberately never end()'d: it lives for the
+  // thread's lifetime, which is bounded on Spark's POOLED executor
+  // task threads (a fixed-size pool holds ~64 KB of zlib state per
+  // thread). A host embedding this expression on short-lived
+  // per-task threads would leak one Deflater per dead thread and
+  // should call .remove()/end() in a task-completion hook instead.
   private val deflater = new ThreadLocal[java.util.zip.Deflater] {
     override def initialValue(): java.util.zip.Deflater =
       new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)

@@ -593,21 +593,45 @@ object Jobs {
     * run recovers by renaming it back (done on entry here). Rows are
     * preserved as-is, duplicate retry rows included — they change no
     * verdict (admitCycle's contract), and dropping them would make
-    * compaction a semantic operation instead of a layout one. Run
-    * under the same single-writer discipline the append ordering
-    * already assumes; for concurrent-safe compaction point the
-    * stores at a transactional table format.
+    * compaction a semantic operation instead of a layout one.
+    *
+    * Concurrent-append guard (r12 verdict): single-writer discipline
+    * is still the operating contract, but a violation can no longer
+    * drop rows SILENTLY. The store's data-file set is snapshotted
+    * before the compacted copy is written; after the store is renamed
+    * aside, any file that appeared since (a concurrent admit append
+    * that landed pre-swap) is detected, the store is renamed back
+    * intact — append included — and the job fails loudly. An append
+    * that lands AFTER the store was renamed aside recreates the store
+    * path, which makes the final swap rename fail loudly too (state
+    * refused on the next entry, never auto-deleted). A `_compact_done`
+    * marker distinguishes the benign crash-after-swap leftover (stale
+    * `_compact_old`, cleaned on entry) from that refused state. For
+    * lock-free concurrent compaction point the stores at a
+    * transactional table format.
     */
   def compactStore(spark: SparkSession, path: String,
-                   targetFileBytes: Long = 512L << 20): Unit = {
+                   targetFileBytes: Long = 512L << 20,
+                   beforeSwap: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new Path(path + "_compact_old")
     val tmp = new Path(path + "_compact_tmp")
+    val done = new Path(path + "_compact_done")
     if (fs.exists(old) && !fs.exists(p))
       require(fs.rename(old, p),
         s"compactStore: crash recovery rename failed: $old -> $p")
+    else if (fs.exists(old) && fs.exists(done)) {
+      // crash after the swap completed, before cleanup: old is a
+      // stale pre-compaction copy of rows the live store already has
+      fs.delete(old, true); fs.delete(done, false)
+    } else require(!fs.exists(old),
+      s"compactStore: $old AND $path both exist without a completed " +
+        s"swap — a concurrent append recreated the store mid-swap. " +
+        s"Nothing was deleted; reconcile manually (the pre-compaction " +
+        s"rows are in $old, the concurrent append in $path)")
+    if (fs.exists(done)) fs.delete(done, false)
     require(fs.exists(p), s"compactStore: no store at $path")
     // FLAT stores only (sigStore/storeCorpus). A partitioned dataset
     // (e.g. the batch_id= verdicts ledger) would silently flatten:
@@ -621,15 +645,44 @@ object Jobs {
         s"...); compaction would flatten the layout and drop partition " +
         s"side files — compact flat stores only")
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    // snapshot the data-file set FIRST: any file that appears after
+    // this point is a concurrent append the compacted copy may miss
+    def dataFiles(dir: Path): Set[String] = fs.listStatus(dir)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+        && !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName).toSet
+    val snapshot = dataFiles(p)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
       .min(Int.MaxValue.toLong).toInt
-    spark.read.parquet(path).coalesce(n)
+    val df = spark.read.parquet(path)
+    // coalesce can only MERGE partitions; when the store's existing
+    // files are larger than the target, n exceeds the scan's partition
+    // count and coalesce(n) is a silent no-op — fall back to a full
+    // repartition so targetFileBytes bounds splitting too (r12 advice)
+    val parts = df.rdd.getNumPartitions
+    (if (n >= parts) df.repartition(n) else df.coalesce(n))
       .write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
+    beforeSwap() // test seam: simulate a concurrent append mid-window
     require(fs.rename(p, old), s"compactStore: rename failed: $p -> $old")
+    val appended = dataFiles(old) -- snapshot
+    if (appended.nonEmpty) {
+      // a concurrent append landed while the compacted copy was being
+      // written: it is NOT in tmp. Restore the store untouched (the
+      // append survives) and fail loudly — never drop rows silently.
+      require(fs.rename(old, p),
+        s"compactStore: abort-restore rename failed: $old -> $p")
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactStore: concurrent append detected (${appended.size} " +
+          s"new file(s) in $path since the compaction read, e.g. " +
+          s"${appended.head}); store restored untouched — stop the " +
+          s"writer and re-run")
+    }
     require(fs.rename(tmp, p), s"compactStore: rename failed: $tmp -> $p")
+    fs.create(done, true).close() // swap complete: old is now stale
     fs.delete(old, true)
+    fs.delete(done, false)
     // this session's shared file-status cache may still list the
     // pre-swap files; drop it so the next read sees the compact layout
     spark.catalog.refreshByPath(path)

@@ -212,6 +212,14 @@ object TextMetrics {
     // offset join. The checkpoint pins ONE computed RDD (pid values
     // frozen in the rows), so correctness does not depend on
     // exchange reuse; it is also the px27/§0h multi-consumer shape.
+    // The checkpoint blocks live until RDD GC (the returned frame
+    // still references them, so they cannot be unpersisted here): a
+    // long-lived session calling this repeatedly retains one
+    // histogram-sized block set per call until the references drop —
+    // the histogram is (lang, ppl)-distinct, orders of magnitude
+    // smaller than the corpus. Callers looping over many corpora
+    // should release the result (or System.gc via ContextCleaner)
+    // between iterations, the ProbeR12Ops discipline.
     val ranged = hist
       .repartitionByRange(nPart, col(langCol), col("ppl"))
       .withColumn("_pb_pid", spark_partition_id())

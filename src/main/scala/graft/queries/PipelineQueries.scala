@@ -1229,16 +1229,24 @@ object PipelineQueries {
               |  FROM d) t WHERE r = 1""".stripMargin),
       survey = Seq("EMB-PQ")),
 
-    // Cross-source duplicate overlap: for every source pair, how many
-    // content hashes they share — the corpus-mixing diagnostic (e.g.
-    // "how much of source A is already in source B") run before
-    // weighting sources in a training mix. Hash first: the self-join
-    // moves 32-char keys, grouped per pair.
+    // Cross-source content overlap: for every source pair, how many
+    // distinct 5-gram shingle hashes they share — the corpus-mixing
+    // diagnostic ("how much of source A is already in source B") run
+    // before weighting sources in a training mix. r13: the key was
+    // whole-text md5, which is VACUOUS on this corpus (no two sources
+    // share an identical text at any gated SF, so the oracle row
+    // matched on 0 = 0 rows and never compared the arithmetic — r12
+    // verdict); shingle granularity is both non-vacuous and what a
+    // real mixing diagnostic measures (crawls overlap in passages,
+    // not byte-identical pages). Hash first: the self-join moves
+    // 8-byte keys; per-source distinct bounds the join input.
     Decl(
       "px33_source_overlap",
       (s, dir) => {
-        val hs = Tables(s, dir, "documents")
-          .select(col("source"), md5(col("text")).as("h"))
+        val hs = TextOps.shingleRows(
+            Tables(s, dir, "documents").select("source", "text"),
+            5, idCol = "source")
+          .select(col("source"), DetHash.h60(col("s")).as("h"))
           .distinct()
         hs.alias("a")
           .join(hs.alias("b"),
@@ -1246,8 +1254,14 @@ object PipelineQueries {
           .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
           .agg(count(lit(1)).as("shared_hashes"))
       },
-      Some("""WITH hs AS (SELECT DISTINCT source, md5(text) AS h
-             |            FROM documents)
+      Some(s"""WITH tk AS (SELECT source, list_filter(
+             |    string_split_regex(lower(text), '[^0-9a-z]+'),
+             |    x -> x <> '') AS tk FROM documents),
+             |st AS (SELECT source, unnest(list_transform(
+             |    generate_series(1, greatest(len(tk) - 4, 0)),
+             |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+             |      || ' ' || tk[i+3] || ' ' || tk[i+4])) AS s FROM tk),
+             |hs AS (SELECT DISTINCT source, ${H("s")} AS h FROM st)
              |SELECT a.source AS s1, b.source AS s2,
              |  count(*) AS shared_hashes
              |FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source

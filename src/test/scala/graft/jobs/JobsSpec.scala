@@ -717,6 +717,78 @@ class JobsSpec extends SparkSpec {
     assert(!new java.io.File(s"$w/store_compact_tmp").exists())
   }
 
+  test("CompactStore: concurrent append detected — store restored, rows kept") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactrace").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$w/store")
+    // a concurrent admitCycle append lands INSIDE the compaction
+    // window (after the compacted copy was written, before the swap):
+    // the guard must abort loudly and leave every row — the appended
+    // one included — in the store
+    val e = intercept[IllegalStateException] {
+      Jobs.compactStore(spark, s"$w/store", beforeSwap = () =>
+        Seq((3L, "c")).toDF("doc_id", "text")
+          .write.mode("append").parquet(s"$w/store"))
+    }
+    assert(e.getMessage.contains("concurrent append"), e.getMessage)
+    spark.catalog.refreshByPath(s"$w/store")
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    assert(!new java.io.File(s"$w/store_compact_tmp").exists())
+    // the stopped-writer re-run then compacts cleanly
+    Jobs.compactStore(spark, s"$w/store")
+    assert(spark.read.parquet(s"$w/store").count() == 3)
+  }
+
+  test("CompactStore: crash after the swap cleans the stale copy; " +
+    "an UNEXPLAINED leftover is refused, never deleted") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactstale").toString
+    val rows = Seq((1L, "a"), (2L, "b"))
+    rows.toDF("doc_id", "text").write.parquet(s"$w/store")
+    // crash-after-swap leftover: live store + stale _compact_old +
+    // the _compact_done marker proving the swap completed
+    Seq((9L, "stale")).toDF("doc_id", "text")
+      .write.parquet(s"$w/store_compact_old")
+    new java.io.File(s"$w/store_compact_done").createNewFile()
+    Jobs.compactStore(spark, s"$w/store")
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    // the same leftover WITHOUT the done marker is ambiguous (a
+    // mid-swap append collision): refuse, delete nothing
+    Seq((9L, "orig")).toDF("doc_id", "text")
+      .write.parquet(s"$w/store_compact_old")
+    val e = intercept[IllegalArgumentException] {
+      Jobs.compactStore(spark, s"$w/store")
+    }
+    assert(e.getMessage.contains("reconcile manually"), e.getMessage)
+    assert(new java.io.File(s"$w/store_compact_old").exists())
+    assert(spark.read.parquet(s"$w/store").count() == 2)
+  }
+
+  test("CompactStore: oversized files are re-split (repartition fallback)") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactsplit").toString
+    // one file holding every row; a tiny target must SPLIT it — the
+    // former coalesce-only path was a silent no-op here. High-entropy
+    // text so parquet can't compress below the target.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (1L to 2000L).map(i => (i, (0 until 4).map(j =>
+        md.digest(s"$i-$j".getBytes).map("%02x".format(_)).mkString)
+      .mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$w/store")
+    def parts() = new java.io.File(s"$w/store").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(parts() == 1)
+    Jobs.compactStore(spark, s"$w/store", targetFileBytes = 16L << 10)
+    assert(parts() > 1, "a store of over-target files must be re-split")
+    assert(spark.read.parquet(s"$w/store").count() == 2000)
+  }
+
   test("CompactStore refuses a partitioned dataset (would flatten + drop markers)") {
     import spark.implicits._
     val w = Files.createTempDirectory("compactpart").toString
