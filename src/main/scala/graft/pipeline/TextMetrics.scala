@@ -674,6 +674,28 @@ object TextMetrics {
       .withColumn("ratio", expr(
         "round(deflate_bytes / CAST(nullif(n_bytes, 0) AS DOUBLE), 6)"))
 
+  /** Per-language deflate-ratio TERCILES (CCNet's head/middle/tail
+    * treatment applied to the compressibility axis): docs bucketed
+    * into `nBuckets` equal-count bands of [[compressionSignal]]'s
+    * ratio within each language, via the same distributed prefix-sum
+    * bucketer the perplexity bands use ([[perplexityBucketsFromScores]]
+    * — no corpus-cardinality window, no single-task sort). Bucket 1 =
+    * most compressible (boilerplate/repetition), bucket `nBuckets` =
+    * least (noise); the curation keep-band is the middle — px85
+    * composes this with the Gopher gate as a funnel stage. Empty docs
+    * (ratio NULL) sort first, the bucketer's documented NULL rule.
+    * → (doc_id, lang, ratio, bucket).
+    */
+  def compressionBuckets(docs: DataFrame, nBuckets: Int = 3,
+                         langCol: String = "lang"): DataFrame =
+    perplexityBucketsFromScores(
+      docs.select(col("doc_id"), col(langCol),
+        expr("round(deflate_len(text) / " +
+          "CAST(nullif(octet_length(text), 0) AS DOUBLE), 6)").as("ppl")),
+      nBuckets, langCol)
+      .select(col("doc_id"), col(langCol), col("ppl").as("ratio"),
+        col("bucket"))
+
   /** Feature-hashed document vectors (the hashing trick, Weinberger
     * et al. 2009): model-free L2-normalized bag-of-words features —
     * bucket `j = h60(token) mod dim`, count token OCCURRENCES per

@@ -3277,7 +3277,74 @@ object PipelineQueries {
               |SELECT h.doc_id, h.bench, t.n_grams, h.n_hit,
               |  round(h.n_hit / t.n_grams, 6) AS frac
               |FROM hit h JOIN tot t USING (doc_id)""".stripMargin),
-      survey = Seq("DECONTAM-EXACT"))
+      survey = Seq("DECONTAM-EXACT")),
+
+    // Feature-vector CONSUMER (r13, the px81 hand-off proven): top-20
+    // most-similar doc pairs by cosine over the feature-hashed
+    // vectors. Vectors are L2-normalized, so cosine = the sparse dot
+    // product — a self-join on the hash bucket, summed per pair:
+    // exactly how hashed features feed near-dup / retrieval at scale
+    // (the bucket join moves only NONZERO components, and the pair
+    // key space is bounded by co-occupied buckets, never docs²).
+    // Round-then-rank; (d1, d2) tiebreak — the cross-engine contract.
+    Decl(
+      "px84_hashed_cosine",
+      (s, dir) => {
+        val fv = graft.pipeline.TextMetrics
+          .featureHashVectors(Tables(s, dir, "documents"))
+          .filter(col("doc_id") < 200)
+          .select(col("doc_id"), col("j"), col("w"))
+        fv.alias("a")
+          .join(fv.alias("b"),
+            col("a.j") === col("b.j") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .agg(expr("round(sum(a.w * b.w), 6)").as("cos"))
+          .orderBy(desc("cos"), asc("d1"), asc("d2"))
+          .limit(20)
+      },
+      Some(s"""WITH $duckToksList,
+              |t AS (SELECT doc_id, unnest(tk) AS tok FROM tk
+              |      WHERE doc_id < 200),
+              |c AS (SELECT doc_id, ${H("tok")} % 64 AS j,
+              |        CAST(count(*) AS BIGINT) AS c
+              |      FROM t GROUP BY 1, 2),
+              |v AS (SELECT doc_id, j, round(c / sqrt(sum(c * c)
+              |        OVER (PARTITION BY doc_id)), 6) AS w FROM c)
+              |SELECT a.doc_id AS d1, b.doc_id AS d2,
+              |  round(sum(a.w * b.w), 6) AS cos
+              |FROM v a JOIN v b ON a.j = b.j AND a.doc_id < b.doc_id
+              |GROUP BY 1, 2 ORDER BY cos DESC, d1, d2 LIMIT 20"""
+        .stripMargin),
+      survey = Seq("TEXT-FEATURE-HASH")),
+
+    // Compression-band funnel stage (r13): the deflate-ratio signal
+    // COMPOSED into curation — per-language ratio terciles
+    // (TextMetrics.compressionBuckets, the px68 prefix-sum bucketer
+    // over the compressibility axis) crossed with the Gopher gate,
+    // reported as (lang, bucket, gopher_keep) attrition counts; the
+    // CCNet-style keep-band is the middle bucket. NO oracle: SQL
+    // cannot DEFLATE (DuckDB has no compression function), so this
+    // query carries the driver's rows-only gate and its semantics are
+    // spec-pinned by zlib-invariant ordering properties
+    // (GopherRulesSpec), the same documented treatment as
+    // compressionSignal itself — the band CUT machinery it rides IS
+    // oracle-gated, via px68.
+    Decl(
+      "px85_compression_funnel",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val banded = graft.pipeline.TextMetrics.compressionBuckets(docs)
+        val g = graft.pipeline.TextMetrics.gopherRules(docs)
+          .select(col("doc_id"), col("keep"))
+        banded.join(g, Seq("doc_id"))
+          .groupBy(col("lang"), col("bucket"), col("keep"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("in_keep_band",
+            col("bucket") === 2 && col("keep") === 1)
+          .orderBy("lang", "bucket", "keep")
+      },
+      None,
+      survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER"))
   )
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE

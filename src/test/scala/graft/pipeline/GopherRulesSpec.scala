@@ -92,6 +92,43 @@ class GopherRulesSpec extends SparkSpec {
     assert(viaSql == m(1L)._2)
   }
 
+  test("compressionBuckets: zlib-invariant band ordering, per-language, " +
+    "keep-band composition (the px85 funnel stage)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // per language: 3 repetitive, 3 natural, 3 noise docs — the bands
+    // must separate them by ORDERING alone (no absolute byte counts,
+    // so the assertion holds for any zlib build)
+    val rnd = new scala.util.Random(11)
+    val natural = "the quick brown fox jumps over a lazy dog while " +
+      "autumn rain settles gently on the quiet rooftops tonight "
+    val docs = (for {
+      (lang, off) <- Seq(("en", 0L), ("de", 100L))
+      i <- 0L until 3L
+      (kind, text) <- Seq(
+        (0L, s"spam$i " * 300),
+        (1L, (natural + s"variant $i ") * 12),
+        (2L, Seq.fill(1500)(rnd.nextPrintableChar()).mkString))
+    } yield (off + kind * 10 + i, lang, text)).toDF("doc_id", "lang", "text")
+    val b = TextMetrics.compressionBuckets(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (off <- Seq(0L, 100L); i <- 0L until 3L) {
+      assert(b(off + i) == 1L, s"repetitive doc ${off + i}: ${b(off + i)}")
+      assert(b(off + 10 + i) == 2L, s"natural doc: ${b(off + 10 + i)}")
+      assert(b(off + 20 + i) == 3L, s"noise doc: ${b(off + 20 + i)}")
+    }
+    // funnel composition: the middle band is the keep-band, so only
+    // the natural docs survive a band-2 gate — per language
+    val kept = TextMetrics.compressionBuckets(docs, 3)
+      .filter(col("bucket") === 2).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(10L, 11L, 12L, 110L, 111L, 112L), kept.toString)
+    // deterministic rerun
+    val again = TextMetrics.compressionBuckets(docs, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(again == b)
+  }
+
   test("featureHashVectors: unit norms, bucket range, sparse empties") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
