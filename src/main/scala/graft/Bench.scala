@@ -86,13 +86,22 @@ object Bench {
       case None     => SparkEntry.decls
     }
 
-    def timeOne(d: graft.queries.Decl): (Double, Long, Seq[Double]) = {
+    // Per-query Janino compilation count (§0m): the codegen cache is
+    // keyed by generated source, so family-mates share classes — this
+    // column shows which queries actually pay a compile and how many
+    // classes the whole suite generates (exact count; the compile TIME
+    // is histogram-sampled globally and not reliably attributable).
+    def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+
+    def timeOne(d: graft.queries.Decl): (Double, Long, Seq[Double], Long) = {
       // Name every job after its query: event logs / the UI can then
       // attribute multi-job (AQE, persist) queries to their owner.
       spark.sparkContext.setJobDescription(d.name)
       val t0 = System.nanoTime()
       val g0 = gcMs
       val c0 = cpuTicks
+      val cg0 = cgCount
       try materialize(d.run(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
@@ -100,6 +109,7 @@ object Bench {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = gcMs - g0
+      val cgn = cgCount - cg0
       val dc = cpuTicks.zip(c0).map { case (a, b) => (a - b) / hz }
       // user+nice, system+irq+softirq, idle, iowait, steal (seconds,
       // summed over all CPUs)
@@ -109,7 +119,7 @@ object Bench {
       // before the next query so timings stay independent (no
       // cross-query subsidy) and memory doesn't accumulate.
       spark.catalog.clearCache()
-      (dt, gc, cpu)
+      (dt, gc, cpu, cgn)
     }
 
     val results = decls.map { d =>
@@ -121,8 +131,8 @@ object Bench {
             org.apache.spark.sql.execution.FormattedMode))
         catch { case e: Throwable =>
           System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
-      val (dt, gc, cpu) = timeOne(d)
-      (d.name, dt, gc, cpu)
+      val (dt, gc, cpu, cgn) = timeOne(d)
+      (d.name, dt, gc, cpu, cgn)
     }
 
     // ---- self-adjudicating re-run pass ----
@@ -149,14 +159,14 @@ object Bench {
     val rerun: Map[String, (Double, Long, Seq[Double], String)] =
       if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
       else results.collect {
-        case (name, dt, _, cpu) if cpu(1) > stormSys || dt > rerunSec =>
+        case (name, dt, _, cpu, _) if cpu(1) > stormSys || dt > rerunSec =>
           val d = decls.find(_.name == name).get
           val reason = (if (cpu(1) > stormSys) Seq("storm") else Nil) ++
             (if (dt > rerunSec) Seq("slow") else Nil)
-          val (rdt, rgc, rcpu) = timeOne(d)
+          val (rdt, rgc, rcpu, _) = timeOne(d)
           name -> ((rdt, rgc, rcpu, reason.mkString("+")))
       }.toMap
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalGc = results.map(_._3).sum / 1e3
@@ -166,7 +176,7 @@ object Bench {
     // truncated in rounds 1-2); the full record — including per-query GC
     // time — also goes to a file readable whole. Forked `sbt run` cwd is
     // the repo root.
-    val detail = results.map { case (k, v, g, cpu) =>
+    val detail = results.map { case (k, v, g, cpu, cgn) =>
       val Seq(u, s, i, w, st) = cpu.map(x => math.rint(x * 100) / 100)
       // same UNROUNDED cpu(1) as the rerun trigger, so flag and trigger
       // can't disagree on boundary rows
@@ -181,11 +191,19 @@ object Bench {
             s""","cpu_idle_s_rerun":$ri,"cpu_iowait_s_rerun":$rw,"cpu_steal_s_rerun":$rst""" +
             s""","storm_rerun":$stormR""" }
         .getOrElse("")
-      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"storm":$storm$rr}"""
+      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"codegen_n":$cgn,"storm":$storm$rr}"""
     }.mkString("[\n", ",\n", "\n]")
+    // Suite-level codegen accounting (§0m): exact compilation count
+    // plus an ESTIMATED total compile time (reservoir-sampled mean ×
+    // count — Codahale histograms don't keep an exact sum). The
+    // estimate prices the "how much of the per-action constant is
+    // Janino?" question in the committed artifact itself.
+    val cgTot = cgCount
+    val cgMsEst = math.rint(org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getSnapshot.getMean * cgTot)
     val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
     try pw.println(
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":"$cpus","heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"queries":$detail}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":"$cpus","heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"codegen_n":$cgTot,"codegen_ms_est":$cgMsEst,"queries":$detail}""")
     finally pw.close()
     println(line)
     // The full line above is ~2.5k chars — a bounded tail capture cuts
@@ -194,7 +212,7 @@ object Bench {
     // tail-parse can always read whole: same metric/value, the 20
     // slowest queries, and a pointer to the full per-query record.
     val top = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in BENCH_DETAILS.json","sf":"$sfDir"}""")

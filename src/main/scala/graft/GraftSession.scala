@@ -79,7 +79,30 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+  // Resolution cache (§0m): spark.read.parquet re-resolves the source
+  // on EVERY call — file listing, Hadoop FS init, and a footer/schema
+  // read measured at ~50 ms per call at sf0.1 (ProbeConstant), and the
+  // bench surface makes ~300 such calls per suite run (~15 s of pure
+  // re-resolution). The SF tables are immutable within a session
+  // (driver-generated, read-only), so the ANALYZED DataFrame is safely
+  // reusable: one resolution per (session, dir, table). This is the
+  // local-mode analogue of a metastore-backed catalog table, whose
+  // schema + file index the catalog caches — NOT a data cache (no
+  // persist; execution still scans parquet every action, and
+  // Bench/Verify's clearCache() doesn't touch it). Keyed by session so
+  // a restarted session re-resolves; GRAFT_TABLES_NOCACHE=1 opts out
+  // (needed only if a session ever reads a MUTATING path through
+  // Tables — none does today).
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (sys.env.contains("GRAFT_TABLES_NOCACHE")) resolve(spark, sfDir, name)
+    else cache.getOrElseUpdate((spark, sfDir, name),
+      resolve(spark, sfDir, name))
+
+  private def resolve(spark: SparkSession, sfDir: String,
+                      name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events") normalizeTs(df) else df
   }
