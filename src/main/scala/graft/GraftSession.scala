@@ -95,11 +95,27 @@ object Tables {
   // Tables — none does today).
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  // sessions whose stop-listener is registered: entries for a stopped
+  // session are evicted when its context ends, so a long-lived JVM
+  // cycling sessions can't accumulate dead analyzed plans
+  private val hooked = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (sys.env.contains("GRAFT_TABLES_NOCACHE")) resolve(spark, sfDir, name)
-    else cache.getOrElseUpdate((spark, sfDir, name),
-      resolve(spark, sfDir, name))
+    else {
+      if (hooked.add(spark))
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              cache.keys.filter(_._1 eq spark).foreach(cache.remove)
+              hooked.remove(spark)
+            }
+          })
+      cache.getOrElseUpdate((spark, sfDir, name),
+        resolve(spark, sfDir, name))
+    }
 
   private def resolve(spark: SparkSession, sfDir: String,
                       name: String): DataFrame = {

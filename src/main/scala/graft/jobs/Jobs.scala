@@ -603,12 +603,18 @@ object Jobs {
     * that landed pre-swap) is detected, the store is renamed back
     * intact — append included — and the job fails loudly. An append
     * that lands AFTER the store was renamed aside recreates the store
-    * path, which makes the final swap rename fail loudly too (state
-    * refused on the next entry, never auto-deleted). A `_compact_done`
-    * marker distinguishes the benign crash-after-swap leftover (stale
-    * `_compact_old`, cleaned on entry) from that refused state. For
-    * lock-free concurrent compaction point the stores at a
-    * transactional table format.
+    * path; every directory move here goes through a guarded swap
+    * (Hadoop rename onto an existing directory does NOT fail — it
+    * returns true and NESTS the source inside the destination,
+    * measured on RawLocalFileSystem — so the guard pre-checks, then
+    * detects the nested signature post-rename, un-nests and refuses).
+    * A `_compact_done` marker distinguishes the benign
+    * crash-after-swap leftover (stale `_compact_old`, cleaned on
+    * entry) from the refused states; a crash between the final swap
+    * and the marker itself leaves the refused state too, so its
+    * message spells out BOTH possible layouts and warns against
+    * blind merging. For lock-free concurrent compaction point the
+    * stores at a transactional table format.
     */
   def compactStore(spark: SparkSession, path: String,
                    targetFileBytes: Long = 512L << 20,
@@ -619,18 +625,45 @@ object Jobs {
     val old = new Path(path + "_compact_old")
     val tmp = new Path(path + "_compact_tmp")
     val done = new Path(path + "_compact_done")
+    // Directory moves must FAIL when the destination exists — but
+    // Hadoop's FileSystem.rename onto an existing directory SUCCEEDS
+    // and NESTS the source inside it (measured on RawLocalFileSystem:
+    // returns true, dst/src-name appears). A concurrent writer
+    // recreating the store path in the microseconds between our
+    // exists-check and the rename would otherwise get the compacted
+    // copy nested under its append and the pre-compaction rows
+    // deleted as "stale". Guard both sides: pre-check, then detect
+    // the nested signature after the rename, un-nest, and refuse.
+    def swapIn(src: Path, dst: Path, what: String): Boolean = {
+      if (fs.exists(dst)) return false
+      require(fs.rename(src, dst),
+        s"compactStore: $what rename failed: $src -> $dst")
+      val nested = new Path(dst, src.getName)
+      if (fs.exists(nested)) { // dst was recreated mid-rename: nested
+        require(fs.rename(nested, src),
+          s"compactStore: un-nest failed: $nested -> $src")
+        return false
+      }
+      true
+    }
     if (fs.exists(old) && !fs.exists(p))
-      require(fs.rename(old, p),
-        s"compactStore: crash recovery rename failed: $old -> $p")
+      require(swapIn(old, p, "crash recovery"),
+        s"compactStore: crash recovery found $path recreated " +
+          s"concurrently; pre-compaction rows remain at $old — stop " +
+          s"the writer and reconcile")
     else if (fs.exists(old) && fs.exists(done)) {
       // crash after the swap completed, before cleanup: old is a
       // stale pre-compaction copy of rows the live store already has
       fs.delete(old, true); fs.delete(done, false)
     } else require(!fs.exists(old),
       s"compactStore: $old AND $path both exist without a completed " +
-        s"swap — a concurrent append recreated the store mid-swap. " +
-        s"Nothing was deleted; reconcile manually (the pre-compaction " +
-        s"rows are in $old, the concurrent append in $path)")
+        s"swap. EITHER a concurrent append recreated the store " +
+        s"mid-swap (then $old holds the pre-compaction rows and $path " +
+        s"only the append) OR the process crashed between the final " +
+        s"swap and its done marker (then $path is the full compacted " +
+        s"store and $old a redundant copy). Nothing was deleted; " +
+        s"inspect row counts before reconciling — do NOT blindly " +
+        s"merge, the second case would duplicate every row")
     if (fs.exists(done)) fs.delete(done, false)
     require(fs.exists(p), s"compactStore: no store at $path")
     // FLAT stores only (sigStore/storeCorpus). A partitioned dataset
@@ -661,7 +694,9 @@ object Jobs {
     // count and coalesce(n) is a silent no-op — fall back to a full
     // repartition so targetFileBytes bounds splitting too (r12 advice)
     val parts = df.rdd.getNumPartitions
-    (if (n >= parts) df.repartition(n) else df.coalesce(n))
+    // strict >: at n == parts coalesce is already the right no-op —
+    // repartition would round-robin-shuffle an already-compact store
+    (if (n > parts) df.repartition(n) else df.coalesce(n))
       .write.mode("overwrite").parquet(tmp.toString)
     beforeSwap() // test seam: simulate a concurrent append mid-window
     require(fs.rename(p, old), s"compactStore: rename failed: $p -> $old")
@@ -670,16 +705,28 @@ object Jobs {
       // a concurrent append landed while the compacted copy was being
       // written: it is NOT in tmp. Restore the store untouched (the
       // append survives) and fail loudly — never drop rows silently.
-      require(fs.rename(old, p),
-        s"compactStore: abort-restore rename failed: $old -> $p")
       fs.delete(tmp, true)
+      require(swapIn(old, p, "abort-restore"),
+        s"compactStore: concurrent append detected AND the store " +
+          s"path was recreated during the abort; pre-compaction rows " +
+          s"(appends included) remain at $old — stop the writer and " +
+          s"reconcile")
       throw new IllegalStateException(
         s"compactStore: concurrent append detected (${appended.size} " +
           s"new file(s) in $path since the compaction read, e.g. " +
           s"${appended.head}); store restored untouched — stop the " +
           s"writer and re-run")
     }
-    require(fs.rename(tmp, p), s"compactStore: rename failed: $tmp -> $p")
+    if (!swapIn(tmp, p, "swap-in")) {
+      // an append recreated the store path AFTER it was renamed
+      // aside: its rows exist only at p. Leave everything in place —
+      // the on-entry (old && p && no marker) state refuses loudly.
+      throw new IllegalStateException(
+        s"compactStore: the store path was recreated by a concurrent " +
+          s"writer after the swap-aside; pre-compaction rows remain " +
+          s"at $old, the concurrent append at $path, the compacted " +
+          s"copy at $tmp — stop the writer and reconcile")
+    }
     fs.create(done, true).close() // swap complete: old is now stale
     fs.delete(old, true)
     fs.delete(done, false)

@@ -476,9 +476,13 @@ object Dedup {
     // id set: a no-op in uncrashed runs (store ids are disjoint from
     // batch ids by the admit contract) and exact replay idempotence on
     // redo. The batch id set is |batch|-bounded, so it broadcasts.
+    // Ids come from `batch` (a plain scan), NOT batchSigs — the sig
+    // subtree is a tokenize+minhash aggregation that would otherwise
+    // run a second time just to project ids; batch ids ⊇ sig ids and
+    // id-less extras remove nothing (no band rows exist for them).
     val exBands = bandSigs(existingSigs)
       .select(col("doc_id").as("oid"), col("band"), col("sig"))
-      .join(broadcast(batchSigs.select(col("doc_id").as("oid")).distinct()),
+      .join(broadcast(batch.select(col("doc_id").as("oid")).distinct()),
         Seq("oid"), "left_anti")
     val newBands = bandSigs(batchSigs)
       .select(col("doc_id").as("nid"), col("band"), col("sig"))

@@ -667,12 +667,20 @@ object TextMetrics {
     * 8 — the fixed empty-stream frame, see [[
     * graft.functions.DeflateLen]] — ratio = NULL via nullif).
     */
+  /** The deflate-ratio definition, ONE place over pre-projected byte
+    * columns: both the per-doc signal and the banding input derive
+    * from it, so the formula (6-dp rounding, the empty-doc nullif
+    * guard) cannot drift between them — px85 has no oracle, so drift
+    * here would be invisible to the gates.
+    */
+  private def deflateRatio(deflateBytes: String, nBytes: String): Column =
+    expr(s"round($deflateBytes / CAST(nullif($nBytes, 0) AS DOUBLE), 6)")
+
   def compressionSignal(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       octet_length(col("text")).cast("long").as("n_bytes"),
       expr("deflate_len(text)").as("deflate_bytes"))
-      .withColumn("ratio", expr(
-        "round(deflate_bytes / CAST(nullif(n_bytes, 0) AS DOUBLE), 6)"))
+      .withColumn("ratio", deflateRatio("deflate_bytes", "n_bytes"))
 
   /** Per-language deflate-ratio TERCILES (CCNet's head/middle/tail
     * treatment applied to the compressibility axis): docs bucketed
@@ -690,8 +698,10 @@ object TextMetrics {
                          langCol: String = "lang"): DataFrame =
     perplexityBucketsFromScores(
       docs.select(col("doc_id"), col(langCol),
-        expr("round(deflate_len(text) / " +
-          "CAST(nullif(octet_length(text), 0) AS DOUBLE), 6)").as("ppl")),
+        octet_length(col("text")).cast("long").as("_cb_nb"),
+        expr("deflate_len(text)").as("_cb_db"))
+        .select(col("doc_id"), col(langCol),
+          deflateRatio("_cb_db", "_cb_nb").as("ppl")),
       nBuckets, langCol)
       .select(col("doc_id"), col(langCol), col("ppl").as("ratio"),
         col("bucket"))

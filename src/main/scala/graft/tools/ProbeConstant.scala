@@ -96,10 +96,12 @@ object ProbeConstant {
       println(f"[pc] floor it=$it ${(System.nanoTime() - t0) / 1e6}%.1f ms")
     }
 
-    println(s"[pc] === read resolution: spark.read.parquet cost alone ===")
+    println(s"[pc] === read resolution: spark.read.parquet cost alone " +
+      s"(cache BYPASSED — Tables memoizes since r13, so going through " +
+      s"it would time a map hit) ===")
     for (t <- Seq("lineitem", "documents", "orders"); it <- 1 to 3) {
       val t0 = System.nanoTime()
-      Tables(spark, sfDir, t).schema
+      spark.read.parquet(s"$sfDir/$t.parquet").schema
       println(f"[pc] read $t%-10s it=$it ${(System.nanoTime() - t0) / 1e6}%.1f ms")
     }
     spark.stop()

@@ -34,9 +34,18 @@ object ProbeOpenCost {
       "px57_pii_redact", "q01_agg_sums")
     for (oc <- Seq(4L << 20, 256L << 10, 64L << 10, 16L << 10)) {
       spark.conf.set("spark.sql.files.openCostInBytes", oc.toString)
-      val parts = Tables(spark, sfDir, "documents")
-        .queryExecution.toRdd.getNumPartitions
-      println(s"[oc] openCost=$oc documents scan partitions=$parts")
+      // fresh read each time — the Tables cache (and the Dataset's own
+      // lazy QueryExecution) would replay the FIRST setting's split
+      // plan; and count non-EMPTY partitions too, because parquet
+      // assigns a row group to the split holding its midpoint: with
+      // single-row-group files, extra splits are empty tasks, not
+      // parallelism
+      val rdd = spark.read.parquet(s"$sfDir/documents.parquet")
+        .queryExecution.toRdd
+      val nonEmpty = rdd.mapPartitions(
+        it => Iterator.single(if (it.hasNext) 1 else 0)).sum().toLong
+      println(s"[oc] openCost=$oc documents scan partitions=" +
+        s"${rdd.getNumPartitions} nonEmpty=$nonEmpty")
       for (n <- names; it <- 1 to 3) {
         val d = SparkEntry.decls.find(_.name == n).get
         spark.sparkContext.setJobDescription(s"$n oc=$oc")

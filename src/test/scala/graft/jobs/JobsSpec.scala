@@ -765,7 +765,7 @@ class JobsSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Jobs.compactStore(spark, s"$w/store")
     }
-    assert(e.getMessage.contains("reconcile manually"), e.getMessage)
+    assert(e.getMessage.contains("do NOT blindly merge"), e.getMessage)
     assert(new java.io.File(s"$w/store_compact_old").exists())
     assert(spark.read.parquet(s"$w/store").count() == 2)
   }
