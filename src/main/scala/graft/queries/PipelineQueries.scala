@@ -3282,10 +3282,15 @@ object PipelineQueries {
     // Feature-vector CONSUMER (r13, the px81 hand-off proven): top-20
     // most-similar doc pairs by cosine over the feature-hashed
     // vectors. Vectors are L2-normalized, so cosine = the sparse dot
-    // product — a self-join on the hash bucket, summed per pair:
-    // exactly how hashed features feed near-dup / retrieval at scale
-    // (the bucket join moves only NONZERO components, and the pair
-    // key space is bounded by co-occupied buckets, never docs²).
+    // product — a self-join on the hash bucket, summed per pair; the
+    // bucket join moves only NONZERO components. Scale honesty: this
+    // is a bounded VALIDATION slice (doc_id < 200, the px07 brute-
+    // cosine convention) — a bucket self-join is quadratic at any dim
+    // on natural text (Zipf: a stopword's bucket is co-occupied by
+    // nearly every doc). At corpus scale the hashed vectors feed the
+    // gated sublinear paths instead: px05's SimHash banding, px73's
+    // JL projection, px48's classifiers — this query pins the
+    // hand-off arithmetic those consumers rely on.
     // Round-then-rank; (d1, d2) tiebreak — the cross-engine contract.
     Decl(
       "px84_hashed_cosine",
