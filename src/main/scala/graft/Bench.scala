@@ -193,9 +193,13 @@ object Bench {
         .getOrElse("")
       s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"codegen_n":$cgn,"storm":$storm$rr}"""
     }.mkString("[\n", ",\n", "\n]")
-    // Suite-level codegen accounting (§0m): exact compilation count
-    // plus an ESTIMATED total compile time (reservoir-sampled mean ×
-    // count — Codahale histograms don't keep an exact sum). The
+    // Suite-level codegen accounting (§0m): exact JVM-LIFETIME
+    // compilation count — deliberately larger than the sum of the
+    // per-query codegen_n rows, because warmup, explain, and the
+    // rerun pass compile classes that belong to no row — plus an
+    // ESTIMATED total compile time (exponentially-decaying-reservoir
+    // mean × lifetime count; Codahale histograms keep no exact sum
+    // and the mean is recency-biased, hence the _est suffix). The
     // estimate prices the "how much of the per-action constant is
     // Janino?" question in the committed artifact itself.
     val cgTot = cgCount

@@ -95,14 +95,21 @@ object Tables {
   // Tables — none does today).
   private val cache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
-  // sessions whose stop-listener is registered: entries for a stopped
-  // session are evicted when its context ends, so a long-lived JVM
-  // cycling sessions can't accumulate dead analyzed plans
+  // sessions whose stop-listener is registered: every hooked session
+  // evicts its own entries when the CONTEXT ends (each listener fires,
+  // so the union clears the whole cache). Precisely: eviction is
+  // context-scoped — sessions cycled on one LIVE shared context keep
+  // their entries until that context stops, bounded at ≤ #tables ×
+  // #sfDirs entries per session; every in-repo consumer runs one
+  // session per JVM, where context end ⇔ session end.
   private val hooked = java.util.Collections.newSetFromMap(
     new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
+  private def nocache: Boolean = sys.env.get("GRAFT_TABLES_NOCACHE")
+    .exists(v => v.nonEmpty && v != "0" && v != "false")
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    if (sys.env.contains("GRAFT_TABLES_NOCACHE")) resolve(spark, sfDir, name)
+    if (nocache) resolve(spark, sfDir, name)
     else {
       if (hooked.add(spark))
         spark.sparkContext.addSparkListener(

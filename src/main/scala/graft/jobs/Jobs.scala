@@ -1089,8 +1089,13 @@ object Jobs {
     // edgesIn: a precomputed candidate-edge parquet (d1, d2) — the
     // 100 TB path, where the LSH edge list is a written artifact of
     // the dedup pass and the split job only labels + folds over it.
+    // Inline default: STAR edges, not the all-pairs clique — the job
+    // only needs connectivity, and a boilerplate mega-bucket makes
+    // the clique O(bucket²) where the star stays O(bucket); the two
+    // are component-identical (ConnectedComponentsSpec, viaClique ==
+    // viaStar — the r6 nearDupKeepers rule applied here too).
     val edges = edgesIn.map(spark.read.parquet(_).select("d1", "d2"))
-      .getOrElse(Dedup.lshCandidates(docs))
+      .getOrElse(Dedup.lshEdges(docs))
     Dedup.leakageSplit(
         Dedup.connectedComponents(docs, edges),
         nFolds = nFolds, nVal = nVal, seed = seed)

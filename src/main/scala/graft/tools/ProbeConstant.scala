@@ -23,6 +23,14 @@ import graft.{Bench, GraftSession, SparkEntry, Tables}
   * Codegen totals come from the global CodegenMetrics source
   * (compilation time is histogram-sampled; the generated-class COUNT
   * delta per query is exact).
+  *
+  * REPRODUCING THE PRE-LEVER DECOMPOSITION: since r13, Tables
+  * memoizes resolution per (session, dir, table), so at HEAD the
+  * build phase is a cache hit BY DESIGN (that is the shipped bench
+  * reality). Run with GRAFT_TABLES_NOCACHE=1 to reproduce the
+  * pre-lever ~50 ms/call resolution cost this probe originally
+  * established (`probes/constant.log` keeps both labeled runs); the
+  * final read-resolution section always bypasses the cache.
   */
 object ProbeConstant {
   def main(args: Array[String]): Unit = {
