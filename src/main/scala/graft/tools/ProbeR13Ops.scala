@@ -41,6 +41,23 @@ object ProbeR13Ops {
         val cbSec = (System.nanoTime() - t0) / 1e9
         println(f"""[r13ops] {"n":$n,"docs":$docs,"run":$r,"cb_sec":$cbSec%.2f,"cb_rows":$cbRows}""")
       }
+      // The r13 headline change at scale: the leakage split's inline
+      // labeling — STAR edges + exact-CC fixpoint + fold. Replication
+      // is the adversarial case: every doc has n exact near-dup
+      // copies, so LSH buckets are mega-buckets (the 100 TB
+      // boilerplate shape) and components fuse across replicas — the
+      // clique op would be O(bucket²) here; the star edges stay
+      // linear and pointer jumping converges in O(log d) blocks.
+      locally {
+        import graft.pipeline.Dedup
+        val t0 = System.nanoTime()
+        val sp = Dedup.leakageSplit(
+          Dedup.connectedComponents(big, Dedup.lshEdges(big)))
+        val rows = Bench.materialize(sp)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val nLbl = sp.select("lbl").distinct().count()
+        println(f"""[r13ops] {"n":$n,"docs":$docs,"split_sec":$sec%.2f,"split_rows":$rows,"components":$nLbl}""")
+      }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
     }
