@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
 object Qrels {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .select(split(col("value"), "\\s+").as("f"))
+      // trim first: split on \s+ yields an empty FIRST element for a
+      // line with leading whitespace (hand-edited qrels files have
+      // them), which would shift qid/doc_id/rel one field right and
+      // silently drop the judgment via the try_cast
+      .select(split(trim(col("value")), "\\s+").as("f"))
       .filter(size(col("f")) >= 4)
       .select(
         col("f").getItem(0).as("qid"),

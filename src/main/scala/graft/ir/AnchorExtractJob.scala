@@ -15,14 +15,17 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first shape: the tagged-union trick disappears — pages and
   * anchors are two typed DataFrames meeting in an equi inner join on
-  * `url`; the capped string concat is `concat_ws(collect_list)` with a
-  * `substring` guard (partial aggregation is automatic, replacing the
-  * hand-written combiner).
+  * `url`; the capped string concat is a running-length window cut
+  * followed by `concat_ws(collect_list)` + a `substring` guard
+  * (partial aggregation is automatic, replacing the hand-written
+  * combiner).
   *
-  * Scale notes: anchors shuffle once on `url` (hash partition). The
-  * 10 MB per-URL cap (`AnchorExtract.java:71`) bounds reducer memory
-  * exactly as in the reference; heavy-hitter URLs are handled by AQE
-  * skew-join splitting on the join side and by the cap on the agg side.
+  * Scale notes: anchors shuffle once on `url` (hash partition; the
+  * window and the agg share the exchange). The 10 MB per-URL cap
+  * (`AnchorExtract.java:71`) bounds reducer memory exactly as in the
+  * reference — enforced BEFORE the collect_list buffer fills (see
+  * [[run]]), so a heavy-hitter hub URL costs a spillable sort, never
+  * an unbounded agg buffer; AQE skew handling covers the join side.
   */
 object AnchorExtractJob {
 
@@ -45,17 +48,43 @@ object AnchorExtractJob {
   }
 
   /** Full job: (docid, url, anchortext) for every crawled page that
-    * received anchors, tab-separated and capped at 10 MB per URL.
+    * received anchors, tab-separated and capped at `maxChars` per URL
+    * (10 MB default; chars, matching the reference's
+    * `StringBuilder.length()` cap — `AnchorExtract.java:71,197` — not
+    * bytes).
     */
-  def run(warc: Dataset[WarcDoc]): DataFrame = {
+  def run(warc: Dataset[WarcDoc],
+          maxChars: Int = MaxAnchorBytes): DataFrame = {
     // array_sort before gluing: collect_list order is nondeterministic
-    // across runs/partitionings, and with the 10 MB cap the *retained*
+    // across runs/partitionings, and with the cap the *retained*
     // anchor subset would be too. Sorted glue makes output and
     // truncation stable (the reference shares the flaw; we fix it).
+    //
+    // The cap is enforced BEFORE the aggregation, not only by the
+    // final substring: collect_list cannot spill mid-group, so a
+    // hub URL with gigabytes of inbound anchors would have to
+    // materialize its full anchor set in one agg buffer just to be
+    // truncated afterwards — the reference's reducer streams and
+    // stops at the cap instead. A running-length window in the SAME
+    // sort order keeps exactly the anchors whose glued start position
+    // lands inside the cap (anchor i starts at Σ_{j<i}(len_j + 1) + 1
+    // in the concat_ws output), so the post-filter agg buffer is
+    // bounded at ~maxChars and the substring result is IDENTICAL to
+    // capping after a full concat. The window's sort is a spillable
+    // external sort; ties (duplicate anchors) get arbitrary relative
+    // order under the ROWS frame, which cannot change the kept
+    // multiset — equal strings are interchangeable. The window
+    // hash-partitions by url, and the groupBy reuses that exchange.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("url").orderBy("anchor")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val glued = anchors(warc)
+      .withColumn("_cum", sum(length(col("anchor")) + lit(1)).over(w))
+      .filter(col("_cum") - (length(col("anchor")) + lit(1)) < maxChars)
       .groupBy("url")
       .agg(substring(concat_ws("\t", array_sort(collect_list(col("anchor")))),
-        1, MaxAnchorBytes).as("anchortext"))
+        1, maxChars).as("anchortext"))
     pages(warc).join(glued, Seq("url"))
       .select(col("trecid").as("docid"), col("url"), col("anchortext"))
   }

@@ -258,7 +258,12 @@ object Multimodal {
     */
   def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
     meta.toDF()
-      .filter(col("media_type") === "video")
+      // n_frames > 0: a zero-frame video (fragmented MP4 with sample
+      // counts in moof/trun, or a metadata-less fallback decode) has
+      // nothing to sample and must yield no rows — without the guard,
+      // sequence(0, -1, +k) THROWS 'Illegal sequence boundaries' and
+      // one such blob kills the whole job
+      .filter(col("media_type") === "video" && col("n_frames") > 0)
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
           .as("frame_idx"))

@@ -39,6 +39,15 @@ object Ann {
     * vectors by cosine similarity (self-pairs excluded when ids
     * collide). Queries are broadcast; the corpus streams.
     *
+    * Zero-norm vectors (all-zero embeddings — padding rows, dead docs)
+    * have no defined cosine: the divide yields NULL (Spark's non-ANSI
+    * `/` returns NULL on a zero divisor), DESC ordering puts NULLs
+    * last, and a short candidate list would then PAD the top-k tail
+    * with meaningless NULL-cos rows. They are excluded on both sides —
+    * a zero-norm corpus vector is never a neighbor, a zero-norm query
+    * gets no result rows (same rule in [[ivfTopK]] /
+    * [[ivfTopKPartitioned]]).
+    *
     * @param corpus  (id, embedding: array&lt;float&gt;)
     * @param queries (id, embedding: array&lt;float&gt;)
     */
@@ -47,8 +56,10 @@ object Ann {
                  embCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+      .filter(col("cn") > 0)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+      .filter(col("qn") > 0)
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
@@ -68,7 +79,8 @@ object Ann {
     */
   def kmeansCentroids(corpus: DataFrame, kClusters: Int, iters: Int,
                       idCol: String = "vec_id",
-                      embCol: String = "embedding"): DataFrame = {
+                      embCol: String = "embedding",
+                      allowFewer: Boolean = false): DataFrame = {
     val e = corpus
       .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
       .withColumn("x", col("x0").cast("double")).drop("x0")
@@ -82,9 +94,25 @@ object Ann {
         "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
       .filter(col("r") === 1).select("vid", "cid")
     // seed = the first kClusters vectors by id RANK (works for any id
-    // space, not just dense 0-based ids)
+    // space, not just dense 0-based ids). Fewer vectors than clusters
+    // is an ERROR by default, not a silent shrink: dense_rank would
+    // mint fewer cids and an IVF consumer's kClusters math (ivfTopK's
+    // nprobe/kClusters recall cut, the partitioned layout's directory
+    // count) would be silently wrong — the same loud guard pqTrain
+    // applies to the identical seeding. The count is one pruned-column
+    // pass over ≤ kClusters rows after the limit. `allowFewer` opts a
+    // caller INTO the shrink where it is the declared semantics —
+    // semDedup's k is a CEILING (every vector its own cluster when
+    // n < k, EdgeCaseSpec) — and skips the count action entirely.
     val seedIds = corpus.select(col(idCol).as("vid"))
       .orderBy("vid").limit(kClusters)
+    if (!allowFewer) {
+      val nSeeds = seedIds.count()
+      require(nSeeds == kClusters,
+        s"kmeansCentroids needs >= $kClusters vectors to seed, got " +
+          s"$nSeeds (allowFewer opts into the every-vector-its-own-" +
+          s"cluster shrink)")
+    }
     var cent = e.join(broadcast(seedIds), Seq("vid"))
       .withColumn("cid",
         expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))
@@ -123,8 +151,21 @@ object Ann {
                           path: String,
                           idCol: String = "vec_id",
                           embCol: String = "embedding"): Unit =
+    // [[ivfAssign]]'s pipeline INLINED with the embedding kept through
+    // the window: joining corpus back onto ivfAssign's (vid, cid)
+    // output would scan the corpus TWICE and add a corpus-sized
+    // shuffle join on vid solely to re-attach the column ivfAssign
+    // projects away — at the 100 TB scale this layout exists for,
+    // that join is the most expensive operator in the job. Same
+    // ranking expression, so assignments are identical by
+    // construction (AnnSpec pins layout ≡ ivfAssign).
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
-      .join(ivfAssign(corpus, centroids, idCol, embCol), Seq("vid"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("r",
+        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
+      .filter(col("r") === 1)
+      .select("vid", "ve", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
   /** IVF search over the partitioned layout. The probed list ids are
@@ -141,6 +182,7 @@ object Ann {
                          embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+      .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -153,6 +195,7 @@ object Ann {
       .filter(col("cid").isin(probedCids: _*))
       .select(col("vid"), col("ve").as("ce"), col("cid"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+      .filter(col("cn") > 0)
       .join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
@@ -364,6 +407,7 @@ object Ann {
               embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
+      .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -372,6 +416,7 @@ object Ann {
       .select("qid", "qe", "qn", "cid")
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
+      .filter(col("cn") > 0)
       .join(assignment, Seq("vid"))
     c.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))

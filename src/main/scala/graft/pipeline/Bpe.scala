@@ -159,15 +159,23 @@ object Bpe {
   def trainLocal(docs: DataFrame, k: Int, textCol: String = "text",
                  minCount: Long = 1L,
                  maxDict: Int = 10000000): Seq[(String, String)] = {
+    // persist the AGG OUTPUT (dict-sized, ≤ maxDict rows) so the
+    // count-before-collect guard ordering doesn't run the corpus-sized
+    // wordDict aggregation TWICE — without it, count() and collect()
+    // each execute the full tokenize+explode+groupBy pass, breaking
+    // this method's one-corpus-pass contract
     val dictDf = wordDict(docs, textCol, minCount)
-    val n = dictDf.count()
-    require(n <= maxDict,
-      s"dictionary has $n words (> maxDict=$maxDict) after minCount=" +
-        s"$minCount; raise minCount so the head vocabulary fits the driver")
-    val dict = dictDf.collect()
-      .map(r => (r.getString(0).split("").filter(_.nonEmpty),
-        r.getLong(1)))
-    trainLocalFromDict(dict, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = dictDf.count()
+      require(n <= maxDict,
+        s"dictionary has $n words (> maxDict=$maxDict) after minCount=" +
+          s"$minCount; raise minCount so the head vocabulary fits the driver")
+      val dict = dictDf.collect()
+        .map(r => (r.getString(0).split("").filter(_.nonEmpty),
+          r.getLong(1)))
+      trainLocalFromDict(dict, k)
+    } finally dictDf.unpersist(blocking = false)
   }
 
   /** The exact merge loop over an in-memory (symbols, weight)

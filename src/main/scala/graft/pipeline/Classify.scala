@@ -47,10 +47,18 @@ object Classify {
     docs.select(col("doc_id"), expr(labelExpr).as("y"))
 
   /** Multinomial Naive Bayes with Laplace smoothing, trained on a
-    * 0/1 `y` column of `labels` (doc_id, y), scoring every document:
+    * 0/1 `y` column of `labels` (doc_id, y), scoring every document
+    * THAT HAS AT LEAST ONE TOKEN:
     * log-odds = Σ_t tf·(ln P(t|1) − ln P(t|0)) + ln(prior odds),
     * P(t|c) = (c(t,c)+1) / (N_c + V).
     * → (doc_id, n_tokens, log_odds, pred).
+    *
+    * Zero-token docs (empty/punctuation-only text) carry no term
+    * evidence and are OMITTED from the output — the px48 oracle
+    * mirrors the same inner-join shape, so the contract is
+    * cross-engine-pinned. A caller needing prior-only rows for them
+    * left-joins this output from `labels` and fills log_odds with
+    * ln(d1/(d−d1)).
     *
     * Smoothing makes every in-vocabulary term scorable for both
     * classes; the vocabulary is the training corpus's own, so

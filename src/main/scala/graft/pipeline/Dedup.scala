@@ -402,7 +402,11 @@ object Dedup {
                threshold: Double,
                idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
-    val cents = Ann.kmeansCentroids(corpus, kClusters, iters, idCol, embCol)
+    // allowFewer: semDedup's k is a CEILING — fewer vectors than
+    // clusters means every vector seeds its own cluster (a total
+    // partition with nothing to pair), the EdgeCaseSpec contract
+    val cents = Ann.kmeansCentroids(corpus, kClusters, iters, idCol,
+      embCol, allowFewer = true)
     val assign = Ann.ivfAssign(corpus, broadcast(cents), idCol, embCol)
     val arr = corpus
       .select(col(idCol).as("vid"), col(embCol).as("emb"))

@@ -103,6 +103,15 @@ object Sharding {
                         alphaE: String = "3e-1", targetDiv: Int = 2,
                         seed: Int = 7,
                         idCol: String = "doc_id"): DataFrame = {
+    // Loud reserved-name guard: the selection joins internal columns
+    // onto the corpus, and `quota` rides into the OUTPUT as a declared
+    // sampling diagnostic (px69 aggregates it). A corpus already
+    // carrying one of these names would either hit an ambiguous-
+    // reference AnalysisException in the keep predicate or have its
+    // own column silently dropped by the cleanup — refuse instead.
+    requireNoReserved(docs,
+      Seq("_tsl", "_tsh", "n_docs", "quota", "cut_h", "cut_id"),
+      "temperatureSample")
     // NULL-language docs are a language of their own (grouping already
     // treats them so; plain equi-joins would silently drop them — the
     // r10 shape's bug). Every internal join is NULL-SAFE (`<=>`) on
@@ -110,7 +119,9 @@ object Sharding {
     // documented as reserved but still collided with a real NUL-string
     // language value; perplexityBucketsFromScores' <=> join is the
     // convention. Internal frames carry the language as `_tsl`;
-    // original columns ride through untouched.
+    // original columns ride through untouched, plus the language's
+    // `quota` (the allocation diagnostic px69 aggregates — an OUTPUT
+    // column, hence reserved above).
     val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
       .select(col(langCol).as("_tsl"), col("n_docs"), col("quota"))
     val keyed = docs
@@ -119,6 +130,21 @@ object Sharding {
     keyed.join(broadcast(sel), col(langCol) <=> col("_tsl"))
       .filter(cutKeep(idCol))
       .drop("_tsl", "_tsh", "n_docs", "cut_h", "cut_id")
+  }
+
+  /** Refuse an input frame whose columns collide with an op's
+    * internal join columns or added output columns — the collision
+    * otherwise surfaces as an ambiguous-reference AnalysisException
+    * deep in the plan, or worse, as the USER's column silently
+    * dropped by the internal cleanup.
+    */
+  private def requireNoReserved(docs: DataFrame, reserved: Seq[String],
+                                who: String): Unit = {
+    val clash = docs.columns.toSeq.intersect(reserved)
+    require(clash.isEmpty,
+      s"$who: input column(s) ${clash.mkString(", ")} collide with " +
+        s"reserved internal/output names (${reserved.mkString(", ")}); " +
+        s"rename them before calling")
   }
 
   /** The keep predicate against a [[cutBounds]] row: everything when
@@ -228,6 +254,12 @@ object Sharding {
                       alphaE: String = "3e-1", targetDiv: Int = 2,
                       maxRepeat: Int = 4, seed: Int = 7,
                       idCol: String = "doc_id"): DataFrame = {
+    // same reserved-name rule as temperatureSample; `rep` is this
+    // op's output column
+    requireNoReserved(docs,
+      Seq("_tsl", "_tsh", "_rbl", "n_docs", "quota", "cut_h", "cut_id",
+        "full_epochs", "rep"),
+      "repeatBudgetMix")
     val plan = repeatBudgetPlan(docs, langCol, alphaE, targetDiv,
       maxRepeat)
     val keyed = docs

@@ -101,15 +101,43 @@ object SeqWarc {
     * (`ClueWebSpamFilter.java:140-146`,
     * `SequenceFileOutputFormat.setOutputCompressionType(job, BLOCK)`);
     * the read path decodes either transparently (JobsSpec fixtures).
+    *
+    * Header/interop honesty: the KEY side is fully reference-shaped —
+    * the header declares `LongWritable` and each key is a real 8-byte
+    * long (record index; the reference keys on byte offsets but
+    * "never uses" them, see the class doc). The VALUE bytes in the
+    * container are ALSO reference-exact — SequenceFile frames each
+    * value by the record length, and Writable serialization adds no
+    * prefix of its own, so the payload laid down here is
+    * byte-identical to a `SequenceFileOutputFormat<LongWritable,
+    * WritableWarcRecord>` file. The one divergence is the header's
+    * value-class STRING: it says `BytesWritable`, not
+    * `edu.cmu.lemurproject.WritableWarcRecord`, because naming that
+    * class requires it on the writer's classpath (Hadoop loads header
+    * classes by name) and vendoring it is out of bounds. Consumers
+    * therefore read values header-blind
+    * (`SequenceFileAsBinaryInputFormat`, as [[read]] does); a
+    * reference job instantiating header classes directly refuses the
+    * value — loudly, not wrongly — until a one-line header-rewrite
+    * pass with the Lemur jar present renames the value class.
     */
   def write(docs: DataFrame, out: String, compress: Boolean = false): Unit = {
-    val rdd = docs.select("doc_id", "text").na.fill("").rdd.map { r =>
-      val rec = Rec(r.getString(0), "response", "text/html", "", "",
-        Map("WARC-TREC-ID" -> r.getString(0)), r.getString(1))
-      (new BytesWritable(Array.emptyByteArray),
-        new BytesWritable(serialize(rec)))
-    }
+    val rdd = docs.select("doc_id", "text").na.fill("").rdd
+      .mapPartitions { it =>
+        var i = 0L
+        it.map { r =>
+          val rec = Rec(r.getString(0), "response", "text/html", "", "",
+            Map("WARC-TREC-ID" -> r.getString(0)), r.getString(1))
+          // key = LongWritable wire form (8-byte big-endian), so the
+          // declared header key class and the key bytes agree
+          val key = java.nio.ByteBuffer.allocate(8).putLong(i).array()
+          i += 1
+          (new BytesWritable(key), new BytesWritable(serialize(rec)))
+        }
+      }
     val conf = new JobConf(rdd.sparkContext.hadoopConfiguration)
+    SequenceFileAsBinaryOutputFormat.setSequenceFileOutputKeyClass(
+      conf, classOf[org.apache.hadoop.io.LongWritable])
     if (compress) {
       conf.setBoolean(org.apache.hadoop.mapreduce.lib.output
         .FileOutputFormat.COMPRESS, true)

@@ -102,7 +102,19 @@ object Warc {
           // silently wrap to a negative Int (and could not fit the
           // String-based parser anyway — see ceiling note below). Such a
           // record fails loudly instead of emitting empty content.
-          val len = math.max(h("Content-Length").toLongOption.getOrElse(0L), 0L)
+          // Missing/unparsable/negative Content-Length is ALSO loud
+          // (the header is mandatory per ISO 28500): a zero guess both
+          // loses the payload AND resumes the scan INSIDE it, so any
+          // literal "WARC/" in the body would be minted into a fake
+          // record — silent corpus corruption. (The reference's Lemur
+          // reader silently stops the file at the first such record —
+          // truncation instead of corruption; we refuse instead.)
+          val rawLen = h("Content-Length")
+          val len = rawLen.toLongOption.filter(_ >= 0).getOrElse(
+            throw new IllegalArgumentException(
+              s"WARC record at offset $start has missing/unparsable/" +
+                s"negative Content-Length '$rawLen' (mandatory header); " +
+                "refusing to guess — fix or drop the record upstream"))
           if (len > MaxRecordBytes)
             throw new IllegalArgumentException(
               s"WARC record at offset $start declares Content-Length $len " +

@@ -48,12 +48,31 @@ object WarcDataSource {
     StructField("headers", MapType(StringType, StringType)),
     StructField("content", StringType)))
 
-  /** Expand a path spec (file or directory) into concrete files. */
+  /** Expand a path spec (file, directory, or glob) into concrete
+    * files — through Hadoop's FileSystem, like every other Spark
+    * source: a `*.warc.gz`-style glob expands, a directory lists its
+    * files, an unreadable/missing path fails LOUDLY at plan time
+    * (FileNotFoundException) instead of per-task. java.io.File would
+    * treat a glob as one literal non-existent file and NPE on an
+    * unlistable directory.
+    */
   def listFiles(path: String): Seq[String] = {
-    val f = new java.io.File(path.stripPrefix("file:"))
-    if (f.isDirectory)
-      f.listFiles().filter(_.isFile).map(_.getAbsolutePath).sorted.toSeq
-    else Seq(f.getAbsolutePath)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
+    val matched = Option(fs.globStatus(p)).filter(_.nonEmpty)
+      .map(_.toSeq)
+      // no glob match / literal path: getFileStatus throws
+      // FileNotFoundException — the loud plan-time failure we want
+      .getOrElse(Seq(fs.getFileStatus(p)))
+    matched.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile)
+          .map(_.getPath.toString).toSeq
+      else Seq(st.getPath.toString)
+    }.sorted
   }
 }
 
@@ -81,10 +100,22 @@ final class WarcReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[WarcFilePartition].file
     new PartitionReader[InternalRow] {
-      private val it = Warc
-        .parseRecords(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(file)))
-        .iterator
+      // open through Hadoop FS so the partition paths listFiles
+      // produced (file:/…, hdfs://…) resolve on executors too; the
+      // whole-file read mirrors Warc.read's binaryFile contract (the
+      // format is non-splittable)
+      private val it = {
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val len = fs.getFileStatus(p).getLen
+        require(len <= Warc.MaxRecordBytes,
+          s"warc file $file is $len bytes > per-file parser ceiling " +
+            s"${Warc.MaxRecordBytes}; split it upstream")
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(p)
+        try in.readFully(0, buf) finally in.close()
+        Warc.parseRecords(buf).iterator
+      }
       private var cur: WarcDoc = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = {

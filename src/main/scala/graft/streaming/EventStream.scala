@@ -87,29 +87,57 @@ object EventStream {
     *
     * Scale: state is one (start, last, n) triple per user — bounded;
     * the shuffle partitions by user_id exactly like the batch window.
+    *
+    * Late events: within a micro-batch, events are sorted, so order is
+    * exact; ACROSS micro-batches Structured Streaming guarantees no
+    * ordering, and a late event (ts before the open session's
+    * last_us) is absorbed into the open session with start/last
+    * CLAMPED (min/max) rather than overwritten — rewinding last_us to
+    * the late timestamp would make the NEXT in-order event falsely
+    * close the session (gap measured from the rewound point) with an
+    * end_us earlier than events the session already counted. Batch
+    * semantics (full sort, then gaps) remain the reference; a
+    * pre-open-session late event that belonged to an ALREADY-CLOSED
+    * session is absorbed best-effort into the open one — exact late
+    * handling needs event-time buffering (a watermark + timeout
+    * design), out of scope for this demo op.
     */
   def sessionize(evs: Dataset[Ev]): Dataset[ClosedSession] = {
     import evs.sparkSession.implicits._
     evs.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, it: Iterator[Ev], state: GroupState[OpenSession]) =>
-          val sorted = it.map(_.ts_us).toArray.sorted
-          var open = state.getOption
-          val closed = Seq.newBuilder[ClosedSession]
-          sorted.foreach { ts =>
-            open match {
-              case Some(s) if ts - s.last_us > SessionGapUs =>
-                closed += ClosedSession(uid, s.start_us, s.last_us, s.n)
-                open = Some(OpenSession(ts, ts, 1))
-              case Some(s) =>
-                open = Some(s.copy(last_us = ts, n = s.n + 1))
-              case None =>
-                open = Some(OpenSession(ts, ts, 1))
-            }
-          }
+          val (closed, open) =
+            advanceSession(uid, it.map(_.ts_us).toArray.sorted,
+              state.getOption)
           open.foreach(state.update)
-          closed.result().iterator
+          closed.iterator
       }
+  }
+
+  /** One micro-batch's state transition, factored out so the
+    * cross-batch cases (late arrivals, false-close regression) are
+    * unit-testable without a streaming harness: fold the batch's
+    * SORTED timestamps over the open session, emitting closures.
+    */
+  private[streaming] def advanceSession(uid: Long, sorted: Array[Long],
+                                        init: Option[OpenSession])
+      : (Seq[ClosedSession], Option[OpenSession]) = {
+    var open = init
+    val closed = Seq.newBuilder[ClosedSession]
+    sorted.foreach { ts =>
+      open match {
+        case Some(s) if ts - s.last_us > SessionGapUs =>
+          closed += ClosedSession(uid, s.start_us, s.last_us, s.n)
+          open = Some(OpenSession(ts, ts, 1))
+        case Some(s) => // absorb; clamp, never rewind (late arrivals)
+          open = Some(OpenSession(math.min(s.start_us, ts),
+            math.max(s.last_us, ts), s.n + 1))
+        case None =>
+          open = Some(OpenSession(ts, ts, 1))
+      }
+    }
+    (closed.result(), open)
   }
 
   /** Streaming sessionization from a parquet directory into a memory

@@ -28,9 +28,19 @@ object StreamingRetrieval {
     * queries with provided collection stats. Emits one row per
     * (qid, doc_id) with the aggregated score — append-safe input side,
     * aggregation runs in update/complete mode.
+    *
+    * `conjunctive` is the batch engine's n_matched = qlen gate
+    * (Retrieval.scoreWithStats): conjunctive models (LMno) must DROP
+    * docs matching only a subset of the query's terms — without it a
+    * partial-match doc gets a finite score from its matched terms
+    * alone and streaming rankings silently diverge from the
+    * batch/oracle rankings the scaladoc promises to reproduce. The
+    * gate is a post-aggregation filter, legal in every streaming
+    * output mode.
     */
   def scoreStream(docsStream: DataFrame, qAug: DataFrame, collLength: Long,
-                  nDocs: Long, partExpr: String, finalExpr: String): DataFrame = {
+                  nDocs: Long, partExpr: String, finalExpr: String,
+                  conjunctive: Boolean = false): DataFrame = {
     // tf is computed per-document from the token ARRAY (distinct terms
     // + count-in-array), not via a groupBy — Structured Streaming
     // forbids chained aggregations, and this keeps every operator
@@ -45,14 +55,19 @@ object StreamingRetrieval {
         size(filter(col("toks"), t => t === col("term"))).cast("long"))
       .drop("toks")
     val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    tf
+    val scored = tf
       .join(broadcast(qAug), Seq("term"))
       .join(broadcast(qlen), Seq("qid"))
       .withColumn("n_tokens", lit(collLength))
       .withColumn("n_docs", lit(nDocs))
       .withColumn("part", expr(partExpr))
       .groupBy("qid", "doc_id", "dl", "qlen")
-      .agg(sum("part").as("score_sum"))
+      .agg(sum("part").as("score_sum"),
+        count(lit(1)).as("n_matched"))
+    val gated =
+      if (conjunctive) scored.filter(col("n_matched") === col("qlen"))
+      else scored
+    gated
       .withColumn("score", expr(finalExpr))
       .select("qid", "doc_id", "score")
   }

@@ -54,6 +54,12 @@ object Html {
       else if (absUrlPat.findFirstIn(href).isDefined)
         absUrlPat.replaceAllIn(href, "")
       else page.replaceAll("/[^/]+$", "") + "/" + href
+    // regex kept BYTE-IDENTICAL to the reference's
+    // (AnchorExtract.java:101), quirk included: the stray `.` makes a
+    // single-char path segment uncollapsible ("/a/../c" stays, only
+    // "/ab/../c" collapses). Anchor URLs are AGGREGATION KEYS that
+    // must equal what the reference would produce — normalizing
+    // better would file the same anchors under different keys.
     "http://" + joined.replaceAll("/.[^/]+/\\.\\./|//", "/")
       .replaceFirst(noIndexHtml, "")
   }

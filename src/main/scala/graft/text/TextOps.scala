@@ -55,12 +55,19 @@ object TextOps {
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
 
-  /** Document lengths: (doc_id, dl) — token count per doc. */
+  /** Document lengths: (doc_id, dl) — token count per doc. NULL text
+    * counts as ZERO tokens (coalesced before tokenizing): the bare
+    * `size()` would return the non-ANSI NULL sentinel −1, a negative
+    * "length" that silently corrupts any dl-normalized score it joins
+    * into, while [[tokens]]/[[termFreqs]] emit zero rows for the same
+    * doc — dl = 0 is the consistent reading.
+    */
   def docLengths(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      size(filter_tokens(tokensCol(col(textCol)))).cast("long").as("dl"))
+      size(filter_tokens(tokensCol(coalesce(col(textCol), lit("")))))
+        .cast("long").as("dl"))
 
   private def filter_tokens(arr: Column): Column =
     filter(arr, t => t =!= "")

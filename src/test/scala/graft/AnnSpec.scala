@@ -127,6 +127,42 @@ class AnnSpec extends SparkSpec {
     assert(Ann.randomProject(emb.limit(0), 64, 16).count() == 0)
   }
 
+  test("zero-norm vectors are excluded, never ranked (NULL-cos tail)") {
+    import spark.implicits._
+    // cosine is undefined for an all-zero vector: Spark's non-ANSI
+    // divide yields NULL, DESC sorts NULLs last, and a short candidate
+    // list would pad its top-k tail with NULL-cos rows — the zero
+    // vector must simply not appear, on either side
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.0f, 0.0f)) // dead/padding row
+    ).toDF("vec_id", "embedding")
+    val out = Ann.cosineTopK(rows, rows.filter(col("vec_id") <= 1), k = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).toSet === Set(2L),
+      s"zero-norm corpus vector ranked: ${out.mkString(", ")}")
+    assert(out.forall(!_.isNullAt(2)), "NULL cos row escaped")
+    // a zero-norm QUERY has no defined ranking: zero result rows
+    assert(Ann.cosineTopK(rows, rows.filter(col("vec_id") === 3), k = 10)
+      .count() === 0)
+    // same rule through the IVF path (nprobe = all lists ⇒ exact)
+    val cent = Ann.kmeansCentroids(rows, kClusters = 2, iters = 1)
+    val asg = Ann.ivfAssign(rows, cent)
+    val ivf = Ann.ivfTopK(rows, cent, asg,
+      rows.filter(col("vec_id") <= 1), nprobe = 2, k = 10).collect()
+    assert(ivf.map(_.getLong(1)).toSet === Set(2L))
+  }
+
+  test("kmeansCentroids refuses fewer vectors than clusters, loudly") {
+    // a silent shrink would mint fewer cids than kClusters and break
+    // every consumer's nprobe/kClusters math — same guard as pqTrain
+    val few = emb.filter(col("vec_id") < 3)
+    val e = intercept[IllegalArgumentException] {
+      Ann.kmeansCentroids(few, kClusters = 8, iters = 1)
+    }
+    assert(e.getMessage.contains("needs >= 8 vectors"), e.getMessage)
+  }
+
   test("randomProject: NULL embedding yields a genuinely NULL proj value") {
     import spark.implicits._
     // a NULL input vector must produce proj IS NULL — not an array of

@@ -33,6 +33,12 @@ class EdgeCaseSpec extends SparkSpec {
     assert(toks.filter(col("doc_id") === 1).count() == 0)
     assert(TextOps.docLengths(docs).filter(col("doc_id") === 1)
       .head().getLong(1) == 0L)
+    // NULL text = zero tokens too, never the non-ANSI size() sentinel
+    // -1 (a negative dl silently corrupts any length-normalized score)
+    val withNull = Seq((1L, Option("a b")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    assert(TextOps.docLengths(withNull).filter(col("doc_id") === 2)
+      .head().getLong(1) == 0L)
   }
 
   test("shingles/minhash path survives empty and sub-k docs") {

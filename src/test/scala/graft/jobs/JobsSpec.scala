@@ -257,6 +257,27 @@ class JobsSpec extends SparkSpec {
     assert(parts.nonEmpty)
     assert(parts.forall(p =>
       new String(Files.readAllBytes(p).take(3)) == "SEQ"))
+    // header declares the reference's key class and the key bytes ARE
+    // valid LongWritables (the value header stays BytesWritable — the
+    // Lemur class can't be named without vendoring it; scaladoc'd)
+    // (the VALUE bytes are raw WritableWarcRecord wire form, framed by
+    // the container's record length — identical to a reference-written
+    // file; only the header's value-class STRING differs, so a value
+    // read through the header class is expected to refuse. The
+    // loadDocs round-trip below reads them the header-blind way.)
+    locally {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rdr = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+        org.apache.hadoop.io.SequenceFile.Reader.file(
+          new org.apache.hadoop.fs.Path(parts.head.toString)))
+      try {
+        assert(rdr.getKeyClassName ==
+          "org.apache.hadoop.io.LongWritable", rdr.getKeyClassName)
+        val k = new org.apache.hadoop.io.LongWritable()
+        assert(rdr.next(k), "first key readable with the header key class")
+        assert(k.get() == 0L, s"first key ${k.get()}")
+      } finally rdr.close()
+    }
 
     val loaded = Jobs.loadDocs(spark, s"seqwarc:$work/swout")
       .as[(String, String)].collect().toSeq.sorted
@@ -975,10 +996,16 @@ class JobsSpec extends SparkSpec {
   test("eval library: perfect run scores 1.0, judged against qrels file") {
     import spark.implicits._
     val qrelsPath = Files.createTempDirectory("qrels").toString
+    // leading/padded whitespace on purpose: real qrels files are
+    // hand-edited; without the trim the split yields an empty first
+    // field, shifting qid/doc_id/rel a column right and silently
+    // dropping the judgment
     Files.writeString(Paths.get(qrelsPath, "qrels.txt"),
-      "53 0 test2 1\n53 0 test3 0\n99 0 nothing 1\n")
+      "  53 0 test2 1\n53 0 test3 0\n\t99  0\tnothing 1\n")
     val qrels = Qrels.read(spark, qrelsPath)
     assert(qrels.count() == 3)
+    assert(qrels.filter(col("qid") === "53" && col("doc_id") === "test2"
+      && col("rel") === 1).count() == 1)
 
     val results = Seq(("53", "test2", 1)).toDF("qid", "doc_id", "rank")
     val m = Eval.metrics(results, qrels, k = 1).head()

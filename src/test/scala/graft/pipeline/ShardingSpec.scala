@@ -120,6 +120,24 @@ class ShardingSpec extends SparkSpec {
     assert(got.getOrElse(Some("en"), 0L) == rep(Some("en")))
   }
 
+  test("mix ops refuse input columns that collide with reserved names") {
+    // a corpus already carrying `quota`/`n_docs` would otherwise hit
+    // an ambiguous-reference error deep in the plan — or have its own
+    // column silently dropped by the internal cleanup
+    val clash = spark.range(5).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit(9L).as("quota"))
+    val e1 = intercept[IllegalArgumentException] {
+      Sharding.temperatureSample(clash)
+    }
+    assert(e1.getMessage.contains("quota"), e1.getMessage)
+    val clash2 = spark.range(5).select($"id".as("doc_id"),
+      lit("en").as("lang"), lit(1L).as("rep"))
+    val e2 = intercept[IllegalArgumentException] {
+      Sharding.repeatBudgetMix(clash2)
+    }
+    assert(e2.getMessage.contains("rep"), e2.getMessage)
+  }
+
   test("repeatBudgetMix: rep accounting matches the plan, deterministically") {
     val plan = Sharding.repeatBudgetPlan(docs, targetDiv = 1)
       .select("lang", "n_docs", "allocated", "full_epochs", "n_partial")

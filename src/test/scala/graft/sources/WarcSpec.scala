@@ -38,10 +38,46 @@ class WarcSpec extends SparkSpec {
       .getBytes("ISO-8859-1")
     val e = intercept[IllegalArgumentException](Warc.parseRecords(rec))
     assert(e.getMessage.contains("Content-Length"))
-    // negative / garbage lengths clamp to 0 (empty content), no crash
-    val neg = ("WARC/0.18\r\nWARC-Type: response\r\n" +
-      "Content-Length: -7\r\n\r\nbody").getBytes("ISO-8859-1")
-    assert(Warc.parseRecords(neg).head.content.isEmpty)
+  }
+
+  test("missing/garbage Content-Length fails loudly (no payload rescan)") {
+    // a zero-length guess would both drop the payload AND resume the
+    // scan inside it — a body containing the literal 'WARC/' would be
+    // minted into a fake record (silent corpus corruption). Negative,
+    // non-numeric, and absent headers all refuse.
+    for (hdr <- Seq("Content-Length: -7\r\n", "Content-Length: soon\r\n",
+        "")) {
+      val rec = ("WARC/0.18\r\nWARC-Type: response\r\n" + hdr +
+        "\r\nbody mentioning WARC/1.0 inline").getBytes("ISO-8859-1")
+      val e = intercept[IllegalArgumentException](Warc.parseRecords(rec))
+      assert(e.getMessage.contains("Content-Length"), e.getMessage)
+    }
+    // and a well-formed record whose BODY contains 'WARC/' is framed
+    // by its declared length, never re-scanned
+    val body = "before WARC/1.0 after"
+    val ok = ("WARC/0.18\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body")
+      .getBytes("ISO-8859-1")
+    val parsed = Warc.parseRecords(ok)
+    assert(parsed.size == 1 && parsed.head.content == body)
+  }
+
+  test("DSv2 load() accepts globs and directories like other sources") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("warcglob")
+    Files.copy(Paths.get(resource("test.warc.gz")),
+      dir.resolve("a.warc.gz"))
+    Files.copy(Paths.get(resource("test.warc.gz")),
+      dir.resolve("b.warc.gz"))
+    val n = all.size
+    val glob = spark.read.format("warc").load(s"$dir/*.warc.gz").count()
+    assert(glob == 2L * n, s"glob read $glob records, expected ${2 * n}")
+    val asDir = spark.read.format("warc").load(dir.toString).count()
+    assert(asDir == 2L * n)
+    // a glob matching nothing fails loudly at plan/collect time
+    intercept[Exception] {
+      spark.read.format("warc").load(s"$dir/nope-*.warc.gz").count()
+    }
   }
 
   test("anchor extraction resolves and normalizes URLs (AnchorExtract semantics)") {
@@ -88,5 +124,33 @@ class WarcSpec extends SparkSpec {
     // test1's page links to test2 with "discovery channel store"
     assert(out.contains("test2"))
     assert(out("test2").contains("discovery channel store"))
+  }
+
+  test("anchor cap: pre-agg windowed cut ≡ substring after full concat") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a hub page with many inbound anchors and a cap small enough to
+    // cut MID-anchor: the bounded-buffer path (running-length window
+    // before collect_list) must reproduce exactly what truncating the
+    // full sorted concat produces
+    val hub = "http://hub.example/"
+    def doc(uri: String, id: String, html: String) =
+      WarcDoc("response", uri, id, "", "text/html", Map.empty, html)
+    val links = (1 to 9).map(i =>
+      s"""<a href="$hub">anchor text number $i</a>""").mkString(" ")
+    val warc = Seq(
+      doc(hub, "hub1", "<html>target</html>"),
+      doc("http://src.example/a", "src1", s"<html>$links</html>"),
+      doc("http://src.example/b", "src2", s"<html>$links</html>")
+    ).toDS()
+    val cap = 50 // chars; 18 anchors × ~21 chars ≫ cap
+    val got = AnchorExtractJob.run(warc, maxChars = cap)
+      .filter(col("docid") === "hub1").head().getString(2)
+    // reference formula: cap AFTER gluing the full sorted anchor list
+    val full = AnchorExtractJob.anchors(warc)
+      .filter(col("url") === graft.text.Html.normalizePageUrl(hub))
+      .collect().map(_.getString(1)).sorted.mkString("\t")
+    assert(full.length > cap, "fixture must overflow the cap")
+    assert(got === full.substring(0, cap))
   }
 }

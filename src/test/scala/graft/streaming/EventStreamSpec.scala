@@ -148,6 +148,27 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("sessionize: a late cross-batch event never rewinds or falsely closes") {
+    import EventStream._
+    val us = 1000000L
+    // batch 1: events at t=0 and t=60min — gap (30 min) exceeded, so
+    // the first session closes and the 60-min event opens a new one
+    val (c1, o1) = advanceSession(7L, Array(0L, 3600 * us), None)
+    assert(c1 == Seq(ClosedSession(7L, 0L, 0L, 1)))
+    assert(o1.contains(OpenSession(3600 * us, 3600 * us, 1)))
+    // batch 2 arrives UNORDERED across batches: a LATE event 20 min
+    // before the open session's last, then an in-order event 20 min
+    // after it. Both are within the gap of the session as it stands —
+    // but the old rewind bug (last_us overwritten by the late ts) made
+    // the in-order event measure a 40-min gap and FALSELY close the
+    // session with end_us earlier than the 60-min event it had counted
+    val late = 3600 * us - 1200 * us
+    val next = 3600 * us + 1200 * us
+    val (c2, o2) = advanceSession(7L, Array(late, next).sorted, o1)
+    assert(c2.isEmpty, s"false close: $c2")
+    assert(o2.contains(OpenSession(late, next, 3)))
+  }
+
   test("stream-static enrichment join matches batch join") {
     import org.apache.spark.sql.functions._
     // static dim derived from the same data: per-user home event_type
