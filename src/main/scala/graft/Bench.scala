@@ -94,7 +94,8 @@ object Bench {
     def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount
 
-    def timeOne(d: graft.queries.Decl): (Double, Long, Seq[Double], Long) = {
+    def timeOne(d: graft.queries.Decl)
+        : (Double, Long, Seq[Double], Long, Boolean) = {
       // Name every job after its query: event logs / the UI can then
       // attribute multi-job (AQE, persist) queries to their owner.
       spark.sparkContext.setJobDescription(d.name)
@@ -102,11 +103,15 @@ object Bench {
       val g0 = gcMs
       val c0 = cpuTicks
       val cg0 = cgCount
-      try materialize(d.run(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
-        -1L
-      }
+      // a failed query must be VISIBLE in the committed artifact, not
+      // just on stderr: an instant throw otherwise records a tiny
+      // normal-looking `sec` that reads as an improvement
+      val failed =
+        try { materialize(d.run(spark, sfDir)); false }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}")
+          true
+        }
       val dt = (System.nanoTime() - t0) / 1e9
       val gc = gcMs - g0
       val cgn = cgCount - cg0
@@ -119,7 +124,7 @@ object Bench {
       // before the next query so timings stay independent (no
       // cross-query subsidy) and memory doesn't accumulate.
       spark.catalog.clearCache()
-      (dt, gc, cpu, cgn)
+      (dt, gc, cpu, cgn, failed)
     }
 
     val results = decls.map { d =>
@@ -131,8 +136,8 @@ object Bench {
             org.apache.spark.sql.execution.FormattedMode))
         catch { case e: Throwable =>
           System.err.println(s"[bench] explain ${d.name}: ${e.getMessage}") }
-      val (dt, gc, cpu, cgn) = timeOne(d)
-      (d.name, dt, gc, cpu, cgn)
+      val (dt, gc, cpu, cgn, failed) = timeOne(d)
+      (d.name, dt, gc, cpu, cgn, failed)
     }
 
     // ---- self-adjudicating re-run pass ----
@@ -159,14 +164,14 @@ object Bench {
     val rerun: Map[String, (Double, Long, Seq[Double], String)] =
       if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
       else results.collect {
-        case (name, dt, _, cpu, _) if cpu(1) > stormSys || dt > rerunSec =>
+        case (name, dt, _, cpu, _, _) if cpu(1) > stormSys || dt > rerunSec =>
           val d = decls.find(_.name == name).get
           val reason = (if (cpu(1) > stormSys) Seq("storm") else Nil) ++
             (if (dt > rerunSec) Seq("slow") else Nil)
-          val (rdt, rgc, rcpu, _) = timeOne(d)
+          val (rdt, rgc, rcpu, _, _) = timeOne(d)
           name -> ((rdt, rgc, rcpu, reason.mkString("+")))
       }.toMap
-    val qs = results.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalGc = results.map(_._3).sum / 1e3
@@ -176,7 +181,7 @@ object Bench {
     // truncated in rounds 1-2); the full record — including per-query GC
     // time — also goes to a file readable whole. Forked `sbt run` cwd is
     // the repo root.
-    val detail = results.map { case (k, v, g, cpu, cgn) =>
+    val detail = results.map { case (k, v, g, cpu, cgn, failed) =>
       val Seq(u, s, i, w, st) = cpu.map(x => math.rint(x * 100) / 100)
       // same UNROUNDED cpu(1) as the rerun trigger, so flag and trigger
       // can't disagree on boundary rows
@@ -191,7 +196,10 @@ object Bench {
             s""","cpu_idle_s_rerun":$ri,"cpu_iowait_s_rerun":$rw,"cpu_steal_s_rerun":$rst""" +
             s""","storm_rerun":$stormR""" }
         .getOrElse("")
-      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"codegen_n":$cgn,"storm":$storm$rr}"""
+      // failed is emitted ONLY when true: a throw leaves a wall time
+      // that looks like a (usually suspiciously fast) success otherwise
+      val failCol = if (failed) ""","failed":true""" else ""
+      s"""  {"name":"$k","sec":$v,"gc_ms":$g,"cpu_user_s":$u,"cpu_sys_s":$s,"cpu_idle_s":$i,"cpu_iowait_s":$w,"cpu_steal_s":$st,"codegen_n":$cgn,"storm":$storm$failCol$rr}"""
     }.mkString("[\n", ",\n", "\n]")
     // Suite-level codegen accounting (§0m): exact JVM-LIFETIME
     // compilation count — deliberately larger than the sum of the
@@ -216,7 +224,7 @@ object Bench {
     // tail-parse can always read whole: same metric/value, the 20
     // slowest queries, and a pointer to the full per-query record.
     val top = results.sortBy(-_._2).take(20)
-      .map { case (k, v, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in BENCH_DETAILS.json","sf":"$sfDir"}""")

@@ -118,19 +118,26 @@ object Jobs {
   def queryTermCount(spark: SparkSession, in: String, outTopics: String,
                      topics: String): Unit = {
     val docs = loadDocs(spark, in)
+    // persisted: tf feeds TWO actions (the collection-length agg and
+    // writeAugmented's collect) — unpersisted, each would re-run the
+    // full corpus tokenize (the no-repeated-tokenize rule applies
+    // ACROSS actions; ReusedExchange only dedupes within one)
     val tf = TextOps.termFreqs(docs)
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")) // 1 tokenize pass
-    val q = Topics.readPlain(spark, topics)
-      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
-    val tstats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-    val stats = q.join(tstats, Seq("term"), "left")
-      .select(col("qid"), col("term"), col("qtf"),
-        coalesce(col("df"), lit(0L)).as("df"),
-        coalesce(col("cf"), lit(0L)).as("cf"))
-    val Array(len, nd) = dl.agg(sum("dl"), count(lit(1))).head()
-      .toSeq.map(_.asInstanceOf[Long]).toArray
-    Topics.writeAugmented(stats, len, nd, outTopics)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val q = Topics.readPlain(spark, topics)
+        .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+      val tstats = tf.groupBy("term")
+        .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      val stats = q.join(tstats, Seq("term"), "left")
+        .select(col("qid"), col("term"), col("qtf"),
+          coalesce(col("df"), lit(0L)).as("df"),
+          coalesce(col("cf"), lit(0L)).as("cf"))
+      val Array(len, nd) = dl.agg(sum("dl"), count(lit(1))).head()
+        .toSeq.map(_.asInstanceOf[Long]).toArray
+      Topics.writeAugmented(stats, len, nd, outTopics)
+    } finally tf.unpersist(blocking = false)
   }
 
   /** Job 2: four models from the augmented topic file, keys
@@ -203,7 +210,17 @@ object Jobs {
 
   def collectionStats(spark: SparkSession, in: String, out: String,
                       merge: Boolean = false): Unit = {
+    // persisted across the header action and the body write — same
+    // cross-action no-repeated-tokenize rule as queryTermCount
     val tf = TextOps.termFreqs(loadDocs(spark, in))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try collectionStatsFrom(spark, tf, out, merge)
+    finally tf.unpersist(blocking = false)
+  }
+
+  private def collectionStatsFrom(spark: SparkSession,
+                                  tf: org.apache.spark.sql.DataFrame,
+                                  out: String, merge: Boolean): Unit = {
     val header = tf.agg(
       countDistinct(col("doc_id")).as("docs"),
       countDistinct(col("term")).as("terms"),
@@ -336,7 +353,12 @@ object Jobs {
     * layout. Stays partitioned — one SequenceFile part per task.
     */
   def parquetToSeq(spark: SparkSession, parquetIn: String, out: String): Unit =
-    spark.read.parquet(parquetIn).select("doc_id", "text")
+    // cast doc_id to string FIRST: engine-written corpora carry int64
+    // doc_ids (the testdata tables do), and getString on a LongType
+    // row throws ClassCastException mid-job; na.fill also only fills
+    // string columns, so the cast is what makes the fill effective
+    spark.read.parquet(parquetIn)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
       .na.fill("", Seq("doc_id", "text"))
       .rdd.map(r => (r.getString(0), r.getString(1)))
       .saveAsSequenceFile(out)
@@ -435,7 +457,10 @@ object Jobs {
     val dv = Index.load(spark, idx)
     val dt = dv.select(explode(map_keys(col("dv"))).as("term"))
       .agg(countDistinct(col("term")).as("terms")).head().getLong(0)
-    val h = dv.agg(count(lit(1)).as("documents"), sum("len").as("tokens"))
+    // coalesce: sum() over an EMPTY index is NULL and getLong would
+    // NPE — report zeros instead (the EdgeCaseSpec doctrine)
+    val h = dv.agg(count(lit(1)).as("documents"),
+        coalesce(sum("len"), lit(0L)).as("tokens"))
       .head()
     writeText(
       Seq(s"documents: ${h.getLong(0)}", s"terms: $dt",
@@ -524,11 +549,13 @@ object Jobs {
     val batchSigs = (if (preSigned != null) preSigned
       else Dedup.minhashWide(batch)).persist(MEMORY_AND_DISK)
     // Replay idempotence: a doc from a partially-committed earlier
-    // run of this very batch never candidates against its OWN stored
-    // copy (the nid =!= oid filter inside incrementalNearDupsFromSigs)
-    // — a redo's verdict rows are identical to an uncrashed run's,
-    // and its re-append below is absorbed by the distinct()s
-    // downstream.
+    // run of this very batch never candidates against its stored copy
+    // OR its stored batch-mates (incrementalNearDupsFromSigs anti-
+    // joins the stored band index against the batch's full id set —
+    // Dedup.scala's r12-advice closure; there is deliberately NO
+    // nid =!= oid filter left, the anti-join subsumes it) — a redo's
+    // verdict rows are identical to an uncrashed run's, and its
+    // re-append below is absorbed by the distinct()s downstream.
     val verdicts = Dedup.incrementalNearDupsFromSigs(
       spark.read.parquet(sigStore), corpus, batchSigs, batch, threshold)
       .join(batchSigs.select("doc_id").withColumn("signed", lit(true)),
@@ -810,35 +837,40 @@ object Jobs {
       .join(Dedup.nearDupKeepersFromSigs(exactSigs, exact),
         Seq("doc_id"), "left_semi")
       .persist(MEMORY_AND_DISK)
-    val n3 = nearInternal.count()
-    // store hand-off: check internal survivors against the persisted
-    // signature store, drop store-dups, admit the novel rest
-    val near = if (sigStore == null) nearInternal else {
-      stage("store_dedup")
-      val fs = new org.apache.hadoop.fs.Path(sigStore)
-        .getFileSystem(spark.sessionState.newHadoopConf())
-      // bootstrap EACH missing artifact independently (empty frames
-      // with the right schemas), corpus FIRST — matching admitCycle's
-      // text-before-sigs crash ordering. A crash between the two
-      // writes, or a pre-existing store paired with a fresh corpus
-      // path, then self-heals on the next run instead of wedging on
-      // a path-not-found read.
-      if (!fs.exists(new org.apache.hadoop.fs.Path(storeCorpus)))
-        nearInternal.select("doc_id", "text").limit(0)
-          .write.parquet(storeCorpus)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore)))
-        exactSigs.limit(0).write.parquet(sigStore)
-      val verdicts = admitCycle(spark, nearInternal.select("doc_id", "text"),
-        sigStore, storeCorpus, storeThreshold, admit = true,
-        preSigned = exactSigs.join(nearInternal.select("doc_id"),
-          Seq("doc_id"), "left_semi"))
-      nearInternal
-        .join(verdicts.filter(col("dup_of").isNull).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        .persist(MEMORY_AND_DISK)
-    }
-    val n3b = if (sigStore == null) n3 else near.count()
+    // every action from here on runs INSIDE the try: the store branch
+    // (admitCycle — external store paths, the job's most failure-prone
+    // step) used to sit outside it, so a store failure leaked four
+    // corpus-scale persists into a long-lived session
+    var near = nearInternal
     try {
+      val n3 = nearInternal.count()
+      // store hand-off: check internal survivors against the persisted
+      // signature store, drop store-dups, admit the novel rest
+      near = if (sigStore == null) nearInternal else {
+        stage("store_dedup")
+        val fs = new org.apache.hadoop.fs.Path(sigStore)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // bootstrap EACH missing artifact independently (empty frames
+        // with the right schemas), corpus FIRST — matching admitCycle's
+        // text-before-sigs crash ordering. A crash between the two
+        // writes, or a pre-existing store paired with a fresh corpus
+        // path, then self-heals on the next run instead of wedging on
+        // a path-not-found read.
+        if (!fs.exists(new org.apache.hadoop.fs.Path(storeCorpus)))
+          nearInternal.select("doc_id", "text").limit(0)
+            .write.parquet(storeCorpus)
+        if (!fs.exists(new org.apache.hadoop.fs.Path(sigStore)))
+          exactSigs.limit(0).write.parquet(sigStore)
+        val verdicts = admitCycle(spark, nearInternal.select("doc_id", "text"),
+          sigStore, storeCorpus, storeThreshold, admit = true,
+          preSigned = exactSigs.join(nearInternal.select("doc_id"),
+            Seq("doc_id"), "left_semi"))
+        nearInternal
+          .join(verdicts.filter(col("dup_of").isNull).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          .persist(MEMORY_AND_DISK)
+      }
+      val n3b = if (sigStore == null) n3 else near.count()
       stage("decontam")
       val bench = benchShingleHashes(spark, benchSpec, 5)
       val scrubbed = TextMetrics.scrubContaminated(near, bench)
@@ -1106,11 +1138,10 @@ object Jobs {
 
   def dedupCorpus(spark: SparkSession, in: String, out: String): Unit = {
     val docs = loadDocs(spark, in)
-    val keepers = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(min("doc_id").as("doc_id"))
-      .select("doc_id")
-    docs.join(keepers, Seq("doc_id"), "left_semi")
+    // the GATED keeper rule lives in one place (Dedup.exactKeepers);
+    // an inline copy here would silently drift if the rule changed
+    docs.join(graft.pipeline.Dedup.exactKeepers(docs),
+        Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(out)
   }
 
@@ -1286,8 +1317,12 @@ object Jobs {
       .persist()
     try {
       val n2 = near.count()
+      // use the library's own 6-dp-rounded rep_ratio (the cross-engine
+      // float contract), not a re-derivation from its intermediates: a
+      // doc at the maxRep boundary must gate identically to the
+      // declared/oracled formula
       val rep = TextMetrics.repetitionRatio(near, 3)
-        .select(col("doc_id"), (lit(1.0) - col("d_sh") / col("n_sh")).as("rep"))
+        .select(col("doc_id"), col("rep_ratio").as("rep"))
       val dl = TextOps.docLengths(near)
       val kept = near.join(dl, Seq("doc_id"))
         .join(rep, Seq("doc_id"), "left")

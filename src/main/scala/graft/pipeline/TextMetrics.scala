@@ -36,8 +36,10 @@ object TextMetrics {
         count(lit(1)).as("n_tokens"),
         countDistinct(col("term")).as("n_types"),
         expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
-      .join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
-      .join(docs.select(col("doc_id"),
+      // ONE combined join for the char-level columns: two separate
+      // joins would scan the docs source twice and pay two joins for
+      // columns that come off the same row
+      .join(docs.select(col("doc_id"), col("n_chars"),
         expr("size(regexp_extract_all(text, '[^0-9a-zA-Z\\\\s]', 0))")
           .cast("bigint").as("n_punct")), Seq("doc_id"))
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))

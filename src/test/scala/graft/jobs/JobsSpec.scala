@@ -127,6 +127,14 @@ class JobsSpec extends SparkSpec {
     // absent docno dumps empty, not an error (reference NPEs here)
     Jobs.dumpIndexDocVector(spark, s"$work/dumpidx", "99", s"$work/dumpdv99")
     assert(runLines(s"$work/dumpdv99").isEmpty)
+
+    // an EMPTY index reports zeros (sum() is NULL over no rows — the
+    // stats job must coalesce, not NPE)
+    Index.write(Jobs.loadDocs(spark, s"parquet:$work/dumpdocs")
+      .filter(col("doc_id") < 0), s"$work/dumpidx0")
+    Jobs.dumpIndexStats(spark, s"$work/dumpidx0", s"$work/dumpstats0")
+    assert(runLines(s"$work/dumpstats0") ==
+      Seq("documents: 0", "terms: 0", "tokens: 0"))
   }
 
   test("RunQueryKDESweep: 9 alphas per query, reference report format") {
@@ -190,6 +198,16 @@ class JobsSpec extends SparkSpec {
     val back = spark.read.parquet(s"$work/seqback")
       .as[(String, String)].collect().toSeq.sorted
     assert(back == docs.sorted)
+
+    // engine-written corpora carry int64 doc_ids (the testdata tables
+    // do): the glue must cast, not ClassCastException mid-job
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/seqsrc64")
+    Jobs.parquetToSeq(spark, s"$work/seqsrc64", s"$work/seqout64")
+    Jobs.seqToParquet(spark, s"$work/seqout64", s"$work/seqback64")
+    assert(spark.read.parquet(s"$work/seqback64")
+      .as[(String, String)].collect().toSet ==
+      Set(("1", "alpha"), ("2", "beta")))
 
     // the written files really are Hadoop SequenceFiles (magic header)
     import scala.jdk.CollectionConverters._
