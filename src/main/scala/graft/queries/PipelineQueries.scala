@@ -767,10 +767,16 @@ object PipelineQueries {
           .select(col("vec_id"), col("embedding"),
             expr("aggregate(embedding, CAST(0 AS DOUBLE)," +
               " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("mx"))
+          // nullif divisor: an ALL-ZERO vector has scale 0 and no
+          // defined quantization — both engines must emit q = NULL
+          // there, not diverge (Spark's non-ANSI divide gives NULL on
+          // a zero divisor; DuckDB's IEEE path gives NaN and the INT
+          // cast then ERRORS)
           .select(col("vec_id"),
             expr("round(mx / 127, 6)").as("scale"),
             posexplode(expr("transform(embedding," +
-              " x -> CAST(round(CAST(x AS DOUBLE) / (mx / 127), 0) AS INT))"))
+              " x -> CAST(round(CAST(x AS DOUBLE)" +
+              " / nullif(mx / 127, 0e0), 0) AS INT))"))
               .as(Seq("i", "q"))),
       Some("""WITH t AS (SELECT vec_id, embedding,
              |            list_aggregate(list_transform(embedding,
@@ -781,7 +787,8 @@ object PipelineQueries {
              |        FROM t)
              |SELECT vec_id, round(mx / 127, 6) AS scale,
              |  CAST(j - 1 AS INT) AS i,
-             |  CAST(round(CAST(embedding[j] AS DOUBLE) / (mx / 127), 0) AS INT) AS q
+             |  CAST(round(CAST(embedding[j] AS DOUBLE)
+             |    / nullif(mx / 127, 0), 0) AS INT) AS q
              |FROM idx""".stripMargin),
       survey = Seq("EMB-QUANTIZE")),
 
@@ -1038,10 +1045,16 @@ object PipelineQueries {
           .groupBy(expr("(n_chars div 100) * 100").as("bucket"))
           .agg(count(lit(1)).as("n_docs"),
             expr("CAST(sum(dl) AS BIGINT)").as("n_tokens")),
+      // LEFT JOIN + coalesce (the px60/px66 guard): the dl CTE is a
+      // GROUP BY over the token stream, so a zero-token doc has NO dl
+      // row there — an inner join would drop it while Spark's
+      // docLengths emits (doc_id, 0) for every doc, a latent
+      // cross-engine divergence the moment the corpus holds one
+      // token-less doc
       Some(s"""WITH dl AS (${TextOps.duckDocLengths})
               |SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n_docs,
-              |  CAST(sum(dl) AS BIGINT) AS n_tokens
-              |FROM dl JOIN documents USING (doc_id)
+              |  CAST(sum(coalesce(dl, 0)) AS BIGINT) AS n_tokens
+              |FROM documents LEFT JOIN dl USING (doc_id)
               |GROUP BY 1""".stripMargin),
       survey = Seq("TEXT-PROFILE")),
 

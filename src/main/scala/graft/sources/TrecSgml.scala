@@ -109,7 +109,10 @@ object Topics {
     */
   def readAugmented(spark: SparkSession, path: String)
       : ((Long, Long), DataFrame) = {
-    val raw = spark.read.text(path).cache()
+    // no cache: a topic file is tiny and this frame escapes to the
+    // caller lazily, so a cache here could never be unpersisted and
+    // would leak one cached plan per call for the session's lifetime
+    val raw = spark.read.text(path)
     val header = raw.filter(col("value").startsWith("#MIREX-"))
       .collect().map(_.getString(0))
     def h(k: String): Long = header.collectFirst {

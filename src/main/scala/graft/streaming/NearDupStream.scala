@@ -132,6 +132,14 @@ object NearDupStream {
     val bands = Dedup.bandSigs(Dedup.minhashWideNarrow(docs))
       .select(col("band"), col("sig"), col("doc_id"),
         col(ingestCol).as("ts"))
+      // NULL event time is undefined under watermark semantics and is
+      // NOT filtered by the late-row machinery (NULL is never "late");
+      // it would reach the state function and NPE in the timeout
+      // arithmetic — and since the micro-batch replays deterministically
+      // from the checkpoint, ONE such record would crash-loop the
+      // ledger forever. Dropped here, the same fate the watermark
+      // assigns to unusably-late rows.
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .as[BandRow]
 

@@ -24,10 +24,16 @@ class NearDupStreamSpec extends SparkSpec {
 
   test("streamed ledger == batch keepers, across two micro-batches") {
     // two files, ids aligned with arrival order (listing order): the
-    // cross-batch state must resolve the same keepers as one batch
+    // cross-batch state must resolve the same keepers as one batch.
+    // One row carries a NULL ingest_ts: undefined under watermark
+    // semantics and NOT caught by the late-row filter — unguarded it
+    // NPEs the state function and crash-loops the checkpoint replay;
+    // the ledger must drop it and stay alive.
     val dir = Files.createTempDirectory("neardup").toString
     val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
     docs.filter(col("doc_id") < 250).withColumn("ingest_ts", ts)
+      .unionByName(docs.filter(col("doc_id") < 250).limit(1)
+        .withColumn("ingest_ts", lit(null).cast("timestamp")))
       .coalesce(1).write.parquet(s"$dir/a=1")
     docs.filter(col("doc_id") >= 250).withColumn("ingest_ts", ts)
       .coalesce(1).write.parquet(s"$dir/b=2")
