@@ -31,6 +31,19 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // JVM-global generated-class cache: Spark's 100-entry default is
+      // sized for a service replaying few plans, not an analytics
+      // session running a broad query surface — at 142 queries the
+      // suite's recurring sources fall out of a 100-entry cache and
+      // recompile: 3,557 Janino compilations and 135.8 s at 100 vs
+      // 2,212 and 119.8 s at 4096, a −16 s / −12% suite-level win on a
+      // same-interval reverse A/B (BENCH_NOTES §0n). Cost is metaspace
+      // for a few thousand compiled classes (tens of MB). Same story
+      // on a 1000-executor cluster: every executor JVM carries this
+      // cache, and a multi-tenant analytics driver replays far more
+      // than 100 distinct plan shapes. Env-overridable.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
       // Keep Spark's default 30min periodic-GC interval. Round 3 ran 90s
       // here to bound shuffle-file accumulation; thread-level capture of
       // the intermittent 5–25× per-query inflations showed the cost:
