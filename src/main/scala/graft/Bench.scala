@@ -161,15 +161,18 @@ object Bench {
     // rerun carried no cpu data, so "environmental or real?" was
     // unadjudicable — the adjudication machinery must cover its own
     // rerun pass too).
-    val rerun: Map[String, (Double, Long, Seq[Double], String)] =
+    val rerun: Map[String, (Double, Long, Seq[Double], String, Boolean)] =
       if (sys.env.get("SPARK_GRAFT_RERUN").contains("0")) Map.empty
       else results.collect {
         case (name, dt, _, cpu, _, _) if cpu(1) > stormSys || dt > rerunSec =>
           val d = decls.find(_.name == name).get
           val reason = (if (cpu(1) > stormSys) Seq("storm") else Nil) ++
             (if (dt > rerunSec) Seq("slow") else Nil)
-          val (rdt, rgc, rcpu, _, _) = timeOne(d)
-          name -> ((rdt, rgc, rcpu, reason.mkString("+")))
+          // keep the rerun's failed flag too: a throwing rerun would
+          // otherwise record a tiny sec_rerun that reads as "the slow
+          // first pass was environmental" when the rerun never ran
+          val (rdt, rgc, rcpu, _, rFailed) = timeOne(d)
+          name -> ((rdt, rgc, rcpu, reason.mkString("+"), rFailed))
       }.toMap
     val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -187,14 +190,15 @@ object Bench {
       // can't disagree on boundary rows
       val storm = cpu(1) > stormSys
       val rr = rerun.get(k)
-        .map { case (x, rg, rcpu, why) =>
+        .map { case (x, rg, rcpu, why, rFailed) =>
           val Seq(ru, rs, ri, rw, rst) = rcpu.map(c => math.rint(c * 100) / 100)
           // same unrounded-cpu(1) rule as the first-pass storm flag
           val stormR = rcpu(1) > stormSys
+          val failR = if (rFailed) ""","failed_rerun":true""" else ""
           s""","sec_rerun":${math.rint(x * 1000) / 1000},"rerun_reason":"$why"""" +
             s""","gc_ms_rerun":$rg,"cpu_user_s_rerun":$ru,"cpu_sys_s_rerun":$rs""" +
             s""","cpu_idle_s_rerun":$ri,"cpu_iowait_s_rerun":$rw,"cpu_steal_s_rerun":$rst""" +
-            s""","storm_rerun":$stormR""" }
+            s""","storm_rerun":$stormR$failR""" }
         .getOrElse("")
       // failed is emitted ONLY when true: a throw leaves a wall time
       // that looks like a (usually suspiciously fast) success otherwise

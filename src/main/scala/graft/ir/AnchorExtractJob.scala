@@ -52,6 +52,13 @@ object AnchorExtractJob {
     * (10 MB default; chars, matching the reference's
     * `StringBuilder.length()` cap — `AnchorExtract.java:71,197` — not
     * bytes).
+    *
+    * LAZY composition: [[glue]] scans its anchor input twice (its
+    * scaladoc'd cost shape), and here that input is the WARC parse +
+    * HTML extraction. An ACTION site should parse once and persist —
+    * `Jobs.anchorExtract` does exactly that; this method stays lazy
+    * for callers that compose further (the `loadDocs("warc:")`
+    * loader).
     */
   def run(warc: Dataset[WarcDoc],
           maxChars: Int = MaxAnchorBytes): DataFrame =

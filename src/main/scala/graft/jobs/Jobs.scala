@@ -95,11 +95,25 @@ object Jobs {
       out, merge = true)
 
   def anchorExtract(spark: SparkSession, warcIn: String, out: String,
-                    merge: Boolean = false): Unit =
-    writeText(AnchorExtractJob.run(spark, warcIn)
-      .select(concat_ws("\t", col("docid"), col("url"), col("anchortext"))
-        .as("value")),
+                    merge: Boolean = false): Unit = {
+    // the action site owns the persist: glue() scans its anchor input
+    // twice (hub-totals pass + route-and-aggregate, its scaladoc'd
+    // cost shape), and the anchor frame here is derived from the WARC
+    // parse + HTML extraction — the job's most expensive stage, which
+    // must not run twice. The lazy library composition (run / the
+    // loadDocs("warc:") loader) can't scope a persist; this CLI can.
+    val warc = graft.sources.Warc.read(spark, warcIn)
+    val anchors = AnchorExtractJob.anchors(warc)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try writeText(
+      AnchorExtractJob.pages(warc)
+        .join(AnchorExtractJob.glue(anchors,
+          AnchorExtractJob.MaxAnchorBytes), Seq("url"))
+        .select(concat_ws("\t", col("trecid"), col("url"),
+          col("anchortext")).as("value")),
       out, merge, gzip = true)
+    finally anchors.unpersist(blocking = false)
+  }
 
   /** MIREX sequential-scan retrieval, LMno conjunctive
     * (`nl/utwente/mirex/TrecRun.java`).

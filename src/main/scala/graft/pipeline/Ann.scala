@@ -93,25 +93,28 @@ object Ann {
       .withColumn("r", expr(
         "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
       .filter(col("r") === 1).select("vid", "cid")
-    // seed = the first kClusters vectors by id RANK (works for any id
-    // space, not just dense 0-based ids). Fewer vectors than clusters
-    // is an ERROR by default, not a silent shrink: dense_rank would
-    // mint fewer cids and an IVF consumer's kClusters math (ivfTopK's
+    // seed = the first kClusters DISTINCT ids by rank (works for any
+    // id space, not just dense 0-based ids; distinct first, because
+    // dense_rank mints cids from distinct id VALUES — duplicate-id
+    // rows would otherwise seed fewer clusters than rows counted).
+    // Fewer ids than clusters is an ERROR by default, not a silent
+    // shrink: an IVF consumer's kClusters math (ivfTopK's
     // nprobe/kClusters recall cut, the partitioned layout's directory
     // count) would be silently wrong — the same loud guard pqTrain
-    // applies to the identical seeding. The count is one pruned-column
-    // pass over ≤ kClusters rows after the limit. `allowFewer` opts a
-    // caller INTO the shrink where it is the declared semantics —
-    // semDedup's k is a CEILING (every vector its own cluster when
-    // n < k, EdgeCaseSpec) — and skips the count action entirely.
-    val seedIds = corpus.select(col(idCol).as("vid"))
+    // applies to the identical seeding. The guard costs one id-column
+    // corpus scan (distinct + take-ordered + count) on the strict
+    // path. `allowFewer` opts a caller INTO the shrink where it is
+    // the declared semantics — semDedup's k is a CEILING (every
+    // vector its own cluster when n < k, EdgeCaseSpec) — and skips
+    // the count action entirely.
+    val seedIds = corpus.select(col(idCol).as("vid")).distinct()
       .orderBy("vid").limit(kClusters)
     if (!allowFewer) {
       val nSeeds = seedIds.count()
       require(nSeeds == kClusters,
-        s"kmeansCentroids needs >= $kClusters vectors to seed, got " +
-          s"$nSeeds (allowFewer opts into the every-vector-its-own-" +
-          s"cluster shrink)")
+        s"kmeansCentroids needs >= $kClusters distinct-id vectors to " +
+          s"seed, got $nSeeds (allowFewer opts into the every-vector-" +
+          s"its-own-cluster shrink)")
     }
     var cent = e.join(broadcast(seedIds), Seq("vid"))
       .withColumn("cid",

@@ -140,7 +140,11 @@ object Sharding {
     */
   private def requireNoReserved(docs: DataFrame, reserved: Seq[String],
                                 who: String): Unit = {
-    val clash = docs.columns.toSeq.intersect(reserved)
+    // case-INsensitive: Spark resolution is case-insensitive by
+    // default, so a user column `Quota` collides with the internal
+    // `quota` exactly like a lowercase one would
+    val res = reserved.map(_.toLowerCase)
+    val clash = docs.columns.toSeq.filter(c => res.contains(c.toLowerCase))
     require(clash.isEmpty,
       s"$who: input column(s) ${clash.mkString(", ")} collide with " +
         s"reserved internal/output names (${reserved.mkString(", ")}); " +

@@ -89,24 +89,41 @@ final class WarcTable(path: String) extends Table with SupportsRead {
       override def planInputPartitions(): Array[InputPartition] =
         WarcDataSource.listFiles(path).map(WarcFilePartition(_): InputPartition)
           .toArray
-      override def createReaderFactory(): PartitionReaderFactory =
-        new WarcReaderFactory
+      override def createReaderFactory(): PartitionReaderFactory = {
+        // plan-time listing and run-time reads must resolve paths
+        // against the SAME Hadoop conf: executors have no active
+        // session, so a bare Configuration there would drop every
+        // spark.hadoop.* setting (object-store credentials, fs
+        // overrides) the driver-side listFiles used. Ship the
+        // session's effective conf as plain serializable entries.
+        import scala.jdk.CollectionConverters._
+        val entries = org.apache.spark.sql.SparkSession.active
+          .sessionState.newHadoopConf()
+          .iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+        new WarcReaderFactory(entries)
+      }
     }
 }
 
 final case class WarcFilePartition(file: String) extends InputPartition
 
-final class WarcReaderFactory extends PartitionReaderFactory {
+final class WarcReaderFactory(confEntries: Array[(String, String)])
+    extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[WarcFilePartition].file
     new PartitionReader[InternalRow] {
       // open through Hadoop FS so the partition paths listFiles
       // produced (file:/…, hdfs://…) resolve on executors too; the
       // whole-file read mirrors Warc.read's binaryFile contract (the
-      // format is non-splittable)
+      // format is non-splittable). The conf is the driver session's
+      // effective Hadoop conf, rebuilt from shipped entries —
+      // Configuration(false) + a full entry copy, so credentials and
+      // fs overrides behave exactly as they did at plan time.
       private val it = {
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(file)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(conf)
         val len = fs.getFileStatus(p).getLen
         require(len <= Warc.MaxRecordBytes,
           s"warc file $file is $len bytes > per-file parser ceiling " +

@@ -160,7 +160,8 @@ class AnnSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Ann.kmeansCentroids(few, kClusters = 8, iters = 1)
     }
-    assert(e.getMessage.contains("needs >= 8 vectors"), e.getMessage)
+    assert(e.getMessage.contains("needs >= 8 distinct-id vectors"),
+      e.getMessage)
   }
 
   test("randomProject: NULL embedding yields a genuinely NULL proj value") {
