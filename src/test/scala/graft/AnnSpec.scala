@@ -73,9 +73,22 @@ class AnnSpec extends SparkSpec {
     val exact = topkSet(Ann.cosineTopK(emb, queries, k = 10))
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.3, s"recall@10 = $recall")
-    // and the candidate set really is pruned: every result's list is
-    // the query's own probe list
-    assert(ivf.size <= exact.size)
+    // and the candidate set really is pruned: every result vector is
+    // assigned to its query's ONE probed cluster (ivf.size <= exact
+    // .size is vacuous — both sides are top-k). The query's nprobe=1
+    // probe cluster is its own nearest-centroid assignment (identical
+    // round(d2,6)/cid tie-break), so a no-pruning regression that
+    // searches every list would surface as a result from a foreign
+    // cluster here.
+    val vidCid = assign.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val qidCid = Ann.ivfAssign(queries, cent).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivf.foreach { case (qid, vid) =>
+      assert(vidCid(vid) == qidCid(qid),
+        s"result $vid (cluster ${vidCid(vid)}) outside query $qid's " +
+          s"probe cluster ${qidCid(qid)}")
+    }
   }
 
   test("randomProject: deterministic, linear, and JL distance-preserving on average") {

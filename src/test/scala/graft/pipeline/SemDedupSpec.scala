@@ -72,6 +72,18 @@ class SemDedupSpec extends SparkSpec {
     val kept = loose.filter(_._2 == 1)
     assert(kept.length == loose.map(_._1).distinct.length,
       s"threshold=-1 must keep exactly one (the min id) per cluster: $kept")
+    // the other half of the title — without it, "drop everything but
+    // the minima regardless of threshold" (an inverted or saturated
+    // comparison) would pass this test. The synth perturbations cap
+    // every within-cluster rounded cosine at ~0.99996 < 0.999999, so
+    // just-under-1 must keep ALL 64 (deterministic: cos is rounded to
+    // 6 dp before the compare).
+    val tight = Dedup.semDedup(synth, 4, 2, threshold = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    val dropped = tight.filter(_._2 == 0)
+    assert(dropped.isEmpty,
+      s"threshold just under 1 must keep every distinct vector: " +
+        s"dropped ${dropped.map(_._1).toSeq.sorted}")
   }
 
   test("pair count scales as k·(n/k)²/2 — more clusters, quadratically fewer pairs") {

@@ -221,7 +221,11 @@ class ShardingSpec extends SparkSpec {
   test("plan shapes: one exchange in epochShuffle; broadcast quota join") {
     val sh = Sharding.epochShuffle(docs, "doc_id", 7, 8)
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(sh).size == 1, sh) // the one repartition
+    // count the SHUFFLE exchanges precisely (the PlanShapeSpec idiom):
+    // a bare "Exchange" substring also matches ReusedExchange /
+    // BroadcastExchange nodes, which add no shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(sh).size == 1,
+      sh) // the one repartition
     val ts = Sharding.temperatureSample(docs)
       .queryExecution.executedPlan.toString
     assert(ts.contains("BroadcastHashJoin"), ts) // quotas never shuffle docs

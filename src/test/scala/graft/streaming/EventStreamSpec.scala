@@ -14,7 +14,7 @@ class EventStreamSpec extends SparkSpec {
       Paths.get(dir, "events.parquet"))
 
     val q = EventStream.streamToMemory(spark, dir, "ev_out")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
 
     val streamed = spark.table("ev_out")
       .collect().map(r => (r.get(0).toString, r.getString(1), r.getLong(2),
@@ -38,7 +38,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("dd_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val streamedDistinct = spark.table("dd_out").count()
     val batchDistinct = spark.read.parquet(s"$sfTiny/documents.parquet")
       .select(md5(col("text"))).distinct().count()
@@ -70,7 +70,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("ddw_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val streamed = spark.table("ddw_out").collect().map(_.getLong(0)).toSet
     // first-arrival == originals == batch exactKeepers over the union
     val batch = graft.pipeline.Dedup
@@ -91,7 +91,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("tc_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val streamed = spark.table("tc_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val batch = graft.pipeline.TextMetrics
@@ -110,7 +110,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("gr_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val key = (r: org.apache.spark.sql.Row) =>
       (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getInt(5))
@@ -128,7 +128,7 @@ class EventStreamSpec extends SparkSpec {
       Paths.get(dir, "events.parquet"))
 
     val q = EventStream.sessionizeToMemory(spark, dir, "sess_out")
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val closedPerUser = spark.table("sess_out")
       .groupBy("user_id").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -195,7 +195,7 @@ class EventStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("enrich_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
     val streamed = spark.table("enrich_out").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3),
         r.getInt(4))).toSet

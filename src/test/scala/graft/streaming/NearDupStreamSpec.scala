@@ -22,13 +22,18 @@ class NearDupStreamSpec extends SparkSpec {
     assert(narrow.nonEmpty && (narrow.toSeq == wide.toSeq))
   }
 
-  test("streamed ledger == batch keepers, across two micro-batches") {
-    // two files, ids aligned with arrival order (listing order): the
-    // cross-batch state must resolve the same keepers as one batch.
-    // One row carries a NULL ingest_ts: undefined under watermark
-    // semantics and NOT caught by the late-row filter — unguarded it
-    // NPEs the state function and crash-loops the checkpoint replay;
-    // the ledger must drop it and stay alive.
+  // Shared fixture: ONE collision-ledger stream run, consumed by both
+  // the ledger==batch test and the collision-pairs test — a lazy val,
+  // not a leftover memory table from whichever test ran first (that
+  // coupling made the pairs test fail confusingly under testOnly -z
+  // or after an earlier failure).
+  // Two files, ids aligned with arrival order (listing order): the
+  // cross-batch state must resolve the same keepers as one batch.
+  // One row carries a NULL ingest_ts: undefined under watermark
+  // semantics and NOT caught by the late-row filter — unguarded it
+  // NPEs the state function and crash-loops the checkpoint replay;
+  // the ledger must drop it and stay alive.
+  private lazy val ledgerRows: Array[(Int, String, Long, Long)] = {
     val dir = Files.createTempDirectory("neardup").toString
     val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
     docs.filter(col("doc_id") < 250).withColumn("ingest_ts", ts)
@@ -45,10 +50,13 @@ class NearDupStreamSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory")
       .queryName("ndl_out")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(180000)
-
-    val streamed = spark.table("ndl_out").collect()
+    assert(q.awaitTermination(180000), "stream did not terminate in 180s")
+    spark.table("ndl_out").collect()
       .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+  }
+
+  test("streamed ledger == batch keepers, across two micro-batches") {
+    val streamed = ledgerRows
 
     // batch truth: every (doc, band) row, keeper = min doc_id per sig
     val bands = Dedup.bandSigs(Dedup.minhashWide(docs))
@@ -189,10 +197,11 @@ class NearDupStreamSpec extends SparkSpec {
   }
 
   test("collision pairs are exactly the batch LSH candidate pairs") {
-    val ledger = spark.table("ndl_out") // from the previous test's run
-    val streamPairs = ledger.filter(col("doc_id") =!= col("keeper"))
-      .select(col("keeper").as("d1"), col("doc_id").as("d2")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (doc_id, band, keeper) rows from the shared stream fixture;
+    // pairs link each doc to its signature's keeper
+    val streamPairs = ledgerRows.collect {
+      case (_, _, docId, keeper) if docId != keeper => (keeper, docId)
+    }.toSet
     val batchPairs = Dedup.lshCandidates(docs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ledger pairs link docs to their signature's KEEPER only, so they

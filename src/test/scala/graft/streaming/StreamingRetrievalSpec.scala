@@ -35,7 +35,7 @@ class StreamingRetrievalSpec extends SparkSpec {
     val scored = StreamingRetrieval.scoreStream(stream, qAug, len, nd,
       Retrieval.lmdirPart, Retrieval.lmdirFinal)
     val sq = StreamingRetrieval.toMemory(scored, "sr_out")
-    sq.awaitTermination(120000)
+    assert(sq.awaitTermination(120000), "stream did not terminate in 120s")
 
     val streamed = spark.table("sr_out").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
@@ -68,7 +68,7 @@ class StreamingRetrievalSpec extends SparkSpec {
     val scored = StreamingRetrieval.scoreStream(stream, qAug, len, nd,
       Retrieval.lmnoPart, Retrieval.lmnoFinal, conjunctive = true)
     val sq = StreamingRetrieval.toMemory(scored, "sr_conj")
-    sq.awaitTermination(120000)
+    assert(sq.awaitTermination(120000), "stream did not terminate in 120s")
 
     val streamed = spark.table("sr_conj").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet

@@ -47,8 +47,12 @@ class TokenizerDivergenceSpec extends SparkSpec {
   test("our tokens match the documented golden for every divergence case") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    val df = golden.map(_._1).toDF("text")
-      .withColumn("doc_id", monotonically_increasing_id())
+    // index zipped INTO the input rows: monotonically_increasing_id
+    // encodes partitionId<<33 + offset, so it is 0..n-1 only while the
+    // local relation stays in one partition — a parallelism or Spark
+    // slicing change would silently break the golden lookup
+    val df = golden.map(_._1).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
     val got = TextOps.tokens(df.select(col("doc_id"), col("text")))
       .groupBy("doc_id").agg(collect_list("term").as("ts"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
