@@ -36,10 +36,15 @@ object IndexBench {
 
     def bench(what: String)(mk: => org.apache.spark.sql.DataFrame): Double = {
       val times = (1 to 3).map { _ =>
+        // full-output forcing: the three arms end in DIFFERENT final
+        // plans, so count()-pruning would remove a different amount of
+        // projection work per arm (§0g) — and clearCache stays outside
+        // the timed region
         val t0 = System.nanoTime()
-        mk.count()
+        graft.Bench.materialize(mk)
+        val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       val med = times.sorted.apply(1)
       println(f"[idxbench] $what: median $med%.2f s (runs ${times.map(t => f"$t%.2f").mkString(", ")})")

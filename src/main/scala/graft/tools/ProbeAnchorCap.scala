@@ -45,15 +45,30 @@ object ProbeAnchorCap {
         concat_ws("\t", array_sort(collect_list(col("anchor")))),
         1, cap).as("anchortext"))
 
-    for (r <- 1 to 2) {
+    // alternate the arm order per rep (the ProbeCc/ProbePx04d
+    // discipline): a fixed old→new order makes run-1 old absorb the
+    // shape family's first-codegen/JIT cost and overstates the new
+    // shape's win
+    def arm(f: => Long): (Long, Double) = {
       val t0 = System.nanoTime()
-      val oldRows = graft.Bench.materialize(oldGlue)
-      val oldSec = (System.nanoTime() - t0) / 1e9
-      val t1 = System.nanoTime()
-      val newRows = graft.Bench.materialize(
-        AnchorExtractJob.glue(anchors, cap))
-      val newSec = (System.nanoTime() - t1) / 1e9
-      println(f"""[anchorcap] {"run":$r,"anchors":$n,"hub":$h,"cap":$cap,"old_sec":$oldSec%.2f,"new_sec":$newSec%.2f,"old_rows":$oldRows,"new_rows":$newRows}""")
+      val rows = f
+      (rows, (System.nanoTime() - t0) / 1e9)
+    }
+    for (r <- 1 to 4) {
+      val oldFirst = r % 2 == 1
+      val (oldRows, oldSec, newRows, newSec) =
+        if (oldFirst) {
+          val (or_, os) = arm(graft.Bench.materialize(oldGlue))
+          val (nr, ns) = arm(graft.Bench.materialize(
+            AnchorExtractJob.glue(anchors, cap)))
+          (or_, os, nr, ns)
+        } else {
+          val (nr, ns) = arm(graft.Bench.materialize(
+            AnchorExtractJob.glue(anchors, cap)))
+          val (or_, os) = arm(graft.Bench.materialize(oldGlue))
+          (or_, os, nr, ns)
+        }
+      println(f"""[anchorcap] {"run":$r,"order":"${if (oldFirst) "old_first" else "new_first"}","anchors":$n,"hub":$h,"cap":$cap,"old_sec":$oldSec%.2f,"new_sec":$newSec%.2f,"old_rows":$oldRows,"new_rows":$newRows}""")
     }
 
     // structural claim: the windowed cut's agg input for the hub is

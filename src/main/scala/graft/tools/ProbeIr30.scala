@@ -34,7 +34,7 @@ object ProbeIr30 {
   }
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local()
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // warmup
     Tables(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
@@ -44,22 +44,27 @@ object ProbeIr30 {
       println(f"[probe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
     for (round <- 1 to 3) {
+      // clearCache after each arm, OUTSIDE the timer — dropping cached
+      // blocks is real work only in the persisting arms, so timing it
+      // biases the very A/B deciding whether persisting wins. The
+      // final consumer stays materialize-forced so the scored columns
+      // can't be pruned (§0g).
       t(s"eager-persist-$round") {
         val tf = TextOps.termFreqs(Tables(s, dir, "documents")).persist()
         tf.count()
-        val n = body(s, dir, tf).count()
-        s.catalog.clearCache(); n
+        graft.Bench.materialize(body(s, dir, tf))
       }
+      s.catalog.clearCache()
       t(s"lazy-persist-$round") {
         val tf = TextOps.termFreqs(Tables(s, dir, "documents")).persist()
-        val n = body(s, dir, tf).count()
-        s.catalog.clearCache(); n
+        graft.Bench.materialize(body(s, dir, tf))
       }
+      s.catalog.clearCache()
       t(s"no-persist-$round") {
         val tf = TextOps.termFreqs(Tables(s, dir, "documents"))
-        val n = body(s, dir, tf).count()
-        s.catalog.clearCache(); n
+        graft.Bench.materialize(body(s, dir, tf))
       }
+      s.catalog.clearCache()
     }
     s.stop()
   }

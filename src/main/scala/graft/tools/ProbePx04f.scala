@@ -21,36 +21,43 @@ object ProbePx04f {
       val t0 = System.nanoTime(); val n = f
       println(f"[probe] $label%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s  rows=$n")
     }
+    // every stage forced with the full-output yardstick: count() lets
+    // Catalyst prune whatever the row count doesn't need (the tokens
+    // line's sum(n) is a 1-row agg whose count is a constant, so the
+    // tokenize itself vanished; sh-agg's collect_list was pruned to
+    // dfs) — the deltas then mislocate the cost between stages (§0g)
+    def m(df: org.apache.spark.sql.DataFrame): Long =
+      graft.Bench.materialize(df)
     def shingles = TextOps.shingleRows(Tables(s, dir, "documents"), 3)
       .select(col("doc_id"), DetHash.h60(col("s")).as("sh"))
     for (r <- 1 to 2) {
-      t(s"scan-only-$r") { Tables(s, dir, "documents").count() }
+      t(s"scan-only-$r") { m(Tables(s, dir, "documents")) }
       t(s"tokens-$r") {
-        Tables(s, dir, "documents")
+        m(Tables(s, dir, "documents")
           .select(col("doc_id"),
             size(split(lower(col("text")), "[^0-9a-z]+")).as(("n")))
-          .agg(sum("n")).count()
+          .agg(sum("n")))
       }
-      t(s"shingle-rows-$r") { shingles.count() }
-      t(s"distinct-$r") { shingles.distinct().count() }
+      t(s"shingle-rows-$r") { m(shingles) }
+      t(s"distinct-$r") { m(shingles.distinct()) }
       t(s"sh-agg-$r") {
-        shingles.distinct().groupBy("sh")
+        m(shingles.distinct().groupBy("sh")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
             count(lit(1)).as("dfs"))
-          .filter(col("dfs") <= cap).count()
+          .filter(col("dfs") <= cap))
       }
       t(s"pair-expand-$r") {
-        shingles.distinct().groupBy("sh")
+        m(shingles.distinct().groupBy("sh")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
             count(lit(1)).as("dfs"))
           .filter(col("dfs") <= cap)
           .select(explode(expr(
             "flatten(transform(ids, (x, i) -> " +
               "transform(slice(ids, i + 2, size(ids)), " +
-              "y -> struct(x AS d1, y AS d2))))")).as("p")).count()
+              "y -> struct(x AS d1, y AS d2))))")).as("p")))
       }
       t(s"pair-agg-$r") {
-        shingles.distinct().groupBy("sh")
+        m(shingles.distinct().groupBy("sh")
           .agg(sort_array(collect_list(col("doc_id"))).as("ids"),
             count(lit(1)).as("dfs"))
           .filter(col("dfs") <= cap)
@@ -59,7 +66,7 @@ object ProbePx04f {
               "transform(slice(ids, i + 2, size(ids)), " +
               "y -> struct(x AS d1, y AS d2))))")).as("p"))
           .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
-          .groupBy("d1", "d2").agg(count(lit(1)).as("inter")).count()
+          .groupBy("d1", "d2").agg(count(lit(1)).as("inter")))
       }
     }
     s.stop()

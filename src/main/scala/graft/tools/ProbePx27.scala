@@ -62,7 +62,7 @@ object ProbePx27 {
   }
   def main(args: Array[String]): Unit = {
     val s = GraftSession.local()
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     Tables(s, dir, "documents")
       .select(explode(split(lower(col("text")), "[^0-9a-z]+")).as("t"))
       .filter(col("t") =!= "").groupBy("t").count().count()
@@ -80,12 +80,15 @@ object ProbePx27 {
         "wide" -> Set("wide"),
         "wide+cands" -> Set("wide", "cands"),
         "all" -> Set("wide", "cands", "ds"))
-    for (r <- 1 to 3; (label, ps) <- modes)
-      t(s"$label-$r") {
-        // full-output forcing (BENCH_NOTES §0g): count() would prune
-        // jac_est/jac_exact and half the minhash work out of the plan
-        val n = graft.Bench.materialize(body(s, dir, ps))
-        s.catalog.clearCache(); n }
+    for (r <- 1 to 3; (label, ps) <- modes) {
+      // full-output forcing (BENCH_NOTES §0g): count() would prune
+      // jac_est/jac_exact and half the minhash work out of the plan.
+      // clearCache runs OUTSIDE the timer: dropping cached blocks is
+      // real work only in the persisting arms, so timing it would
+      // charge a one-sided overhead to exactly the arms under test
+      t(s"$label-$r")(graft.Bench.materialize(body(s, dir, ps)))
+      s.catalog.clearCache()
+    }
     s.stop()
   }
 }

@@ -25,8 +25,12 @@ object ProbePx59 {
     }
     docs.count() // warmup
     for (r <- 1 to 3) {
-      t(s"sigEx-$r") { Dedup.minhashWide(existing).count() }
-      t(s"sigBatch-$r") { Dedup.minhashWide(batch).count() }
+      // full-output forcing: count() over minhashWide's groupBy prunes
+      // the 16 min() aggregates AND the md5 hashing (only the grouping
+      // key survives — ProbePx27's scaladoc'd mechanism), which would
+      // attribute the signing cost to downstream stages instead
+      t(s"sigEx-$r") { graft.Bench.materialize(Dedup.minhashWide(existing)) }
+      t(s"sigBatch-$r") { graft.Bench.materialize(Dedup.minhashWide(batch)) }
       t(s"cand-$r") {
         Dedup.bandSigs(Dedup.minhashWide(batch))
           .select(col("doc_id").as("nid"), col("band"), col("sig"))
@@ -41,7 +45,7 @@ object ProbePx59 {
           .distinct().count()
       }
       t(s"full-$r") {
-        Dedup.incrementalNearDups(existing, batch, 0.5).count()
+        graft.Bench.materialize(Dedup.incrementalNearDups(existing, batch, 0.5))
       }
     }
     // The production path: corpus signatures precomputed in a parquet
@@ -52,9 +56,9 @@ object ProbePx59 {
     Dedup.minhashWide(existing).write.mode("overwrite").parquet(store)
     for (r <- 1 to 3) {
       t(s"storePath-$r") {
-        Dedup.incrementalNearDupsFromSigs(
+        graft.Bench.materialize(Dedup.incrementalNearDupsFromSigs(
           s.read.parquet(store), existing,
-          Dedup.minhashWide(batch), batch, 0.5).count()
+          Dedup.minhashWide(batch), batch, 0.5))
       }
     }
     // one-pass signing split: the two sides' agg subtrees must share

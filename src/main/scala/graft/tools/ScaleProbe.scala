@@ -33,10 +33,15 @@ object ScaleProbe {
     }
 
     if (!args.contains("only")) {
+    // full-output forcing (Bench.materialize), NOT count(): both ops
+    // are filter-free narrow selects, so count() lets Catalyst prune
+    // every stat/hash expression and times a bare scan of the
+    // checkpointed corpus (§0g — the same trap the scrub_dup_spans
+    // row below already guards against)
     t("gopher_filter")(
-      graft.pipeline.TextMetrics.gopherRules(big).count())
+      graft.Bench.materialize(graft.pipeline.TextMetrics.gopherRules(big)))
     t("minhash_narrow")(
-      graft.pipeline.Dedup.minhashWideNarrow(big).count())
+      graft.Bench.materialize(graft.pipeline.Dedup.minhashWideNarrow(big)))
     var edges: org.apache.spark.sql.DataFrame = null
     t("lsh_candidates") {
       edges = graft.pipeline.Dedup.lshCandidates(big).localCheckpoint()
@@ -149,7 +154,10 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         val r = f
         val wall = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(400) // let the listener bus drain this phase's stages
+        // deterministic drain, not a fixed sleep: on a loaded machine
+        // the async bus can take >400 ms and the phase table would
+        // silently miss trailing stages (the SkewProbe/MgProbe idiom)
+        org.apache.spark.graft.Listeners.drain(spark.sparkContext)
         println(f"""[scale] {"phase":"$w","n":$n,"docs":$docs,"rows":$r,"sec":$wall%.2f,"peak_heap_mb":${pl.peakHeapMb},${json(pl.totals(m0))}}""")
       }
 
@@ -170,7 +178,7 @@ object ScaleProbe {
       graft.jobs.Jobs.curateCorpus(spark, s"parquet:$inDir", outDir,
         gopher = true)
       val cw = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(600)
+      org.apache.spark.graft.Listeners.drain(spark.sparkContext)
       println(f"""[scale] {"phase":"curate_composed","n":$n,"docs":$docs,"sec":$cw%.2f,"peak_heap_mb":${pl.peakHeapMb},${json(pl.totals(m0))}}""")
       pl.phaseTable(m0).foreach { case (desc, m) =>
         println(s"""[scale] {"phase":"$desc","n":$n,${json(m)}}""")

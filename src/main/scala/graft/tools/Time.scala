@@ -13,8 +13,11 @@ object Time {
     Tables(spark, dir, "lineitem").count() // warmup
     args.foreach { name =>
       (1 to 2).foreach { i =>
+        // same full-output yardstick as the committed bench — count()
+        // would let Catalyst prune every column the row count doesn't
+        // need (§0g), timing a smaller plan than Bench reports
         val t0 = System.nanoTime()
-        val n = SparkEntry.queries(name)(spark, dir).count()
+        val n = graft.Bench.materialize(SparkEntry.queries(name)(spark, dir))
         println(f"[time] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
         spark.catalog.clearCache()
       }
