@@ -107,7 +107,7 @@ final class WarcTable(path: String) extends Table with SupportsRead {
 
 final case class WarcFilePartition(file: String) extends InputPartition
 
-final class WarcReaderFactory(confEntries: Array[(String, String)])
+final class WarcReaderFactory(val confEntries: Array[(String, String)])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[WarcFilePartition].file

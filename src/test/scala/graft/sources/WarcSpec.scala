@@ -118,6 +118,35 @@ class WarcSpec extends SparkSpec {
     assert(hm("WARC-Type") == "response")
   }
 
+  test("DSv2: the reader factory ships the session's Hadoop conf to executors") {
+    // executors have no active session, so the factory must carry the
+    // driver's effective conf (spark.hadoop.* credentials, fs
+    // overrides) as serializable entries — a bare Configuration() on
+    // the executor would silently drop them
+    // the context hadoopConfiguration is where spark.hadoop.* entries
+    // from the driver's SparkConf land (prefix-stripped at startup) —
+    // sessionState.newHadoopConf() copies it, so the factory must too
+    val key = "graft.test.conf.marker"
+    spark.sparkContext.hadoopConfiguration.set(key, "shipped")
+    try {
+      val table = new WarcTable(resource("test.warc.gz"))
+      val batch = table
+        .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+          java.util.Collections.emptyMap()))
+        .build().toBatch
+      val factory = batch.createReaderFactory()
+        .asInstanceOf[WarcReaderFactory]
+      assert(factory.confEntries.toMap.get(key).contains("shipped"),
+        s"session hadoop conf not shipped; got " +
+          s"${factory.confEntries.count(_._1.startsWith("graft."))} graft keys")
+      // and the shipped conf actually opens files (end-to-end read)
+      val reader = factory.createReader(
+        batch.planInputPartitions().head.asInstanceOf[WarcFilePartition])
+      assert(reader.next(), "reader yields at least one record")
+      reader.close()
+    } finally spark.sparkContext.hadoopConfiguration.unset(key)
+  }
+
   test("anchor job: anchors reach their target TREC docs") {
     val out = AnchorExtractJob.run(spark, resource("test.warc.gz"))
       .collect().map(r => r.getString(0) -> r.getString(2)).toMap
