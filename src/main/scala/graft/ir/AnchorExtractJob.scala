@@ -31,7 +31,20 @@ object AnchorExtractJob {
 
   val MaxAnchorBytes = 10000000
 
-  /** (url, trecid) for every response page, URL-normalized. */
+  /** (url, trecid) for every response page, URL-normalized.
+    *
+    * KNOWN reference-inherited asymmetry (`AnchorExtract.java:116` vs
+    * `:87-102`): the page key is the raw WARC-Target-URI with only the
+    * index-suffix stripped (scheme KEPT), while anchor keys go through
+    * `makeAbsoluteUrl` (scheme stripped, `//` and most `..` collapsed,
+    * `http://` re-prefixed). A page served under `https://` (or whose
+    * URI contains a collapsible segment) therefore never joins its
+    * inbound anchors — in the reference OR here. These URLs are
+    * aggregation keys pinned byte-identical to the reference's
+    * (WarcSpec goldens); ClueWeb09-era crawls are http-only, which is
+    * why the reference never hit it. Normalizing "better" would file
+    * the same anchors under different keys than the reference.
+    */
   def pages(warc: Dataset[WarcDoc]): DataFrame = {
     import warc.sparkSession.implicits._
     warc.filter((d: WarcDoc) => d.recordType == "response")

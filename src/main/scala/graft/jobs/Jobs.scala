@@ -912,8 +912,14 @@ object Jobs {
           out)
         stage("report")
         val nWin = wins.count()
+        // count examples from the persisted frame, NOT a read-back of
+        // the written dir: a zero-example run (everything gated or
+        // scrubbed empty) writes a partitioned dir with no footers and
+        // spark.read.parquet would die on schema inference AFTER the
+        // main output and store admissions already committed — the
+        // exact failure tokenizeAndPack's report path already guards
+        val nEx = examples.count()
         wins.unpersist()
-        val nEx = spark.read.parquet(out).count()
         import spark.implicits._
         val storePart =
           if (sigStore == null) "" else s" store_dedup=$n3b"

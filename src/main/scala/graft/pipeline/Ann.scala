@@ -35,6 +35,25 @@ object Ann {
       s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
       " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  private def raiseD(msgExpr: String): String =
+    s"CAST(raise_error($msgExpr) AS DOUBLE)"
+
+  /** [[l2sq]] with a PER-ROW guard (randomProject's convention —
+    * requireDimMatches validates only one row, but rows can disagree
+    * with each other): a mismatched vector zip_withs into null
+    * padding, d2 goes NULL, and the ascending round-then-rank window
+    * puts NULLs FIRST — the row would be SILENTLY assigned the
+    * smallest cid/code instead of failing. NULL vectors and NULL
+    * elements raise for the same reason.
+    */
+  private def l2sqChecked(vec: String, cent: String, who: String): String =
+    s"CASE WHEN $vec IS NULL OR size($vec) != size($cent) THEN " +
+      raiseD(s"concat('$who: vector dim ', " +
+        s"coalesce(CAST(size($vec) AS STRING), 'NULL'), " +
+        s"' != centroid dim ', CAST(size($cent) AS STRING))") +
+      s" ELSE coalesce(${l2sq(vec, cent)}, " +
+      raiseD(s"'$who: embedding contains a NULL element'") + ") END"
+
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine similarity (self-pairs excluded when ids
     * collide). Queries are broadcast; the corpus streams.
@@ -137,7 +156,7 @@ object Ann {
                 embCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("d2", expr(l2sqChecked("ve", "centroid", "ivfAssign")))
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
@@ -164,7 +183,7 @@ object Ann {
     // construction (AnnSpec pins layout ≡ ivfAssign).
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("d2", expr(l2sqChecked("ve", "centroid", "writeIvfPartitioned")))
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
@@ -187,7 +206,7 @@ object Ann {
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
       .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("qe", "centroid")))
+      .withColumn("d2", expr(l2sqChecked("qe", "centroid", "probe")))
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
@@ -293,6 +312,24 @@ object Ann {
       s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
       " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** [[l2sqBlock]] with the same per-row guard as [[l2sqChecked]]: a
+    * vector too short for this block slices into null padding and the
+    * NULL block distance would rank FIRST. (A vector LONGER than
+    * blocks·subDim yields well-defined prefix codes rather than NULL
+    * poisoning; requireDimMatches' head-row check covers the
+    * constant-width case.)
+    */
+  private def l2sqBlockChecked(vec: String, cent: String,
+                               who: String): String =
+    s"CASE WHEN $vec IS NULL OR " +
+      s"size($vec) < CAST((blk + 1) * size($cent) AS INT) THEN " +
+      raiseD(s"concat('$who: vector dim ', " +
+        s"coalesce(CAST(size($vec) AS STRING), 'NULL'), " +
+        s"' too short for block ', CAST(blk AS STRING), " +
+        s"' of subdim ', CAST(size($cent) AS STRING))") +
+      s" ELSE coalesce(${l2sqBlock(vec, cent)}, " +
+      raiseD(s"'$who: embedding contains a NULL element'") + ") END"
+
   /** Product-quantization codebook: per-block k-means (Jégou et al.
     * 2011, IEEE TPAMI — "Product quantization for nearest neighbor
     * search"). The vector is split into `blocks` contiguous sub-vectors
@@ -361,7 +398,7 @@ object Ann {
     requireDimMatches(corpus, embCol, codebook, "pqEncode")
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
-      .withColumn("d2", expr(l2sqBlock("ve", "centroid")))
+      .withColumn("d2", expr(l2sqBlockChecked("ve", "centroid", "pqEncode")))
       .withColumn("r", expr(
         "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
       .filter(col("r") === 1)
@@ -384,7 +421,7 @@ object Ann {
     requireDimMatches(queries, embCol, codebook, "pqAdcTopK")
     val lut = queries.select(col(idCol).as("qid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
-      .withColumn("pd", expr(l2sqBlock("ve", "centroid")))
+      .withColumn("pd", expr(l2sqBlockChecked("ve", "centroid", "pqAdcTopK")))
       .select("qid", "blk", "code", "pd")
     codes.join(broadcast(lut), Seq("blk", "code"))
       .filter(col("qid") =!= col("vid"))
@@ -412,7 +449,7 @@ object Ann {
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
       .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("qe", "centroid")))
+      .withColumn("d2", expr(l2sqChecked("qe", "centroid", "probe")))
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)

@@ -71,22 +71,43 @@ object Sketches {
     *  3. exact top-k of the recount, (cnt desc, term) ordered.
     *
     * EXACT whenever the k-th true frequency exceeds n/(capacity+1) —
-    * MG's survival guarantee; size `capacity` ≫ k for flat tails (the
-    * recount makes the answer verifiable: candidates carry exact
-    * counts, so a k-th count ≤ n/(capacity+1) flags "grow capacity").
+    * MG's survival guarantee; size `capacity` ≫ k for flat tails. The
+    * recount makes the answer VERIFIABLE, and by default the op
+    * enforces it: a returned count at or below n/(capacity+1) means a
+    * true top-k term may have been evicted from every partition sketch
+    * and the "top-k" silently wrong — that row RAISES with a
+    * grow-capacity message instead (execution-time, per result row; n
+    * is counted inside the same sketch pass, no extra scan).
+    * `certify = false` opts a caller into the uncertified answer
+    * (note: on a low-pressure corpus — vocabulary near/below capacity —
+    * the answer can be exact even below the bound; the default still
+    * raises because exactness cannot be certified from the result).
     */
-  def topKTermsMg(docs: DataFrame, k: Int, capacity: Int = 4096): DataFrame = {
+  def topKTermsMg(docs: DataFrame, k: Int, capacity: Int = 4096,
+                  certify: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = TextOps.tokens(docs).select("term")
-    val cands = toks.as[String].rdd
-      .treeAggregate(mutable.HashMap.empty[String, Long])(
-        mgAdd(_, _, capacity), mgMerge(_, _, capacity))
-      .keysIterator.toSeq
-    toks
+    val (candMap, n) = toks.as[String].rdd
+      .treeAggregate((mutable.HashMap.empty[String, Long], 0L))(
+        (acc, t) => (mgAdd(acc._1, t, capacity), acc._2 + 1L),
+        (a, b) => (mgMerge(a._1, b._1, capacity), a._2 + b._2))
+    val cands = candMap.keysIterator.toSeq
+    val top = toks
       .join(broadcast(cands.toDF("term")), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("term"))
       .limit(k)
+    if (!certify) top
+    else {
+      val bound = n.toDouble / (capacity + 1)
+      top.withColumn("cnt", expr(
+        s"CASE WHEN cnt <= $bound THEN CAST(raise_error(concat(" +
+          s"'topKTermsMg: returned count ', CAST(cnt AS STRING), " +
+          s"' <= n/(capacity+1) = $bound: the MG survival guarantee " +
+          s"cannot certify this top-$k (a true top-$k term may have " +
+          s"been evicted); grow capacity (n=$n, capacity=$capacity) " +
+          s"or pass certify = false')) AS BIGINT) ELSE cnt END"))
+    }
   }
 }

@@ -673,8 +673,14 @@ object PipelineQueries {
               " THEN 1e0 ELSE -1e0 END"))
           .groupBy("vid", "p").agg(sum(expr("x * r")).as("sp"))
           .groupBy("vid")
+          // round-then-compare (the repo's cross-engine FP contract):
+          // sp is an order-dependent double reduction, and a RAW sign
+          // test on a projection within reordering noise of 0 (a
+          // vector ~orthogonal to a plane) could flip the bucket bit
+          // between engines — the same boundary every ranked query
+          // pins with round-then-rank
           .agg(expr(
-            "CAST(sum(CASE WHEN sp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)")
+            "CAST(sum(CASE WHEN round(sp, 6) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)")
             .as("bucket")),
       Some(s"""WITH e AS ${duckEmb("")},
               |planes AS (SELECT unnest(generate_series(0, 3)) AS p),
@@ -684,7 +690,7 @@ object PipelineQueries {
               |    THEN 1e0 ELSE -1e0 END) AS sp
               |  FROM e CROSS JOIN planes GROUP BY vid, p)
               |SELECT vid,
-              |  CAST(sum(CASE WHEN sp > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
+              |  CAST(sum(CASE WHEN round(sp, 6) > 0 THEN CAST(pow(2, p) AS BIGINT) ELSE 0 END) AS BIGINT)
               |    AS bucket
               |FROM proj GROUP BY vid""".stripMargin),
       survey = Seq("SIM-LSH")),

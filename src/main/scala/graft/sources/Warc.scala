@@ -55,10 +55,29 @@ object Warc {
   private def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
       val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
-      val out = new ByteArrayOutputStream(bytes.length * 4)
+      // initial-size hint clamped in LONG arithmetic: `length * 4`
+      // overflows Int for .gz parts over ~512 MiB — an in-contract
+      // input ("<1 GiB parts") that would throw Negative initial size
+      // on every task retry
+      val out = new ByteArrayOutputStream(
+        math.min(bytes.length.toLong * 4, MaxRecordBytes).toInt)
       val buf = new Array[Byte](65536)
+      var total = 0L
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      while (n >= 0) {
+        total += n
+        // the file-length guard upstream sees the COMPRESSED size;
+        // enforce the parser ceiling on the DECOMPRESSED stream too,
+        // with the designed message instead of an array-size OOM deep
+        // in the copy loop
+        if (total > MaxRecordBytes)
+          throw new IllegalArgumentException(
+            s"gzipped warc input decompresses past the per-file parser " +
+              s"ceiling $MaxRecordBytes (String-based parser; split the " +
+              s"file upstream)")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
       out.toByteArray
     } else bytes
 

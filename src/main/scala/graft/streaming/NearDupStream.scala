@@ -75,7 +75,41 @@ object NearDupStream {
                        threshold: Double = 0.5,
                        trigger: org.apache.spark.sql.streaming.Trigger =
                          org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // Checkpoint-identity guard: batch ids restart from 0 whenever the
+    // checkpoint is cleared or pointed elsewhere, so a FRESH checkpoint
+    // against an EXISTING ledger would find the old run's _COMMITTED
+    // markers and silently skip whole batches — arriving docs neither
+    // checked nor admitted, with nothing failing loudly. The ledger
+    // root carries a `_CHECKPOINT` tag (underscore-prefixed: invisible
+    // to parquet readers, like _SUCCESS) naming the checkpoint that
+    // owns it; a mismatch refuses to start. Ledgers created before
+    // this guard gain the tag on their next same-checkpoint restart.
+    {
+      val root = new org.apache.hadoop.fs.Path(verdictsDir)
+      val fs = root.getFileSystem(
+        docs.sparkSession.sessionState.newHadoopConf())
+      val tag = new org.apache.hadoop.fs.Path(root, "_CHECKPOINT")
+      val current = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(checkpointDir)).toString
+      if (fs.exists(tag)) {
+        val in = fs.open(tag)
+        val prior =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        require(prior == current,
+          s"storeAdmitStream: verdicts ledger $verdictsDir belongs to " +
+            s"checkpoint '$prior' but this stream uses '$current'. A " +
+            s"fresh checkpoint restarts batch ids from 0 and the " +
+            s"per-batch _COMMITTED markers would silently SKIP the new " +
+            s"run's batches. Resume with the original checkpointDir, " +
+            s"start a fresh verdictsDir+sigStore, or delete $tag after " +
+            s"manually reconciling the ledger.")
+      } else if (fs.exists(root) || fs.mkdirs(root)) {
+        val outS = fs.create(tag, false)
+        try outS.write(current.getBytes("UTF-8")) finally outS.close()
+      }
+    }
     docs.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         // Replay guard: foreachBatch is at-least-once, and the admit
@@ -117,6 +151,7 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+  }
 
   /** (doc_id, text, ingestCol) stream → collision ledger.
     *

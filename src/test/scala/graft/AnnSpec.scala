@@ -177,6 +177,30 @@ class AnnSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("per-row dim mismatch raises instead of silently ranking NULL first") {
+    import spark.implicits._
+    // one 48-dim vector hidden in a 64-dim corpus: zip_with would pad
+    // it with nulls, d2 would go NULL, and ascending NULLS FIRST would
+    // silently assign cid/code 0 — the guard must raise instead (the
+    // head-row requireDimMatches check cannot see it)
+    val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 1)
+    val bad = emb.select("vec_id", "embedding").unionByName(
+      Seq((999L, Seq.fill(48)(0.5f))).toDF("vec_id", "embedding"))
+    val e1 = intercept[Exception] {
+      Ann.ivfAssign(bad, cent).collect()
+    }
+    assert(e1.getMessage.contains("ivfAssign") &&
+      e1.getMessage.contains("48"), e1.getMessage)
+    // the bad row hides BEHIND good rows, so the head-row
+    // requireDimMatches passes and only the per-row guard can catch it
+    val cb = Ann.pqTrain(emb, blocks = 8, kCodes = 4, iters = 1)
+    val e2 = intercept[Exception] {
+      Ann.pqEncode(bad, cb).collect()
+    }
+    assert(e2.getMessage.contains("pqEncode") &&
+      e2.getMessage.contains("48"), e2.getMessage)
+  }
+
   test("randomProject: NULL embedding yields a genuinely NULL proj value") {
     import spark.implicits._
     // a NULL input vector must produce proj IS NULL — not an array of

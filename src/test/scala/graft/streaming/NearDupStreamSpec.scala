@@ -142,12 +142,21 @@ class NearDupStreamSpec extends SparkSpec {
       .select("doc_id", "dup_of").as[(Long, Option[Long])].collect()
     assert(v1.length == 2 &&
       v1.toMap == Map(10L -> Some(1L), 11L -> None), v1.mkString(", "))
-    // replay the SAME data as batch 0 from a FRESH checkpoint: the
-    // marker skips it — no duplicate ledger rows, no store growth
+    // a FRESH checkpoint against the existing ledger must REFUSE to
+    // start (not silently skip): its batch ids restart from 0, so the
+    // old run's markers would drop every new batch — arriving docs
+    // neither checked nor admitted
     val sigRows = spark.read.parquet(s"$work/sigs").count()
-    run("ckpt2")
+    val e = intercept[IllegalArgumentException] { run("ckpt2") }
+    assert(e.getMessage.contains("belongs to checkpoint"), e.getMessage)
     assert(spark.read.parquet(s"$work/verdicts").count() == 2,
-      "marked batch must not append again")
+      "refused run must not have touched the ledger")
+    assert(spark.read.parquet(s"$work/sigs").count() == sigRows)
+    // ...while a restart with the SAME checkpoint passes the guard and
+    // the marker still absorbs the replayed batch
+    run("ckpt1")
+    assert(spark.read.parquet(s"$work/verdicts").count() == 2,
+      "marked batch must not append again under the owning checkpoint")
     assert(spark.read.parquet(s"$work/sigs").count() == sigRows)
   }
 
