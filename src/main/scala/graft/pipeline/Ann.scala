@@ -35,24 +35,24 @@ object Ann {
       s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
       " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  private def raiseD(msgExpr: String): String =
-    s"CAST(raise_error($msgExpr) AS DOUBLE)"
-
-  /** [[l2sq]] with a PER-ROW guard (randomProject's convention —
-    * requireDimMatches validates only one row, but rows can disagree
-    * with each other): a mismatched vector zip_withs into null
-    * padding, d2 goes NULL, and the ascending round-then-rank window
-    * puts NULLs FIRST — the row would be SILENTLY assigned the
-    * smallest cid/code instead of failing. NULL vectors and NULL
-    * elements raise for the same reason.
+  /** Winner-row NULL-distance guard (applied AFTER the round-then-rank
+    * filter): a dim-mismatched or NULL-element vector zip_withs into
+    * null padding, its distance goes NULL, and ascending NULLS FIRST
+    * would SILENTLY hand it rank 1 — i.e. the smallest cid/code. The
+    * same NULLS-FIRST mechanism guarantees detection: if ANY pairing
+    * of a vector is NULL, its rank-1 row is a NULL-distance row, so
+    * guarding only the selected winner (O(rows), not O(rows ×
+    * centroids) — a per-pair CASE was measured 6× slower on the 1M-
+    * vector ivf_assign) catches every poisoned vector and raises with
+    * the id. requireDimMatches stays as the cheap constant-width
+    * fast-fail; this closes the per-row disagreement hole.
     */
-  private def l2sqChecked(vec: String, cent: String, who: String): String =
-    s"CASE WHEN $vec IS NULL OR size($vec) != size($cent) THEN " +
-      raiseD(s"concat('$who: vector dim ', " +
-        s"coalesce(CAST(size($vec) AS STRING), 'NULL'), " +
-        s"' != centroid dim ', CAST(size($cent) AS STRING))") +
-      s" ELSE coalesce(${l2sq(vec, cent)}, " +
-      raiseD(s"'$who: embedding contains a NULL element'") + ") END"
+  private def guardWinner(distCol: String, outCol: String, idCol: String,
+                          outType: String, who: String): String =
+    s"CASE WHEN $distCol IS NULL THEN CAST(raise_error(concat(" +
+      s"'$who: NULL distance for $idCol ', CAST($idCol AS STRING), " +
+      s"' — embedding dim mismatch vs centroid, NULL embedding, or " +
+      s"NULL element')) AS $outType) ELSE $outCol END"
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine similarity (self-pairs excluded when ids
@@ -156,10 +156,12 @@ object Ann {
                 embCol: String = "embedding"): DataFrame =
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sqChecked("ve", "centroid", "ivfAssign")))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
+      .withColumn("cid",
+        expr(guardWinner("d2", "cid", "vid", "BIGINT", "ivfAssign")))
       .select("vid", "cid")
 
   /** The DEPLOYED IVF layout: corpus written to parquet PARTITIONED BY
@@ -183,10 +185,12 @@ object Ann {
     // construction (AnnSpec pins layout ≡ ivfAssign).
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sqChecked("ve", "centroid", "writeIvfPartitioned")))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
+      .withColumn("cid", expr(
+        guardWinner("d2", "cid", "vid", "BIGINT", "writeIvfPartitioned")))
       .select("vid", "ve", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
@@ -206,10 +210,12 @@ object Ann {
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
       .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sqChecked("qe", "centroid", "probe")))
+      .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
+      .withColumn("cid",
+        expr(guardWinner("d2", "cid", "qid", "BIGINT", "ivf probe")))
       .select("qid", "qe", "qn", "cid")
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -312,23 +318,6 @@ object Ann {
       s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
       " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
-  /** [[l2sqBlock]] with the same per-row guard as [[l2sqChecked]]: a
-    * vector too short for this block slices into null padding and the
-    * NULL block distance would rank FIRST. (A vector LONGER than
-    * blocks·subDim yields well-defined prefix codes rather than NULL
-    * poisoning; requireDimMatches' head-row check covers the
-    * constant-width case.)
-    */
-  private def l2sqBlockChecked(vec: String, cent: String,
-                               who: String): String =
-    s"CASE WHEN $vec IS NULL OR " +
-      s"size($vec) < CAST((blk + 1) * size($cent) AS INT) THEN " +
-      raiseD(s"concat('$who: vector dim ', " +
-        s"coalesce(CAST(size($vec) AS STRING), 'NULL'), " +
-        s"' too short for block ', CAST(blk AS STRING), " +
-        s"' of subdim ', CAST(size($cent) AS STRING))") +
-      s" ELSE coalesce(${l2sqBlock(vec, cent)}, " +
-      raiseD(s"'$who: embedding contains a NULL element'") + ") END"
 
   /** Product-quantization codebook: per-block k-means (Jégou et al.
     * 2011, IEEE TPAMI — "Product quantization for nearest neighbor
@@ -398,10 +387,12 @@ object Ann {
     requireDimMatches(corpus, embCol, codebook, "pqEncode")
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
-      .withColumn("d2", expr(l2sqBlockChecked("ve", "centroid", "pqEncode")))
+      .withColumn("d2", expr(l2sqBlock("ve", "centroid")))
       .withColumn("r", expr(
         "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
       .filter(col("r") === 1)
+      .withColumn("code",
+        expr(guardWinner("d2", "code", "vid", "BIGINT", "pqEncode")))
       .select("vid", "blk", "code")
   }
 
@@ -421,7 +412,12 @@ object Ann {
     requireDimMatches(queries, embCol, codebook, "pqAdcTopK")
     val lut = queries.select(col(idCol).as("qid"), col(embCol).as("ve"))
       .crossJoin(broadcast(codebook))
-      .withColumn("pd", expr(l2sqBlockChecked("ve", "centroid", "pqAdcTopK")))
+      .withColumn("pd", expr(l2sqBlock("ve", "centroid")))
+      // a NULL pd would be silently SKIPPED by the sum(pd) below —
+      // an underestimated ADC distance, not even a NULL one; the LUT
+      // is tiny (|q|*blocks*kCodes), so the per-row CASE is free
+      .withColumn("pd",
+        expr(guardWinner("pd", "pd", "qid", "DOUBLE", "pqAdcTopK")))
       .select("qid", "blk", "code", "pd")
     codes.join(broadcast(lut), Seq("blk", "code"))
       .filter(col("qid") =!= col("vid"))
@@ -449,10 +445,12 @@ object Ann {
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
       .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sqChecked("qe", "centroid", "probe")))
+      .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
+      .withColumn("cid",
+        expr(guardWinner("d2", "cid", "qid", "BIGINT", "ivf probe")))
       .select("qid", "qe", "qn", "cid")
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))

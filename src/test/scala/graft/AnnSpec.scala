@@ -190,7 +190,7 @@ class AnnSpec extends SparkSpec {
       Ann.ivfAssign(bad, cent).collect()
     }
     assert(e1.getMessage.contains("ivfAssign") &&
-      e1.getMessage.contains("48"), e1.getMessage)
+      e1.getMessage.contains("999"), e1.getMessage)
     // the bad row hides BEHIND good rows, so the head-row
     // requireDimMatches passes and only the per-row guard can catch it
     val cb = Ann.pqTrain(emb, blocks = 8, kCodes = 4, iters = 1)
@@ -198,7 +198,7 @@ class AnnSpec extends SparkSpec {
       Ann.pqEncode(bad, cb).collect()
     }
     assert(e2.getMessage.contains("pqEncode") &&
-      e2.getMessage.contains("48"), e2.getMessage)
+      e2.getMessage.contains("999"), e2.getMessage)
   }
 
   test("randomProject: NULL embedding yields a genuinely NULL proj value") {
