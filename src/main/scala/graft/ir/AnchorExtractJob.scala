@@ -106,8 +106,17 @@ object AnchorExtractJob {
     * a url whose glued length fits the cap goes straight to the
     * aggregation — its buffer is ≤ maxChars BY CONSTRUCTION, and the
     * web's power-law tail (virtually every url) lands here, paying no
-    * sort; only the handful of over-cap heads (broadcast-small by the
-    * 10 MB bar) pay the running-length cut. Windowing everything was
+    * sort; only the over-cap heads pay the running-length cut. The
+    * hub set is broadcast on the POWER-LAW claim, not the 10 MB bar —
+    * the bar bounds each hub's anchor mass, not the hub COUNT, and an
+    * adversarial multi-TB anchor mass could mint 10⁵–10⁶ over-cap
+    * urls, a hundreds-of-MB driver build (r13 advice). `maxHubUrls`
+    * bounds it LOUDLY: a one-row guard aggregate over the same hubs
+    * subtree (same plan → the groupBy exchange is reused, no third
+    * scan of `anchorRows`) raises at execution when the count exceeds
+    * the ceiling, instead of OOMing the driver mid-broadcast — raise
+    * the ceiling deliberately (driver memory permitting) or pre-split
+    * the corpus. Windowing everything was
     * A/B'd at 2.3M anchors: ~1.7× slower than the direct agg when the
     * hub still fits memory (`probes/anchorcap.log`) — the split keeps
     * the common case at direct-agg speed and the hub case bounded.
@@ -117,10 +126,29 @@ object AnchorExtractJob {
     * frame is expensive to recompute (e.g. derived from a WARC parse)
     * can persist it across the two.
     */
-  def glue(anchorRows: DataFrame, maxChars: Int): DataFrame = {
+  def glue(anchorRows: DataFrame, maxChars: Int,
+           maxHubUrls: Long = 1L << 20): DataFrame = {
     val lenPlus = length(col("anchor")) + lit(1)
-    val hubs = anchorRows.groupBy("url").agg(sum(lenPlus).as("_tot"))
+    val hubsRaw = anchorRows.groupBy("url").agg(sum(lenPlus).as("_tot"))
       .filter(col("_tot") > maxChars)
+      .select("url")
+    // lazy loud ceiling on the broadcast build (see scaladoc): one-row
+    // guard agg, crossJoined under the same broadcast — the composed
+    // plan stays an action-free expression, and the identical hubsRaw
+    // subtree on both sides resolves to ONE reused exchange.
+    // ...as a FILTER, not a projected column: an unreferenced guard
+    // column would be column-pruned straight out of the plan (the
+    // topKTermsMg/guardWinner lesson); a filter predicate survives.
+    val guard = hubsRaw.agg(count(lit(1)).as("_n"))
+      .filter(expr(
+        s"CASE WHEN _n > ${maxHubUrls}L THEN CAST(raise_error(concat(" +
+          s"'glue: ', CAST(_n AS STRING), ' over-cap hub URLs exceed " +
+          s"maxHubUrls=$maxHubUrls — the hub set is no longer " +
+          s"broadcast-small; raise maxHubUrls (driver memory " +
+          s"permitting) or pre-split the corpus')) AS BOOLEAN) " +
+          s"ELSE true END"))
+      .select(lit(1).as("_ok"))
+    val hubs = hubsRaw.crossJoin(broadcast(guard))
       .select("url").withColumn("_hub", lit(1))
     val tagged = anchorRows.join(broadcast(hubs), Seq("url"), "left")
     val w = org.apache.spark.sql.expressions.Window

@@ -740,7 +740,22 @@ object Jobs {
     (if (n > parts) df.repartition(n) else df.coalesce(n))
       .write.mode("overwrite").parquet(tmp.toString)
     beforeSwap() // test seam: simulate a concurrent append mid-window
-    require(fs.rename(p, old), s"compactStore: rename failed: $p -> $old")
+    // the swap-aside goes through the SAME nested-signature guard as
+    // every other move here (r13 advice): a second compactor racing
+    // past the entry checks could have created _compact_old in the
+    // window since, and a bare rename onto it would SUCCEED and NEST
+    // the live store inside — after which dataFiles(old) and the
+    // restore logic misread the layout. swapIn pre-checks, detects the
+    // nested signature, un-nests (store back at p, intact), and we
+    // refuse loudly: a single-writer violation stays loud, not nested.
+    if (!swapIn(p, old, "swap-aside")) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        s"compactStore: $old appeared concurrently during the " +
+          s"compaction (a second compactor racing?); store left " +
+          s"untouched at $path, compacted copy discarded — ensure a " +
+          s"single compactor and re-run")
+    }
     val appended = dataFiles(old) -- snapshot
     if (appended.nonEmpty) {
       // a concurrent append landed while the compacted copy was being

@@ -46,13 +46,22 @@ object Ann {
     * vector ivf_assign) catches every poisoned vector and raises with
     * the id. requireDimMatches stays as the cheap constant-width
     * fast-fail; this closes the per-row disagreement hole.
+    *
+    * FILTER predicate, not a column rewrite (r13 advice): a projected
+    * CASE rides on the output column, and Catalyst column PRUNING
+    * drops unreferenced project expressions — a caller selecting only
+    * `vid` out of [[ivfAssign]] would silently lose the guard. Filter
+    * predicates survive pruning, and CombineFilters keeps the winner
+    * filter to the LEFT of the And (short-circuit: the guard CASE
+    * still evaluates only on winner rows, the O(rows) cost the §0p
+    * A/B priced).
     */
-  private def guardWinner(distCol: String, outCol: String, idCol: String,
-                          outType: String, who: String): String =
+  private def guardWinner(distCol: String, idCol: String,
+                          who: String): String =
     s"CASE WHEN $distCol IS NULL THEN CAST(raise_error(concat(" +
       s"'$who: NULL distance for $idCol ', CAST($idCol AS STRING), " +
       s"' — embedding dim mismatch vs centroid, NULL embedding, or " +
-      s"NULL element')) AS $outType) ELSE $outCol END"
+      s"NULL element')) AS BOOLEAN) ELSE true END"
 
   /** Exact cosine top-k: for each query vector, the k nearest corpus
     * vectors by cosine similarity (self-pairs excluded when ids
@@ -66,6 +75,18 @@ object Ann {
     * a zero-norm corpus vector is never a neighbor, a zero-norm query
     * gets no result rows (same rule in [[ivfTopK]] /
     * [[ivfTopKPartitioned]]).
+    *
+    * NULL-cos pairs (a dim-MISMATCHED corpus/query pair zip_withs to
+    * null padding and `dot_f64` goes NULL — the other undefined-cosine
+    * source) are excluded by the same rule: a `cos IS NOT NULL` filter
+    * ahead of the rank window, so they can never pad a short top-k
+    * tail either (r13 advice). Exclusion, not a raise: unlike the IVF
+    * build path there is no codebook here to define the ONE canonical
+    * dim — every pairing is its own contract — and a NULL cosine is
+    * "no defined similarity", the exact semantics the zero-norm rule
+    * already encodes. [[ivfAssign]]/[[pqEncode]] stay the loud path:
+    * there a NULL distance would silently WIN rank 1, here it can only
+    * trail the tail.
     *
     * @param corpus  (id, embedding: array&lt;float&gt;)
     * @param queries (id, embedding: array&lt;float&gt;)
@@ -82,6 +103,7 @@ object Ann {
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .filter(col("cos").isNotNull) // undefined-cosine rule, see above
       // round-then-rank: stable ordering under FP noise, vid tiebreak
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
@@ -160,8 +182,7 @@ object Ann {
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
-      .withColumn("cid",
-        expr(guardWinner("d2", "cid", "vid", "BIGINT", "ivfAssign")))
+      .filter(expr(guardWinner("d2", "vid", "ivfAssign")))
       .select("vid", "cid")
 
   /** The DEPLOYED IVF layout: corpus written to parquet PARTITIONED BY
@@ -189,8 +210,7 @@ object Ann {
       .withColumn("r",
         expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
       .filter(col("r") === 1)
-      .withColumn("cid", expr(
-        guardWinner("d2", "cid", "vid", "BIGINT", "writeIvfPartitioned")))
+      .filter(expr(guardWinner("d2", "vid", "writeIvfPartitioned")))
       .select("vid", "ve", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
@@ -214,8 +234,7 @@ object Ann {
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
-      .withColumn("cid",
-        expr(guardWinner("d2", "cid", "qid", "BIGINT", "ivf probe")))
+      .filter(expr(guardWinner("d2", "qid", "ivf probe")))
       .select("qid", "qe", "qn", "cid")
     val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -227,6 +246,7 @@ object Ann {
       .join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .filter(col("cos").isNotNull) // undefined-cosine rule, see cosineTopK
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)
@@ -391,8 +411,7 @@ object Ann {
       .withColumn("r", expr(
         "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
       .filter(col("r") === 1)
-      .withColumn("code",
-        expr(guardWinner("d2", "code", "vid", "BIGINT", "pqEncode")))
+      .filter(expr(guardWinner("d2", "vid", "pqEncode")))
       .select("vid", "blk", "code")
   }
 
@@ -415,9 +434,8 @@ object Ann {
       .withColumn("pd", expr(l2sqBlock("ve", "centroid")))
       // a NULL pd would be silently SKIPPED by the sum(pd) below —
       // an underestimated ADC distance, not even a NULL one; the LUT
-      // is tiny (|q|*blocks*kCodes), so the per-row CASE is free
-      .withColumn("pd",
-        expr(guardWinner("pd", "pd", "qid", "DOUBLE", "pqAdcTopK")))
+      // is tiny (|q|*blocks*kCodes), so the per-row guard is free
+      .filter(expr(guardWinner("pd", "qid", "pqAdcTopK")))
       .select("qid", "blk", "code", "pd")
     codes.join(broadcast(lut), Seq("blk", "code"))
       .filter(col("qid") =!= col("vid"))
@@ -449,8 +467,7 @@ object Ann {
       .withColumn("pr",
         expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
       .filter(col("pr") <= nprobe)
-      .withColumn("cid",
-        expr(guardWinner("d2", "cid", "qid", "BIGINT", "ivf probe")))
+      .filter(expr(guardWinner("d2", "qid", "ivf probe")))
       .select("qid", "qe", "qn", "cid")
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
@@ -459,6 +476,7 @@ object Ann {
     c.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
+      .filter(col("cos").isNotNull) // undefined-cosine rule, see cosineTopK
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)

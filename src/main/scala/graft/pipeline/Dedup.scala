@@ -294,8 +294,17 @@ object Dedup {
 
   /** SimHash signatures: `bits`-bit (≤ 60) fingerprints from
     * tf-weighted per-term hash-bit votes → (doc_id, simhash BIGINT).
-    * One term-frequency aggregation; all `bits` votes accumulate in the
-    * SAME groupBy pass (bits sum columns), never a per-bit shuffle.
+    * All `bits` votes accumulate in ONE doc-keyed aggregation (bits
+    * sum columns), never a per-bit shuffle — and never a (doc, term)
+    * shuffle either (§0q): every token OCCURRENCE votes ±1 directly,
+    * which is bit-identical to the tf-weighted per-term form
+    * (Σ_terms ±tf ≡ Σ_occurrences ±1, probe-verified both directions)
+    * while skipping the whole termFreqs exchange. The DuckDB oracle
+    * twins (px05/px18) keep the per-term tf form over the SAME
+    * [[voteExpr]] string — equivalent by the identity above, and the
+    * oracle compare proves it per run. Measured (ProbePx18,
+    * `probes/px18.log`): signature build 0.53 → 0.42 s at sf0.1,
+    * 2.0 → 1.74 s at 8× replication.
     */
   def simhash(docs: DataFrame, bits: Int): DataFrame = {
     // h60 carries 60 hash bits — beyond that the vote thresholds can't
@@ -306,8 +315,9 @@ object Dedup {
     val packed = (0 until bits)
       .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString("CAST(", " + ", " AS BIGINT)")
-    TextOps.termFreqs(docs)
+    TextOps.tokens(docs)
       .withColumn("h", DetHash.h60(col("term")))
+      .withColumn("tf", lit(1L)) // per-occurrence vote, see scaladoc
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), expr(packed).as("simhash"))
   }
@@ -316,6 +326,15 @@ object Dedup {
     * 3×16-bit band equality in LONG form (ONE self-join whose sides
     * share a reused exchange), verified with the native codegen'd
     * `hamming64` ≤ `maxHd` → (d1, s1, d2, s2, hd).
+    *
+    * Verify BEFORE the pair distinct (§0q): hd is a pure function of
+    * the pair, so both orders are correct, but filtering first means
+    * the distinct shuffles only the hd ≤ maxHd SURVIVORS (tiny on a
+    * real corpus) instead of every band-candidate pair — at 8×
+    * replication that is 9.9M candidate rows cut to ~0.4M before the
+    * exchange. hamming64 is a codegen'd narrow op; evaluating it on
+    * multi-band duplicate rows costs nothing by comparison
+    * (bench-neutral at sf0.1, ProbePx18).
     */
   def simhashNearDups(docs: DataFrame, maxHd: Int = 3): DataFrame = {
     val sim = simhash(docs, 48)
@@ -328,9 +347,9 @@ object Dedup {
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("d1"), col("a.simhash").as("s1"),
         col("c.doc_id").as("d2"), col("c.simhash").as("s2"))
-      .distinct()
       .withColumn("hd", expr("hamming64(s1, s2)"))
       .filter(col("hd") <= maxHd)
+      .distinct()
   }
 
   /** Repeated n-gram SPAN detection — the n-gram-granularity shape of

@@ -100,14 +100,20 @@ object Sketches {
       .limit(k)
     if (!certify) top
     else {
+      // FILTER predicate, not a column rewrite (r13 advice): a CASE
+      // projected onto cnt is dropped by Catalyst column PRUNING the
+      // moment a consumer selects only `term` — the certification
+      // would silently vanish through the default certify=true path.
+      // Filter predicates survive pruning; the CASE is true on every
+      // certified row, so the filter drops nothing.
       val bound = n.toDouble / (capacity + 1)
-      top.withColumn("cnt", expr(
+      top.filter(expr(
         s"CASE WHEN cnt <= $bound THEN CAST(raise_error(concat(" +
           s"'topKTermsMg: returned count ', CAST(cnt AS STRING), " +
           s"' <= n/(capacity+1) = $bound: the MG survival guarantee " +
           s"cannot certify this top-$k (a true top-$k term may have " +
           s"been evicted); grow capacity (n=$n, capacity=$capacity) " +
-          s"or pass certify = false')) AS BIGINT) ELSE cnt END"))
+          s"or pass certify = false')) AS BOOLEAN) ELSE true END"))
     }
   }
 }

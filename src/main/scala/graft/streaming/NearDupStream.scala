@@ -84,7 +84,8 @@ object NearDupStream {
     // root carries a `_CHECKPOINT` tag (underscore-prefixed: invisible
     // to parquet readers, like _SUCCESS) naming the checkpoint that
     // owns it; a mismatch refuses to start. Ledgers created before
-    // this guard gain the tag on their next same-checkpoint restart.
+    // this guard (batches present, no tag) are never auto-adopted —
+    // the operator creates the tag explicitly, see the guard below.
     {
       val root = new org.apache.hadoop.fs.Path(verdictsDir)
       val fs = root.getFileSystem(
@@ -106,6 +107,24 @@ object NearDupStream {
             s"start a fresh verdictsDir+sigStore, or delete $tag after " +
             s"manually reconciling the ledger.")
       } else if (fs.exists(root) || fs.mkdirs(root)) {
+        // Auto-tag only a ledger with NO batches yet. An untagged root
+        // that already holds batch_id= partitions is a PRE-GUARD
+        // ledger, and this stream's checkpoint may not be the one that
+        // wrote it — auto-adopting it would tag the old markers with a
+        // FRESH checkpoint and silently skip the new run's batches,
+        // the exact hazard the tag exists to prevent (r13 advice). The
+        // operator must assert the pairing explicitly by creating the
+        // tag (one file naming this checkpointDir, qualified).
+        val legacy = fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+        require(legacy.isEmpty,
+          s"storeAdmitStream: verdicts ledger $verdictsDir predates the " +
+            s"checkpoint-identity tag (${legacy.length} batch_id= " +
+            s"partition(s), no _CHECKPOINT file). If '$current' is " +
+            s"really the checkpoint that wrote it, assert so by " +
+            s"creating $tag containing exactly that string; otherwise " +
+            s"the old _COMMITTED markers would silently skip this " +
+            s"run's batches. Never auto-adopted.")
         val outS = fs.create(tag, false)
         try outS.write(current.getBytes("UTF-8")) finally outS.close()
       }

@@ -166,6 +166,51 @@ class AnnSpec extends SparkSpec {
     assert(ivf.map(_.getLong(1)).toSet === Set(2L))
   }
 
+  test("dim-mismatched pairs never pad a short top-k tail (NULL-cos rule)") {
+    import spark.implicits._
+    // a 3-dim corpus vector hidden among 2-dim ones: dot_f64/zip_with
+    // over the mismatched pair goes NULL, DESC sorts it last — but
+    // row_number still ranks it, so with k > candidates the tail would
+    // pad with NULL-cos garbage. The undefined-cosine filter must drop
+    // the pair entirely (r13 advice: the exact failure mode the
+    // zero-norm fix claimed to close).
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)),
+      (3L, Seq(0.5f, 0.5f, 0.5f)) // mismatched row
+    ).toDF("vec_id", "embedding")
+    val out = Ann.cosineTopK(rows, rows.filter(col("vec_id") === 1), k = 10)
+      .collect()
+    assert(out.map(_.getLong(1)).toSet === Set(2L),
+      s"dim-mismatched pair ranked: ${out.mkString(", ")}")
+    assert(out.forall(!_.isNullAt(2)), "NULL cos row escaped")
+    // and through ivfTopK's rank window (assignment built from the
+    // good rows only; the poisoned row rides in via the corpus side)
+    val good = rows.filter(col("vec_id") <= 2)
+    val cent = Ann.kmeansCentroids(good, kClusters = 2, iters = 1)
+    val asg = Ann.ivfAssign(good, cent)
+      .unionByName(Seq((3L, 0L)).toDF("vid", "cid"))
+    val ivf = Ann.ivfTopK(rows, cent, asg,
+      rows.filter(col("vec_id") === 1), nprobe = 2, k = 10).collect()
+    assert(ivf.map(_.getLong(1)).toSet === Set(2L),
+      s"dim-mismatched pair ranked via IVF: ${ivf.mkString(", ")}")
+  }
+
+  test("the winner guard survives column pruning (filter, not projection)") {
+    import spark.implicits._
+    // r13 advice: a guard CASE projected onto the cid column is pruned
+    // away the moment a consumer selects only vid — the poisoned
+    // vector would then silently land in cid 0. As a FILTER predicate
+    // it survives pruning and still raises.
+    val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 1)
+    val bad = emb.select("vec_id", "embedding").unionByName(
+      Seq((999L, Seq.fill(48)(0.5f))).toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      Ann.ivfAssign(bad, cent).select("vid").collect()
+    }
+    assert(e.getMessage.contains("ivfAssign") &&
+      e.getMessage.contains("999"), e.getMessage)
+  }
+
   test("kmeansCentroids refuses fewer vectors than clusters, loudly") {
     // a silent shrink would mint fewer cids than kClusters and break
     // every consumer's nprobe/kClusters math — same guard as pqTrain

@@ -809,6 +809,31 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$w/store").count() == 3)
   }
 
+  test("CompactStore: a second compactor's _compact_old mid-window is " +
+    "refused loudly, never nested") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactrace2").toString
+    val rows = Seq((1L, "a"), (2L, "b"))
+    rows.toDF("doc_id", "text").write.parquet(s"$w/store")
+    // a SECOND compactor racing past the entry checks creates
+    // _compact_old in the swap-aside window: a bare rename(p, old)
+    // would SUCCEED and nest the live store inside it (Hadoop rename
+    // semantics), after which the restore logic misreads the layout —
+    // the guarded swap must refuse with the store untouched at p
+    val e = intercept[IllegalStateException] {
+      Jobs.compactStore(spark, s"$w/store", beforeSwap = () =>
+        Seq((9L, "other")).toDF("doc_id", "text")
+          .write.parquet(s"$w/store_compact_old"))
+    }
+    assert(e.getMessage.contains("second compactor"), e.getMessage)
+    spark.catalog.refreshByPath(s"$w/store")
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    // never nested: the racing old survives as written, tmp discarded
+    assert(spark.read.parquet(s"$w/store_compact_old").count() == 1)
+    assert(!new java.io.File(s"$w/store_compact_tmp").exists())
+  }
+
   test("CompactStore: crash after the swap cleans the stale copy; " +
     "an UNEXPLAINED leftover is refused, never deleted") {
     import spark.implicits._

@@ -56,6 +56,25 @@ class SketchesSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("certification survives column pruning (filter, not a cnt rewrite)") {
+    // r13 advice: a raise_error CASE projected onto cnt was PRUNED the
+    // moment a consumer selected only term — the default certify=true
+    // path silently returned an uncertified top-k. As a filter
+    // predicate it survives pruning. Flat corpus: 40 terms × freq 5,
+    // n = 200, capacity 16 -> bound ~11.8 > 5, uncertifiable.
+    val text = (1 to 40).flatMap(i => Seq.fill(5)(s"t$i")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Sketches.topKTermsMg(docs, 3, 16).select("term").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cannot certify")), e.toString)
+    // and the uncertified opt-out still returns rows under the same select
+    assert(Sketches.topKTermsMg(docs, 3, 16, certify = false)
+      .select("term").collect().length == 3)
+  }
+
   test("tiny capacity stays exact when the k-th frequency clears the bound") {
     // skewed synthetic corpus: term_i has frequency 200/i; capacity 16
     // against 40 distinct terms. n ~ 200·H(40) ~ 857, bound ~ 50 ->

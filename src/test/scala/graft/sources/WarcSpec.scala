@@ -182,4 +182,25 @@ class WarcSpec extends SparkSpec {
     assert(full.length > cap, "fixture must overflow the cap")
     assert(got === full.substring(0, cap))
   }
+
+  test("glue: over-ceiling hub count raises loudly instead of broadcasting") {
+    import spark.implicits._
+    // r13 advice: the hub set is broadcast on the power-law claim, but
+    // an adversarial corpus can mint enough over-cap urls to OOM the
+    // driver mid-broadcast — the lazy in-plan ceiling must raise with
+    // the count before the hub collect, and a ceiling that fits passes
+    val anchors = (1 to 3).flatMap(u =>
+      (1 to 4).map(i => (s"http://hub$u.example/", s"anchor text $i")))
+      .toDF("url", "anchor")
+    val e = intercept[Exception] {
+      AnchorExtractJob.glue(anchors, maxChars = 10, maxHubUrls = 2)
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("glue: 3 over-cap hub URLs")),
+      e.toString)
+    assert(AnchorExtractJob.glue(anchors, maxChars = 10, maxHubUrls = 3)
+      .count() == 3)
+  }
 }

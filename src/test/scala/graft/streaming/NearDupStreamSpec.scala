@@ -118,11 +118,22 @@ class NearDupStreamSpec extends SparkSpec {
     Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
     // the crash-mid-commit state: batch 0's partition directory exists
     // (FileOutputCommitter moved task files in) but the job never
-    // committed — no _COMMITTED marker
+    // committed — no _COMMITTED marker. The _CHECKPOINT identity tag
+    // was written at stream start, BEFORE the batch ran, so it is part
+    // of the crash state too (without it, an untagged ledger holding
+    // batches is the never-auto-adopted legacy case, tested below).
     val part = new java.io.File(s"$work/verdicts/batch_id=0")
     part.mkdirs()
     val stale = new java.io.File(part, "part-stale.parquet")
     stale.createNewFile()
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$work/verdicts")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val qualified = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$work/ckpt1")).toString
+      val o = fs.create(new org.apache.hadoop.fs.Path(p, "_CHECKPOINT"), false)
+      try o.write(qualified.getBytes("UTF-8")) finally o.close()
+    }
 
     Seq((10L, textX), (11L, textB)).toDF("doc_id", "text").coalesce(1)
       .write.parquet(s"$work/in")
@@ -160,6 +171,51 @@ class NearDupStreamSpec extends SparkSpec {
     assert(spark.read.parquet(s"$work/sigs").count() == sigRows)
   }
 
+  test("storeAdmitStream: a pre-guard ledger (batches, no tag) is never " +
+    "auto-adopted") {
+    import spark.implicits._
+    // r13 advice: auto-tagging an untagged root that ALREADY holds
+    // batch_id= partitions would stamp the old markers with a fresh
+    // checkpoint — the new run's batches then silently skip, the exact
+    // hazard the tag exists to prevent. The stream must refuse and
+    // tell the operator to assert the pairing explicitly.
+    val work = Files.createTempDirectory("storeadmit_legacy").toString
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val corpus = Seq((1L, textX)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$work/corpus")
+    Dedup.minhashWide(corpus).write.parquet(s"$work/sigs")
+    val part = new java.io.File(s"$work/verdicts/batch_id=0")
+    part.mkdirs()
+    new java.io.File(part, "_COMMITTED").createNewFile()
+    Seq((10L, textX)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$work/in")
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(s"$work/in").schema)
+        .parquet(s"$work/in")
+      NearDupStream.storeAdmitStream(stream, s"$work/sigs",
+        s"$work/corpus", s"$work/verdicts", s"$work/ckpt")
+        .awaitTermination()
+    }
+    val e = intercept[IllegalArgumentException] { run() }
+    assert(e.getMessage.contains("Never auto-adopted"), e.getMessage)
+    assert(!new java.io.File(s"$work/verdicts/_CHECKPOINT").exists(),
+      "refused run must not have tagged the legacy ledger")
+    // the operator asserts the pairing explicitly -> the stream runs,
+    // and batch 0's legacy marker is (correctly, per the assertion)
+    // honored as already-committed
+    val p = new org.apache.hadoop.fs.Path(s"$work/verdicts")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val qualified = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(s"$work/ckpt")).toString
+    val o = fs.create(new org.apache.hadoop.fs.Path(p, "_CHECKPOINT"), false)
+    try o.write(qualified.getBytes("UTF-8")) finally o.close()
+    run()
+    assert(spark.read.parquet(s"$work/sigs").count() == 1,
+      "batch 0 marked committed must not append under the asserted tag")
+  }
+
   test("storeAdmitStream: redo AFTER the store append committed reads clean") {
     import spark.implicits._
     // The worst crash window: admitCycle already appended the novel
@@ -181,9 +237,19 @@ class NearDupStreamSpec extends SparkSpec {
     novel.write.mode("append").parquet(s"$work/corpus")
     Dedup.minhashWide(novel).write.mode("append").parquet(s"$work/sigs")
     // ...and its un-committed half: marker-less partial partition
+    // (plus the _CHECKPOINT identity tag the crashed run wrote at
+    // start — without it this is the never-auto-adopted legacy state)
     val part = new java.io.File(s"$work/verdicts/batch_id=0")
     part.mkdirs()
     new java.io.File(part, "part-stale.parquet").createNewFile()
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$work/verdicts")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val qualified = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$work/ckpt")).toString
+      val o = fs.create(new org.apache.hadoop.fs.Path(p, "_CHECKPOINT"), false)
+      try o.write(qualified.getBytes("UTF-8")) finally o.close()
+    }
 
     Seq((10L, textX), (11L, textB)).toDF("doc_id", "text").coalesce(1)
       .write.parquet(s"$work/in")
