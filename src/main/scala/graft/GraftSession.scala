@@ -28,6 +28,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE coalescing knobs, env-overridable for A/B (§0s): with
+      // parallelismFirst=true (Spark default) AQE refuses to coalesce
+      // below the cluster's parallelism, so a kB-sized exchange still
+      // schedules `cores` reduce tasks — a pure constant on tiny
+      // intermediate shuffles (the px42 CC loop runs ~10 exchanges per
+      // block over 5k rows). false coalesces by advisory size instead.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION", "64MB"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
