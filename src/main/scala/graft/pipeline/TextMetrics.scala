@@ -672,8 +672,9 @@ object TextMetrics {
   /** The deflate-ratio definition, ONE place over pre-projected byte
     * columns: both the per-doc signal and the banding input derive
     * from it, so the formula (6-dp rounding, the empty-doc nullif
-    * guard) cannot drift between them — px85 has no oracle, so drift
-    * here would be invisible to the gates.
+    * guard) cannot drift between them. Since r14 the px85 oracle
+    * replays this formula in SQL from the materialized kernel
+    * artifact, so drift would go loudly red there too.
     */
   private def deflateRatio(deflateBytes: String, nBytes: String): Column =
     expr(s"round($deflateBytes / CAST(nullif($nBytes, 0) AS DOUBLE), 6)")
@@ -698,12 +699,28 @@ object TextMetrics {
     */
   def compressionBuckets(docs: DataFrame, nBuckets: Int = 3,
                          langCol: String = "lang"): DataFrame =
-    perplexityBucketsFromScores(
+    compressionBucketsFromLens(
       docs.select(col("doc_id"), col(langCol),
-        octet_length(col("text")).cast("long").as("_cb_nb"),
-        expr("deflate_len(text)").as("_cb_db"))
-        .select(col("doc_id"), col(langCol),
-          deflateRatio("_cb_db", "_cb_nb").as("ppl")),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        expr("deflate_len(text)").as("deflate_len")),
+      nBuckets, langCol)
+
+  /** [[compressionBuckets]] from an already-materialized kernel
+    * artifact (doc_id, lang, n_bytes, deflate_len) — the px85
+    * oracle-modulo-kernel gate (r13 verdict): the DEFLATE kernel is
+    * the one step SQL cannot replay, so the funnel query materializes
+    * the kernel outputs to parquet and every downstream step (the
+    * ratio formula, the band cut, the Gopher cross) is cross-engine
+    * compared FROM that table; only deflate_len itself stays
+    * spec-pinned (GopherRulesSpec zlib invariants). Also the real
+    * pipeline shape: at scale the deflate pass is a written per-doc
+    * signal artifact, not recomputed per consumer.
+    */
+  def compressionBucketsFromLens(lens: DataFrame, nBuckets: Int = 3,
+                                 langCol: String = "lang"): DataFrame =
+    perplexityBucketsFromScores(
+      lens.select(col("doc_id"), col(langCol),
+        deflateRatio("deflate_len", "n_bytes").as("ppl")),
       nBuckets, langCol)
       .select(col("doc_id"), col(langCol), col("ppl").as("ratio"),
         col("bucket"))

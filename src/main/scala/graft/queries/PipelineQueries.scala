@@ -3346,18 +3346,32 @@ object PipelineQueries {
     // (TextMetrics.compressionBuckets, the px68 prefix-sum bucketer
     // over the compressibility axis) crossed with the Gopher gate,
     // reported as (lang, bucket, gopher_keep) attrition counts; the
-    // CCNet-style keep-band is the middle bucket. NO oracle: SQL
-    // cannot DEFLATE (DuckDB has no compression function), so this
-    // query carries the driver's rows-only gate and its semantics are
-    // spec-pinned by zlib-invariant ordering properties
-    // (GopherRulesSpec), the same documented treatment as
-    // compressionSignal itself — the band CUT machinery it rides IS
-    // oracle-gated, via px68.
+    // CCNet-style keep-band is the middle bucket.
+    //
+    // ORACLE-MODULO-KERNEL (r14, closing the r13 verdict's missing
+    // item 1): SQL cannot DEFLATE, but everything AROUND the kernel
+    // can be cross-engine compared — the query materializes the
+    // kernel outputs (doc_id, lang, n_bytes, deflate_len) to a
+    // parquet artifact and computes the funnel FROM it; the DuckDB
+    // oracle reads the same artifact and replays the ratio formula,
+    // the band cut (ntile ≡ the distributed bucketer, the proven px68
+    // equivalence) and the Gopher cross (the px43 CTEs). Only
+    // deflate_len itself stays spec-pinned (GopherRulesSpec zlib
+    // invariants). The artifact lives at a FIXED tmp path rewritten
+    // by every px85 execution: the oracle must run paired with the
+    // Verify/Bench that produced it — exactly the driver's and
+    // check.py's existing per-SF discipline.
     Decl(
       "px85_compression_funnel",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val banded = graft.pipeline.TextMetrics.compressionBuckets(docs)
+        docs.select(col("doc_id"), col("lang"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            expr("deflate_len(text)").as("deflate_len"))
+          .write.mode("overwrite").parquet(px85ArtifactPath)
+        val lens = s.read.parquet(px85ArtifactPath)
+        val banded =
+          graft.pipeline.TextMetrics.compressionBucketsFromLens(lens)
         val g = graft.pipeline.TextMetrics.gopherRules(docs)
           .select(col("doc_id"), col("keep"))
         banded.join(g, Seq("doc_id"))
@@ -3367,9 +3381,47 @@ object PipelineQueries {
             col("bucket") === 2 && col("keep") === 1)
           .orderBy("lang", "bucket", "keep")
       },
-      None,
+      Some(s"""WITH lens AS (
+              |  SELECT * FROM read_parquet('$px85ArtifactPath/*.parquet')),
+              |r AS (SELECT doc_id, lang, round(deflate_len
+              |        / CAST(nullif(n_bytes, 0) AS DOUBLE), 6) AS ratio
+              |      FROM lens),
+              |b AS (SELECT doc_id, lang, ratio, ntile(3) OVER (
+              |        PARTITION BY lang
+              |        ORDER BY ratio NULLS FIRST, doc_id) AS bucket
+              |      FROM r),
+              |w AS (SELECT doc_id,
+              |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '')
+              |      AS w,
+              |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+              |      AS n_sym
+              |  FROM documents),
+              |m AS (SELECT doc_id,
+              |    CAST(len(w) AS BIGINT) AS n_words,
+              |    round(list_sum(list_transform(w, x -> len(x)))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS mean_word_len,
+              |    round(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+              |      / nullif(CAST(len(w) AS DOUBLE), 0e0), 6) AS alpha_frac,
+              |    round(n_sym / nullif(CAST(len(w) AS DOUBLE), 0e0), 6)
+              |      AS sym_ratio
+              |  FROM w),
+              |g AS (SELECT doc_id,
+              |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep
+              |  FROM m)
+              |SELECT b.lang, b.bucket, g.keep, count(*) AS n_docs,
+              |  (b.bucket = 2 AND g.keep = 1) AS in_keep_band
+              |FROM b JOIN g USING (doc_id)
+              |GROUP BY 1, 2, 3""".stripMargin),
       survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER"))
   )
+
+  /** px85's kernel-artifact location: fixed (not SF-keyed) because the
+    * oracle SQL is one static string; rewritten by every execution.
+    * (def, not val: the Decl list above interpolates it during object
+    * init, before a later val would have been assigned.)
+    */
+  def px85ArtifactPath: String =
+    sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_px85_deflate"
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
     * rounds, each `list_reduce` fold identical in per-step semantics to
