@@ -590,6 +590,13 @@ object Jobs {
         // verification distinct()s shingles and candidates, so
         // duplicate store rows change no verdict. For exactly-once
         // stores, point sigStore/corpusDir at a transactional table.
+        // Compaction lease check FIRST (r14 cooperative exclusion):
+        // an append attempted while compactStore holds either store
+        // is refused here, before any write — the verdicts are
+        // already checkpointed, so the caller can retry the admit
+        // after the compaction without re-scoring the batch.
+        requireNoCompactLease(spark, corpusDir, "corpus")
+        requireNoCompactLease(spark, sigStore, "signature store")
         batch.join(novel, Seq("doc_id"), "left_semi")
           .select("doc_id", "text")
           .write.mode("append").parquet(corpusDir)
@@ -656,6 +663,21 @@ object Jobs {
     * message spells out BOTH possible layouts and warns against
     * blind merging. For lock-free concurrent compaction point the
     * stores at a transactional table format.
+    *
+    * Cooperative exclusion (r14, upgrading the r13 detect-and-refuse):
+    * a `_compact_lease` file is created EXCLUSIVELY at entry and the
+    * appenders ([[admitCycle]], and through it the streaming twin)
+    * check it BEFORE writing — an append attempted mid-compaction is
+    * refused up front instead of compaction detecting and aborting
+    * after the fact. The lease is released on success and on every
+    * abort that leaves the store append-safe; it is KEPT (blocking
+    * appends) on the two states that need operator reconciliation,
+    * and by a crashed compactor — the entry check then tells the
+    * operator to verify and delete. The check-then-append window
+    * means the lease alone is not a lock; the snapshot
+    * detect-and-refuse above stays as the backstop, so the layering
+    * is: lease prevents the race, snapshot guarantees no silent loss
+    * if something bypasses it.
     */
   def compactStore(spark: SparkSession, path: String,
                    targetFileBytes: Long = 512L << 20,
@@ -707,6 +729,29 @@ object Jobs {
         s"merge, the second case would duplicate every row")
     if (fs.exists(done)) fs.delete(done, false)
     require(fs.exists(p), s"compactStore: no store at $path")
+    // cooperative-exclusion lease (see scaladoc): exclusive create —
+    // a second compactor, or appends racing this one, see it first
+    val lease = new Path(path + "_compact_lease")
+    val leaseOut =
+      try fs.create(lease, false)
+      catch {
+        case _: java.io.IOException => throw new IllegalStateException(
+          s"compactStore: a compaction lease exists at $lease — " +
+            s"another compaction is in flight, or a previous one " +
+            s"crashed mid-run. Verify no compactor is live, inspect " +
+            s"the store, then delete the lease and re-run")
+      }
+    try leaseOut.write(
+      (s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"pid=${ProcessHandle.current.pid} " +
+        s"at=${java.time.Instant.now}").getBytes("UTF-8"))
+    finally leaseOut.close()
+    // keepLease: the two reconcile-needed failure states below leave
+    // the lease IN PLACE so appends stay blocked until the operator
+    // resolves them; every other exit (success or append-safe abort)
+    // releases it
+    var keepLease = false
+    try {
     // FLAT stores only (sigStore/storeCorpus). A partitioned dataset
     // (e.g. the batch_id= verdicts ledger) would silently flatten:
     // the partition column becomes a data column, the layout every
@@ -762,11 +807,14 @@ object Jobs {
       // written: it is NOT in tmp. Restore the store untouched (the
       // append survives) and fail loudly — never drop rows silently.
       fs.delete(tmp, true)
-      require(swapIn(old, p, "abort-restore"),
-        s"compactStore: concurrent append detected AND the store " +
-          s"path was recreated during the abort; pre-compaction rows " +
-          s"(appends included) remain at $old — stop the writer and " +
-          s"reconcile")
+      if (!swapIn(old, p, "abort-restore")) {
+        keepLease = true // reconciliation required: keep appends blocked
+        throw new IllegalStateException(
+          s"compactStore: concurrent append detected AND the store " +
+            s"path was recreated during the abort; pre-compaction rows " +
+            s"(appends included) remain at $old — stop the writer and " +
+            s"reconcile")
+      }
       throw new IllegalStateException(
         s"compactStore: concurrent append detected (${appended.size} " +
           s"new file(s) in $path since the compaction read, e.g. " +
@@ -777,6 +825,7 @@ object Jobs {
       // an append recreated the store path AFTER it was renamed
       // aside: its rows exist only at p. Leave everything in place —
       // the on-entry (old && p && no marker) state refuses loudly.
+      keepLease = true // reconciliation required: keep appends blocked
       throw new IllegalStateException(
         s"compactStore: the store path was recreated by a concurrent " +
           s"writer after the swap-aside; pre-compaction rows remain " +
@@ -789,6 +838,36 @@ object Jobs {
     // this session's shared file-status cache may still list the
     // pre-swap files; drop it so the next read sees the compact layout
     spark.catalog.refreshByPath(path)
+    } finally {
+      if (!keepLease) fs.delete(lease, false)
+    }
+  }
+
+  /** The appender half of the compaction lease (see [[compactStore]]):
+    * refuse an admit append up front while a compaction holds the
+    * store — wait-or-fail BEFORE writing, rather than compaction
+    * detecting the append and aborting after. A crashed compaction
+    * leaves the lease deliberately; the message routes the operator.
+    */
+  private[graft] def requireNoCompactLease(spark: SparkSession,
+                                           dir: String,
+                                           what: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val lease = new Path(dir + "_compact_lease")
+    val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(lease)) {
+      val info =
+        try {
+          val in = fs.open(lease)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        } catch { case _: java.io.IOException => "unreadable" }
+      throw new IllegalStateException(
+        s"admit append refused: a compaction lease is held on the " +
+          s"$what dir $dir ($info). Retry after the compaction " +
+          s"completes; a crashed compaction leaves the lease for the " +
+          s"operator to verify and delete ($lease)")
+    }
   }
 
   /** The whole last mile in one job: corpus in → training examples

@@ -447,6 +447,47 @@ object Ann {
       .select("qid", "vid", "adc_dist2", "rank")
   }
 
+  /** ADC refine (Jégou et al. 2011 §V, "IVFADC+R"): re-rank
+    * [[pqAdcTopK]]'s top-R candidates by EXACT squared L2 over the R
+    * fetched raw vectors. ADC distances are quantized — when a cell
+    * holds near-identical vectors the ADC ordering inside it is
+    * arbitrary (the §3f recall collapse on the synthetic corpus:
+    * exact-id recall ~0.03 while cloud recall is 1.000) — and the
+    * standard production fix is this re-rank: the shortlist is already
+    * right as a SET, so k-bounded exact math restores the ordering.
+    *
+    * Scale shape: a k-bounded JOIN, never a corpus scan — the |q|·R
+    * candidate ids broadcast against the corpus (only shortlist rows
+    * survive the fetch), the queries broadcast against the fetched
+    * rows, and the exact kernel runs |q|·R times total. Winner-guard
+    * filter (§0p form): a dim-mismatched fetched pair zip_withs to a
+    * NULL d2, which ascending NULLS FIRST would rank 1 — any NULL in
+    * the selected top-k raises with the qid instead.
+    *
+    * @param adcTopR [[pqAdcTopK]] output (qid, vid, …), R ≥ k rows
+    *                per query
+    * @return (qid, vid, exact_d2, rank) — top-k by exact distance
+    */
+  def adcRefine(adcTopR: DataFrame, corpus: DataFrame, queries: DataFrame,
+                k: Int, idCol: String = "vec_id",
+                embCol: String = "embedding"): DataFrame = {
+    val cand = adcTopR.select("qid", "vid")
+    val fetched = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
+      .join(broadcast(cand), Seq("vid"))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+    fetched.join(broadcast(q), Seq("qid"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(ce, qe, (a, b) -> (CAST(a AS DOUBLE) - " +
+          "CAST(b AS DOUBLE)) * (CAST(a AS DOUBLE) - CAST(b AS DOUBLE)))," +
+          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("exact_d2", expr("round(d2, 6)"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY exact_d2, vid)"))
+      .filter(col("rank") <= k)
+      .filter(expr(guardWinner("d2", "qid", "adcRefine")))
+      .select("qid", "vid", "exact_d2", "rank")
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * ranks only the corpus vectors assigned to those lists. With
     * `nprobe == kClusters` this is exactly [[cosineTopK]]; smaller

@@ -3412,7 +3412,94 @@ object PipelineQueries {
               |  (b.bucket = 2 AND g.keep = 1) AS in_keep_band
               |FROM b JOIN g USING (doc_id)
               |GROUP BY 1, 2, 3""".stripMargin),
-      survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER"))
+      survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER")),
+
+    // ADC + exact refine (r14, the r13 verdict's item 4 — Jégou et al.
+    // 2011 §V "IVFADC+R"): ADC distances are quantized, so inside a
+    // cell of near-identical vectors the ADC ORDER is arbitrary (the
+    // §3f recall collapse: exact-id recall ~0.03 on this synthetic
+    // corpus while cloud recall is 1.000); the production fix is to
+    // re-rank ADC's top-R shortlist by EXACT distance over the R
+    // fetched raw vectors — a k-bounded join (|q|·R kernel calls),
+    // never a corpus scan. px50's ADC stage verbatim (R=50), then the
+    // exact rerank to top-10; both orderings round-then-rank. The
+    // array-native API form is Ann.adcRefine (AnnSpec pins the recall
+    // recovery; AnnRecallProbe carries the corpus-scale row).
+    Decl(
+      "px86_adc_refine",
+      (s, dir) => {
+        val cb = pqCodebook(s, dir)
+        val lut = pqBlocked(s, dir).filter(col("vid") < 4)
+          .select(col("vid").as("qid"), col("blk"), col("i"),
+            col("x").as("qx"))
+          .join(cb, Seq("blk", "i"))
+          .withColumn("d", expr("(qx - c) * (qx - c)"))
+          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
+          .withColumnRenamed("label", "code")
+        val adcTopR = pqCodes(s, dir, cb)
+          .join(broadcast(lut), Seq("blk", "code"))
+          .groupBy("qid", "vid")
+          .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+          .withColumn("rr", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+          .filter(col("rr") <= 50)
+          .select("qid", "vid", "adc_dist2")
+        // exact rerank over the fetched shortlist, exploded form (the
+        // oracle-replayable twin of Ann.adcRefine's array kernel)
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("vid"),
+            posexplode(col("embedding")).as(Seq("i", "x0")))
+          .withColumn("x", col("x0").cast("double")).drop("x0")
+        adcTopR
+          .join(e, Seq("vid"))
+          .join(e.select(col("vid").as("qid"), col("i"),
+            col("x").as("qx")), Seq("qid", "i"))
+          .groupBy("qid", "vid", "adc_dist2")
+          .agg(expr("round(sum((x - qx) * (x - qx)), 6)").as("exact_d2"))
+          .withColumn("r", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY exact_d2, vid)"))
+          .filter(col("r") <= 10)
+          .select(col("qid"), col("vid"), col("adc_dist2"),
+            col("exact_d2"), col("r").cast("int").as("r"))
+      },
+      Some(s"""WITH e AS ${duckEmb("")},
+              |lab AS (SELECT vec_id AS vid, label FROM embeddings),
+              |b AS (SELECT vid, CAST((i - 1) // 16 AS BIGINT) AS blk, i, x
+              |      FROM e),
+              |cb AS (SELECT label, blk, i, sum(x) / count(x) AS c
+              |       FROM b JOIN lab USING (vid) GROUP BY label, blk, i),
+              |d AS (SELECT b.vid, b.blk, cb.label,
+              |        sum((x - c) * (x - c)) AS dist2
+              |      FROM b JOIN cb ON b.blk = cb.blk AND b.i = cb.i
+              |      GROUP BY b.vid, b.blk, cb.label),
+              |codes AS (SELECT vid, blk, label AS code FROM (
+              |  SELECT vid, blk, label, row_number() OVER (
+              |    PARTITION BY vid, blk ORDER BY round(dist2, 6), label) AS r
+              |  FROM d) t WHERE r = 1),
+              |lut AS (SELECT q.vid AS qid, q.blk, cb.label AS code,
+              |          sum((q.x - cb.c) * (q.x - cb.c)) AS pd
+              |        FROM b q JOIN cb ON q.blk = cb.blk AND q.i = cb.i
+              |        WHERE q.vid < 4
+              |        GROUP BY 1, 2, 3),
+              |adc AS (SELECT qid, codes.vid,
+              |          round(sum(pd), 6) AS adc_dist2
+              |        FROM codes JOIN lut USING (blk, code)
+              |        GROUP BY 1, 2),
+              |topr AS (SELECT qid, vid, adc_dist2 FROM (
+              |  SELECT qid, vid, adc_dist2, row_number() OVER (
+              |    PARTITION BY qid ORDER BY adc_dist2, vid) AS rr
+              |  FROM adc) t WHERE rr <= 50),
+              |ex AS (SELECT t.qid, t.vid, t.adc_dist2,
+              |         round(sum((c.x - q.x) * (c.x - q.x)), 6) AS exact_d2
+              |       FROM topr t
+              |       JOIN b c ON c.vid = t.vid
+              |       JOIN b q ON q.vid = t.qid AND q.i = c.i
+              |       GROUP BY 1, 2, 3)
+              |SELECT qid, vid, adc_dist2, exact_d2, CAST(r AS INT) AS r
+              |FROM (SELECT qid, vid, adc_dist2, exact_d2, row_number()
+              |        OVER (PARTITION BY qid ORDER BY exact_d2, vid) AS r
+              |      FROM ex) t WHERE r <= 10""".stripMargin),
+      survey = Seq("EMB-PQ-ADC-REFINE"))
   )
 
   /** px85's kernel-artifact location: fixed (not SF-keyed) because the

@@ -137,6 +137,20 @@ object AnnRecallProbe {
     // PQ without the IVF cut: full-corpus ADC scan over codes
     val fulladc = t("full_adc")(topk(Ann.pqAdcTopK(codes, cb, queries, 10)))
     println(f"""[annrecall] {"variant":"full_adc","nprobe":16,"recall_at_10":${recall(fulladc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(fulladc, exact)}%.3f}""")
+    // ADC + exact refine (r14): re-rank ADC's top-R by exact distance
+    // over the R fetched raw vectors (Ann.adcRefine). Exact-id recall
+    // after refine == the SHORTLIST's coverage of the true top-10: on
+    // this synthetic corpus every quantization cell is a 500-replica
+    // cloud whose ADC distances tie exactly (vid tie-break), so
+    // coverage grows ~linearly in R/cloudSize — the R sweep shows
+    // refine converting shortlist coverage into exact recall, which a
+    // real corpus (small cells) gets at small R.
+    for (bigR <- Seq(10, 50, 200)) {
+      val topR = Ann.pqAdcTopK(codes, cb, queries, bigR)
+      val refined = t(s"full_adc_refine_R$bigR")(
+        topk(Ann.adcRefine(topR, big, queries, 10)))
+      println(f"""[annrecall] {"variant":"full_adc_refine","R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
+    }
     spark.stop()
   }
 }

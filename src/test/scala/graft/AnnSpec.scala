@@ -66,6 +66,29 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"ADC recall@10 = $recall")
   }
 
+  test("adcRefine recovers exact ordering from ADC's quantized shortlist") {
+    // unit-normalize so L2 ordering == the cosine baseline's
+    val norm = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(CAST(x AS DOUBLE)" +
+        " / sqrt(norm2_f64(embedding)) AS FLOAT))").as("embedding"))
+    val nq = norm.filter(col("vec_id") < 10)
+    val cb = Ann.pqTrain(norm, blocks = 8, kCodes = 16, iters = 2)
+    val codes = Ann.pqEncode(norm, cb)
+    val exact = topkSet(Ann.cosineTopK(norm, nq, k = 10))
+    val adc = topkSet(Ann.pqAdcTopK(codes, cb, nq, k = 10))
+    val refined = topkSet(
+      Ann.adcRefine(Ann.pqAdcTopK(codes, cb, nq, k = 50), norm, nq, k = 10))
+    val rAdc = adc.intersect(exact).size.toDouble / exact.size
+    val rRef = refined.intersect(exact).size.toDouble / exact.size
+    // the refine is exact over the shortlist: it can only gain
+    assert(rRef >= rAdc, s"refine lost recall: $rRef < $rAdc")
+    assert(rRef >= 0.6, s"refined recall@10 = $rRef (adc = $rAdc)")
+    // rank sanity: every query returns <= 10 rows, ranks 1..n dense
+    val rr = Ann.adcRefine(Ann.pqAdcTopK(codes, cb, nq, k = 50),
+      norm, nq, k = 10)
+    assert(rr.groupBy("qid").count().filter(col("count") > 10).count() == 0)
+  }
+
   test("ivfTopK with nprobe = 1 keeps useful recall at a 4x candidate cut") {
     val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
     val assign = Ann.ivfAssign(emb, cent)

@@ -809,6 +809,47 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$w/store").count() == 3)
   }
 
+  test("compaction lease: an admit append mid-compaction is refused " +
+    "BEFORE writing; the lease lifecycle holds") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactlease").toString
+    val wordsA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val textA = Seq.fill(5)(wordsA).mkString(" ")
+    val textB = Seq.fill(5)(
+      "india juliet kilo lima mike november oscar papa").mkString(" ")
+    val corpus = Seq((1L, textA)).toDF("doc_id", "text")
+    corpus.write.parquet(s"$w/corpus")
+    graft.pipeline.Dedup.minhashWide(corpus).write.parquet(s"$w/sigs")
+    // a compaction "in flight": the lease exists on the corpus dir
+    new java.io.File(s"$w/corpus_compact_lease").createNewFile()
+    val e = intercept[IllegalStateException] {
+      Jobs.admitCycle(spark, Seq((2L, textB)).toDF("doc_id", "text"),
+        s"$w/sigs", s"$w/corpus", 0.5, admit = true)
+    }
+    assert(e.getMessage.contains("admit append refused"), e.getMessage)
+    // refused BEFORE any write: both stores untouched
+    assert(spark.read.parquet(s"$w/corpus").count() == 1)
+    assert(spark.read.parquet(s"$w/sigs").select("doc_id")
+      .as[Long].collect().toSet == Set(1L))
+    // lease released -> the same admit goes through
+    new java.io.File(s"$w/corpus_compact_lease").delete()
+    Jobs.admitCycle(spark, Seq((2L, textB)).toDF("doc_id", "text"),
+      s"$w/sigs", s"$w/corpus", 0.5, admit = true)
+    assert(spark.read.parquet(s"$w/corpus").count() == 2)
+    // a second COMPACTOR is refused by the same lease...
+    new java.io.File(s"$w/corpus_compact_lease").createNewFile()
+    val e2 = intercept[IllegalStateException] {
+      Jobs.compactStore(spark, s"$w/corpus")
+    }
+    assert(e2.getMessage.contains("compaction lease exists"), e2.getMessage)
+    new java.io.File(s"$w/corpus_compact_lease").delete()
+    // ...and a successful compaction acquires and RELEASES it
+    Jobs.compactStore(spark, s"$w/corpus")
+    assert(!new java.io.File(s"$w/corpus_compact_lease").exists(),
+      "successful compaction must release its lease")
+    assert(spark.read.parquet(s"$w/corpus").count() == 2)
+  }
+
   test("CompactStore: a second compactor's _compact_old mid-window is " +
     "refused loudly, never nested") {
     import spark.implicits._
