@@ -679,10 +679,15 @@ object Jobs {
     * is: lease prevents the race, snapshot guarantees no silent loss
     * if something bypasses it.
     */
-  def compactStore(spark: SparkSession, path: String,
+  def compactStore(spark: SparkSession, path0: String,
                    targetFileBytes: Long = 512L << 20,
                    beforeSwap: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
+    // normalize trailing slashes ONCE: the side-path strings below are
+    // raw concats, and "/store/" would put every marker INSIDE the
+    // store dir instead of beside it (and diverge from an appender's
+    // slash-free lease path)
+    val path = path0.replaceAll("/+$", "")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val old = new Path(path + "_compact_old")
@@ -709,12 +714,50 @@ object Jobs {
       }
       true
     }
-    if (fs.exists(old) && !fs.exists(p))
-      require(swapIn(old, p, "crash recovery"),
-        s"compactStore: crash recovery found $path recreated " +
-          s"concurrently; pre-compaction rows remain at $old — stop " +
-          s"the writer and reconcile")
-    else if (fs.exists(old) && fs.exists(done)) {
+    // Cooperative-exclusion lease FIRST, before the entry recovery
+    // below mutates anything (review r14): to a second entrant, a
+    // LIVE compaction mid-window (store swapped aside, swap-in
+    // pending) is indistinguishable from a crash — acquired any
+    // later, the entrant would "crash-recover" the live run's
+    // swap-aside out from under it before hitting the lease. A
+    // crashed compactor leaves its lease deliberately: the operator
+    // verifies no compactor is live, deletes the lease, re-runs, and
+    // THIS block then self-heals the crash state under a fresh lease.
+    val lease = compactLeasePath(path)
+    val leaseOut =
+      try fs.create(lease, false)
+      catch {
+        case e: java.io.IOException =>
+          if (fs.exists(lease)) throw new IllegalStateException(
+            s"compactStore: a compaction lease exists at $lease — " +
+              s"another compaction is in flight, or a previous one " +
+              s"crashed mid-run. Verify no compactor is live, inspect " +
+              s"the store, then delete the lease and re-run", e)
+          else throw new java.io.IOException(
+            s"compactStore: could not create the compaction lease " +
+              s"$lease (no lease present — a transient filesystem " +
+              s"error, not a held lease)", e)
+      }
+    // keepLease: the reconcile-needed failure states below leave the
+    // lease IN PLACE so appends stay blocked until the operator
+    // resolves them; every other exit (success or append-safe abort/
+    // refusal) releases it
+    var keepLease = false
+    try {
+    try leaseOut.write(
+      (s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+        s"pid=${ProcessHandle.current.pid} " +
+        s"at=${java.time.Instant.now}").getBytes("UTF-8"))
+    finally leaseOut.close()
+    if (fs.exists(old) && !fs.exists(p)) {
+      if (!swapIn(old, p, "crash recovery")) {
+        keepLease = true // reconciliation required: keep appends blocked
+        throw new IllegalStateException(
+          s"compactStore: crash recovery found $path recreated " +
+            s"concurrently; pre-compaction rows remain at $old — stop " +
+            s"the writer and reconcile")
+      }
+    } else if (fs.exists(old) && fs.exists(done)) {
       // crash after the swap completed, before cleanup: old is a
       // stale pre-compaction copy of rows the live store already has
       fs.delete(old, true); fs.delete(done, false)
@@ -729,29 +772,6 @@ object Jobs {
         s"merge, the second case would duplicate every row")
     if (fs.exists(done)) fs.delete(done, false)
     require(fs.exists(p), s"compactStore: no store at $path")
-    // cooperative-exclusion lease (see scaladoc): exclusive create —
-    // a second compactor, or appends racing this one, see it first
-    val lease = new Path(path + "_compact_lease")
-    val leaseOut =
-      try fs.create(lease, false)
-      catch {
-        case _: java.io.IOException => throw new IllegalStateException(
-          s"compactStore: a compaction lease exists at $lease — " +
-            s"another compaction is in flight, or a previous one " +
-            s"crashed mid-run. Verify no compactor is live, inspect " +
-            s"the store, then delete the lease and re-run")
-      }
-    try leaseOut.write(
-      (s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"pid=${ProcessHandle.current.pid} " +
-        s"at=${java.time.Instant.now}").getBytes("UTF-8"))
-    finally leaseOut.close()
-    // keepLease: the two reconcile-needed failure states below leave
-    // the lease IN PLACE so appends stay blocked until the operator
-    // resolves them; every other exit (success or append-safe abort)
-    // releases it
-    var keepLease = false
-    try {
     // FLAT stores only (sigStore/storeCorpus). A partitioned dataset
     // (e.g. the batch_id= verdicts ledger) would silently flatten:
     // the partition column becomes a data column, the layout every
@@ -798,8 +818,10 @@ object Jobs {
       throw new IllegalStateException(
         s"compactStore: $old appeared concurrently during the " +
           s"compaction (a second compactor racing?); store left " +
-          s"untouched at $path, compacted copy discarded — ensure a " +
-          s"single compactor and re-run")
+          s"untouched at $path, compacted copy discarded. Ensure a " +
+          s"single compactor, dispose of the foreign $old (the " +
+          s"on-entry both-exist check refuses while it remains), " +
+          s"then re-run")
     }
     val appended = dataFiles(old) -- snapshot
     if (appended.nonEmpty) {
@@ -849,11 +871,21 @@ object Jobs {
     * detecting the append and aborting after. A crashed compaction
     * leaves the lease deliberately; the message routes the operator.
     */
+  /** The ONE place the lease path is derived (review r14): raw
+    * `dir + suffix` concat would silently diverge between the
+    * compactor and an appender configured with a trailing slash —
+    * Path("/store/" + s) is a file INSIDE the store while
+    * Path("/store" + s) is its sibling — and a diverged lease path
+    * disables the exclusion without any error.
+    */
+  private def compactLeasePath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      dir.replaceAll("/+$", "") + "_compact_lease")
+
   private[graft] def requireNoCompactLease(spark: SparkSession,
                                            dir: String,
                                            what: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val lease = new Path(dir + "_compact_lease")
+    val lease = compactLeasePath(dir)
     val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(lease)) {
       val info =

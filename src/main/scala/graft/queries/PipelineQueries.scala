@@ -3503,12 +3503,19 @@ object PipelineQueries {
   )
 
   /** px85's kernel-artifact location: fixed (not SF-keyed) because the
-    * oracle SQL is one static string; rewritten by every execution.
+    * oracle SQL is one static string; user-scoped so two users on one
+    * machine cannot clobber or permission-block each other's artifact.
+    * REWRITTEN (full deflate scan + parquet write) by every px85
+    * run() INVOCATION — the write is eager, not deferred to the
+    * returned frame's first action — so build px85 only to execute
+    * it, and pair every oracle read with the run that produced it
+    * (the driver's and check.py's existing per-SF discipline).
     * (def, not val: the Decl list above interpolates it during object
     * init, before a later val would have been assigned.)
     */
   def px85ArtifactPath: String =
-    sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_px85_deflate"
+    sys.props("java.io.tmpdir").stripSuffix("/") +
+      s"/graft_px85_deflate_${sys.props.getOrElse("user.name", "anon")}"
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
     * rounds, each `list_reduce` fold identical in per-step semantics to

@@ -7,9 +7,12 @@ import graft.text.TextOps
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** px18 first-gating adjudication probe (round 14, §0q): px18 is the
+/** px18 first-gating adjudication probe (round 14, §0q): px18 was the
   * only weak-band query (1.43 s vs 0.26 = 5.5× in the committed pair)
-  * that never carried an adjudication line. Decomposition + levers:
+  * that never carried an adjudication line. Both levers SHIPPED into
+  * Dedup at the §0q HEAD; [[simhashOld]] preserves the pre-§0q
+  * baseline verbatim so the A/B stays reproducible. Decomposition +
+  * levers:
   *
   *  - stage prefixes, each full-output forced: termFreqs → 48-bit
   *    simhash agg → band stack → banded self-join + distinct →
@@ -30,18 +33,21 @@ import org.apache.spark.sql.functions._
   */
 object ProbePx18 {
 
-  /** Signature build without the (doc,term) exchange: per-occurrence
-    * ±1 votes, one doc-keyed agg. Bit-identical to Dedup.simhash.
+  /** The PRE-§0q termFreqs signature build, kept VERBATIM as the A/B
+    * baseline: the direct per-occurrence form SHIPPED into
+    * Dedup.simhash at the §0q HEAD, so without this local copy the
+    * probe would compare the shipped code with itself and the
+    * recorded 0.53 → 0.42 s delta would be unreproducible (review
+    * r14). tf-weighted per-term votes over a (doc, term) exchange.
     */
-  def simhashDirect(docs: DataFrame, bits: Int): DataFrame = {
+  def simhashOld(docs: DataFrame, bits: Int): DataFrame = {
     val votes = (0 until bits).map(b =>
       sum(expr(Dedup.voteExpr(b))).as(s"v$b"))
     val packed = (0 until bits)
       .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
       .mkString("CAST(", " + ", " AS BIGINT)")
-    TextOps.tokens(docs)
+    TextOps.termFreqs(docs)
       .withColumn("h", DetHash.h60(col("term")))
-      .withColumn("tf", lit(1L))
       .groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), expr(packed).as("simhash"))
   }
@@ -86,11 +92,12 @@ object ProbePx18 {
       .localCheckpoint()
     val nd = docs.count()
 
-    // equivalence gates, both directions, before any timing
+    // equivalence gates, both directions, before any timing: the
+    // shipped direct-vote form vs the preserved termFreqs baseline
     val simA = Dedup.simhash(docs, 48)
-    val simB = simhashDirect(docs, 48)
+    val simB = simhashOld(docs, 48)
     require(simA.exceptAll(simB).isEmpty && simB.exceptAll(simA).isEmpty,
-      "direct-vote simhash diverged from the termFreqs form")
+      "shipped direct-vote simhash diverged from the termFreqs form")
     val fA = Dedup.simhashNearDups(docs).select("d1", "d2", "hd")
     for (f <- Seq(full(simA, lateDistinct = true),
         full(simB, lateDistinct = true), full(simB, lateDistinct = false)))
@@ -102,7 +109,7 @@ object ProbePx18 {
     // execute first and read the final adaptive plan
     for ((label, f) <- Seq(
         ("shipped", Dedup.simhashNearDups(docs)),
-        ("direct", full(simhashDirect(docs, 48), lateDistinct = true)))) {
+        ("oldform", full(simhashOld(docs, 48), lateDistinct = false)))) {
       graft.Bench.materialize(f)
       val plan = f.queryExecution.executedPlan.toString
       val reused = plan.contains("ReusedExchange") ||
@@ -123,17 +130,18 @@ object ProbePx18 {
         f"${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$r")
     }
     for (r <- 1 to 3) {
-      // stage prefixes (shipped shapes)
+      // stage prefixes: tf + simold are the PRE-§0q baseline stages;
+      // sim48/full:shipped are the shipped direct-vote + late-distinct
       t(s"stage:tf-$r")(TextOps.termFreqs(docs))
+      t(s"stage:simold-$r")(simhashOld(docs, 48))
       t(s"stage:sim48-$r")(Dedup.simhash(docs, 48))
       t(s"stage:bands-$r")(bandsOf(Dedup.simhash(docs, 48)))
       t(s"stage:cand-$r")(candidates(bandsOf(Dedup.simhash(docs, 48))).distinct())
       t(s"full:shipped-$r")(Dedup.simhashNearDups(docs).select("d1", "d2", "hd"))
-      // levers
-      t(s"lever:direct-$r")(full(simhashDirect(docs, 48), lateDistinct = false))
-      t(s"lever:late-$r")(full(Dedup.simhash(docs, 48), lateDistinct = true))
-      t(s"lever:both-$r")(full(simhashDirect(docs, 48), lateDistinct = true))
-      t(s"stage:simdirect-$r")(simhashDirect(docs, 48))
+      // the pre-§0q full shape (old signatures + early distinct)
+      t(s"full:oldform-$r")(full(simhashOld(docs, 48), lateDistinct = false))
+      // isolating the late-distinct lever on the old signature build
+      t(s"lever:late-$r")(full(simhashOld(docs, 48), lateDistinct = true))
     }
     spark.stop()
   }
