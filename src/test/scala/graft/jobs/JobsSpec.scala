@@ -850,6 +850,50 @@ class JobsSpec extends SparkSpec {
     assert(spark.read.parquet(s"$w/corpus").count() == 2)
   }
 
+  test("compaction lease: the crashed-run flow — lease blocks recovery " +
+    "until cleared, then recovery self-heals under a fresh lease") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactcrashlease").toString
+    val rows = Seq((1L, "a"), (2L, "b"))
+    rows.toDF("doc_id", "text").write.parquet(s"$w/store")
+    // the REAL crash state: the dead compactor's lease is still held
+    // AND the store sits renamed aside (crashed between swap-aside and
+    // swap-in). A fresh compactor must NOT auto-recover — to it, a
+    // live mid-window compaction looks identical — it refuses on the
+    // lease BEFORE touching anything.
+    new java.io.File(s"$w/store_compact_lease").createNewFile()
+    assert(new java.io.File(s"$w/store")
+      .renameTo(new java.io.File(s"$w/store_compact_old")))
+    val e = intercept[IllegalStateException] {
+      Jobs.compactStore(spark, s"$w/store")
+    }
+    assert(e.getMessage.contains("compaction lease exists"), e.getMessage)
+    assert(new java.io.File(s"$w/store_compact_old").exists() &&
+      !new java.io.File(s"$w/store").exists(),
+      "lease refusal must not have touched the crash state")
+    // the operator verifies no compactor is live, deletes the lease,
+    // re-runs: recovery restores + compacts under a fresh lease
+    new java.io.File(s"$w/store_compact_lease").delete()
+    Jobs.compactStore(spark, s"$w/store")
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq == rows)
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    assert(!new java.io.File(s"$w/store_compact_lease").exists())
+  }
+
+  test("compaction lease: trailing-slash store paths see the SAME lease") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactslash").toString
+    Seq((1L, "a")).toDF("doc_id", "text").write.parquet(s"$w/store")
+    // the appender configured with a trailing slash must check the
+    // sibling lease the compactor creates, not a file inside the dir
+    new java.io.File(s"$w/store_compact_lease").createNewFile()
+    val e = intercept[IllegalStateException] {
+      Jobs.requireNoCompactLease(spark, s"$w/store///", "corpus")
+    }
+    assert(e.getMessage.contains("admit append refused"), e.getMessage)
+  }
+
   test("CompactStore: a second compactor's _compact_old mid-window is " +
     "refused loudly, never nested") {
     import spark.implicits._
