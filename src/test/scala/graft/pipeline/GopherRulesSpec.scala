@@ -158,4 +158,23 @@ class GopherRulesSpec extends SparkSpec {
     assert(v.sortBy(r => (r._1, r._2)).sameElements(
       again.sortBy(r => (r._1, r._2))))
   }
+
+  test("quality: punct_ratio pinned on a punctuation fixture (the gated " +
+    "corpora carry ZERO punctuation, so the oracle only ever compares " +
+    "0 = 0 there)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // "a, b! c? a": 10 chars, 3 punctuation chars ([^0-9a-zA-Z\s]),
+    // tokens a/b/c/a -> n_tokens 4, n_types 3, stopwords {a, the} ->
+    // n_stop 2; ttr 0.75, stop_ratio 0.5, punct_ratio 0.3,
+    // quality = 0.75*0.5 + (1 - 0.5)*0.5 = 0.625 — all hand-computed.
+    val docs = Seq((1L, "a, b! c? a")).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val r = TextMetrics.quality(docs).head()
+    assert(r.getLong(1) == 10L, s"n_chars: $r")
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L, s"counts: $r")
+    assert(r.getDouble(4) == 0.75 && r.getDouble(5) == 0.5, s"ratios: $r")
+    assert(r.getDouble(6) == 0.3, s"punct_ratio: $r")
+    assert(r.getDouble(7) == 0.625, s"quality: $r")
+  }
 }
