@@ -47,6 +47,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p)
   }
 
+  test("px86_adc_refine: LUT rides broadcast joins, no cartesian anywhere") {
+    val p = plan("px86_adc_refine")
+    assert(countOf(p, "BroadcastHashJoin") >= 1, p)
+    assert(!p.contains("CartesianProduct"),
+      "the rerank fetch must be a keyed join, not a cross product")
+  }
+
   test("px38_bigram_lm: global top-100 is TakeOrderedAndProject, not a window") {
     val p = plan("px38_bigram_lm")
     assert(p.contains("TakeOrderedAndProject"), p)
