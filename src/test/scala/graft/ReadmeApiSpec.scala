@@ -59,6 +59,10 @@ class ReadmeApiSpec extends SparkSpec {
     val codes = Ann.pqEncode(unit, cb)
     val near = Ann.pqAdcTopK(codes, cb, queryVecs, k = 10)
     assert(near.count() === queryVecs.count() * 10)
+    val top = Ann.adcRefine(
+      Ann.pqAdcTopK(codes, cb, queryVecs, k = 100), // R = 100 shortlist
+      unit, queryVecs, k = 10)
+    assert(top.count() === queryVecs.count() * 10)
   }
 
   test("retrieval quickstart: scoreFor / inverted / sharded inverted") {
