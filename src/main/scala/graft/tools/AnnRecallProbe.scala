@@ -151,6 +151,24 @@ object AnnRecallProbe {
         topk(Ann.adcRefine(topR, big, queries, 10)))
       println(f"""[annrecall] {"variant":"full_adc_refine","R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
     }
+    // IVFADC+R proper (Jégou et al. 2011 §V): the IVF candidate cut,
+    // ADC over codes inside the probed lists, exact refine of that
+    // shortlist — the production path end to end
+    locally {
+      val nprobe = 4
+      val cand = assign.join(broadcast(probesFor(nprobe)), Seq("cid"))
+        .filter(col("qid") =!= col("vid")).select("qid", "vid")
+      val adcTopR = cand.join(codes, Seq("vid"))
+        .join(broadcast(lut), Seq("qid", "blk", "code"))
+        .groupBy("qid", "vid")
+        .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+        .withColumn("rank", expr(
+          "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+        .filter(col("rank") <= 200)
+      val refined = t(s"ivfadc_r_np$nprobe")(
+        topk(Ann.adcRefine(adcTopR, big, queries, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_refine","nprobe":$nprobe,"R":200,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
+    }
     spark.stop()
   }
 }
