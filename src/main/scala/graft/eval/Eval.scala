@@ -46,38 +46,64 @@ object Eval {
       .join(qrels.filter(col("rel") > 0).select("qid", "doc_id").distinct()
         .withColumn("rel", lit(1)), Seq("qid", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0)))
+      // POSITION, not the caller's rank (review r14): a caller whose
+      // ranks carry ties (raw scores instead of row_number) used to
+      // get every tied row's rel counted into each peer's cum_rel
+      // (the default RANGE frame includes ALL rank peers) AND divide
+      // by the shared tied rank — AP could exceed 1 silently. Both
+      // the cumsum and the downstream precision denominators run on
+      // the deterministic list POSITION (trec_eval's own convention:
+      // re-sort, then use positions); pos == rank whenever ranks are
+      // unique 1..n, i.e. for every in-repo caller.
+      .withColumn("pos",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY rank, doc_id)"))
       .withColumn("cum_rel",
-        expr("sum(rel) OVER (PARTITION BY qid ORDER BY rank)"))
+        expr("sum(rel) OVER (PARTITION BY qid ORDER BY pos " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
 
   /** Per-query metric table. `w` is the utility TP weight. */
   def metrics(results: DataFrame, qrels: DataFrame, k: Int = 10,
-              beta: Double = 1.0, w: Double = 2.0): DataFrame = {
+              beta: Double = 1.0, w: Double = 2.0): DataFrame =
+    metricsAtKs(results, qrels, Seq(k), beta, w)
+      .withColumnRenamed(s"p_at_$k", "p_at_k")
+
+  /** [[metrics]] at SEVERAL cutoffs in ONE pass (review r14): rel@k is
+    * the only k-dependent aggregate — one conditional sum per cutoff —
+    * while the former one-k-per-call shape re-executed the caller's
+    * whole results pipeline per cutoff (runQueryKdeSweep paid the
+    * retrieval + KDE-sweep DAG twice for p10 + p20). Emits one
+    * `p_at_<k>` column per requested cutoff.
+    */
+  def metricsAtKs(results: DataFrame, qrels: DataFrame, ks: Seq[Int],
+                  beta: Double = 1.0, w: Double = 2.0): DataFrame = {
+    require(ks.nonEmpty && ks.distinct == ks, s"bad cutoffs $ks")
     val nrel = qrels.filter(col("rel") > 0).select("qid", "doc_id")
       .distinct() // same key-dedupe as judge(): repeated lines count once
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))
     val b2 = beta * beta
+    val relAtKs = ks.map(k =>
+      expr(s"sum(CASE WHEN pos <= $k THEN rel ELSE 0 END)").as(s"rel_at_$k"))
+    val aggs = Seq(sum("rel").as("tp")) ++ relAtKs :+
+      expr("sum(CASE WHEN rel = 1 THEN cum_rel / CAST(pos AS DOUBLE) ELSE 0 END)")
+        .as("ap_num")
     judge(results, qrels)
       .groupBy("qid")
-      .agg(
-        count(lit(1)).as("n_ret"),
-        sum("rel").as("tp"),
-        expr(s"sum(CASE WHEN rank <= $k THEN rel ELSE 0 END)").as(s"rel_at_k"),
-        expr("sum(CASE WHEN rel = 1 THEN cum_rel / CAST(rank AS DOUBLE) ELSE 0 END)")
-          .as("ap_num"))
+      .agg(count(lit(1)).as("n_ret"), aggs: _*)
       .join(nrel, Seq("qid"), "left")
       .withColumn("n_rel", coalesce(col("n_rel"), lit(0L)))
       .select(
-        col("qid"),
-        expr(s"rel_at_k / CAST($k AS DOUBLE)").as("p_at_k"),
-        expr("tp / CAST(n_ret AS DOUBLE)").as("precision"),
-        expr("CASE WHEN n_rel > 0 THEN tp / CAST(n_rel AS DOUBLE) ELSE 0e0 END")
-          .as("recall"),
-        expr(("CASE WHEN tp > 0 THEN (1 + " + b2 + ") * (tp / CAST(n_ret AS DOUBLE))" +
-          " * (tp / CAST(n_rel AS DOUBLE)) / (" + b2 +
-          " * (tp / CAST(n_ret AS DOUBLE)) + (tp / CAST(n_rel AS DOUBLE)))" +
-          " ELSE 0e0 END")).as("f_beta"),
-        expr(s"greatest(-100e0, $w * tp - (n_ret - tp))").as("utility"),
-        expr("CASE WHEN n_rel > 0 THEN ap_num / n_rel ELSE 0e0 END").as("ap"))
+        (col("qid") +:
+          ks.map(k => expr(s"rel_at_$k / CAST($k AS DOUBLE)").as(s"p_at_$k"))) ++
+        Seq(
+          expr("tp / CAST(n_ret AS DOUBLE)").as("precision"),
+          expr("CASE WHEN n_rel > 0 THEN tp / CAST(n_rel AS DOUBLE) ELSE 0e0 END")
+            .as("recall"),
+          expr(("CASE WHEN tp > 0 THEN (1 + " + b2 + ") * (tp / CAST(n_ret AS DOUBLE))" +
+            " * (tp / CAST(n_rel AS DOUBLE)) / (" + b2 +
+            " * (tp / CAST(n_ret AS DOUBLE)) + (tp / CAST(n_rel AS DOUBLE)))" +
+            " ELSE 0e0 END")).as("f_beta"),
+          expr(s"greatest(-100e0, $w * tp - (n_ret - tp))").as("utility"),
+          expr("CASE WHEN n_rel > 0 THEN ap_num / n_rel ELSE 0e0 END").as("ap")): _*)
   }
 
   /** MAP over queries. */

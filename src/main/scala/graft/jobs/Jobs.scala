@@ -317,12 +317,12 @@ object Jobs {
       .crossJoin(broadcast(grid))
       .select(concat_ws(":", col("qid"), col("alpha")).as("qid"),
         col("doc_id"), col("rel"))
-    val m10 = Eval.metrics(res, qrelsX, k = 10)
-      .select(col("qid"), col("ap"), col("p_at_k").as("p10"))
-    val m20 = Eval.metrics(res, qrelsX, k = 20)
-      .select(col("qid"), col("p_at_k").as("p20"))
-    // bounded output (topics × 9 α) → single-file merge is safe
-    m10.join(m20, Seq("qid"))
+    // one pass for both cutoffs (rel@k is the only k-dependent
+    // aggregate); the former two metrics() calls re-executed the
+    // whole retrieval + KDE-sweep DAG per cutoff
+    Eval.metricsAtKs(res, qrelsX, Seq(10, 20))
+      .select(col("qid"), col("ap"), col("p_at_10").as("p10"),
+        col("p_at_20").as("p20"))
       .orderBy("qid")
       .select(concat_ws("\t", col("qid"),
         concat_ws(",", round(col("ap"), 6), round(col("p10"), 6),

@@ -509,7 +509,12 @@ object RelationalQueries {
         val ev = Tables(s, dir, "events")
           .select("event_id", "user_id", "event_type")
         val dim = ev.groupBy("user_id").agg(count(lit(1)).as("n_user"))
-        val salted = ev.withColumn("salt", expr("CAST(event_id % 8 AS INT)"))
+        // pmod, not %: Spark's % takes the dividend's sign, so a
+        // negative event_id would salt to a negative bucket that
+        // matches NO dimx row and silently drops the event from the
+        // inner join (review r14; the fixture's ids happen to be
+        // non-negative, which is exactly why the gate couldn't see it)
+        val salted = ev.withColumn("salt", expr("CAST(pmod(event_id, 8) AS INT)"))
         val dimx = dim.crossJoin(
           broadcast(s.range(0, 8).select(col("id").cast("int").as("salt"))))
         salted.join(dimx, Seq("user_id", "salt"))

@@ -31,6 +31,25 @@ object TemporalQueries {
   private val rescoreExpr = Kde.rescoreExpr()
   private val bwExpr = Kde.bwExpr
 
+  /** The ir20/ir27 shared DuckDB KDE chain (top-10 epochs -> Silverman
+    * bandwidth -> k x k kernel sums). ONE string (review r14): the two
+    * gated oracles used to carry character-identical 12-line copies
+    * that could silently drift apart on any future bandwidth tweak.
+    */
+  private val kdeCtes: String =
+    s"""top AS (SELECT qid, doc_id, score, $epochExpr AS ep
+       |        FROM ranked WHERE rank <= 10),
+       |stats AS (SELECT qid, stddev_samp(ep) AS sd, count(*) AS k
+       |          FROM top GROUP BY qid),
+       |bws AS (SELECT qid, k, $bwExpr AS bw FROM stats),
+       |kdes AS (
+       |  SELECT a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k,
+       |         sum($kdeTerm) AS ksum
+       |  FROM top a
+       |  JOIN (SELECT qid, ep AS ep2 FROM top) b USING (qid)
+       |  JOIN bws USING (qid)
+       |  GROUP BY a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k)""".stripMargin
+
   val all: Seq[Decl] = Seq(
     Decl(
       "ir20_kde_rerank",
@@ -40,18 +59,7 @@ object TemporalQueries {
             .withColumn("ep", expr(epochExpr))),
       Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
         s""",
-           |top AS (SELECT qid, doc_id, score, $epochExpr AS ep
-           |        FROM ranked WHERE rank <= 10),
-           |stats AS (SELECT qid, stddev_samp(ep) AS sd, count(*) AS k
-           |          FROM top GROUP BY qid),
-           |bws AS (SELECT qid, k, $bwExpr AS bw FROM stats),
-           |kdes AS (
-           |  SELECT a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k,
-           |         sum($kdeTerm) AS ksum
-           |  FROM top a
-           |  JOIN (SELECT qid, ep AS ep2 FROM top) b USING (qid)
-           |  JOIN bws USING (qid)
-           |  GROUP BY a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k),
+           |$kdeCtes,
            |rescored AS (
            |  SELECT qid, doc_id, $kdeFinal AS kde, score FROM kdes)
            |SELECT qid, doc_id, $rescoreExpr AS new_score,
@@ -75,18 +83,7 @@ object TemporalQueries {
       },
       Some(duckScoreCtes(lmdirPart, lmdirFinal, conjunctive = false) +
         s""",
-           |top AS (SELECT qid, doc_id, score, $epochExpr AS ep
-           |        FROM ranked WHERE rank <= 10),
-           |stats AS (SELECT qid, stddev_samp(ep) AS sd, count(*) AS k
-           |          FROM top GROUP BY qid),
-           |bws AS (SELECT qid, k, $bwExpr AS bw FROM stats),
-           |kdes AS (
-           |  SELECT a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k,
-           |         sum($kdeTerm) AS ksum
-           |  FROM top a
-           |  JOIN (SELECT qid, ep AS ep2 FROM top) b USING (qid)
-           |  JOIN bws USING (qid)
-           |  GROUP BY a.qid, a.doc_id, a.score, a.ep, bws.bw, bws.k),
+           |$kdeCtes,
            |dens AS (SELECT qid, doc_id, score, $kdeFinal AS kde FROM kdes),
            |grid AS (SELECT unnest([0,1,2,3,4]) * CAST(0.2 AS DOUBLE)
            |         + CAST(0.1 AS DOUBLE) AS alpha),

@@ -24,11 +24,14 @@ object Kde {
   val kdeTerm = "exp(-5e-1 * pow((ep - ep2) / bw, 2))"
   val kdeFinal = "ksum / (k * bw * sqrt(2 * pi()))"
   // assert_true guards the weighted path: retrieval scores used as
-  // kernel weights must be positive (log-probability scorers emit
-  // negative scores; silently dividing by a nonpositive weight sum
-  // would NULL every ln(kde) and rank garbage without an error).
+  // kernel weights must EACH be positive (log-probability scorers emit
+  // negative scores). The guard is on the per-query MINIMUM, not the
+  // weight sum (review r14): mixed-sign scores can keep wtot > 0 while
+  // negative kernel terms drive some docs' ksum <= 0 — ln(kde) then
+  // NULLs and those docs silently rank last, exactly the failure the
+  // guard exists to prevent.
   val kdeFinalWeighted =
-    "CASE WHEN assert_true(wtot > 0, 'weighted KDE requires positive " +
+    "CASE WHEN assert_true(wmin > 0, 'weighted KDE requires positive " +
       "scores as weights (use exp(log-score) or the unweighted variant)') " +
       "IS NULL THEN ksum / (wtot * bw * sqrt(2 * pi())) END"
   val bwExpr = "greatest(1.06e0 * sd * pow(k, -2e-1), 1e0)"
@@ -120,6 +123,7 @@ object Kde {
       .withColumn("sd", expr(s"stddev_samp(ep) OVER $w"))
       .withColumn("k", expr(s"count(*) OVER $w"))
       .withColumn("wtot", expr(s"sum(score) OVER $w"))
+      .withColumn("wmin", expr(s"min(score) OVER $w"))
       .withColumn("pts", expr(
         s"sort_array(collect_list(struct(ep AS ep2, score AS w2)) OVER $w)"))
     bw match {
@@ -158,9 +162,14 @@ object Kde {
 
   /** α-sweep rescoring (`RunQueryKDEHBase.java:30` sweeps α 0.1..0.9):
     * the k×k density is computed ONCE, the α grid only re-mixes it.
+    * Same density knobs as [[rescore]] (review r14 — the sweep used to
+    * hard-code the defaults, making the reference's weighted/SJ shape
+    * unreachable in sweep form).
     */
-  def rescoreSweep(ranked: DataFrame, alphas: DataFrame): DataFrame =
-    withDensity(ranked)
+  def rescoreSweep(ranked: DataFrame, alphas: DataFrame,
+                   weighted: Boolean = false,
+                   bw: String = "silverman"): DataFrame =
+    withDensity(ranked, weighted, bw)
       .crossJoin(broadcast(alphas))
       .withColumn("new_score", expr(rescoreExpr("alpha")))
       .withColumn("new_rank",

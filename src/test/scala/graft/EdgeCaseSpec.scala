@@ -72,6 +72,49 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!m.anyNull)
   }
 
+  test("eval: tied ranks cannot inflate AP past 1 (ROWS frame, not RANGE)") {
+    // two docs sharing rank 1 (raw-score ranks): the default RANGE
+    // frame counted BOTH rows' rel into each peer's cum_rel, summing
+    // ap_num = 2/1 + 2/1 = 4 and reporting ap = 2.0 silently
+    val results = Seq(("q1", "d1", 1), ("q1", "d2", 1))
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q1", "d1", 1), ("q1", "d2", 1))
+      .toDF("qid", "doc_id", "rel")
+    val m = graft.eval.Eval.metrics(results, qrels).head()
+    val ap = m.getAs[Double]("ap")
+    assert(ap > 0.0 && ap <= 1.0, s"tied-rank ap = $ap")
+  }
+
+  test("eval: metricsAtKs computes several cutoffs in one pass, " +
+    "matching per-k metrics()") {
+    val results = Seq(("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3))
+      .toDF("qid", "doc_id", "rank")
+    val qrels = Seq(("q1", "d1", 1), ("q1", "d3", 1))
+      .toDF("qid", "doc_id", "rel")
+    val multi = graft.eval.Eval.metricsAtKs(results, qrels, Seq(1, 2)).head()
+    assert(multi.getAs[Double]("p_at_1") ==
+      graft.eval.Eval.metrics(results, qrels, k = 1)
+        .head().getAs[Double]("p_at_k"))
+    assert(multi.getAs[Double]("p_at_2") ==
+      graft.eval.Eval.metrics(results, qrels, k = 2)
+        .head().getAs[Double]("p_at_k"))
+  }
+
+  test("weighted KDE refuses MIXED-sign scores, not just a negative sum") {
+    // wtot = 0.2 > 0, but the -4.9 kernel weight can drive some docs'
+    // density <= 0 -> NULL ln(kde) -> silent garbage ranks; the guard
+    // is on the per-query MINIMUM weight
+    val ranked = Seq(
+      ("q1", 1L, 5.1, 1700000000L), ("q1", 2L, -4.9, 1700000600L))
+      .toDF("qid", "doc_id", "score", "ep")
+    val e = intercept[Exception] {
+      graft.temporal.Kde.rescore(ranked, weighted = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("positive")), e.toString)
+  }
+
   test("kde rescore with a single result per query (sd undefined) holds") {
     val ranked = Seq(("q1", 7L, -3.5, 1700000000L))
       .toDF("qid", "doc_id", "score", "ep")
