@@ -155,22 +155,15 @@ object Index {
     val dl = spark.read.parquet(s"$path/doclen")
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
     val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
-    val grouped = tf.join(broadcast(q), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(qlen), Seq("qid"))
-      .crossJoin(broadcast(cs))
-      .withColumn("part", expr(partExpr))
-      .groupBy("qid", "doc_id", "dl", "qlen")
-      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
-    val gated =
-      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
-      else grouped
-    gated
-      .withColumn("score", expr(finalExpr))
-      .withColumn("rank",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
-      .filter(col("rank") <= k)
-      .select("qid", "doc_id", "score", "rank")
+    // part -> gate -> rank is Retrieval.scoreMatched VERBATIM (review
+    // r14: this block was copy-pasted four times across the scorers —
+    // one definition, so a gating/tie-break change can never drift)
+    Retrieval.scoreMatched(
+      tf.join(broadcast(q), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(qlen), Seq("qid"))
+        .crossJoin(broadcast(cs)),
+      partExpr, finalExpr, conjunctive, k)
   }
 
   /** Retrieval from the materialized index — identical semantics to
@@ -182,25 +175,21 @@ object Index {
     val tf = dv.select(col("doc_id"), explode(col("dv")).as(Seq("term", "tf")))
     val dl = dv.select(col("doc_id"), col("len").as("dl"))
     val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val tstats = termStats(dv)
+    // df/cf from the SAME exploded frame the scorer scans (review r14:
+    // termStats(dv) exploded the map column a second time — two
+    // independent index scans per query batch, the duplicated-subtree
+    // shape matchedTermsFromTf's own comment warns about); semantics
+    // identical — tf has one row per (doc, term), so count(*) = df
+    val tstats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .join(q.select("term").distinct(), Seq("term"), "left_semi")
     val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
-    val grouped = tf.join(broadcast(q), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .join(broadcast(tstats), Seq("term"))
-      .join(broadcast(qlen), Seq("qid"))
-      .crossJoin(broadcast(cs))
-      .withColumn("part", expr(partExpr))
-      .groupBy("qid", "doc_id", "dl", "qlen")
-      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
-    val gated =
-      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
-      else grouped
-    gated
-      .withColumn("score", expr(finalExpr))
-      .withColumn("rank",
-        expr("row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id)"))
-      .filter(col("rank") <= k)
-      .select("qid", "doc_id", "score", "rank")
+    Retrieval.scoreMatched(
+      tf.join(broadcast(q), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .join(broadcast(tstats), Seq("term"))
+        .join(broadcast(qlen), Seq("qid"))
+        .crossJoin(broadcast(cs)),
+      partExpr, finalExpr, conjunctive, k)
   }
 }

@@ -76,9 +76,19 @@ object Retrieval {
     * matching ≥1 term emitted). Ref: `TrecRunBaselines.java:168-180`.
     * Fractional literals use e-notation — DOUBLE in both engines (bare
     * `0.5` would be DECIMAL in Spark; see IrQueries cross-engine rule).
+    *
+    * Association order (review r14): divide into DOUBLE before any
+    * BIGINT×BIGINT product — the old `tf * n_tokens * λ / (cf * dl
+    * * …)` grouped (tf·n_tokens) and (cf·dl) as Long products first,
+    * which at the 100 TB design point (n_tokens ~ 2e13) silently WRAPS
+    * in Spark's non-ANSI arithmetic (mis-scoring the doc as NaN/NULL)
+    * and hard-errors in DuckDB — the engines diverging exactly when it
+    * matters. `(n_tokens / cf)` is the lmdirPart convention; the
+    * string is SHARED with the oracle, so both engines carry the same
+    * (floating-point-wise slightly re-associated) formula.
     */
   def lmjmPart(lam: String = "5e-1") =
-    s"ln(1 + tf * n_tokens * $lam / (cf * dl * (1 - $lam)))"
+    s"ln(1 + tf * $lam * (n_tokens / cf) / (dl * (1 - $lam)))"
   val lmjmFinal = "round(score_sum + ln(dl), 6)"
 
   /** Dirichlet smoothing, µ=2500. Ref: `TrecRunBaselines.java:210-220`. */

@@ -18,13 +18,26 @@ object Html {
 
   /** Strip leading non-HTML (e.g. the HTTP response header) up to the
     * first tag, drop script blocks and all tags, collapse whitespace.
+    *
+    * Review r14, two fixes on a previously untested path: (1) the
+    * header strip anchors on the first '<' via a kept capture — the
+    * old bare `^[^<]*` matched the WHOLE string of a tag-free payload
+    * (plain text, JSON) and silently deleted the document; now a
+    * tag-free doc passes through intact (header stripping only makes
+    * sense when markup exists). (2) whitespace collapse is its own
+    * final pass — the old combined `<tag>|\s+` alternation replaced
+    * each ADJACENT match with its own space ('a <b> c' → 'a   c'),
+    * never actually collapsing as the scaladoc and the reference
+    * chain (tag-strip THEN \s+ collapse) specify.
     */
   def htmlToText(c: Column): Column =
     trim(regexp_replace(
       regexp_replace(
-        regexp_replace(c, "(?s)^[^<]*", " "),
-        "(?is)<script.*?</script>", " "),
-      "(?s)<[^>]*>|\\s+", " "))
+        regexp_replace(
+          regexp_replace(c, "(?s)^[^<]*(<)", "$1"),
+          "(?is)<script.*?</script>", " "),
+        "(?s)<[^>]*>", " "),
+      "\\s+", " "))
 
   def htmlToTextLower(c: Column): Column = lower(htmlToText(c))
 

@@ -115,8 +115,31 @@ object KrovetzStem {
     "exploring" -> "explore", "bored" -> "bore",
     "restored" -> "restore", "restoring" -> "restore",
     "measured" -> "measure", "measuring" -> "measure",
-    "figured" -> "figure", "captured" -> "capture",
-    "featured" -> "feature", "secured" -> "secure")
+    "figured" -> "figure", "figuring" -> "figure",
+    "captured" -> "capture", "capturing" -> "capture",
+    "featured" -> "feature", "featuring" -> "feature",
+    "secured" -> "secure", "securing" -> "secure",
+    "tiring" -> "tire", "boring" -> "bore", "desiring" -> "desire",
+    "admiring" -> "admire", "inspiring" -> "inspire",
+    "retiring" -> "retire", "devoting" -> "devote",
+    // --- conflation: '-ng' verb stems (review r14: restoreE's 'g'
+    //     rule is right for the chang-/arrang-/manag- family but
+    //     appends a spurious 'e' to real -ng stems — singing→'singe'
+    //     collided with the distinct verb singe; orthography cannot
+    //     split sing(4)/chang(5), only a lexicon layer can) ---
+    "singing" -> "sing", "bringing" -> "bring", "hanging" -> "hang",
+    "hanged" -> "hang", "ringing" -> "ring", "ringed" -> "ring",
+    "springing" -> "spring", "stringing" -> "string",
+    "swinging" -> "swing", "clinging" -> "cling",
+    "stinging" -> "sting", "flinging" -> "fling",
+    "slinging" -> "sling", "banging" -> "bang", "banged" -> "bang",
+    "longing" -> "long", "longed" -> "long", "winged" -> "wing",
+    "belonging" -> "belong", "belonged" -> "belong",
+    // --- conflation: 'z'-final stems (review r14: the -zzes rule now
+    //     keeps doubled stems — buzzes→buzz, jazzes→jazz — and quiz,
+    //     which DOUBLES in inflection, conflates here; doubled()
+    //     excludes 'z' to protect the buzz family) ---
+    "quizzes" -> "quiz", "quizzed" -> "quiz", "quizzing" -> "quiz")
 
   private val V = "('a','e','i','o','u')"
 
@@ -149,7 +172,7 @@ object KrovetzStem {
     s"""CASE
        | WHEN ${ends(c, "ics", 4)} THEN $c
        | WHEN ${ends(c, "ies", 5)} THEN ${drop(c, 3)} || 'y'
-       | WHEN ${ends(c, "zzes", 5)} THEN ${drop(c, 3)}
+       | WHEN ${ends(c, "zzes", 5)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "sses", 5)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "shes", 5)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "ches", 5)} THEN ${drop(c, 2)}

@@ -183,6 +183,39 @@ class WarcSpec extends SparkSpec {
     assert(got === full.substring(0, cap))
   }
 
+  test("htmlToText: header strip, script drop, tag strip, REAL whitespace " +
+    "collapse; a tag-free payload survives intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // previously untested public API (the S2 WarcTextConverter
+    // replacement, MIGRATION.md) — review r14 found two live bugs:
+    // tag-free docs deleted wholesale, adjacent-match "collapse" that
+    // left one space per stripped token
+    val rows = Seq(
+      // HTTP header + html + script: header gone, script gone, tags
+      // gone, interior runs collapsed to ONE space
+      (1L, "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "<html><script>var x = '<b>';</script><body>a <b>big</b>  " +
+        "dog</body></html>"),
+      (2L, "plain text with no tags at all"), // must survive verbatim
+      (3L, "{\"json\": 1, \"payload\": true}")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+      graft.text.Html.htmlToText(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "a big dog", s"got '${out(1L)}'")
+    assert(out(2L) == "plain text with no tags at all", s"got '${out(2L)}'")
+    assert(out(3L) == "{\"json\": 1, \"payload\": true}", s"got '${out(3L)}'")
+    // and on the reference's own golden WARC: every response page
+    // yields non-empty tag-free text through the lowercased variant
+    val pages = Warc.read(spark, resource("test.warc.gz"))
+      .filter(col("recordType") === "response")
+      .select(graft.text.Html.htmlToTextLower(col("content")).as("t"))
+      .collect().map(_.getString(0))
+    assert(pages.nonEmpty && pages.forall(t => t.nonEmpty && !t.contains("<")),
+      pages.mkString("|").take(200))
+  }
+
   test("glue: over-ceiling hub count raises loudly instead of broadcasting") {
     import spark.implicits._
     // r13 advice: the hub set is broadcast on the power-law claim, but

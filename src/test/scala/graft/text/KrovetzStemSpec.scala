@@ -312,4 +312,35 @@ class KrovetzStemSpec extends SparkSpec {
     assert(r.getString(0) == "movie")
     assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
   }
+
+  test("review-r14 families: -ng stems, z-final stems, -ing twins") {
+    val m = stemAll(Seq(
+      // -ng verbs: restoreE's 'g' rule must not mint 'singe'/'belonge'
+      "singing", "bringing", "hanging", "hanged", "belonging",
+      "belonged", "longing", "springing",
+      // ...while the chang-/manag- family still restores its 'e'
+      "changing", "managing", "arranging", "challenging",
+      // z policy: doubled stems keep their zz; quiz (which doubles in
+      // inflection) conflates via the table
+      "buzzes", "buzzed", "buzzing", "jazzes", "quizzes", "quizzed",
+      "quizzing",
+      // -ed/-ing twins that used to stem apart
+      "tired", "tiring", "bored", "boring", "figured", "figuring",
+      "captured", "capturing", "secured", "securing"))
+    assert(m("singing") == "sing" && m("bringing") == "bring")
+    assert(m("hanging") == "hang" && m("hanged") == "hang")
+    assert(m("belonging") == "belong" && m("belonged") == "belong")
+    assert(m("longing") == "long" && m("springing") == "spring")
+    assert(m("changing") == "change" && m("managing") == "manage")
+    assert(m("arranging") == "arrange" && m("challenging") == "challenge")
+    assert(m("buzzes") == "buzz" && m("buzzed") == "buzz"
+      && m("buzzing") == "buzz" && m("jazzes") == "jazz")
+    assert(m("quizzes") == "quiz" && m("quizzed") == "quiz"
+      && m("quizzing") == "quiz")
+    assert(m("tired") == "tire" && m("tiring") == "tire")
+    assert(m("bored") == "bore" && m("boring") == "bore")
+    assert(m("figured") == "figure" && m("figuring") == "figure")
+    assert(m("captured") == "capture" && m("capturing") == "capture")
+    assert(m("secured") == "secure" && m("securing") == "secure")
+  }
 }
