@@ -256,7 +256,11 @@ object Multimodal {
   /** Frame-sampling stub: every k-th fake frame index of a video blob —
     * the partitioning/explode shape of real frame extraction.
     */
-  def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame =
+  def sampleFrames(meta: Dataset[MediaMeta], everyK: Int): DataFrame = {
+    // loud driver-side require (review r14): everyK <= 0 would reach
+    // sequence() and throw per-row mid-job — the late-failure class
+    // the n_frames guard below exists to prevent
+    require(everyK >= 1, s"sampleFrames needs everyK >= 1, got $everyK")
     meta.toDF()
       // n_frames > 0: a zero-frame video (fragmented MP4 with sample
       // counts in moof/trun, or a metadata-less fallback decode) has
@@ -267,6 +271,7 @@ object Multimodal {
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
           .as("frame_idx"))
+  }
 
   /** Resize plan: clamp the longer side to `maxDim`, preserving aspect
     * ratio with integer floor math (the metadata transform of a real

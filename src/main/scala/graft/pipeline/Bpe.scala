@@ -208,32 +208,80 @@ object Bpe {
         }
         merges += ((a, b))
         dict = dict.map { case (cs, wc) =>
-          // left-to-right non-overlapping: merge when the PREVIOUSLY
-          // EMITTED symbol is exactly `a` and the next is `b` — the
-          // in-memory twin of foldPassExpr's endswith(acc, sep+a) test
-          val out = ArrayBuffer.empty[String]
-          cs.foreach { x =>
-            if (out.nonEmpty && out.last == a && x == b)
-              out(out.length - 1) = a + b
-            else out += x
-          }
-          (out.toArray, wc)
+          (applyMergePass(cs, a, b), wc)
         }
       }
     }
     merges.toSeq
   }
 
+  /** One left-to-right non-overlapping merge pass over a symbol
+    * array — the in-memory twin of [[foldPassExpr]], shared by the
+    * local trainer and the broadcast encoder so the three
+    * implementations of the pass can never drift (merge when the
+    * previously EMITTED symbol is exactly `a` and the next is `b`).
+    */
+  private[pipeline] def applyMergePass(cs: Array[String], a: String,
+                                       b: String): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    cs.foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b)
+        out(out.length - 1) = a + b
+      else out += x
+    }
+    out.toArray
+  }
+
+  /** Measured ceiling of the pure-expression encoder (ProbeBpeDepth,
+    * `probes/bpedepth.log`): each merge nests one split(fold(…)) level
+    * into a single Catalyst expression, and the analyzer dies at
+    * k = 64 (max-resolution-iterations; ParseException/StackOverflow
+    * as k grows) — k = 32 runs, k = 64 does not. Review r14: the old
+    * encoder was expression-only, so the module's own
+    * tokenizeAndPack(kMerges = 256) DEFAULT could never execute.
+    */
+  val ExprMergeCeiling: Int = 32
+
   /** Apply a learned merge table to a word column: adds `syms`, the
-    * BPE symbol array. Pure narrow map — merges are literals.
+    * BPE symbol array. Dispatches on the measured expression ceiling:
+    * small tables run as the pure-expression narrow map (codegen'd,
+    * SQL-replayable — the px63 oracle shape); larger ones as a
+    * broadcast-table encoder ([[applyMergePass]] per merge per word,
+    * one task-side loop — Catalyst cannot hold a 32k-rule rewriting
+    * system in one expression tree, so this is the mandate's
+    * "mapPartitions as a last resort" case, with the per-word cost
+    * O(|merges|·len) documented honestly; both forms are
+    * equivalence-pinned in BpeSpec).
     */
   def encodeWords(words: DataFrame, merges: Seq[(String, String)],
                   wordCol: String = "w"): DataFrame =
+    if (merges.size <= ExprMergeCeiling)
+      encodeWordsExpr(words, merges, wordCol)
+    else encodeWordsBroadcast(words, merges, wordCol)
+
+  private[graft] def encodeWordsExpr(words: DataFrame,
+                                        merges: Seq[(String, String)],
+                                        wordCol: String): DataFrame =
     words.withColumn("syms",
       expr(merges.foldLeft(charsExpr(wordCol)) {
         case (arr, (a, b)) =>
           splitExpr(foldPassExpr(arr, s"'${esc(a)}'", s"'${esc(b)}'"))
       }))
+
+  private[graft] def encodeWordsBroadcast(words: DataFrame,
+                                             merges: Seq[(String, String)],
+                                             wordCol: String): DataFrame = {
+    val bc = words.sparkSession.sparkContext.broadcast(merges.toArray)
+    val enc = udf { (w: String) =>
+      if (w == null) null // NULL word -> NULL syms, the expr-form rule
+      else {
+        var cs = w.split("").filter(_.nonEmpty)
+        bc.value.foreach { case (a, b) => cs = applyMergePass(cs, a, b) }
+        cs
+      }
+    }
+    words.withColumn("syms", enc(col(wordCol)))
+  }
 
   /** Weight column for symbol statistics: the dictionary's word count
     * when the frame carries one, else 1 per row (a raw word list

@@ -116,9 +116,15 @@ object Classify {
                      buckets: Int = 1024): DataFrame = {
     val feat = TextOps.tokens(docs)
       .select(col("doc_id"), (DetHash.h60(col("term")) % buckets).as("b"))
-    val cnt = feat.join(labels, Seq("doc_id"))
+    // LEFT join (review r14): the raw-corpus LM must cover ALL docs —
+    // the old inner join built BOTH models from the labeled subset,
+    // and a bucket appearing only in unlabeled docs then vanished
+    // from cnt, silently dropping those tokens from n_tokens/log_w at
+    // the (inner) bucket join below. Identical when labels cover every
+    // doc (the px49 oracle shape); honest when they do not.
+    val cnt = feat.join(labels, Seq("doc_id"), "left")
       .groupBy("b")
-      .agg(expr("CAST(sum(y) AS BIGINT)").as("ct"),
+      .agg(expr("CAST(sum(coalesce(y, 0)) AS BIGINT)").as("ct"),
         expr("CAST(count(*) AS BIGINT)").as("cr"))
     val tot = cnt.agg(expr("CAST(sum(ct) AS BIGINT)").as("nt"),
       expr("CAST(sum(cr) AS BIGINT)").as("nr"))

@@ -78,28 +78,53 @@ object Sketches {
     * and the "top-k" silently wrong — that row RAISES with a
     * grow-capacity message instead (execution-time, per result row; n
     * is counted inside the same sketch pass, no extra scan).
-    * `certify = false` opts a caller into the uncertified answer
-    * (note: on a low-pressure corpus — vocabulary near/below capacity —
-    * the answer can be exact even below the bound; the default still
-    * raises because exactness cannot be certified from the result).
+    * `certify = false` opts a caller into the uncertified answer.
+    * Low-pressure corpora (vocabulary at/below capacity) are detected
+    * exactly (r14): a sketch that never EVICTED holds the full
+    * vocabulary, so its recount is certifiably exact at any size —
+    * no bound check, vocab < k returns all terms, the empty corpus
+    * returns empty; only an evicted sketch pays the
+    * survival-guarantee gate (which also refuses a truncated top-k:
+    * fewer candidates than k under eviction means the absent ranks
+    * are uncertifiable).
     */
   def topKTermsMg(docs: DataFrame, k: Int, capacity: Int = 4096,
                   certify: Boolean = true): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = TextOps.tokens(docs).select("term")
-    val (candMap, n) = toks.as[String].rdd
-      .treeAggregate((mutable.HashMap.empty[String, Long], 0L))(
-        (acc, t) => (mgAdd(acc._1, t, capacity), acc._2 + 1L),
-        (a, b) => (mgMerge(a._1, b._1, capacity), a._2 + b._2))
+    // `ev` tracks whether ANY sketch ever evicted (review r14): a
+    // never-evicted sketch holds the EXACT vocabulary, so its recount
+    // is certifiably exact at any size — including vocab < k and the
+    // empty corpus — with no bound check at all; only an evicted
+    // sketch needs the survival-guarantee machinery below.
+    val (candMap, n, evicted) = toks.as[String].rdd
+      .treeAggregate((mutable.HashMap.empty[String, Long], 0L, false))(
+        { case ((m, c, ev), t) =>
+          val willEvict = !m.contains(t) && m.size >= capacity
+          (mgAdd(m, t, capacity), c + 1L, ev || willEvict) },
+        { case ((m1, c1, e1), (m2, c2, e2)) =>
+          val unionOver = (m1.keySet | m2.keySet).size > capacity
+          (mgMerge(m1, m2, capacity), c1 + c2, e1 || e2 || unionOver) })
     val cands = candMap.keysIterator.toSeq
     val top = toks
       .join(broadcast(cands.toDF("term")), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("term"))
       .limit(k)
-    if (!certify) top
+    if (!certify || !evicted) top
     else {
+      // fewer candidates than k under eviction (review r14): every
+      // term with freq > n/(capacity+1) SURVIVES the sketch, so a
+      // candidate set smaller than k means ranks |cands|+1..k are all
+      // at-or-below the bound — uncertifiable by the same rule the
+      // row filter enforces; a truncated "certified" top-k would
+      // silently pass otherwise. Driver-known, zero extra actions.
+      require(cands.size >= k,
+        s"topKTermsMg: only ${cands.size} sketch candidates for a " +
+          s"certified top-$k — every absent rank is at or below " +
+          s"n/(capacity+1); grow capacity (n=$n, capacity=$capacity) " +
+          s"or pass certify = false")
       // FILTER predicate, not a column rewrite (r13 advice): a CASE
       // projected onto cnt is dropped by Catalyst column PRUNING the
       // moment a consumer selects only `term` — the certification

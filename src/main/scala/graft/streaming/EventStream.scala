@@ -156,8 +156,15 @@ object EventStream {
   }
 
   /** Streaming exact dedup of a document stream: keep the FIRST
-    * arrival per content hash (the streaming twin of
-    * `Dedup.exactKeepers`' batch semantics). The watermark bounds the
+    * arrival per content hash. Twin of `Dedup.exactKeepers` at the
+    * SET level only (review r14): the batch op keeps the min-doc_id
+    * copy, while a stream can only keep what arrived first — the
+    * surviving doc per hash is ARRIVAL-ORDER-determined (stable for a
+    * fixed micro-batch sequence, but a different file listing or
+    * maxFilesPerTrigger can change WHICH duplicate survives, where
+    * the batch twin always picks the same one). Downstream logic must
+    * key on the content hash, not the survivor's identity.
+    * The watermark bounds the
     * dedup state the same way the 100 TB batch path bounds its
     * shuffle: hashes older than the horizon are dropped from state —
     * an unbounded-state dedup cannot run forever.
@@ -168,11 +175,18 @@ object EventStream {
     * `ingestCol` is the event-time column the watermark rides on.
     */
   def dedupStream(docs: DataFrame, ingestCol: String,
-                  watermark: String = "1 hour"): DataFrame =
+                  watermark: String = "1 hour"): DataFrame = {
+    // reserved-name guard (review r14, the Sharding convention): the
+    // internal hash column would silently OVERWRITE a user column
+    // named h and leak the md5 under that name
+    require(!docs.columns.exists(_.equalsIgnoreCase("h")),
+      "dedupStream adds an internal column 'h'; the input already " +
+        "carries one — rename it first")
     docs
       .withColumn("h", md5(col("text")))
       .withWatermark(ingestCol, watermark)
       .dropDuplicatesWithinWatermark("h")
+  }
 
   /** Streaming execution into an in-memory sink named `queryName`;
     * caller drives with `processAllAvailable()` and reads

@@ -152,4 +152,38 @@ class BpeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("encodeWords past the expression ceiling: broadcast form, " +
+    "bit-equal to the expr form in the shared range") {
+    // review r14: the expression encoder nests one level per merge and
+    // Spark's analyzer dies at k = 64 (probes/bpedepth.log) — the old
+    // expression-only encoder made tokenizeAndPack's own kMerges = 256
+    // default unrunnable. encodeWords now dispatches at the measured
+    // ceiling; the two forms must agree wherever both run.
+    val docs = graft.Tables(spark, sfTiny, "documents")
+      .limit(120).select("doc_id", "text")
+    val words = Bpe.wordDict(docs)
+    val merges = Bpe.trainLocal(docs, Bpe.ExprMergeCeiling)
+    assert(merges.size == Bpe.ExprMergeCeiling, s"${merges.size} merges")
+    val e = Bpe.encodeWordsExpr(words, merges, "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    val b = Bpe.encodeWordsBroadcast(words, merges, "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(e == b, "expr and broadcast encoders diverged")
+    // and the dispatcher really crosses the ceiling: a 64-merge table
+    // (which kills the expression form) encodes fine
+    val merges64 = Bpe.trainLocal(docs, 64)
+    assert(merges64.size == 64)
+    val enc64 = Bpe.encodeWords(words, merges64)
+    assert(enc64.filter(org.apache.spark.sql.functions.col("syms").isNull)
+      .count() == 0)
+    assert(enc64.count() == words.count())
+    // prefix-consistency: the first 32 merges of the 64-table encode
+    // identically through either form (merges apply in table order)
+    val b32of64 = Bpe.encodeWordsBroadcast(words, merges64.take(32), "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    val e32of64 = Bpe.encodeWordsExpr(words, merges64.take(32), "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(b32of64 == e32of64)
+  }
 }
