@@ -374,7 +374,7 @@ object Dedup {
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+        graft.text.TextOps.tokArrayCol(col("text"))
           .as("toks"))
       .select(col("doc_id"),
         posexplode(TextOps.shinglesFromToks(col("toks"), n))
@@ -417,6 +417,15 @@ object Dedup {
     * no cross-cluster pair ever materializes. SemDedupSpec asserts the
     * pair-count scaling on this API.
     */
+  /** Zero-norm embeddings (padding rows, dead docs) have NO defined
+    * cosine. They are EXCLUDED from pairing (the `Ann.cosineTopK`
+    * zero-norm rule — without the filter one zero vector would
+    * DIVIDE_BY_ZERO the whole job under the session's ANSI default,
+    * review r14) and always return keep = 1, including two IDENTICAL
+    * all-zero vectors: semantic dedup has no defined similarity for
+    * them — route exact duplicates (zero-norm ones included) through
+    * [[exactKeepers]], the exact-dup tool.
+    */
   def semDedup(corpus: DataFrame, kClusters: Int, iters: Int,
                threshold: Double,
                idCol: String = "vec_id",
@@ -436,8 +445,12 @@ object Dedup {
     val b = arr.select(col("cid"), col("vid").as("v2"),
       col("emb").as("eb"), col("nrm").as("nb"))
     // e-notation via toString keeps the literal DOUBLE (cross-engine
-    // rule); round-then-compare pins the FP boundary deterministically
-    val dropped = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+    // rule); round-then-compare pins the FP boundary deterministically.
+    // Zero-norm rows sit out the pairing (see scaladoc) — both sides,
+    // so they neither drop others nor get dropped.
+    val dropped = a.filter(col("na") > 0)
+      .join(b.filter(col("nb") > 0), Seq("cid"))
+      .filter(col("v1") < col("v2"))
       .withColumn("cos",
         expr(s"round(dot_f64(ea, eb) / (sqrt(na) * sqrt(nb)), 6)"))
       .filter(col("cos") >= lit(threshold))
@@ -760,9 +773,15 @@ object Dedup {
         when(col("fold") < nFolds - nVal, "train").otherwise("val"))
   }
 
-  /** Exact-dup survivor filter: keep the min-id doc per content hash. */
+  /** Exact-dup survivor filter: keep the min-id doc per content hash.
+    * NULL text reads as the EMPTY string (review r14) — the scrub
+    * kernels' convention repo-wide — so NULL-text and empty-text docs
+    * dedup as one group; the old md5(NULL) = NULL key silently
+    * deduped all NULL-text docs against each other (content that was
+    * never compared) while keeping them distinct from '' docs.
+    */
   def exactKeepers(docs: DataFrame): DataFrame =
-    docs.groupBy(md5(col("text")).as("h"))
+    docs.groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 

@@ -50,13 +50,18 @@ object TextMetrics {
         "stop_ratio", "punct_ratio", "quality")
   }
 
-  /** Whitespace and regex token counts per doc. */
+  /** Whitespace and regex token counts per doc. NULL text yields NULL
+    * counts (review r14): Spark's non-ANSI size() returns the -1
+    * sentinel on NULL input — a negative "count" that silently skews
+    * any downstream sum — while the px12 oracle's len(NULL) is NULL;
+    * the nullif pins both engines to the same NULL reading.
+    */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      expr("size(filter(split(text, '\\\\s+'), x -> x <> ''))").cast("bigint")
-        .as("n_ws"),
-      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0))")
+      expr("nullif(size(filter(split(text, '\\\\s+'), x -> x <> '')), -1)")
+        .cast("bigint").as("n_ws"),
+      expr("nullif(size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+', 0)), -1)")
         .cast("bigint").as("n_re"))
 
   /** Gopher-rule keep verdict over the stat columns emitted by
@@ -88,16 +93,23 @@ object TextMetrics {
         expr("filter(split(text, '\\\\s+'), x -> x <> '')").as("w"),
         expr("CAST(size(regexp_extract_all(text, '#|\\\\.\\\\.\\\\.', 0)) AS BIGINT)")
           .as("n_sym"))
-      // nullif guard: zero-word docs would DIVIDE_BY_ZERO under ANSI;
-      // with it their stats are NULL and the keep CASE quietly drops
-      // them (EdgeCaseSpec). Same guard in the px43 oracle for parity.
+      // nullif guards: zero-word docs would DIVIDE_BY_ZERO under ANSI
+      // (stats NULL, keep CASE quietly drops them — EdgeCaseSpec; same
+      // guard in the px43 oracle), and NULL-text docs would hit the
+      // non-ANSI size() = −1 sentinel — the old shape emitted
+      // n_words = −1 with alpha_frac = sym_ratio = (−1)/(−1) = 1.0, a
+      // plausible-looking PERFECT score for a doc with no text, where
+      // the oracle's len(NULL) is NULL (review r14). Both sentinels
+      // now read NULL on both engines; keep stays 0 either way.
       .select(col("doc_id"),
-        expr("CAST(size(w) AS BIGINT)").as("n_words"),
+        expr("nullif(CAST(size(w) AS BIGINT), -1)").as("n_words"),
         expr("round(aggregate(w, CAST(0 AS BIGINT), (a, x) -> a + length(x))" +
-          " / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)").as("mean_word_len"),
+          " / nullif(nullif(CAST(size(w) AS DOUBLE), 0e0), -1e0), 6)")
+          .as("mean_word_len"),
         expr("round(size(filter(w, x -> x rlike '[a-zA-Z]'))" +
-          " / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)").as("alpha_frac"),
-        expr("round(n_sym / nullif(CAST(size(w) AS DOUBLE), 0e0), 6)")
+          " / nullif(nullif(CAST(size(w) AS DOUBLE), 0e0), -1e0), 6)")
+          .as("alpha_frac"),
+        expr("round(n_sym / nullif(nullif(CAST(size(w) AS DOUBLE), 0e0), -1e0), 6)")
           .as("sym_ratio"))
       .withColumn("keep", expr(gopherKeepExpr))
 
@@ -339,8 +351,7 @@ object TextMetrics {
     // tokenizeAndPack's buffer, which was reducible to seqLen because
     // its output never needed the whole doc at once.
     val tk = docs.select(col("doc_id"),
-      coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
-        array().cast("array<string>")).as("tk"))
+      TextOps.tokArrayCol(col("text")).as("tk"))
       .withColumn("tot", expr(
         "aggregate(tk, CAST(0 AS BIGINT), (a, x) -> a + length(x))"))
     val pairs = tk
@@ -431,7 +442,7 @@ object TextMetrics {
   private def winnowedMinima(docs: DataFrame, k: Int, w: Int): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+        graft.text.TextOps.tokArrayCol(col("text"))
           .as("toks"))
       .select(col("doc_id"),
         posexplode(TextOps.shinglesFromToks(col("toks"), k))
@@ -455,7 +466,7 @@ object TextMetrics {
                     shardCol: String = "source"): DataFrame =
     docs
       .select(col(shardCol), col("doc_id"),
-        expr("size(filter(split(lower(text), '[^0-9a-z]+'), x -> x <> ''))")
+        size(graft.text.TextOps.tokArrayCol(col("text")))
           .cast("bigint").as("n_tok"))
       .withColumn("cum0", expr(
         s"coalesce(sum(n_tok) OVER (PARTITION BY $shardCol ORDER BY doc_id" +
@@ -499,7 +510,7 @@ object TextMetrics {
       s"need 0 < stride <= win, got win=$win stride=$stride")
     val base = docs
       .select(col("doc_id"),
-        expr("filter(split(lower(text), '[^0-9a-z]+'), x -> x <> '')")
+        graft.text.TextOps.tokArrayCol(col("text"))
           .as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("nw", expr(
@@ -594,8 +605,7 @@ object TextMetrics {
     // null text folds to the empty token array, so null docs come out
     // as ('', 0, 0) like empty docs — not a NULL n_removed
     val tk = docs.select(col("doc_id"),
-      coalesce(filter(TextOps.tokensCol(col("text")), t => t =!= ""),
-        array().cast("array<string>")).as("tk"))
+      TextOps.tokArrayCol(col("text")).as("tk"))
     // 1-based shingle starts, matching the oracle's list indexing
     val hs = tk
       .select(col("doc_id"),

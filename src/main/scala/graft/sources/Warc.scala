@@ -139,7 +139,26 @@ object Warc {
               s"WARC record at offset $start declares Content-Length $len " +
                 s"> supported ceiling $MaxRecordBytes (String-based parser; " +
                 "split oversized records upstream)")
-          val end = math.min(p + len, text.length.toLong).toInt
+          // TRUNCATION is loud, not a crash and not a silent clamp
+          // (review r14, confirmed by execution): headers running past
+          // EOF without their blank line left p = length + 1 and the
+          // substring below threw a raw StringIndexOutOfBounds; a
+          // declared Content-Length overrunning EOF was silently
+          // clamped — a half-record emitted as if complete. Both are
+          // the truncated-shard condition this parser's design says
+          // must refuse.
+          if (!blank)
+            throw new IllegalArgumentException(
+              s"WARC record at offset $start is TRUNCATED: headers run " +
+                "past EOF with no blank separator line — partial " +
+                "file/shard; re-fetch or drop the trailing record")
+          if (p + len > text.length.toLong)
+            throw new IllegalArgumentException(
+              s"WARC record at offset $start is TRUNCATED: declares " +
+                s"Content-Length $len but only ${text.length - p} bytes " +
+                "remain — partial file/shard; re-fetch or drop the " +
+                "trailing record")
+          val end = (p + len).toInt
           out += WarcDoc(
             recordType = h("WARC-Type"),
             targetUri = h("WARC-Target-URI"),

@@ -34,8 +34,19 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
     WarcDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
-    new WarcTable(properties.get("path"))
+                        properties: util.Map[String, String]): Table = {
+    // load() with zero or several paths stores them under "paths"
+    // (a JSON array), leaving "path" null — new Path(null) would then
+    // fail at plan time with a message naming neither the source nor
+    // the real problem (review r14). Name it: one path, use a glob
+    // for many (the path spec expands through Hadoop globbing).
+    val path = properties.get("path")
+    require(path != null,
+      "the warc source takes exactly ONE load(path) argument (got " +
+        "none or several); pass one path — a directory or a glob " +
+        "such as dir/*.warc.gz covers multiple files")
+    new WarcTable(path)
+  }
 }
 
 object WarcDataSource {

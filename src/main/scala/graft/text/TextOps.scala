@@ -72,6 +72,24 @@ object TextOps {
   private def filter_tokens(arr: Column): Column =
     filter(arr, t => t =!= "")
 
+  /** The canonical clean-token ARRAY column — lowercased regex split,
+    * empties dropped; NULL text yields NULL. ONE definition (review
+    * r14): the split/filter idiom had been hand-inlined in four
+    * operator files, which de-synchronizes the corpus the moment the
+    * tokenizer changes, and three of the copies lacked the NULL guard
+    * below.
+    */
+  def cleanTokensCol(text: Column): Column =
+    filter_tokens(tokensCol(text))
+
+  /** NULL-safe token array: NULL text reads as ZERO tokens — the
+    * [[docLengths]] convention, shared by every array-shaped consumer
+    * (span/window/packing kernels), where a bare `size()` would
+    * otherwise return the non-ANSI −1 sentinel into running sums.
+    */
+  def tokArrayCol(text: Column): Column =
+    coalesce(cleanTokensCol(text), array().cast("array<string>"))
+
   /** k-token shingles joined by a single space: Array[String] column.
     * Docs shorter than k tokens yield an empty array (guard needed:
     * Spark's `sequence(0, -1)` counts DOWN rather than being empty).

@@ -72,6 +72,46 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!m.anyNull)
   }
 
+  test("NULL-text docs: defined semantics everywhere (no -1 sentinels, " +
+    "no accidental dedup)") {
+    import org.apache.spark.sql.functions.col
+    // review r14: Spark's non-ANSI size(NULL) = -1 leaked into several
+    // ops as a negative "count" (gopherRules even scored alpha_frac =
+    // (-1)/(-1) = 1.0, a perfect-looking stat for a doc with no text)
+    val docs = Seq((1L, Some("plain text here")), (2L, None), (3L, None),
+      (4L, Some(""))).toDF("doc_id", "text")
+    val g = graft.pipeline.TextMetrics.gopherRules(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(g(2L).isNullAt(1) && g(2L).isNullAt(3),
+      s"NULL text must yield NULL stats: ${g(2L)}")
+    assert(g(2L).getInt(5) == 0, "NULL text must not pass the keep gate")
+    val t = graft.pipeline.TextMetrics.tokenCounts(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(t(2L).isNullAt(1) && t(2L).isNullAt(2),
+      s"NULL text must yield NULL token counts: ${t(2L)}")
+    assert(t(1L).getLong(1) == 3L)
+    // exactKeepers: NULL conflates with '' (the scrub-kernel reading),
+    // so docs 2, 3 and 4 form ONE group with keeper 2 — never a
+    // NULL-key group that dedups separately from empty text
+    val k = graft.pipeline.Dedup.exactKeepers(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(k == Set(1L, 2L), s"keepers: $k")
+  }
+
+  test("semDedup: zero-norm embeddings always keep (undefined cosine), " +
+    "documented — exact dups go through exactKeepers") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val v = graft.pipeline.Dedup.semDedup(rows, kClusters = 4, iters = 1,
+      threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // identical all-zero vectors 2 and 3 both keep: their cosine is
+    // undefined (NULL), never >= threshold — the pinned, documented rule
+    assert(v(2L) == 1 && v(3L) == 1, v.toString)
+  }
+
   test("eval: tied ranks cannot inflate AP past 1 (ROWS frame, not RANGE)") {
     // two docs sharing rank 1 (raw-score ranks): the default RANGE
     // frame counted BOTH rows' rel into each peer's cum_rel, summing

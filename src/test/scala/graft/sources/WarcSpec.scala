@@ -216,6 +216,44 @@ class WarcSpec extends SparkSpec {
       pages.mkString("|").take(200))
   }
 
+  test("truncated WARC shards fail LOUDLY: headers past EOF and " +
+    "Content-Length overrunning the file") {
+    // review r14, confirmed by execution pre-fix: headers ending at
+    // EOF without their blank line threw a raw
+    // StringIndexOutOfBoundsException; an overrunning declared length
+    // was silently CLAMPED — a half-record emitted as if complete
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val e1 = intercept[IllegalArgumentException] {
+      Warc.parseRecords(
+        "WARC/0.18\r\nWARC-Type: response\r\nContent-Length: 10"
+          .getBytes(iso))
+    }
+    assert(e1.getMessage.contains("TRUNCATED"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Warc.parseRecords(
+        "WARC/0.18\r\nWARC-Type: response\r\nContent-Length: 10\r\n\r\nabc"
+          .getBytes(iso))
+    }
+    assert(e2.getMessage.contains("TRUNCATED") &&
+      e2.getMessage.contains("3 bytes"), e2.getMessage)
+    // a well-formed record whose payload ends exactly at EOF still parses
+    val ok = Warc.parseRecords(
+      "WARC/0.18\r\nWARC-Type: response\r\nContent-Length: 3\r\n\r\nabc"
+        .getBytes(iso))
+    assert(ok.length == 1 && ok.head.content == "abc")
+  }
+
+  test("warc DSv2: zero/multi-path load() fails with a clear message") {
+    val e = intercept[Exception] {
+      spark.read.format("warc")
+        .load(resource("test.warc.gz"), resource("test.warc.gz"))
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("exactly ONE load(path)")), e.toString)
+  }
+
   test("glue: over-ceiling hub count raises loudly instead of broadcasting") {
     import spark.implicits._
     // r13 advice: the hub set is broadcast on the power-law claim, but
