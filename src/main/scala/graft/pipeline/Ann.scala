@@ -68,10 +68,10 @@ object Ann {
     * collide). Queries are broadcast; the corpus streams.
     *
     * Zero-norm vectors (all-zero embeddings — padding rows, dead docs)
-    * have no defined cosine: the divide yields NULL (Spark's non-ANSI
-    * `/` returns NULL on a zero divisor), DESC ordering puts NULLs
-    * last, and a short candidate list would then PAD the top-k tail
-    * with meaningless NULL-cos rows. They are excluded on both sides —
+    * have no defined cosine: unguarded, the zero divisor would RAISE
+    * under the session's ANSI default (Spark 4) — and even under
+    * non-ANSI semantics the NULL cos would pad a short top-k tail
+    * with meaningless rows. They are excluded on both sides —
     * a zero-norm corpus vector is never a neighbor, a zero-norm query
     * gets no result rows (same rule in [[ivfTopK]] /
     * [[ivfTopKPartitioned]]).

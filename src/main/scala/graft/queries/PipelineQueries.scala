@@ -775,9 +775,9 @@ object PipelineQueries {
               " (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("mx"))
           // nullif divisor: an ALL-ZERO vector has scale 0 and no
           // defined quantization — both engines must emit q = NULL
-          // there, not diverge (Spark's non-ANSI divide gives NULL on
-          // a zero divisor; DuckDB's IEEE path gives NaN and the INT
-          // cast then ERRORS)
+          // there, not diverge (the session runs Spark 4's ANSI
+          // default, where an unguarded zero divisor RAISES; DuckDB's
+          // IEEE path gives NaN and the INT cast then ERRORS)
           .select(col("vec_id"),
             expr("round(mx / 127, 6)").as("scale"),
             posexplode(expr("transform(embedding," +
