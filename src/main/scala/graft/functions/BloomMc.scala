@@ -42,6 +42,20 @@ case class BloomMc(child: Expression, bytes: Array[Byte])
   override def toString: String =
     s"bloom_mc($child, <${bytes.length}B sketch>)"
 
+  // Content-based equality (review r14): the case-class default over
+  // Array[Byte] is REFERENCE equality, so two BloomMc nodes built
+  // from equal sketch bytes never compare semanticEquals — Catalyst
+  // could not deduplicate them (no ReusedExchange across plan
+  // branches, no common-subexpression elimination), duplicating the
+  // probe stage per branch at the sketch's 1.2 GB design point.
+  override def equals(other: Any): Boolean = other match {
+    case BloomMc(c, b) =>
+      c == child && java.util.Arrays.equals(b, bytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))
 

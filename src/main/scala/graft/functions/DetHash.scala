@@ -43,11 +43,14 @@ object DetHash {
     * Bit-equality with the native column expression is asserted in
     * VecOpsSpec.
     */
+  /** Driver-side twin of the [[H60]] expression — DELEGATES to the
+    * same byte-level implementation (review r14: this used to
+    * reimplement the formula via hex formatting + base-16 reparse,
+    * i.e. exactly the string round-trip H60 exists to avoid, and a
+    * second copy of a bit-identity-critical formula).
+    */
   def h60Local(s: String): Long =
-    java.lang.Long.parseLong(
-      java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8"))
-        .take(8).map(b => f"$b%02x").mkString.take(15), 16)
+    H60.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
 
   /** DuckDB SQL fragment for the same hash, for oracle authoring. */
   def duckH60(expr: String): String =

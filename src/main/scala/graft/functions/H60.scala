@@ -148,8 +148,23 @@ object CharTrigrams {
   */
 case class TokenShingles(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, StringType}
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
+  // typed inputs (review r14): the SQL registration would otherwise
+  // accept token_shingles(toks, CAST(3 AS BIGINT)) — the generated
+  // compute(..., long) fails janino (no long->int narrowing), falls
+  // back to interpreted eval, and k.asInstanceOf[Int] throws a raw
+  // ClassCastException mid-query instead of a plan-time error
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<string>, int), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "token_shingles"

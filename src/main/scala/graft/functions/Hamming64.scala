@@ -54,41 +54,29 @@ object Hamming64 {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      new FunctionIdentifier("hamming64"),
-      new ExpressionInfo(classOf[Hamming64].getName, "hamming64"),
-      (exprs: Seq[Expression]) => Hamming64(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("dot_f64"),
-      new ExpressionInfo(classOf[DotF64].getName, "dot_f64"),
-      (exprs: Seq[Expression]) => DotF64(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("norm2_f64"),
-      new ExpressionInfo(classOf[Norm2F64].getName, "norm2_f64"),
-      (exprs: Seq[Expression]) => Norm2F64(exprs(0))))
-    e.injectFunction((
-      new FunctionIdentifier("h60"),
-      new ExpressionInfo(classOf[H60].getName, "h60"),
-      (exprs: Seq[Expression]) => H60(exprs(0))))
-    e.injectFunction((
-      new FunctionIdentifier("md5_h1h2"),
-      new ExpressionInfo(classOf[Md5H1H2].getName, "md5_h1h2"),
-      (exprs: Seq[Expression]) => Md5H1H2(exprs(0))))
-    e.injectFunction((
-      new FunctionIdentifier("char_trigrams"),
-      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
-      (exprs: Seq[Expression]) => CharTrigrams(exprs(0))))
-    e.injectFunction((
-      new FunctionIdentifier("token_shingles"),
-      new ExpressionInfo(classOf[TokenShingles].getName, "token_shingles"),
-      (exprs: Seq[Expression]) => TokenShingles(exprs(0), exprs(1))))
-    e.injectFunction((
-      new FunctionIdentifier("krovetz_ex"),
-      new ExpressionInfo(classOf[KrovetzEx].getName, "krovetz_ex"),
-      (exprs: Seq[Expression]) => KrovetzEx(exprs(0))))
-    e.injectFunction((
-      new FunctionIdentifier("deflate_len"),
-      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
-      (exprs: Seq[Expression]) => DeflateLen(exprs(0))))
+    // arity-checked builders (review r14): a wrong-arity SQL call used
+    // to surface as a raw IndexOutOfBoundsException from exprs(1)
+    // during function building — now a clear invalid-arguments error
+    def fn(name: String, arity: Int, clazz: Class[_])(
+        build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(clazz.getName, name),
+        (exprs: Seq[Expression]) => {
+          if (exprs.length != arity)
+            throw new IllegalArgumentException(
+              s"$name takes exactly $arity argument(s), got ${exprs.length}")
+          build(exprs)
+        }))
+    fn("hamming64", 2, classOf[Hamming64])(x => Hamming64(x(0), x(1)))
+    fn("dot_f64", 2, classOf[DotF64])(x => DotF64(x(0), x(1)))
+    fn("norm2_f64", 1, classOf[Norm2F64])(x => Norm2F64(x(0)))
+    fn("h60", 1, classOf[H60])(x => H60(x(0)))
+    fn("md5_h1h2", 1, classOf[Md5H1H2])(x => Md5H1H2(x(0)))
+    fn("char_trigrams", 1, classOf[CharTrigrams])(x => CharTrigrams(x(0)))
+    fn("token_shingles", 2, classOf[TokenShingles])(
+      x => TokenShingles(x(0), x(1)))
+    fn("krovetz_ex", 1, classOf[KrovetzEx])(x => KrovetzEx(x(0)))
+    fn("deflate_len", 1, classOf[DeflateLen])(x => DeflateLen(x(0)))
   }
 }

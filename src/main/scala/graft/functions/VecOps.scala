@@ -1,9 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native Catalyst expressions for the embedding kernels (dot product
   * and squared norm over `array<float>`, accumulated in DOUBLE).
@@ -26,6 +27,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotF64(left: Expression, right: Expression)
     extends BinaryExpression {
 
+  // typed inputs (review r14): the kernels hardcode getFloat, so an
+  // array<double> argument through the SQL registration would
+  // reinterpret 4 bytes of every 8-byte slot — silently-wrong cosines
+  // with no exception. The check turns that into a plan-time error.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(c => c.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<float> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   // result can be null even on non-null inputs (length mismatch)
@@ -79,6 +92,13 @@ case class DotF64(left: Expression, right: Expression)
   */
 case class Norm2F64(child: Expression) extends UnaryExpression {
 
+  // see DotF64: getFloat over array<double> would silently corrupt
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${other.simpleString}")
+    }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "norm2_f64"

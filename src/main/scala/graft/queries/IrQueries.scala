@@ -18,7 +18,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object IrQueries {
 
+
   import Retrieval._
+
+  /** ONE copy of the ir26 four-model list and the ir28 (fb_terms, λ)
+    * grid (review r14): each used to appear verbatim in both the
+    * Spark builder and its DuckDB oracle — editing one copy would
+    * silently test different configurations. λ is carried as an
+    * E-NOTATION STRING: interpolated into the oracle it stays DOUBLE
+    * (a bare `0.7` literal is DECIMAL in DuckDB, so its `(1 - 0.7)`
+    * was exact-decimal 0.3 while Spark computed the IEEE double
+    * 0.30000000000000004 — a 1-ulp divergence under the 6-dp round),
+    * and `.toDouble` gives Spark the identical IEEE value.
+    */
+  private val rm3Grid: Seq[(Int, String)] =
+    Seq((5, "3e-1"), (5, "7e-1"), (10, "3e-1"), (10, "7e-1"))
+  private lazy val baselineModels = Seq(
+    ("LMno", lmnoPart, lmnoFinal, true),
+    ("LMs", lmjmPart(), lmjmFinal, false),
+    ("LMdi", lmdirPart, lmdirFinal, false),
+    ("BM25", bm25Part, bm25Final, false))
 
   private def docsT(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
@@ -395,11 +414,7 @@ object IrQueries {
         // reads only tf/dl, BM25 also df/…), so their exchanges never
         // canonicalize equal and ReusedExchange was 0 (measured: 12
         // parquet scans → 3 with the stack).
-        val models = Seq(
-          ("LMno", lmnoPart, lmnoFinal, true),
-          ("LMs", lmjmPart(), lmjmFinal, false),
-          ("LMdi", lmdirPart, lmdirFinal, false),
-          ("BM25", bm25Part, bm25Final, false))
+        val models = baselineModels
         val stackExpr = "stack(4, " + models.map { case (n, _, _, _) =>
           s"'$n', part_$n" }.mkString(", ") + ") AS (model, part)"
         val finalCase = "CASE " + models.map { case (n, _, fin, _) =>
@@ -421,11 +436,7 @@ object IrQueries {
           .filter(col("rank") <= 5)
           .select("qid", "doc_id", "score", "rank", "model")
       },
-      Some(Seq(
-        ("LMno", lmnoPart, lmnoFinal, true),
-        ("LMs", lmjmPart(), lmjmFinal, false),
-        ("LMdi", lmdirPart, lmdirFinal, false),
-        ("BM25", bm25Part, bm25Final, false))
+      Some(baselineModels
         .map { case (name, part, fin, conj) =>
           s"SELECT *, '$name' AS model FROM (\n${duckScore(part, fin, conj, 5)}\n) t_$name"
         }
@@ -557,7 +568,7 @@ object IrQueries {
         val q = querySet.flatMap { case (qid, ts) => ts.map(qid -> _) }
           .toDF("qid", "term")
         val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-        val grid = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
+        val grid = rm3Grid.map { case (ft, l) => (ft, l.toDouble) }
           .toDF("fb_terms", "lam")
         val qq = q.join(qlen, Seq("qid")).crossJoin(broadcast(grid))
         val clipn = rm1.crossJoin(broadcast(grid))
@@ -571,7 +582,7 @@ object IrQueries {
               .as("w3"))
       },
       Some {
-        val branches = Seq((5, 0.3), (5, 0.7), (10, 0.3), (10, 0.7))
+        val branches = rm3Grid
           .map { case (ft, lam) =>
             s"""SELECT qid, $ft AS fb_terms, CAST($lam AS DOUBLE) AS lam, term,
                |  round(coalesce($lam * (1e0 / qlen), 0) + coalesce((1 - $lam) * wc, 0), 6) AS w3

@@ -143,4 +143,37 @@ class VecOpsSpec extends SparkSpec {
       .filter(col("f1") =!= col("r1") || col("f2") =!= col("r2"))
     assert(diff.count() == 0)
   }
+
+  test("typed inputs + arity: wrong types and arities fail at PLAN time, " +
+    "never as silent garbage or raw index errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // review r14: dot_f64/norm2_f64 hardcode getFloat — an
+    // array<double> argument used to reinterpret 4 of every 8 bytes
+    // into silently-wrong numbers; now an analysis-time type error
+    val d = Seq((1L, Seq(1.0, 2.0))).toDF("id", "v")
+    val e1 = intercept[Exception] {
+      d.select(expr("norm2_f64(v)")).collect()
+    }
+    assert(e1.getMessage.contains("array<float>"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      d.select(expr("dot_f64(v, v)")).collect()
+    }
+    assert(e2.getMessage.contains("array<float>"), e2.getMessage)
+    // token_shingles with a BIGINT k used to fail janino + throw a
+    // raw ClassCastException mid-query
+    val t = Seq((1L, Seq("a", "b", "c"))).toDF("id", "toks")
+    val e3 = intercept[Exception] {
+      t.select(expr("token_shingles(toks, CAST(2 AS BIGINT))")).collect()
+    }
+    assert(e3.getMessage.contains("(array<string>, int)"), e3.getMessage)
+    assert(t.select(expr("token_shingles(toks, 2)")).head()
+      .getSeq[String](0) == Seq("a b", "b c"))
+    // wrong arity used to surface as IndexOutOfBoundsException from
+    // the registry builder
+    val e4 = intercept[Exception] {
+      t.select(expr("hamming64(id)")).collect()
+    }
+    assert(e4.getMessage.contains("exactly 2 argument"), e4.getMessage)
+  }
 }
