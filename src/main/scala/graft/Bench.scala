@@ -217,7 +217,15 @@ object Bench {
     val cgTot = cgCount
     val cgMsEst = math.rint(org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getSnapshot.getMean * cgTot)
-    val pw = new java.io.PrintWriter("BENCH_DETAILS.json")
+    // Default to an UNCOMMITTED path (r15, closing the r14 verdict's
+    // wrong-item 1 — three consecutive rounds the driver's post-commit
+    // Bench run stomped the committed final-pair BENCH_DETAILS.json in
+    // the working tree). The pair-commit step copies the local file
+    // over the committed artifact DELIBERATELY (cp BENCH_DETAILS.local
+    // .json BENCH_DETAILS.json); any other run leaves git status clean.
+    val detailsOut = sys.env.getOrElse("SPARK_GRAFT_DETAILS_OUT",
+      "BENCH_DETAILS.local.json")
+    val pw = new java.io.PrintWriter(detailsOut)
     try pw.println(
       s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"sf":"$sfDir","cpus":"$cpus","heap_max_mb":${Runtime.getRuntime.maxMemory / (1 << 20)},"codegen_n":$cgTot,"codegen_ms_est":$cgMsEst,"queries":$detail}""")
     finally pw.close()
@@ -231,7 +239,7 @@ object Bench {
       .map { case (k, v, _, _, _, _) => "\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in BENCH_DETAILS.json","sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","gc_sec":$totalGc,"queries":$top,"queries_note":"20 slowest of ${results.size}; full record in $detailsOut","sf":"$sfDir"}""")
     spark.stop()
   }
 }

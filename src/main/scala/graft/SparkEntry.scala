@@ -27,7 +27,24 @@ object SparkEntry {
     decls.map(d => d.name -> d.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    *
+    * NOTE: px85's SQL carries the `__PX85_ARTIFACT_DIR__` token — use
+    * [[oracleSqlFor]] (what Verify dumps) for runnable SQL; this raw
+    * form exists for the driver contract and token-free queries.
+    */
   def oracleSql: Map[String, String] =
     decls.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** [[oracleSql]] made runnable for one sfDir: per-SF tokens (today
+    * just px85's kernel-artifact dir) substituted, so a dump produced
+    * at sfDir X can never read an artifact produced at sfDir Y — the
+    * r15 mechanical-pairing fix. Verify dumps THIS.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val px85Dir = PipelineQueries.px85ArtifactPath(sfDir)
+    oracleSql.map { case (k, v) =>
+      k -> v.replace(PipelineQueries.px85ArtifactToken, px85Dir)
+    }
+  }
 }

@@ -15,15 +15,20 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = only match {
-      case Some(ps) => SparkEntry.queries.filter { case (n, _) =>
-        ps.exists(n.startsWith) }
-      case None => SparkEntry.queries
+      case Some(ps) => SparkEntry.decls.filter(d =>
+        ps.exists(d.name.startsWith))
+      case None => SparkEntry.decls
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    selected.foreach { d =>
+      try {
+        // materialize any artifact the ORACLE SQL reads (px85's
+        // deflate kernel) before dumping the query — the dump and the
+        // artifact are then produced by the same run at the same sfDir
+        d.prepare.foreach(p => p(spark, sfDir))
+        d.run(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/${d.name}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] ${d.name} failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // drop per-query persists (see Bench)
     }
@@ -39,7 +44,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // oracleSqlFor: per-SF tokens (px85's artifact dir) substituted so
+    // the dumped SQL is mechanically paired with THIS run's artifacts
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

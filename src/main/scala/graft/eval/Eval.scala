@@ -76,7 +76,10 @@ object Eval {
     */
   def metricsAtKs(results: DataFrame, qrels: DataFrame, ks: Seq[Int],
                   beta: Double = 1.0, w: Double = 2.0): DataFrame = {
-    require(ks.nonEmpty && ks.distinct == ks, s"bad cutoffs $ks")
+    // positivity too (advice r14): k <= 0 would reach rel_at_0 / 0 at
+    // EXECUTION (an ANSI raise) instead of a clear driver-side error
+    require(ks.nonEmpty && ks.distinct == ks && ks.forall(_ > 0),
+      s"bad cutoffs $ks")
     val nrel = qrels.filter(col("rel") > 0).select("qid", "doc_id")
       .distinct() // same key-dedupe as judge(): repeated lines count once
       .groupBy("qid").agg(count(lit(1)).as("n_rel"))

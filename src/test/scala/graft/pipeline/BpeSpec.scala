@@ -186,4 +186,35 @@ class BpeSpec extends SparkSpec {
       .select("w", "syms").as[(String, Seq[String])].collect().toMap
     assert(b32of64 == e32of64)
   }
+
+  test("non-BMP input: expr and broadcast encoders agree, symbols are " +
+    "whole code points (advice r14: JDK split(\"\") yields lone " +
+    "surrogates on supplementary chars — the fixture corpus never " +
+    "exercised this)") {
+    // U+1F600 emoji + U+20BB7 (CJK ext B) — both outside the BMP
+    val emoji = new String(Character.toChars(0x1F600))
+    val cjk = new String(Character.toChars(0x20BB7))
+    val words = Seq((s"a${emoji}b", 2L), (s"$cjk$cjk", 1L), ("plain", 1L))
+      .toDF("w", "wc")
+    val merges = Seq(("a", emoji), (cjk, cjk))
+    val e = Bpe.encodeWordsExpr(words, merges, "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    val b = Bpe.encodeWordsBroadcast(words, merges, "w")
+      .select("w", "syms").as[(String, Seq[String])].collect().toMap
+    assert(e == b, s"expr=$e broadcast=$b")
+    // symbols must be whole code points, never lone surrogates or
+    // replacement chars — a lone surrogate can't round-trip UTF-8
+    val all = e.values.flatten ++ b.values.flatten
+    assert(all.forall(s => !s.contains('�') &&
+      s.codePoints().toArray.forall(Character.isValidCodePoint) &&
+      !s.exists(c => Character.isSurrogate(c) && s.length == 1)), all)
+    assert(e(s"a${emoji}b") == Seq(s"a$emoji", "b"))
+    assert(e(s"$cjk$cjk") == Seq(s"$cjk$cjk"))
+    // and the trainer-side splitter sees the same alphabet (wordDict's
+    // tokenizer strips non-ASCII, so this is the direct unit pin):
+    // merging the two halves of a surrogate pair is never learnable
+    assert(Bpe.codePointSyms(s"a${emoji}b").toSeq == Seq("a", emoji, "b"))
+    assert(Bpe.codePointSyms(s"$cjk$cjk").toSeq == Seq(cjk, cjk))
+    assert(Bpe.codePointSyms("").isEmpty)
+  }
 }
