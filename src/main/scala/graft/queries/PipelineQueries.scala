@@ -1538,19 +1538,32 @@ object PipelineQueries {
     // Shingle novelty: the share of a doc's distinct 3-shingles whose
     // FIRST occurrence (by doc_id order) is in that doc — the
     // grow-the-corpus dedup signal ("how much of this doc is new
-    // text"). One distinct-shingle pass, one min-per-shingle
-    // aggregation, one per-doc ratio; first-occurrence via min(doc_id)
-    // is exactly how an incremental dedup ledger is bootstrapped.
+    // text"). First-occurrence via min(doc_id) is exactly how an
+    // incremental dedup ledger is bootstrapped.
+    //
+    // AGG-SPLIT shape (r15, §0u / probes/px40.log): no ledger join.
+    // n_new(doc) = #shingles whose min(doc_id) = doc — that is
+    // groupBy(s).agg(min) RE-AGGREGATED by the winner doc
+    // (groupBy(d0).count), and n_sh(doc) is a direct per-doc count;
+    // the only join left is between two DOC-level aggregates. The
+    // former shape joined the FULL distinct ledger back against the
+    // per-shingle min (ledger-sized build side + a third ledger wire
+    // crossing); both aggs here take map-side partials. The oracle
+    // keeps the join form, so the cross-engine compare proves the
+    // identity on every run. Probe: equivalence asserted both
+    // directions at 1x and 8x; ~75–80% of the query's wall is the
+    // shared shingle/tokenize pass itself (the §0m pre-exchange band),
+    // which no downstream shape can touch.
     Decl(
       "px40_shingle_novelty",
       (s, dir) => {
         val ds = TextOps.shingleRows(Tables(s, dir, "documents"), 3).distinct()
-        val first = ds.groupBy("s").agg(min("doc_id").as("d0"))
-        ds.join(first, Seq("s"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_sh"),
-            expr("CAST(sum(CASE WHEN d0 = doc_id THEN 1 ELSE 0 END) AS BIGINT)")
-              .as("n_new"))
+        val nNew = ds.groupBy("s").agg(min("doc_id").as("d0"))
+          .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("n_new"))
+        ds.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+          .join(nNew, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_sh"),
+            coalesce(col("n_new"), lit(0L)).as("n_new"))
           .withColumn("novelty", expr("round(n_new / n_sh, 6)"))
       },
       Some(s"""WITH $duckShingles,
