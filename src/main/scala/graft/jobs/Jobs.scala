@@ -677,7 +677,13 @@ object Jobs {
     * means the lease alone is not a lock; the snapshot
     * detect-and-refuse above stays as the backstop, so the layering
     * is: lease prevents the race, snapshot guarantees no silent loss
-    * if something bypasses it.
+    * if something bypasses it. An append that slipped through the
+    * window (passed the lease check before the lease existed) no
+    * longer costs an operator re-run: the store is restored and the
+    * compaction RETRIES with a fresh snapshot that includes the
+    * append, up to `appendRetries` times (r15) — only a writer
+    * appending past the lease protocol exhausts the retries into the
+    * loud abort.
     *
     * FILESYSTEM REQUIREMENT (advice r14): the lease's exclusivity
     * rests on `FileSystem.create(lease, overwrite = false)` being
@@ -690,7 +696,8 @@ object Jobs {
     */
   def compactStore(spark: SparkSession, path0: String,
                    targetFileBytes: Long = 512L << 20,
-                   beforeSwap: () => Unit = () => ()): Unit = {
+                   beforeSwap: () => Unit = () => (),
+                   appendRetries: Int = 2): Unit = {
     import org.apache.hadoop.fs.Path
     // normalize trailing slashes ONCE: the side-path strings below are
     // raw concats, and "/store/" would put every marker INSIDE the
@@ -792,13 +799,28 @@ object Jobs {
       s"compactStore: $path is PARTITIONED (${partDirs.head.getPath.getName}, " +
         s"...); compaction would flatten the layout and drop partition " +
         s"side files — compact flat stores only")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // snapshot the data-file set FIRST: any file that appears after
-    // this point is a concurrent append the compacted copy may miss
+    // snapshot the data-file set FIRST each attempt: any file that
+    // appears after this point is a concurrent append the compacted
+    // copy may miss
     def dataFiles(dir: Path): Set[String] = fs.listStatus(dir)
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
         && !s.getPath.getName.startsWith("."))
       .map(_.getPath.getName).toSet
+    // Bounded RETRY on the check-then-append window (r15, the r14
+    // verdict's optional hardening): with the lease held, admitCycle
+    // refuses every NEW append — the only appends that can still land
+    // are the finitely many in-flight ones that passed the lease check
+    // before the lease existed. Detecting one used to abort and
+    // require an operator re-run; now the store is restored, the
+    // in-flight append drains, and the compaction RE-SNAPSHOTS (the
+    // append is inside the next copy) — up to `appendRetries` times.
+    // A writer that keeps appending past the lease (a protocol
+    // violation) exhausts the retries and gets the same loud abort as
+    // before, rows intact.
+    var attempt = 0
+    var finished = false
+    while (!finished) {
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val snapshot = dataFiles(p)
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
@@ -836,7 +858,9 @@ object Jobs {
     if (appended.nonEmpty) {
       // a concurrent append landed while the compacted copy was being
       // written: it is NOT in tmp. Restore the store untouched (the
-      // append survives) and fail loudly — never drop rows silently.
+      // append survives), then retry with a fresh snapshot — or, once
+      // the retries are exhausted, fail loudly. Never drop rows
+      // silently.
       fs.delete(tmp, true)
       if (!swapIn(old, p, "abort-restore")) {
         keepLease = true // reconciliation required: keep appends blocked
@@ -846,12 +870,20 @@ object Jobs {
             s"(appends included) remain at $old — stop the writer and " +
             s"reconcile")
       }
-      throw new IllegalStateException(
+      if (attempt < appendRetries) {
+        attempt += 1
+        Thread.sleep(100L * attempt) // let in-flight appenders drain
+        // the restore changed the file set back; bust the session's
+        // shared file-status cache before the re-read re-snapshot
+        spark.catalog.refreshByPath(path)
+      } else throw new IllegalStateException(
         s"compactStore: concurrent append detected (${appended.size} " +
           s"new file(s) in $path since the compaction read, e.g. " +
-          s"${appended.head}); store restored untouched — stop the " +
-          s"writer and re-run")
-    }
+          s"${appended.head})" +
+          (if (appendRetries > 0) s" after $appendRetries retries —" +
+            s" a writer is appending past the lease" else "") +
+          s"; store restored untouched — stop the writer and re-run")
+    } else {
     if (!swapIn(tmp, p, "swap-in")) {
       // an append recreated the store path AFTER it was renamed
       // aside: its rows exist only at p. Leave everything in place —
@@ -869,6 +901,9 @@ object Jobs {
     // this session's shared file-status cache may still list the
     // pre-swap files; drop it so the next read sees the compact layout
     spark.catalog.refreshByPath(path)
+    finished = true
+    }
+    }
     } finally {
       if (!keepLease) fs.delete(lease, false)
     }

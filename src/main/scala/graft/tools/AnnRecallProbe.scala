@@ -24,14 +24,20 @@ import org.apache.spark.sql.functions._
   * noise-free so each query exists verbatim in the corpus (excluded
   * from its own top-k by the qid != vid guard, as in Ann.cosineTopK).
   *
-  * Usage: `sbt "runMain graft.tools.AnnRecallProbe [N]"` (default
-  * 500); SPARK_GRAFT_SF_DIR overrides the base corpus. Results →
-  * BENCH_NOTES §3f + probes/ann_recall.log.
+  * Usage: `sbt "runMain graft.tools.AnnRecallProbe [N] [eps]"`
+  * (default 500, eps 0.1); SPARK_GRAFT_SF_DIR overrides the base
+  * corpus. eps is the replica-noise amplitude: 0.1 is the ADVERSARIAL
+  * replica-cloud regime (every quantization cell a 500-deep cloud of
+  * near-ties — the worst case for exact-id recall); eps >= 1 makes
+  * the noise dominate the base signal, i.e. a PLAIN spread corpus of
+  * ~independent unit vectors — the realistic-recall companion table
+  * (r15, the r14 verdict's optional item). Results → BENCH_NOTES
+  * §3f/§3m + probes/ann_recall.log / ann_recall_plain.log.
   */
 object AnnRecallProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500)
-    val eps = 0.1
+    val eps = args.drop(1).headOption.map(_.toDouble).getOrElse(0.1)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -56,7 +62,7 @@ object AnnRecallProbe {
     def t[A](w: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"""[annrecall] {"phase":"$w","n":$n,"vecs":$nv,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
+      println(f"""[annrecall] {"phase":"$w","n":$n,"eps":$eps,"vecs":$nv,"sec":${(System.nanoTime() - t0) / 1e9}%.2f}""")
       r
     }
     def topk(df: DataFrame): Set[(Long, Long)] =

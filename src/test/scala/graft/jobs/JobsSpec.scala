@@ -790,12 +790,13 @@ class JobsSpec extends SparkSpec {
       .write.parquet(s"$w/store")
     // a concurrent admitCycle append lands INSIDE the compaction
     // window (after the compacted copy was written, before the swap):
-    // the guard must abort loudly and leave every row — the appended
-    // one included — in the store
+    // with retries disabled the guard must abort loudly and leave
+    // every row — the appended one included — in the store
     val e = intercept[IllegalStateException] {
       Jobs.compactStore(spark, s"$w/store", beforeSwap = () =>
         Seq((3L, "c")).toDF("doc_id", "text")
-          .write.mode("append").parquet(s"$w/store"))
+          .write.mode("append").parquet(s"$w/store"),
+        appendRetries = 0)
     }
     assert(e.getMessage.contains("concurrent append"), e.getMessage)
     spark.catalog.refreshByPath(s"$w/store")
@@ -807,6 +808,58 @@ class JobsSpec extends SparkSpec {
     // the stopped-writer re-run then compacts cleanly
     Jobs.compactStore(spark, s"$w/store")
     assert(spark.read.parquet(s"$w/store").count() == 3)
+  }
+
+  test("CompactStore: a single in-flight append is absorbed by the " +
+    "retry — compaction completes with the append included (r15)") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactretry").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$w/store")
+    // the check-then-append window: ONE append passed the lease check
+    // before the lease existed and lands mid-copy; the next attempt's
+    // fresh snapshot includes it, so the compaction SUCCEEDS and no
+    // operator re-run is needed
+    var fired = false
+    Jobs.compactStore(spark, s"$w/store", beforeSwap = () =>
+      if (!fired) {
+        fired = true
+        Seq((3L, "c")).toDF("doc_id", "text")
+          .write.mode("append").parquet(s"$w/store")
+      })
+    spark.catalog.refreshByPath(s"$w/store")
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    assert(!new java.io.File(s"$w/store_compact_tmp").exists())
+    assert(!new java.io.File(s"$w/store_compact_lease").exists())
+  }
+
+  test("CompactStore: a writer appending past the lease exhausts the " +
+    "retries into the loud abort, every appended row kept (r15)") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("compactexhaust").toString
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.parquet(s"$w/store")
+    var k = 2L
+    val e = intercept[IllegalStateException] {
+      Jobs.compactStore(spark, s"$w/store", beforeSwap = () => {
+        k += 1
+        Seq((k, "x")).toDF("doc_id", "text")
+          .write.mode("append").parquet(s"$w/store")
+      }, appendRetries = 1)
+    }
+    assert(e.getMessage.contains("after 1 retries"), e.getMessage)
+    spark.catalog.refreshByPath(s"$w/store")
+    // 2 originals + 2 appends (first attempt + the one retry)
+    assert(spark.read.parquet(s"$w/store")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "x"), (4L, "x")))
+    assert(!new java.io.File(s"$w/store_compact_old").exists())
+    assert(!new java.io.File(s"$w/store_compact_tmp").exists())
+    // append-safe abort: the lease is released
+    assert(!new java.io.File(s"$w/store_compact_lease").exists())
   }
 
   test("compaction lease: an admit append mid-compaction is refused " +
