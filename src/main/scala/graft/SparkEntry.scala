@@ -29,12 +29,22 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     *
-    * NOTE: px85's SQL carries the `__PX85_ARTIFACT_DIR__` token — use
-    * [[oracleSqlFor]] (what Verify dumps) for runnable SQL; this raw
-    * form exists for the driver contract and token-free queries.
+    * NOTE: px85's entry is runnable only after per-SF preparation —
+    * its SQL carries the `__PX85_ARTIFACT_DIR__` token and reads a
+    * kernel artifact that [[prepares]] writes. Consumers must use
+    * [[oracleSqlFor]](sfDir) for the runnable form and run the
+    * prepare hook first — which is exactly what Verify does (the
+    * driver consumes Verify's oracle_sql.json dump, never this raw
+    * map). Every other entry is runnable as-is.
     */
   def oracleSql: Map[String, String] =
     decls.flatMap(d => d.oracle.map(d.name -> _)).toMap
+
+  /** Per-query oracle-input materialization hooks (today just px85's
+    * deflate-kernel artifact): run `prepares(name)(spark, sfDir)`
+    * before executing the matching [[oracleSqlFor]] SQL. */
+  def prepares: Map[String, (SparkSession, String) => Unit] =
+    decls.flatMap(d => d.prepare.map(d.name -> _)).toMap
 
   /** [[oracleSql]] made runnable for one sfDir: per-SF tokens (today
     * just px85's kernel-artifact dir) substituted, so a dump produced

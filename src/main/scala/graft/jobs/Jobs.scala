@@ -872,6 +872,18 @@ object Jobs {
       }
       if (attempt < appendRetries) {
         attempt += 1
+        // LOUD absorb (review r15): a lease-bypassing writer (e.g. a
+        // diverged lease path, which disables the exclusion without
+        // any error) would otherwise be silently absorbed every cycle
+        // and only surface as a mystery abort on the run where it
+        // finally out-raced the retries
+        System.err.println(
+          s"[compactStore] concurrent append detected " +
+            s"(${appended.size} new file(s), e.g. ${appended.head}); " +
+            s"store restored, re-snapshotting (retry $attempt of " +
+            s"$appendRetries). If this repeats every compaction, a " +
+            s"writer is appending past the lease — check its lease " +
+            s"path matches $lease")
         Thread.sleep(100L * attempt) // let in-flight appenders drain
         // the restore changed the file set back; bust the session's
         // shared file-status cache before the re-read re-snapshot

@@ -3545,7 +3545,14 @@ object PipelineQueries {
     * by `run`, which is plan-only.
     */
   def px85ArtifactPath(sfDir: String): String = {
-    val canon = new java.io.File(sfDir).getAbsolutePath.stripSuffix("/")
+    // getCanonicalPath: normalize '..'/'.'/ dup slashes and resolve
+    // symlinks so two spellings of one dir share one artifact (review
+    // r15 — pairing was safe either way, but each spelling would redo
+    // the deflate scan and leave a duplicate artifact)
+    val f = new java.io.File(sfDir)
+    val canon = (try f.getCanonicalPath
+      catch { case _: java.io.IOException => f.getAbsolutePath })
+      .stripSuffix("/")
     val base = canon.substring(canon.lastIndexOf('/') + 1)
       .replaceAll("[^0-9A-Za-z._-]", "_")
     val hash = java.lang.Integer.toHexString(

@@ -87,6 +87,17 @@ object ProbePx40 {
     for ((nm, b) <- Seq("aggsplit" -> aggSplit(docs), "window" -> window(docs)))
       require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
         s"px40 $nm diverged from the shipped form")
+    // pin the probe's local copy to the REGISTERED Decl (review r15:
+    // the variants above are copies, and a future px40 edit would
+    // otherwise drift from what this probe adjudicates) — at n=1 the
+    // probe corpus IS the sf table, so the shipped query must match
+    if (n == 1) {
+      val decl = graft.SparkEntry.decls.find(_.name == "px40_shingle_novelty")
+        .get.run(spark, dir)
+      val local = aggSplit(docs)
+      require(decl.exceptAll(local).isEmpty && local.exceptAll(decl).isEmpty,
+        "px40 probe copy diverged from the registered Decl")
+    }
 
     def t(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()

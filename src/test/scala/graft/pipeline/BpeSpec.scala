@@ -203,11 +203,17 @@ class BpeSpec extends SparkSpec {
       .select("w", "syms").as[(String, Seq[String])].collect().toMap
     assert(e == b, s"expr=$e broadcast=$b")
     // symbols must be whole code points, never lone surrogates or
-    // replacement chars — a lone surrogate can't round-trip UTF-8
+    // replacement chars — a lone surrogate can't round-trip UTF-8.
+    // codePoints() yields a SURROGATE-RANGE code point exactly for a
+    // lone surrogate (a proper pair becomes its supplementary cp), so
+    // this catches one embedded anywhere in a symbol (review r15: the
+    // earlier isValidCodePoint form was vacuous — surrogate values ARE
+    // valid code points — and its isSurrogate clause only fired on
+    // length-1 symbols)
     val all = e.values.flatten ++ b.values.flatten
     assert(all.forall(s => !s.contains('�') &&
-      s.codePoints().toArray.forall(Character.isValidCodePoint) &&
-      !s.exists(c => Character.isSurrogate(c) && s.length == 1)), all)
+      s.codePoints().toArray.forall(cp => cp < 0xD800 || cp > 0xDFFF)),
+      all)
     assert(e(s"a${emoji}b") == Seq(s"a$emoji", "b"))
     assert(e(s"$cjk$cjk") == Seq(s"$cjk$cjk"))
     // and the trainer-side splitter sees the same alphabet (wordDict's
