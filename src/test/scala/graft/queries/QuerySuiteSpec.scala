@@ -20,6 +20,34 @@ class QuerySuiteSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("px85 oracle pairing is mechanical (r15): token substituted " +
+    "per-SF, prepare hook registered, path canonicalized") {
+    // the RAW map carries the token (px85 needs per-SF substitution);
+    // every other entry is token-free
+    val raw = SparkEntry.oracleSql
+    assert(raw("px85_compression_funnel")
+      .contains(PipelineQueries.px85ArtifactToken))
+    assert(raw.count(_._2.contains("__PX85_ARTIFACT_DIR__")) == 1)
+    // oracleSqlFor: token gone, the SF-keyed path in its place, and
+    // NOTHING else in the map changed
+    val sub = SparkEntry.oracleSqlFor(sfTiny)
+    assert(!sub.values.exists(_.contains(PipelineQueries.px85ArtifactToken)))
+    assert(sub("px85_compression_funnel")
+      .contains(PipelineQueries.px85ArtifactPath(sfTiny)))
+    assert((raw - "px85_compression_funnel") ==
+      (sub - "px85_compression_funnel"))
+    // exactly px85 carries a prepare hook today
+    assert(SparkEntry.prepares.keySet == Set("px85_compression_funnel"))
+    // SF-keying: different dirs → different artifact paths; different
+    // SPELLINGS of one dir → ONE path (canonicalization, review r15)
+    val p1 = PipelineQueries.px85ArtifactPath("/root/testdata/sf0.001")
+    val p2 = PipelineQueries.px85ArtifactPath("/root/testdata/sf0.01")
+    val p3 = PipelineQueries.px85ArtifactPath(
+      "/root/testdata/../testdata/sf0.001/")
+    assert(p1 != p2)
+    assert(p1 == p3, s"$p1 vs $p3")
+  }
+
   test("h60 matches the DuckDB-verified constant") {
     import spark.implicits._
     val got = Seq("abc").toDF("s").select(DetHash.h60(col("s")))
