@@ -80,10 +80,11 @@ object Retrieval {
     * Association order (review r14): divide into DOUBLE before any
     * BIGINT×BIGINT product — the old `tf * n_tokens * λ / (cf * dl
     * * …)` grouped (tf·n_tokens) and (cf·dl) as Long products first,
-    * which at the 100 TB design point (n_tokens ~ 2e13) silently WRAPS
-    * in Spark's non-ANSI arithmetic (mis-scoring the doc as NaN/NULL)
-    * and hard-errors in DuckDB — the engines diverging exactly when it
-    * matters. `(n_tokens / cf)` is the lmdirPart convention; the
+    * which at the 100 TB design point (n_tokens ~ 2e13) overflows
+    * Long: with ANSI off it silently WRAPS (mis-scoring the doc),
+    * with ANSI on (this session's default) and in DuckDB it
+    * hard-errors — wrong or dead exactly when it matters.
+    * `(n_tokens / cf)` is the lmdirPart convention; the
     * string is SHARED with the oracle, so both engines carry the same
     * (floating-point-wise slightly re-associated) formula.
     */

@@ -90,8 +90,9 @@ object Classify {
         sum(expr("tf * (ln((c1 + 1) / (n1 + v)) - ln((c0 + 1) / (n0 + v)))"))
           .as("s"),
         // Both degenerate directions guarded: d1=0 (all-negative) would
-        // hit ln(0) — NULL in Spark (ANSI off) but an out-of-range ERROR
-        // in DuckDB's mirrored SQL; nullif-ing the numerator makes both
+        // hit ln(0) — an out-of-range error under this session's ANSI
+        // default and in DuckDB's mirrored SQL (NULL only with ANSI
+        // off); nullif-ing the operand means ln never sees 0 and both
         // engines yield NULL.
         first(expr("ln(nullif(CAST(d1 AS DOUBLE), 0e0)" +
           " / nullif(CAST(d - d1 AS DOUBLE), 0e0))")).as("lp"))
