@@ -59,6 +59,22 @@ object ProbePx40 {
       .withColumn("novelty", expr("round(n_new / n_sh, 6)"))
   }
 
+  /** aggsplit with the distinct ledger LAZILY localCheckpointed — the
+    * §0h px27 pattern: if AQE exchange reuse does NOT deduplicate the
+    * two consumers' identical distinct subtrees at runtime, the
+    * checkpoint computes the tokenize+shingle+distinct pass once.
+    */
+  def aggSplitCkpt(docs: DataFrame): DataFrame = {
+    val d = ds(docs).localCheckpoint(false)
+    val nNew = d.groupBy("s").agg(min("doc_id").as("d0"))
+      .groupBy(col("d0").as("doc_id")).agg(count(lit(1)).as("n_new"))
+    d.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      .join(nNew, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("novelty", expr("round(n_new / n_sh, 6)"))
+  }
+
   def window(docs: DataFrame): DataFrame =
     ds(docs)
       .withColumn("d0", min("doc_id").over(Window.partitionBy("s")))
@@ -110,6 +126,21 @@ object ProbePx40 {
       t(s"shipped-$r")(shipped(docs))
       t(s"aggsplit-$r")(aggSplit(docs))
       t(s"window-$r")(window(docs))
+      t(s"aggckpt-$r")(aggSplitCkpt(docs))
+      spark.catalog.clearCache()
+    }
+    // does AQE actually REUSE the two identical distinct subtrees at
+    // runtime? Execute the REGISTERED Decl (parquet input — the
+    // checkpointed probe corpus would hide the scans) and count plan
+    // markers in the FINAL adaptive plan (the static explain never
+    // shows runtime reuse; note executedPlan.toString prints the
+    // initial plan alongside the final one, so counts read ~2x).
+    locally {
+      val q = graft.SparkEntry.queries("px40_shingle_novelty")(spark, dir)
+      graft.Bench.materialize(q)
+      val fin = q.queryExecution.executedPlan.toString
+      for (m <- Seq("ReusedExchange", "Scan parquet", "ShuffleQueryStage"))
+        println(s"[px40] final-plan $m = ${m.r.findAllIn(fin).length}")
     }
     spark.stop()
   }
