@@ -19,12 +19,19 @@ object Verify {
         ps.exists(d.name.startsWith))
       case None => SparkEntry.decls
     }
+    // Queries whose `prepare` hook threw (r15 advice item 2): their
+    // oracle SQL would reference an artifact THIS run never wrote — a
+    // stale artifact from a prior run at the same sfDir would then
+    // pair silently. Tracked so the dump below can substitute a
+    // pairing-specific loud failure instead.
+    val prepareFailed = scala.collection.mutable.Set.empty[String]
     selected.foreach { d =>
       try {
         // materialize any artifact the ORACLE SQL reads (px85's
         // deflate kernel) before dumping the query — the dump and the
         // artifact are then produced by the same run at the same sfDir
-        d.prepare.foreach(p => p(spark, sfDir))
+        try d.prepare.foreach(p => p(spark, sfDir))
+        catch { case e: Throwable => prepareFailed += d.name; throw e }
         d.run(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/${d.name}")
       } catch { case e: Throwable =>
@@ -45,9 +52,26 @@ object Verify {
       case c => c.toString
     } + "\""
     // oracleSqlFor: per-SF tokens (px85's artifact dir) substituted so
-    // the dumped SQL is mechanically paired with THIS run's artifacts
+    // the dumped SQL is mechanically paired with THIS run's artifacts.
+    // Scoped to the SELECTED queries (r15 advice item 2): under
+    // SPARK_GRAFT_ONLY the dump otherwise carries oracle SQL for
+    // queries this run never dumped — check.py then fails them with a
+    // generic "no spark result parquet" (driver runs select everything,
+    // so the driver gate's query count is unchanged). A RUN failure
+    // keeps its entry — the missing parquet must stay red — but a
+    // PREPARE failure swaps the SQL for a loud pairing-specific error:
+    // the real SQL would read an artifact this run never wrote, and a
+    // stale one from a prior run at the same sfDir would pair silently.
+    val selectedNames = selected.map(_.name).toSet
     val json = SparkEntry.oracleSqlFor(sfDir)
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .filter { case (k, _) => selectedNames(k) }
+      .map { case (k, v) =>
+        val sql = if (prepareFailed(k))
+          s"SELECT error('graft: prepare hook for $k FAILED in the " +
+            "Verify run that wrote this dump; its oracle artifact was " +
+            "not (re)written — rerun Verify at this sfDir')"
+        else v
+        s"${q(k)}: ${q(sql)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

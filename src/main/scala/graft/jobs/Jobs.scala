@@ -884,7 +884,27 @@ object Jobs {
             s"$appendRetries). If this repeats every compaction, a " +
             s"writer is appending past the lease — check its lease " +
             s"path matches $lease")
-        Thread.sleep(100L * attempt) // let in-flight appenders drain
+        // Drain-wait BEFORE the next full copy (r15 advice item 4):
+        // each retry re-reads and rewrites the whole store, so a slow
+        // BURST of in-flight appends could burn every retry (and 3x
+        // the compaction I/O) while still mid-burst. Poll the file
+        // set until it is stable across one backoff interval (bounded
+        // polls — a writer violating the lease keeps mutating forever
+        // and must still reach the loud abort, not spin here).
+        var last = dataFiles(p)
+        var polls = 0
+        var stable = false
+        while (!stable && polls < 10) {
+          Thread.sleep(100L * attempt)
+          val now = dataFiles(p)
+          stable = now == last
+          last = now
+          polls += 1
+        }
+        if (!stable) System.err.println(
+          s"[compactStore] file set still changing after $polls " +
+            s"drain polls; proceeding to re-snapshot anyway (retry " +
+            s"$attempt)")
         // the restore changed the file set back; bust the session's
         // shared file-status cache before the re-read re-snapshot
         spark.catalog.refreshByPath(path)

@@ -3540,8 +3540,12 @@ object PipelineQueries {
     * mechanical, not a run-ordering discipline. User-scoped so two
     * users on one machine cannot clobber or permission-block each
     * other's artifact; the key carries the sfDir basename (readable)
-    * plus a canonical-path hash (collision-proof across dirs sharing
-    * a basename). Written only by the Decl's `prepare` hook — never
+    * plus the first 16 hex chars (64 bits) of SHA-256 of the
+    * canonical path — at any plausible number of distinct sfDirs
+    * sharing a basename a 64-bit digest cannot collide in practice
+    * (r15 advice: the previous 32-bit MurmurHash3 suffix risked a
+    * silent artifact share that would surface only as a cross-engine
+    * row mismatch). Written only by the Decl's `prepare` hook — never
     * by `run`, which is plan-only.
     */
   def px85ArtifactPath(sfDir: String): String = {
@@ -3555,8 +3559,9 @@ object PipelineQueries {
       .stripSuffix("/")
     val base = canon.substring(canon.lastIndexOf('/') + 1)
       .replaceAll("[^0-9A-Za-z._-]", "_")
-    val hash = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(canon))
+    val hash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
     sys.props("java.io.tmpdir").stripSuffix("/") +
       s"/graft_px85_deflate_${sys.props.getOrElse("user.name", "anon")}" +
       s"/${base}_$hash"

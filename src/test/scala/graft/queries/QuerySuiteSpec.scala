@@ -46,6 +46,10 @@ class QuerySuiteSpec extends SparkSpec {
       "/root/testdata/../testdata/sf0.001/")
     assert(p1 != p2)
     assert(p1 == p3, s"$p1 vs $p3")
+    // r16 (r15 advice): the disambiguating suffix is 64 bits of
+    // SHA-256 (16 hex chars), not a 32-bit hash — basename collisions
+    // across dirs cannot silently share an artifact in practice
+    assert(p1.matches(""".*_[0-9a-f]{16}$"""), p1)
   }
 
   test("h60 matches the DuckDB-verified constant") {
