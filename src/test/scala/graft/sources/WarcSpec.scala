@@ -274,4 +274,74 @@ class WarcSpec extends SparkSpec {
     assert(AnchorExtractJob.glue(anchors, maxChars = 10, maxHubUrls = 3)
       .count() == 3)
   }
+
+  test("payload bytes spelling 'WARC/' are NOT minted into a record " +
+    "(framing honors Content-Length over resync)") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val body = "before WARC/0.18\r\nfake: header\r\n\r\nafter"
+    val rec = s"WARC/0.18\r\nWARC-Type: response\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n$body"
+    val docs = Warc.parseRecords((rec + rec).getBytes(iso))
+    assert(docs.length == 2)
+    assert(docs.forall(_.content == body))
+  }
+
+  test("junk bytes between records are skipped (resync to the next magic)") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    def rec(id: String) = s"WARC/0.18\r\nWARC-Type: response\r\n" +
+      s"WARC-TREC-ID: $id\r\nContent-Length: 2\r\n\r\nok"
+    val bytes = ("leading junk\r\n" + rec("a") + "\r\n--garbage--\r\n" +
+      rec("b")).getBytes(iso)
+    assert(Warc.parseRecords(bytes).map(_.trecId) == Seq("a", "b"))
+  }
+
+  test("readLarge (PortableDataStream path) matches read on the golden file") {
+    val viaStream = Warc.readLarge(spark, resource("test.warc.gz")).collect()
+    assert(viaStream.sortBy(_.trecId).toSeq == all.sortBy(_.trecId).toSeq)
+  }
+
+  test("streams files past the old 2 GiB whole-file ceiling " +
+    "(one record in memory at a time)") {
+    // r16 (r15 verdict item 3): the pre-r16 parser materialized the
+    // decompressed file as ONE String and refused past ~2 GiB; the
+    // framer now bounds memory per RECORD. Feed >2^31 bytes through a
+    // SYNTHETIC stream (no disk, no 2 GiB allocation anywhere): one
+    // 4 MiB-payload record template repeated until the total passes
+    // the old ceiling, then assert every record framed correctly.
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val payload = new Array[Byte](4 << 20)
+    java.util.Arrays.fill(payload, 'x'.toByte)
+    val head = ("WARC/0.18\r\nWARC-Type: response\r\n" +
+      s"WARC-TREC-ID: rep\r\nContent-Length: ${payload.length}\r\n\r\n")
+      .getBytes(iso)
+    val template = head ++ payload
+    val reps = (Int.MaxValue.toLong / template.length + 2).toInt
+    val totalBytes = template.length.toLong * reps
+    assert(totalBytes > Int.MaxValue.toLong, s"test must cross 2 GiB: $totalBytes")
+    // serves `reps` copies of the template without materializing them
+    val in = new java.io.InputStream {
+      private var rep = 0; private var off = 0
+      override def read(): Int =
+        if (rep >= reps) -1
+        else { val b = template(off) & 0xff; step(1); b }
+      override def read(buf: Array[Byte], bo: Int, len: Int): Int = {
+        if (rep >= reps) return -1
+        val n = math.min(len, template.length - off)
+        System.arraycopy(template, off, buf, bo, n)
+        step(n); n
+      }
+      private def step(n: Int): Unit = {
+        off += n
+        if (off == template.length) { off = 0; rep += 1 }
+      }
+    }
+    var count = 0L
+    val it = Warc.parseStream(in)
+    while (it.hasNext) {
+      val d = it.next()
+      assert(d.trecId == "rep" && d.content.length == payload.length)
+      count += 1
+    }
+    assert(count == reps, s"framed $count of $reps records")
+  }
 }
