@@ -37,12 +37,16 @@ object KrovetzStem {
   val exceptions: Seq[(String, String)] = Seq(
     // --- protection: lexical '-s' headwords (not plurals) ---
     "news" -> "news", "series" -> "series", "species" -> "species",
-    "this" -> "this", "alias" -> "alias", "bias" -> "bias",
+    "alias" -> "alias", "bias" -> "bias",
     "atlas" -> "atlas", "chaos" -> "chaos", "lens" -> "lens",
     "canvas" -> "canvas", "always" -> "always", "perhaps" -> "perhaps",
     "diabetes" -> "diabetes", "christmas" -> "christmas",
     "molasses" -> "molasses", "measles" -> "measles",
     "cosmos" -> "cosmos", "texas" -> "texas", "kansas" -> "kansas",
+    "whereas" -> "whereas", "upstairs" -> "upstairs",
+    "downstairs" -> "downstairs", "overseas" -> "overseas",
+    "corps" -> "corps", "headquarters" -> "headquarters",
+    "scissors" -> "scissors",
     // --- protection: '-ing' headwords the length guard misses ---
     "during" -> "during", "morning" -> "morning", "evening" -> "evening",
     "nothing" -> "nothing", "something" -> "something",
@@ -51,19 +55,23 @@ object KrovetzStem {
     "ceiling" -> "ceiling", "sibling" -> "sibling", "darling" -> "darling",
     "dwelling" -> "dwelling", "shilling" -> "shilling",
     "cunning" -> "cunning", "herring" -> "herring", "pudding" -> "pudding",
-    "being" -> "being",
+    "wedding" -> "wedding", "lightning" -> "lightning",
+    "offspring" -> "offspring", "earring" -> "earring",
+    "outstanding" -> "outstanding", "awning" -> "awning",
     // --- protection: '-ed' headwords ---
     "hundred" -> "hundred", "sacred" -> "sacred", "hatred" -> "hatred",
     "kindred" -> "kindred", "naked" -> "naked", "wicked" -> "wicked",
     "rugged" -> "rugged", "ragged" -> "ragged", "wretched" -> "wretched",
-    "shred" -> "shred", "infrared" -> "infrared", "indeed" -> "indeed",
+    "shred" -> "shred", "infrared" -> "infrared",
+    "crooked" -> "crooked", "beloved" -> "beloved", "jagged" -> "jagged",
     // --- conflation: '-oes'/'-ies'/'-es' irregular plurals ---
-    "movies" -> "movie", "shoes" -> "shoe", "toes" -> "toe",
+    "movies" -> "movie", "shoes" -> "shoe",
     "cookies" -> "cookie", "calories" -> "calorie", "rookies" -> "rookie",
     "zombies" -> "zombie", "prairies" -> "prairie",
     "gases" -> "gas", "buses" -> "bus", "viruses" -> "virus",
     "bonuses" -> "bonus", "focuses" -> "focus", "censuses" -> "census",
-    "does" -> "do",
+    "does" -> "do", "goes" -> "go", "canoes" -> "canoe",
+    "oboes" -> "oboe",
     // --- conflation: '-eed' / short '-ied' below the length guards ---
     "agreed" -> "agree", "freed" -> "free",
     "died" -> "die", "lied" -> "lie", "tied" -> "tie", "vied" -> "vie",
@@ -74,54 +82,57 @@ object KrovetzStem {
     "vying" -> "vie", "going" -> "go", "doing" -> "do",
     "using" -> "use", "used" -> "use", "owing" -> "owe",
     "suing" -> "sue", "aging" -> "age", "aged" -> "age",
-    "writing" -> "write", "coming" -> "come",
+    "writing" -> "write",
     // --- conflation: stems only a dictionary can restore ---
     "created" -> "create", "creating" -> "create",
-    "biased" -> "bias", "biases" -> "bias",
-    "canoeing" -> "canoe", "canoed" -> "canoe",
-    "dyeing" -> "dye", "singeing" -> "singe",
-    // --- conflation: 'p'-final stems (stress-ambiguous: hoped→hope
-    //     but developed→develop; rule keeps bare stem, table restores
-    //     the frequent e-final ones) ---
-    "hoped" -> "hope", "hoping" -> "hope", "shaped" -> "shape",
-    "shaping" -> "shape", "typed" -> "type", "typing" -> "type",
-    "wiped" -> "wipe", "wiping" -> "wipe", "escaped" -> "escape",
-    "escaping" -> "escape", "taped" -> "tape", "taping" -> "tape",
-    // --- conflation: 't'-final stems (visited→visit but noted→note) ---
+    "biased" -> "bias", "biases" -> "bias", "canoed" -> "canoe",
+    // --- conflation: 'p'-final stems (stress-ambiguous after 'i'/'o'/
+    //     'y': hoped→hope but developed→develop, wiped→wipe but
+    //     gossiped→gossip; the 'a' family restores by rule) ---
+    "hoped" -> "hope", "hoping" -> "hope",
+    "typed" -> "type", "typing" -> "type",
+    "wiped" -> "wipe", "wiping" -> "wipe",
+    "coped" -> "cope", "coping" -> "cope", "roped" -> "rope",
+    "sloped" -> "slope", "sloping" -> "slope", "scoped" -> "scope",
+    "scoping" -> "scope", "groped" -> "grope", "eloped" -> "elope",
+    "doped" -> "dope", "piped" -> "pipe", "piping" -> "pipe",
+    "swiped" -> "swipe", "striped" -> "stripe",
+    // --- conflation: 't'-final stems after 'i'/'o' (visited→visit but
+    //     united→unite; the 'a'/'u' families restore by rule) ---
     "noted" -> "note", "noting" -> "note", "voted" -> "vote",
-    "voting" -> "vote", "rated" -> "rate", "rating" -> "rate",
-    "dated" -> "date", "dating" -> "date", "cited" -> "cite",
-    "citing" -> "cite", "stated" -> "state", "stating" -> "state",
+    "voting" -> "vote", "cited" -> "cite",
+    "citing" -> "cite",
     "quoted" -> "quote", "quoting" -> "quote", "united" -> "unite",
     "uniting" -> "unite", "invited" -> "invite", "inviting" -> "invite",
     "promoted" -> "promote", "promoting" -> "promote",
-    "devoted" -> "devote", "located" -> "locate",
-    "locating" -> "locate", "related" -> "relate",
-    "relating" -> "relate", "updated" -> "update",
-    "updating" -> "update", "guided" -> "guide", "guiding" -> "guide",
-    // --- conflation: 'r'-final stems (scored→score but honored→honor) ---
-    "fired" -> "fire", "firing" -> "fire", "hired" -> "hire",
-    "hiring" -> "hire", "tired" -> "tire", "desired" -> "desire",
-    "required" -> "require", "requiring" -> "require",
-    "admired" -> "admire", "inspired" -> "inspire",
-    "retired" -> "retire", "compared" -> "compare",
-    "comparing" -> "compare", "shared" -> "share",
-    "sharing" -> "share", "prepared" -> "prepare",
-    "preparing" -> "prepare", "declared" -> "declare",
-    "declaring" -> "declare", "cared" -> "care", "caring" -> "care",
+    "devoted" -> "devote", "devoting" -> "devote",
+    "excited" -> "excite", "exciting" -> "excite",
+    "ignited" -> "ignite", "recited" -> "recite",
+    "incited" -> "incite", "reunited" -> "reunite",
+    "expedited" -> "expedite", "denoted" -> "denote",
+    "demoted" -> "demote",
+    // --- conflation: 'r'-final stems after 'o' (scored→score but
+    //     honored→honor; the 'a'/'i'/'u' families restore by rule) ---
     "scored" -> "score", "scoring" -> "score", "stored" -> "store",
     "storing" -> "store", "ignored" -> "ignore",
     "ignoring" -> "ignore", "explored" -> "explore",
-    "exploring" -> "explore", "bored" -> "bore",
+    "exploring" -> "explore", "bored" -> "bore", "boring" -> "bore",
     "restored" -> "restore", "restoring" -> "restore",
-    "measured" -> "measure", "measuring" -> "measure",
-    "figured" -> "figure", "figuring" -> "figure",
-    "captured" -> "capture", "capturing" -> "capture",
-    "featured" -> "feature", "featuring" -> "feature",
-    "secured" -> "secure", "securing" -> "secure",
-    "tiring" -> "tire", "boring" -> "bore", "desiring" -> "desire",
-    "admiring" -> "admire", "inspiring" -> "inspire",
-    "retiring" -> "retire", "devoting" -> "devote",
+    "adored" -> "adore", "adoring" -> "adore",
+    "snored" -> "snore", "snoring" -> "snore",
+    // --- conflation: rule false positives the dictionary undoes
+    //     (murmur keeps a single unstressed 'r'; iron/postpone fall on
+    //     the wrong side of the short-'o' length guard; combat/debut
+    //     end in restoring vowel+t but take no 'e') ---
+    "murmured" -> "murmur", "murmuring" -> "murmur",
+    "ironed" -> "iron", "ironing" -> "iron",
+    "postponed" -> "postpone", "postponing" -> "postpone",
+    "combated" -> "combat", "combating" -> "combat",
+    "debuted" -> "debut", "debuting" -> "debut",
+    "waned" -> "wane", "waning" -> "wane",
+    "bottomed" -> "bottom", "bottoming" -> "bottom",
+    "blossomed" -> "blossom", "blossoming" -> "blossom",
+    "ransomed" -> "ransom",
     // --- conflation: '-ng' verb stems (review r14: restoreE's 'g'
     //     rule is right for the chang-/arrang-/manag- family but
     //     appends a spurious 'e' to real -ng stems — singing→'singe'
@@ -166,7 +177,11 @@ object KrovetzStem {
       .mkString("CASE ", " ", " ELSE NULL END")
 
   /** Step 1 — plural removal (`-ies`→y, sibilant `-es`, `-s`; `-ss`,
-    * `-us`, `-is`, `-ics` protected).
+    * `-us`, `-is`, `-ics` protected). Length-4 `-oes` is the plural of
+    * an `-oe` noun (toes, hoes, foes, woes) and drops only the 's';
+    * the two length-4 verbs (goes, does) are table conflations. Longer
+    * `-oes` is o-plural (heroes, potatoes) and drops 'es', with the
+    * `-oe` nouns long enough to collide (shoes, canoes) in the table.
     */
   def pluralSql(c: String): String =
     s"""CASE
@@ -177,6 +192,7 @@ object KrovetzStem {
        | WHEN ${ends(c, "shes", 5)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "ches", 5)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "xes", 4)} THEN ${drop(c, 2)}
+       | WHEN ${ends(c, "oes", 4)} AND length($c) = 4 THEN ${drop(c, 1)}
        | WHEN ${ends(c, "oes", 4)} THEN ${drop(c, 2)}
        | WHEN ${ends(c, "ss", 2)} THEN $c
        | WHEN ${ends(c, "us", 4)} THEN $c
@@ -201,17 +217,35 @@ object KrovetzStem {
   /** e-restoration after suffix removal: endings that essentially never
     * close an English stem without a final 'e' ('c','v','u','g'
     * always; 'k'/'z'/'s' after a single vowel; 'l' after a non-l
-    * consonant; round-9 dictionary-completion families — 'd'/'m'/'b'
-    * after a single non-'e' vowel (decided→decide, named→name,
-    * described→describe; the 'e' exclusion keeps attended/happened/
-    * seemed bare) and 'n' after single 'i' only (defined→define,
-    * combined→combine; 'o' stays bare so reasoned/abandoned/mentioned
-    * survive, with phoned-type words left to the table). 't','p','r'
-    * are deliberately NOT restored — stress decides (visited/limited
-    * vs noted/rated; developed vs hoped; honored vs scored) and only
-    * the exception table can know. Dictionary Krovetz decides all of
-    * this by lookup; this is the orthographic approximation, with the
-    * table above catching the frequent words it gets wrong.
+    * consonant; 'd'/'m'/'b' after a single non-'e' vowel
+    * (decided→decide, named→name, described→describe; the 'e'
+    * exclusion keeps attended/happened/seemed bare)).
+    *
+    * The r16 dictionary-completion families lean on English doubling
+    * orthography: a verb whose stem ends in short-vowel+consonant
+    * doubles that consonant before -ed/-ing (starred, stopped,
+    * planned), so a SINGLE final 'r'/'t'/'p' after a restoring vowel
+    * implies a magic-e stem —
+    *  - 't' after 'a'/'u' (created→create, computed→compute), with
+    *    'e'/'o' digraphs excluded (treated, coated, shouted stay bare)
+    *    but 'i'/'u' hiatus vowels allowed (associated→associate,
+    *    graduated→graduate);
+    *  - 'r' after 'a'/'i'/'u' (cared→care, fired→fire,
+    *    measured→measure; squared/required restore through the 'u'
+    *    hiatus), with 'e'/'o'/'a' digraphs excluded (feared, soared,
+    *    paired stay bare);
+    *  - 'p' after 'a' (shaped→shape; heaped/soaped digraphs excluded);
+    *  - 'n' after 'i' (defined→define), after 'u' (tuned→tune), and
+    *    after short-stem 'o' (phoned→phone, cloned→clone; the length
+    *    guard keeps reasoned/abandoned/summoned bare);
+    *  - 'd' additionally restores through the 'u' hiatus
+    *    (guided→guide, persuaded→persuade) while 'a'/'e'/'i'/'o'
+    *    digraphs stay bare (loaded, headed, raided, avoided).
+    * 't' after 'i'/'o' and 'p' after 'i'/'o' remain undecidable by
+    * orthography (visited vs united; developed vs hoped) — only the
+    * exception table can know. Dictionary Krovetz decides all of this
+    * by lookup; this is the orthographic approximation, with the table
+    * above catching the frequent words it gets wrong.
     */
   private def restoreE(c: String, off: Int): String = {
     val l = ch(c, off); val p = ch(c, off + 1); val pp = ch(c, off + 2)
@@ -219,8 +253,13 @@ object KrovetzStem {
       s"($l = 'k' AND $p IN $V AND NOT $pp IN $V) OR " +
       s"($l IN ('z','s') AND $p IN $V) OR " +
       s"($l = 'l' AND NOT $p IN $V AND $p <> 'l') OR " +
-      s"($l = 'n' AND $p = 'i' AND NOT $pp IN $V) OR " +
-      s"($l IN ('m','d','b') AND $p IN ('a','i','o','u') AND NOT $pp IN $V))"
+      s"($l = 'n' AND ($p = 'i' OR $p = 'u' OR " +
+      s"($p = 'o' AND length($c) <= ${off + 5})) AND NOT $pp IN $V) OR " +
+      s"($l IN ('m','b') AND $p IN ('a','i','o','u') AND NOT $pp IN $V) OR " +
+      s"($l = 'd' AND $p IN ('a','i','o','u') AND NOT $pp IN ('a','e','i','o')) OR " +
+      s"($l = 't' AND $p IN ('a','u') AND NOT $pp IN ('e','o')) OR " +
+      s"($l = 'r' AND $p IN ('a','i','u') AND NOT $pp IN ('a','e','o')) OR " +
+      s"($l = 'p' AND $p = 'a' AND NOT $pp IN ('e','o')))"
   }
 
   /** Step 2 — past tense (`-eed` kept, `-ied`→y, `-ed` with
@@ -257,37 +296,46 @@ object KrovetzStem {
     * Staged columns keep each generated CASE referencing a NAMED column
     * (nesting the steps textually would explode the expression tree).
     *
-    * The exception dictionary is consulted through the native
-    * [[graft.functions.KrovetzEx]] expression — one static-HashMap
-    * probe per token — NOT the generated [[exceptionSql]] CASE the
-    * DuckDB oracle runs: that ~230-branch chain codegens to a linear
-    * string-compare ladder per token and measured 5–6.6× DuckDB in
-    * the round-9 bench. Same table, same equality, one source of
-    * truth; KrovetzStemSpec pins cross-engine agreement.
+    * The dictionary is consulted TWICE, as in Krovetz 1993: on the raw
+    * token, and again on the plural-stripped form — without the second
+    * probe a plural of a protected '-ing' headword blows through
+    * protection ('strings' → 'string' → the -ing rule → 'str'; with it,
+    * 'strings' → 'string' → table → 'string').
+    *
+    * Both probes go through the native [[graft.functions.KrovetzEx]]
+    * expression — one static-HashMap probe per token — NOT the
+    * generated [[exceptionSql]] CASE the DuckDB oracle runs: that
+    * CASE chain codegens to a linear string-compare ladder per token
+    * and measured 5–6.6× DuckDB in the round-9 bench. Same table, same
+    * equality, one source of truth; KrovetzStemSpec pins cross-engine
+    * agreement.
     */
   def stem(df: org.apache.spark.sql.DataFrame, in: String,
            out: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.GraftColumnBridge
+    def kx(c: String) = GraftColumnBridge.column(
+      graft.functions.KrovetzEx(GraftColumnBridge.expression(col(c))))
     // construct the expression directly (not via the registered
     // "krovetz_ex" SQL name) so stem() keeps working on sessions
     // built without GraftExtensions
-    df.withColumn("_kx", GraftColumnBridge.column(
-      graft.functions.KrovetzEx(GraftColumnBridge.expression(col(in)))))
+    df.withColumn("_kx", kx(in))
       .withColumn("_s1", expr(pluralSql(in)))
+      .withColumn("_kx1", kx("_s1"))
       .withColumn("_s2", expr(pastSql("_s1")))
       .withColumn("_s3", expr(ingSql("_s2")))
-      .withColumn(out, expr("coalesce(_kx, _s3)"))
-      .drop("_kx", "_s1", "_s2", "_s3")
+      .withColumn(out, expr("coalesce(_kx, _kx1, _s3)"))
+      .drop("_kx", "_kx1", "_s1", "_s2", "_s3")
   }
 
   /** DuckDB pipeline over an inner relation exposing `termCol`:
     * same staged shape, same generated SQL strings.
     */
   def duckStemSql(innerSql: String, termCol: String, out: String): String =
-    s"""SELECT *, coalesce(kx, s3) AS $out FROM (
+    s"""SELECT *, coalesce(kx, kx1, s3) AS $out FROM (
        | SELECT *, ${ingSql("s2")} AS s3 FROM (
-       |  SELECT *, ${pastSql("s1")} AS s2 FROM (
+       |  SELECT *, ${pastSql("s1")} AS s2,
+       |         ${exceptionSql("s1")} AS kx1 FROM (
        |   SELECT *, ${pluralSql(termCol)} AS s1,
        |          ${exceptionSql(termCol)} AS kx
        |   FROM ($innerSql) _kv0)))""".stripMargin

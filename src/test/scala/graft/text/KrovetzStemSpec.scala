@@ -142,8 +142,8 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("going") == "go") // exception
     assert(m("doing") == "do") // exception
     assert(m("using") == "use") // exception
-    assert(m("writing") == "write") // exception (vowel+'t')
-    assert(m("coming") == "come") // exception ('m' never restores)
+    assert(m("writing") == "write") // exception ('t' after 'i')
+    assert(m("coming") == "come") // 'm' after single 'o' restores
     assert(m("being") == "being") // pinned unchanged
     assert(m("having") == "have")
   }
@@ -246,28 +246,144 @@ class KrovetzStemSpec extends SparkSpec {
     // Cases where only a head-word dictionary can decide; the rule
     // output is pinned here so the divergence is explicit, not silent.
     val m = stemAll(Seq(
-      "writing", "toes", "goes", "covered", "visited", "limited",
-      "developed", "honored", "answered", "phoned", "bottomed", "hoes"))
-    // 'covered'/'answered'/'honored': 'r' never restores → dict agrees
-    // on the -ered/-ored noun-verbs (cover, answer, honor)
+      "covered", "visited", "limited", "developed", "honored",
+      "answered", "moped", "sited", "doted", "dethroned", "hoed",
+      "craned", "toes", "goes", "hoes"))
+    // 'r' after 'e'/'o' never restores → dict agrees on the
+    // -ered/-ored noun-verbs (cover, answer, honor)
     assert(m("covered") == "cover")
     assert(m("answered") == "answer")
     assert(m("honored") == "honor")
-    // 't' never restores: right for visit/limit, wrong for unlisted
-    // note-type words (the frequent ones are in the table)
+    // 't'/'p' after 'i'/'o' never restore: right for visit/limit/
+    // develop, wrong for unlisted magic-e stems (frequent ones are in
+    // the table; these pin the residual class)
     assert(m("visited") == "visit")
     assert(m("limited") == "limit")
-    // 'p' never restores: right for develop, table covers hope/type
     assert(m("developed") == "develop")
-    // 'n' restores only after 'i': 'phoned' loses its e (dict: phone)
-    assert(m("phoned") == "phon")
-    // 'm' after single 'o' restores: 'bottomed' gains an e (dict:
-    // bottom) — the price of welcomed→welcome without stress info
-    assert(m("bottomed") == "bottome")
-    // short '-oes' nouns need the table; unlisted ones lose the 'e'
-    assert(m("toes") == "toe") // in table
+    assert(m("moped") == "mop") // dict: mope (or the noun 'moped')
+    assert(m("sited") == "sit") // dict: site
+    assert(m("doted") == "dot") // dict: dote
+    // short-'o' 'n' restoration is length-guarded: phoned→phone by
+    // rule, but a long unlisted -one stem stays bare
+    assert(m("dethroned") == "dethron") // dict: dethrone
+    // below the -ed length guard nothing strips
+    assert(m("hoed") == "hoed") // dict: hoe
+    // 'n' after 'a' never restores (plan/stun family); unlisted
+    // magic-e stems lose the 'e'
+    assert(m("craned") == "cran") // dict: crane ('waned' is in table)
+    // length-4 '-oes' drops only the 's' (toe/hoe/foe/woe nouns);
+    // goes/does conflate via the table
+    assert(m("toes") == "toe")
+    assert(m("hoes") == "hoe")
     assert(m("goes") == "go")
-    assert(m("hoes") == "ho") // unlisted (dict: hoe)
+  }
+
+  test("r16 rule families: t/r/p/n/d dictionary-completion by orthography") {
+    val m = stemAll(Seq(
+      // 't' after 'a'/'u' (incl. ia/ua hiatus), bare after e/o digraphs
+      "generated", "estimated", "celebrated", "graduated", "situated",
+      "associated", "appreciated", "computed", "disputed", "executed",
+      "contributed", "distributed", "treated", "heated", "coated",
+      "shouted", "doubted", "suited", "recruited",
+      // 'r' after 'a'/'i'/'u' (incl. ua hiatus), bare after digraphs
+      "squared", "acquired", "inquired", "wired", "endured", "matured",
+      "insured", "assured", "structured", "lectured", "ventured",
+      "feared", "cleared", "appeared", "soared", "paired", "repaired",
+      "aired", "colored", "occurred",
+      // 'p' after 'a', bare after ea/oa digraphs
+      "escaped", "draped", "scraped", "heaped", "leaped", "soaped",
+      "galloped", "gossiped", "worshiped",
+      // 'n' after 'u' and short-stem 'o'
+      "phoned", "phoning", "toned", "zoned", "cloned", "stoned",
+      "honed", "tuned", "pruned", "attuned", "reasoned", "summoned",
+      "pardoned", "mentioned", "owned", "crooned",
+      // 'd' through the 'u' hiatus, bare after other vowel digraphs
+      "persuaded", "dissuaded", "applauded", "lauded", "feuded",
+      "shrouded", "loaded", "headed", "raided", "avoided",
+      // table-pinned false positives of the new rules
+      "murmured", "ironed", "ironing", "postponed", "combated",
+      "debuted", "bottomed", "blossomed", "waned"))
+    assert(m("generated") == "generate" && m("estimated") == "estimate")
+    assert(m("celebrated") == "celebrate")
+    assert(m("graduated") == "graduate" && m("situated") == "situate")
+    assert(m("associated") == "associate")
+    assert(m("appreciated") == "appreciate")
+    assert(m("computed") == "compute" && m("disputed") == "dispute")
+    assert(m("executed") == "execute")
+    assert(m("contributed") == "contribute")
+    assert(m("distributed") == "distribute")
+    assert(m("treated") == "treat" && m("heated") == "heat")
+    assert(m("coated") == "coat" && m("shouted") == "shout")
+    assert(m("doubted") == "doubt" && m("suited") == "suit")
+    assert(m("recruited") == "recruit")
+    assert(m("squared") == "square" && m("acquired") == "acquire")
+    assert(m("inquired") == "inquire" && m("wired") == "wire")
+    assert(m("endured") == "endure" && m("matured") == "mature")
+    assert(m("insured") == "insure" && m("assured") == "assure")
+    assert(m("structured") == "structure")
+    assert(m("lectured") == "lecture" && m("ventured") == "venture")
+    assert(m("feared") == "fear" && m("cleared") == "clear")
+    assert(m("appeared") == "appear" && m("soared") == "soar")
+    assert(m("paired") == "pair" && m("repaired") == "repair")
+    assert(m("aired") == "air" && m("colored") == "color")
+    assert(m("occurred") == "occur")
+    assert(m("escaped") == "escape" && m("draped") == "drape")
+    assert(m("scraped") == "scrape" && m("heaped") == "heap")
+    assert(m("leaped") == "leap" && m("soaped") == "soap")
+    assert(m("galloped") == "gallop" && m("gossiped") == "gossip")
+    assert(m("worshiped") == "worship")
+    assert(m("phoned") == "phone" && m("phoning") == "phone")
+    assert(m("toned") == "tone" && m("zoned") == "zone")
+    assert(m("cloned") == "clone" && m("stoned") == "stone")
+    assert(m("honed") == "hone" && m("tuned") == "tune")
+    assert(m("pruned") == "prune" && m("attuned") == "attune")
+    assert(m("reasoned") == "reason" && m("summoned") == "summon")
+    assert(m("pardoned") == "pardon" && m("mentioned") == "mention")
+    assert(m("owned") == "own" && m("crooned") == "croon")
+    assert(m("persuaded") == "persuade" && m("dissuaded") == "dissuade")
+    assert(m("applauded") == "applaud" && m("lauded") == "laud")
+    assert(m("feuded") == "feud" && m("shrouded") == "shroud")
+    assert(m("loaded") == "load" && m("headed") == "head")
+    assert(m("raided") == "raid" && m("avoided") == "avoid")
+    assert(m("murmured") == "murmur")
+    assert(m("ironed") == "iron" && m("ironing") == "iron")
+    assert(m("postponed") == "postpone" && m("combated") == "combat")
+    assert(m("debuted") == "debut" && m("bottomed") == "bottom")
+    assert(m("blossomed") == "blossom" && m("waned") == "wane")
+  }
+
+  test("r16 post-plural dictionary consult: plurals of protected headwords") {
+    // Without the second dictionary probe, 'strings' → plural →
+    // 'string' → the -ing rule → 'str'. Krovetz consults the lexicon
+    // after each step; our pipeline consults the table on the
+    // plural-stripped form too.
+    val m = stemAll(Seq(
+      "strings", "springs", "mornings", "evenings", "ceilings",
+      "siblings", "dwellings", "weddings", "earrings", "puddings",
+      "writings", "buildings", "kings", "things",
+      "wedding", "lightning", "offspring", "earring", "outstanding",
+      "awning", "crooked", "beloved", "jagged", "whereas", "upstairs",
+      "downstairs", "overseas", "corps", "headquarters", "scissors"))
+    assert(m("strings") == "string")
+    assert(m("springs") == "spring")
+    assert(m("mornings") == "morning")
+    assert(m("evenings") == "evening")
+    assert(m("ceilings") == "ceiling")
+    assert(m("siblings") == "sibling")
+    assert(m("dwellings") == "dwelling")
+    assert(m("weddings") == "wedding")
+    assert(m("earrings") == "earring")
+    assert(m("puddings") == "pudding")
+    assert(m("writings") == "write") // conflation applies post-plural too
+    assert(m("buildings") == "build") // unprotected gerunds still stem
+    assert(m("kings") == "king") // below the -ing guard anyway
+    assert(m("things") == "thing")
+    // and the new protections themselves
+    for (w <- Seq("wedding", "lightning", "offspring", "earring",
+      "outstanding", "awning", "crooked", "beloved", "jagged",
+      "whereas", "upstairs", "downstairs", "overseas", "corps",
+      "headquarters", "scissors"))
+      assert(m(w) == w, s"headword '$w' must not stem")
   }
 
   test("krovetz_ex native lookup == generated exception CASE, all entries + non-entries") {
