@@ -488,6 +488,101 @@ object Ann {
       .select("qid", "vid", "exact_d2", "rank")
   }
 
+  /** IVF residuals (the encode-side half of IVFADC, Jégou et al. 2011
+    * §IV): each vector's nearest-centroid assignment PLUS the residual
+    * x − c_cid, in one narrow pass (the centroid is still attached at
+    * the winner row, so no second corpus scan or re-join). PQ trained
+    * on residuals spends its code budget on the WITHIN-cell variation —
+    * the variance left after the coarse quantizer — instead of
+    * re-describing cell positions the cid already encodes; on
+    * tight-cluster corpora (the adversarial replica-cloud regime of
+    * AnnRecallProbe) that is the difference between ADC resolving
+    * intra-cell structure and ADC tying on it.
+    *
+    * @return (vid, cid, res: array&lt;double&gt;)
+    */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
+                   idCol: String = "vec_id",
+                   embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("r",
+        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
+      .filter(col("r") === 1)
+      .filter(expr(guardWinner("d2", "vid", "ivfResiduals")))
+      .withColumn("res",
+        expr("zip_with(ve, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
+      .select("vid", "cid", "res")
+
+  /** Encode IVF residuals against a residual-trained PQ codebook
+    * ([[pqTrain]] over [[ivfResiduals]] output with `embCol = "res"`),
+    * keeping the list id on every code row: (vid, cid, blk, code) —
+    * the storage layout of a real IVFADC index, where the codes live
+    * INSIDE their inverted list (at scale: parquet partitioned by cid,
+    * exactly [[writeIvfPartitioned]]'s layout with codes instead of
+    * raw floats). Same ranking/guard semantics as [[pqEncode]].
+    */
+  def ivfPqEncode(residuals: DataFrame, codebook: DataFrame): DataFrame = {
+    requireDimMatches(residuals, "res", codebook, "ivfPqEncode")
+    residuals.crossJoin(broadcast(codebook))
+      .withColumn("d2", expr(l2sqBlock("res", "centroid")))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
+      .filter(col("r") === 1)
+      .filter(expr(guardWinner("d2", "vid", "ivfPqEncode")))
+      .select("vid", "cid", "blk", "code")
+  }
+
+  /** IVFADC search (Jégou et al. 2011 §IV): per query, probe the
+    * `nprobe` nearest lists; per probed list, build the ADC lookup
+    * table from the query's OWN residual against that list's centroid
+    * (qres = q − c_cid — the LUT is per (query, list), which is why
+    * the residual trick costs nothing extra at search time beyond the
+    * nprobe factor on the LUT size); then scan codes joined on
+    * (cid, blk, code), so non-probed lists never match. Approximates
+    * ‖q − x‖² = ‖(q − c) − r‖² ≈ Σ_blk ‖qres_blk − r̂_blk‖² with r̂
+    * the quantized residual.
+    *
+    * Scale: LUT is |q|·nprobe·blocks·kCodes rows — broadcast-small by
+    * construction; the scan side is CODES ONLY (blocks·1 byte per
+    * vector), and over the cid-partitioned layout the literal probed-
+    * cid set prunes at plan time exactly as [[ivfTopKPartitioned]].
+    * Compose with [[adcRefine]] for the IVFADC+R production path.
+    *
+    * @param codes [[ivfPqEncode]] output (vid, cid, blk, code)
+    */
+  def ivfAdcTopK(codes: DataFrame, centroids: DataFrame,
+                 codebook: DataFrame, queries: DataFrame,
+                 nprobe: Int, k: Int,
+                 idCol: String = "vec_id",
+                 embCol: String = "embedding"): DataFrame = {
+    requireDimMatches(queries, embCol, codebook, "ivfAdcTopK")
+    val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("qe", "centroid")))
+      .withColumn("pr",
+        expr("row_number() OVER (PARTITION BY qid ORDER BY round(d2, 6), cid)"))
+      .filter(col("pr") <= nprobe)
+      .filter(expr(guardWinner("d2", "qid", "ivfAdcTopK probe")))
+      .withColumn("qres",
+        expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
+      .select("qid", "cid", "qres")
+    val lut = probes.crossJoin(broadcast(codebook))
+      .withColumn("pd", expr(l2sqBlock("qres", "centroid")))
+      // NULL pd would be silently skipped by sum(pd) — see pqAdcTopK
+      .filter(expr(guardWinner("pd", "qid", "ivfAdcTopK")))
+      .select("qid", "cid", "blk", "code", "pd")
+    codes.join(broadcast(lut), Seq("cid", "blk", "code"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy("qid", "vid")
+      .agg(expr("round(sum(pd), 6)").as("adc_dist2"))
+      .withColumn("rank", expr(
+        "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
+      .filter(col("rank") <= k)
+      .select("qid", "vid", "adc_dist2", "rank")
+  }
+
   /** IVF search: each query probes its `nprobe` nearest centroids and
     * ranks only the corpus vectors assigned to those lists. With
     * `nprobe == kClusters` this is exactly [[cosineTopK]]; smaller

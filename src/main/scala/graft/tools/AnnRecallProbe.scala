@@ -140,6 +140,43 @@ object AnnRecallProbe {
           .filter(col("rank") <= 10)))
       println(f"""[annrecall] {"variant":"ivf_adc","nprobe":$nprobe,"recall_at_10":${recall(adc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(adc, exact)}%.3f}""")
     }
+    // Residual (IVF-centered) PQ — IVFADC proper (r16 verdict item 4):
+    // the codebook is trained on x − c_cid, so its kCodes resolve
+    // WITHIN-cell structure (here: the eps-noise clouds) instead of
+    // re-describing cell positions. Training sample: a deterministic
+    // ~1/500 slice ACROSS replicas (the k=0-only slice would see only
+    // near-zero residuals and learn nothing about the cloud radius);
+    // the modulus scales with the corpus (~2k training rows), kept odd
+    // and off multiples of 5 so it is coprime to the 10M replica
+    // stride — the slice crosses bases AND replicas.
+    val sampleMod = {
+      var m = math.min(499L, math.max(1L, nv / 2000L))
+      if (m % 2 == 0) m += 1
+      if (m % 5 == 0) m += 2
+      m
+    }
+    val resid = t("ivf_residuals")(
+      Ann.ivfResiduals(big, cent).repartition(32).localCheckpoint())
+    val rcb = t("pq_train_residual")(
+      Ann.pqTrain(resid.filter(col("vid") % sampleMod === 0),
+        blocks = 8, kCodes = 32, iters = 2,
+        idCol = "vid", embCol = "res").localCheckpoint())
+    val rcodes = t("pq_encode_residual")(
+      Ann.ivfPqEncode(resid, rcb).repartition(32).localCheckpoint())
+    for (nprobe <- Seq(1, 2, 4)) {
+      val radc = t(s"ivfadc_residual_np$nprobe")(
+        topk(Ann.ivfAdcTopK(rcodes, cent, rcb, queries, nprobe, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_residual","nprobe":$nprobe,"recall_at_10":${recall(radc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(radc, exact)}%.3f}""")
+    }
+    // residual IVFADC+R: the production path with the residual books
+    for (bigR <- Seq(50, 200)) {
+      val topR = Ann.ivfAdcTopK(rcodes, cent, rcb, queries,
+        nprobe = 4, k = bigR)
+      val refined = t(s"ivfadc_residual_refine_R$bigR")(
+        topk(Ann.adcRefine(topR, big, queries, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_residual_refine","nprobe":4,"R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
+    }
+
     // PQ without the IVF cut: full-corpus ADC scan over codes
     val fulladc = t("full_adc")(topk(Ann.pqAdcTopK(codes, cb, queries, 10)))
     println(f"""[annrecall] {"variant":"full_adc","nprobe":16,"recall_at_10":${recall(fulladc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(fulladc, exact)}%.3f}""")

@@ -89,6 +89,89 @@ class AnnSpec extends SparkSpec {
     assert(rr.groupBy("qid").count().filter(col("count") > 10).count() == 0)
   }
 
+  test("ivfResiduals: centroid + residual reconstructs; assignment == ivfAssign") {
+    val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
+    val res = Ann.ivfResiduals(emb, cent)
+    assert(res.count() === emb.count())
+    // same winner as ivfAssign (identical ranking expression)
+    val a1 = Ann.ivfAssign(emb, cent).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res.select("vid", "cid").collect().foreach { r =>
+      assert(a1(r.getLong(0)) == r.getLong(1), s"cid mismatch vid ${r.getLong(0)}")
+    }
+    // x == c_cid + res elementwise (double math, exact reconstruction)
+    val bad = res.join(cent, Seq("cid"))
+      .join(emb.select(col("vec_id").as("vid"), col("embedding")), Seq("vid"))
+      .withColumn("err", expr(
+        "aggregate(zip_with(zip_with(centroid, res, (c, r) -> c + r), " +
+          "embedding, (s, x) -> abs(s - CAST(x AS DOUBLE)))," +
+          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .filter(col("err") > 1e-9)
+    assert(bad.count() === 0, "centroid + residual != original vector")
+  }
+
+  test("ivfAdcTopK with one list == plain pqAdcTopK (shift invariance)") {
+    // With kClusters = 1 every residual is x - mean: k-means
+    // assignments and Lloyd updates are shift-invariant, so the
+    // residual codebook is the plain codebook shifted by -mean and
+    // the ADC distances coincide — IVFADC degenerates to plain ADC.
+    val norm = emb.select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(CAST(x AS DOUBLE)" +
+        " / sqrt(norm2_f64(embedding)) AS FLOAT))").as("embedding"))
+    val nq = norm.filter(col("vec_id") < 10)
+    val one = Ann.kmeansCentroids(norm, kClusters = 1, iters = 2,
+      allowFewer = false)
+    val res = Ann.ivfResiduals(norm, one)
+    val rcb = Ann.pqTrain(res, blocks = 8, kCodes = 16, iters = 2,
+      idCol = "vid", embCol = "res")
+    val rcodes = Ann.ivfPqEncode(res, rcb)
+    val ivfadc = topkSet(
+      Ann.ivfAdcTopK(rcodes, one, rcb, nq, nprobe = 1, k = 10))
+    val cb = Ann.pqTrain(norm, blocks = 8, kCodes = 16, iters = 2)
+    val plain = topkSet(Ann.pqAdcTopK(Ann.pqEncode(norm, cb), cb, nq, k = 10))
+    assert(ivfadc === plain)
+  }
+
+  test("residual PQ resolves intra-cluster structure plain PQ quantizes away") {
+    import spark.implicits._
+    // Replica-cloud corpus (AnnRecallProbe's adversarial regime at
+    // mini scale): 3 bases far apart in R^8, 8 replicas each with
+    // small DETERMINISTIC per-(vid, dim) offsets. Plain PQ's codebook
+    // spends its codes describing base positions, so ADC largely ties
+    // inside a cloud; the residual codebook describes only the
+    // offsets and resolves them.
+    val vecs = for {
+      c <- 0 until 3; k <- 0 until 8
+    } yield {
+      val vid = (k * 3 + c).toLong // interleaved: seeds hit every base
+      val base = Array.fill(8)(0.0f)
+      base(c) = 100.0f
+      val noisy = base.zipWithIndex.map { case (x, i) =>
+        x + ((vid * 7 + i * 13) % 11).toFloat / 4.0f
+      }
+      (vid, noisy.toSeq)
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val qs = corpus.filter(col("vec_id") < 3) // one query per cloud
+    val exact5 = topkSet(Ann.cosineTopK(corpus, qs, k = 5))
+
+    val cent = Ann.kmeansCentroids(corpus, kClusters = 3, iters = 3)
+    val res = Ann.ivfResiduals(corpus, cent)
+    val rcb = Ann.pqTrain(res, blocks = 2, kCodes = 8, iters = 3,
+      idCol = "vid", embCol = "res")
+    val rAdc = topkSet(Ann.ivfAdcTopK(Ann.ivfPqEncode(res, rcb), cent, rcb,
+      qs, nprobe = 3, k = 5))
+
+    val cb = Ann.pqTrain(corpus, blocks = 2, kCodes = 8, iters = 3)
+    val pAdc = topkSet(Ann.pqAdcTopK(Ann.pqEncode(corpus, cb), cb, qs, k = 5))
+
+    val rr = rAdc.intersect(exact5).size.toDouble / exact5.size
+    val rp = pAdc.intersect(exact5).size.toDouble / exact5.size
+    assert(rr > rp, s"residual recall $rr must beat plain $rp here")
+    assert(rr >= 0.8, s"residual ADC recall@5 = $rr")
+  }
+
   test("ivfTopK with nprobe = 1 keeps useful recall at a 4x candidate cut") {
     val cent = Ann.kmeansCentroids(emb, kClusters = 4, iters = 2)
     val assign = Ann.ivfAssign(emb, cent)

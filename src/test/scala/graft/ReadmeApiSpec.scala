@@ -63,6 +63,17 @@ class ReadmeApiSpec extends SparkSpec {
       Ann.pqAdcTopK(codes, cb, queryVecs, k = 100), // R = 100 shortlist
       unit, queryVecs, k = 10)
     assert(top.count() === queryVecs.count() * 10)
+    // IVFADC proper: residual-trained codebook, codes carry their
+    // list id, per-(query, list) residual LUTs at search
+    val ucents = Ann.kmeansCentroids(unit, kClusters = 4, iters = 2)
+    val resid = Ann.ivfResiduals(unit, ucents)
+    val rcb = Ann.pqTrain(resid.limit(100), blocks = 8,
+      kCodes = 8, iters = 2, idCol = "vid", embCol = "res")
+    val rcodes = Ann.ivfPqEncode(resid, rcb)
+    val rtop = Ann.adcRefine(
+      Ann.ivfAdcTopK(rcodes, ucents, rcb, queryVecs, nprobe = 4, k = 100),
+      unit, queryVecs, k = 10)
+    assert(rtop.count() === queryVecs.count() * 10)
   }
 
   test("retrieval quickstart: scoreFor / inverted / sharded inverted") {
