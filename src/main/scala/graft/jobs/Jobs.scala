@@ -685,19 +685,29 @@ object Jobs {
     * appending past the lease protocol exhausts the retries into the
     * loud abort.
     *
-    * FILESYSTEM REQUIREMENT (advice r14): the lease's exclusivity
-    * rests on `FileSystem.create(lease, overwrite = false)` being
-    * ATOMIC — true on HDFS and local filesystems, NOT on object
+    * FILESYSTEM choice (advice r14, closed r16): the default lease
+    * protocol rests on `FileSystem.create(lease, overwrite = false)`
+    * being ATOMIC — true on HDFS and local filesystems, NOT on object
     * stores (S3A has no atomic create-if-absent; two compactors could
-    * both "acquire"). On object stores the lease degrades to
-    * advisory and only the snapshot backstop holds (no silent loss,
-    * but concurrent compactors abort each other) — point the stores
-    * at a transactional table format there instead.
+    * both "acquire"). For object stores set
+    * `spark.graft.compactLease=arbitrated`: write-then-list candidate
+    * arbitration ([[acquireCompactLease]]) that needs only
+    * write + strongly-consistent list (which S3 has), at the cost of
+    * 2×`leaseSettleMs` entry latency and a bounded-clock-skew
+    * assumption; the snapshot backstop stays underneath either
+    * protocol (no silent loss even if arbitration is beaten).
+    *
+    * @param leaseSettleMs arbitrated-protocol settle interval (the
+    *                      skew bound; ignored under the atomic lease)
+    * @param leaseSeam     test seam: runs after this contender's
+    *                      candidate is written, before arbitration
     */
   def compactStore(spark: SparkSession, path0: String,
                    targetFileBytes: Long = 512L << 20,
                    beforeSwap: () => Unit = () => (),
-                   appendRetries: Int = 2): Unit = {
+                   appendRetries: Int = 2,
+                   leaseSettleMs: Long = 5000L,
+                   leaseSeam: () => Unit = () => ()): Unit = {
     import org.apache.hadoop.fs.Path
     // normalize trailing slashes ONCE: the side-path strings below are
     // raw concats, and "/store/" would put every marker INSIDE the
@@ -739,32 +749,21 @@ object Jobs {
     // crashed compactor leaves its lease deliberately: the operator
     // verifies no compactor is live, deletes the lease, re-runs, and
     // THIS block then self-heals the crash state under a fresh lease.
-    val lease = compactLeasePath(path)
-    val leaseOut =
-      try fs.create(lease, false)
-      catch {
-        case e: java.io.IOException =>
-          if (fs.exists(lease)) throw new IllegalStateException(
-            s"compactStore: a compaction lease exists at $lease — " +
-              s"another compaction is in flight, or a previous one " +
-              s"crashed mid-run. Verify no compactor is live, inspect " +
-              s"the store, then delete the lease and re-run", e)
-          else throw new java.io.IOException(
-            s"compactStore: could not create the compaction lease " +
-              s"$lease (no lease present — a transient filesystem " +
-              s"error, not a held lease)", e)
-      }
+    //
+    // Two protocols (r16, closing the r14 FILESYSTEM REQUIREMENT):
+    // "atomic" (default) is create-if-absent — exact exclusion on
+    // HDFS/local; "arbitrated" (spark.graft.compactLease=arbitrated)
+    // is write-then-list candidate arbitration for object stores
+    // where create-if-absent is not atomic — see
+    // [[acquireCompactLease]] for the protocol and its skew bound.
+    val leaseHold = acquireCompactLease(spark, fs, path,
+      settleMs = leaseSettleMs, onCandidateWritten = leaseSeam)
     // keepLease: the reconcile-needed failure states below leave the
     // lease IN PLACE so appends stay blocked until the operator
     // resolves them; every other exit (success or append-safe abort/
     // refusal) releases it
     var keepLease = false
     try {
-    try leaseOut.write(
-      (s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
-        s"pid=${ProcessHandle.current.pid} " +
-        s"at=${java.time.Instant.now}").getBytes("UTF-8"))
-    finally leaseOut.close()
     if (fs.exists(old) && !fs.exists(p)) {
       if (!swapIn(old, p, "crash recovery")) {
         keepLease = true // reconciliation required: keep appends blocked
@@ -883,7 +882,7 @@ object Jobs {
             s"store restored, re-snapshotting (retry $attempt of " +
             s"$appendRetries). If this repeats every compaction, a " +
             s"writer is appending past the lease — check its lease " +
-            s"path matches $lease")
+            s"path matches ${leaseHold.heldAt}")
         // Drain-wait BEFORE the next full copy (r15 advice item 4):
         // each retry re-reads and rewrites the whole store, so a slow
         // BURST of in-flight appends could burn every retry (and 3x
@@ -937,7 +936,7 @@ object Jobs {
     }
     }
     } finally {
-      if (!keepLease) fs.delete(lease, false)
+      if (!keepLease) leaseHold.release()
     }
   }
 
@@ -958,15 +957,131 @@ object Jobs {
     new org.apache.hadoop.fs.Path(
       dir.replaceAll("/+$", "") + "_compact_lease")
 
+  /** Candidate directory of the ARBITRATED lease protocol — sibling of
+    * the store, derived through the same slash normalization as
+    * [[compactLeasePath]] (one derivation, no divergence).
+    */
+  private def compactCandDir(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      dir.replaceAll("/+$", "") + "_compact_lease.d")
+
+  /** A held compaction lease: `heldAt` names the file that blocks
+    * appenders (for operator messages), `release()` removes it. The
+    * reconcile-needed abort states deliberately do NOT release.
+    */
+  private[graft] final class CompactLeaseHold(
+      fs: org.apache.hadoop.fs.FileSystem,
+      val heldAt: org.apache.hadoop.fs.Path) {
+    def release(): Unit = fs.delete(heldAt, false)
+  }
+
+  /** Acquire the compaction lease under the configured protocol.
+    *
+    * `spark.graft.compactLease=atomic` (default): one
+    * `create(overwrite = false)` — exact mutual exclusion wherever
+    * create-if-absent is atomic (HDFS, local).
+    *
+    * `spark.graft.compactLease=arbitrated`: write-then-list
+    * arbitration for filesystems WITHOUT atomic create-if-absent
+    * (S3-style object stores). Each contender writes a candidate file
+    * `{store}_compact_lease.d/cand-<zero-padded epochMillis>-<uuid>`,
+    * waits `settleMs`, lists the candidate set, and proceeds only if
+    * its own candidate is the lexicographic MINIMUM — then waits and
+    * re-lists once more to catch a lower-named candidate that landed
+    * after the first list. Losers delete their candidate and refuse
+    * loudly (mutual abort is safe; mutual PROCEED is what matters).
+    * Correctness needs (a) list-after-write consistency — S3 has been
+    * strongly consistent since 2020 — and (b) clock skew across
+    * contenders bounded by `settleMs`: a later writer can only steal
+    * the minimum if its clock lags the winner's by more than the
+    * settle window. If both are violated the snapshot
+    * detect-and-refuse backstop in [[compactStore]] still prevents
+    * silent loss — the layering is unchanged, arbitration narrows the
+    * advisory window from "always" (a non-atomic create) to "skew
+    * beyond settleMs".
+    *
+    * Crash semantics match the atomic lease: a crashed compactor's
+    * candidate file stays, blocking appenders and out-arbitrating
+    * every later contender (its timestamp is the oldest); the refusal
+    * message routes the operator to verify and delete it.
+    */
+  private[graft] def acquireCompactLease(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: String, settleMs: Long,
+      onCandidateWritten: () => Unit = () => ()): CompactLeaseHold = {
+    import org.apache.hadoop.fs.Path
+    val info = s"host=${java.net.InetAddress.getLocalHost.getHostName} " +
+      s"pid=${ProcessHandle.current.pid} at=${java.time.Instant.now}"
+    val mode = spark.conf.get("spark.graft.compactLease", "atomic")
+    mode match {
+      case "atomic" =>
+        val lease = compactLeasePath(path)
+        val leaseOut =
+          try fs.create(lease, false)
+          catch {
+            case e: java.io.IOException =>
+              if (fs.exists(lease)) throw new IllegalStateException(
+                s"compactStore: a compaction lease exists at $lease — " +
+                  s"another compaction is in flight, or a previous one " +
+                  s"crashed mid-run. Verify no compactor is live, inspect " +
+                  s"the store, then delete the lease and re-run", e)
+              else throw new java.io.IOException(
+                s"compactStore: could not create the compaction lease " +
+                  s"$lease (no lease present — a transient filesystem " +
+                  s"error, not a held lease)", e)
+          }
+        try leaseOut.write(info.getBytes("UTF-8")) finally leaseOut.close()
+        new CompactLeaseHold(fs, lease)
+      case "arbitrated" =>
+        val candDir = compactCandDir(path)
+        val name = f"cand-${System.currentTimeMillis()}%020d-" +
+          java.util.UUID.randomUUID().toString
+        val mine = new Path(candDir, name)
+        // overwrite = true is fine (and avoids the create-if-absent
+        // this protocol exists to not need): the name is unique
+        val out = fs.create(mine, true)
+        try out.write(info.getBytes("UTF-8")) finally out.close()
+        onCandidateWritten()
+        def candidates(): Seq[org.apache.hadoop.fs.FileStatus] =
+          if (!fs.exists(candDir)) Nil
+          else fs.listStatus(candDir).filter(_.isFile)
+            .sortBy(_.getPath.getName).toSeq
+        def loseTo(winner: Path, when: String): Nothing = {
+          fs.delete(mine, false)
+          throw new IllegalStateException(
+            s"compactStore: lost the compaction-lease arbitration " +
+              s"($when) to $winner — another compaction is in flight, " +
+              s"or a previous one crashed leaving its candidate. Verify " +
+              s"no compactor is live, inspect the store, then delete " +
+              s"the candidate file and re-run")
+        }
+        Thread.sleep(settleMs)
+        val first = candidates()
+        if (first.isEmpty || first.head.getPath.getName != name)
+          loseTo(first.headOption.map(_.getPath).getOrElse(mine), "first list")
+        // second look: a contender whose candidate sorts LOWER may have
+        // written after the first list; within the skew bound it is
+        // visible by now
+        Thread.sleep(settleMs)
+        val second = candidates()
+        if (second.isEmpty || second.head.getPath.getName != name)
+          loseTo(second.headOption.map(_.getPath).getOrElse(mine), "second list")
+        new CompactLeaseHold(fs, mine)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.compactLease must be 'atomic' or 'arbitrated', " +
+          s"got '$other'")
+    }
+  }
+
   private[graft] def requireNoCompactLease(spark: SparkSession,
                                            dir: String,
                                            what: String): Unit = {
     val lease = compactLeasePath(dir)
     val fs = lease.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(lease)) {
+    def refuse(at: org.apache.hadoop.fs.Path): Nothing = {
       val info =
         try {
-          val in = fs.open(lease)
+          val in = fs.open(at)
           try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
           finally in.close()
         } catch { case _: java.io.IOException => "unreadable" }
@@ -974,7 +1089,18 @@ object Jobs {
         s"admit append refused: a compaction lease is held on the " +
           s"$what dir $dir ($info). Retry after the compaction " +
           s"completes; a crashed compaction leaves the lease for the " +
-          s"operator to verify and delete ($lease)")
+          s"operator to verify and delete ($at)")
+    }
+    if (fs.exists(lease)) refuse(lease)
+    // arbitrated-protocol candidates block appends the same way —
+    // checked unconditionally (cheap: one exists + one list), so an
+    // appender session with a different lease-mode conf still honors
+    // a compactor running the other protocol
+    val candDir = compactCandDir(dir)
+    if (fs.exists(candDir)) {
+      val cands = fs.listStatus(candDir).filter(_.isFile)
+        .sortBy(_.getPath.getName)
+      if (cands.nonEmpty) refuse(cands.head.getPath)
     }
   }
 
