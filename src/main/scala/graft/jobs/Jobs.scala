@@ -967,12 +967,21 @@ object Jobs {
 
   /** A held compaction lease: `heldAt` names the file that blocks
     * appenders (for operator messages), `release()` removes it. The
-    * reconcile-needed abort states deliberately do NOT release.
+    * reconcile-needed abort states deliberately do NOT release. Under
+    * the arbitrated protocol the empty candidate DIRECTORY is swept
+    * best-effort on release — the non-recursive delete is race-safe
+    * (it simply fails while another contender's candidate exists).
     */
   private[graft] final class CompactLeaseHold(
       fs: org.apache.hadoop.fs.FileSystem,
-      val heldAt: org.apache.hadoop.fs.Path) {
-    def release(): Unit = fs.delete(heldAt, false)
+      val heldAt: org.apache.hadoop.fs.Path,
+      arbitrated: Boolean = false) {
+    def release(): Unit = {
+      fs.delete(heldAt, false)
+      if (arbitrated)
+        try fs.delete(heldAt.getParent, false)
+        catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Acquire the compaction lease under the configured protocol.
@@ -1066,7 +1075,7 @@ object Jobs {
         val second = candidates()
         if (second.isEmpty || second.head.getPath.getName != name)
           loseTo(second.headOption.map(_.getPath).getOrElse(mine), "second list")
-        new CompactLeaseHold(fs, mine)
+        new CompactLeaseHold(fs, mine, arbitrated = true)
       case other => throw new IllegalArgumentException(
         s"spark.graft.compactLease must be 'atomic' or 'arbitrated', " +
           s"got '$other'")

@@ -558,6 +558,18 @@ object Ann {
                  idCol: String = "vec_id",
                  embCol: String = "embedding"): DataFrame = {
     requireDimMatches(queries, embCol, codebook, "ivfAdcTopK")
+    adcRankCodes(codes,
+      ivfAdcLut(centroids, codebook, queries, nprobe, idCol, embCol), k)
+  }
+
+  /** The residual ADC LUT shared by [[ivfAdcTopK]] and
+    * [[ivfAdcTopKPartitioned]]: per (query, probed list), the squared
+    * distance from the query's residual sub-vectors to every
+    * sub-centroid — (qid, cid, blk, code, pd).
+    */
+  private def ivfAdcLut(centroids: DataFrame, codebook: DataFrame,
+                        queries: DataFrame, nprobe: Int,
+                        idCol: String, embCol: String): DataFrame = {
     val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
@@ -568,11 +580,15 @@ object Ann {
       .withColumn("qres",
         expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
       .select("qid", "cid", "qres")
-    val lut = probes.crossJoin(broadcast(codebook))
+    probes.crossJoin(broadcast(codebook))
       .withColumn("pd", expr(l2sqBlock("qres", "centroid")))
       // NULL pd would be silently skipped by sum(pd) — see pqAdcTopK
       .filter(expr(guardWinner("pd", "qid", "ivfAdcTopK")))
       .select("qid", "cid", "blk", "code", "pd")
+  }
+
+  private def adcRankCodes(codes: DataFrame, lut: DataFrame,
+                           k: Int): DataFrame =
     codes.join(broadcast(lut), Seq("cid", "blk", "code"))
       .filter(col("qid") =!= col("vid"))
       .groupBy("qid", "vid")
@@ -581,6 +597,39 @@ object Ann {
         "row_number() OVER (PARTITION BY qid ORDER BY adc_dist2, vid)"))
       .filter(col("rank") <= k)
       .select("qid", "vid", "adc_dist2", "rank")
+
+  /** The DEPLOYED IVFADC layout: residual codes written to parquet
+    * PARTITIONED BY their list id — [[writeIvfPartitioned]]'s layout
+    * with blocks·1-byte codes per vector instead of dim·4-byte floats
+    * (the ~32× storage cut that makes billion-vector lists scannable),
+    * each inverted list its own directory.
+    */
+  def writeIvfPqPartitioned(residuals: DataFrame, codebook: DataFrame,
+                            path: String): Unit =
+    ivfPqEncode(residuals, codebook)
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /** IVFADC search over the partitioned codes layout: the probed list
+    * ids are driver material (|q|·nprobe, tiny by construction) and
+    * are inlined as a LITERAL IN predicate, so non-probed lists are
+    * PRUNED at plan time and never opened — the same literal-pushdown
+    * trick as [[ivfTopKPartitioned]] and the inverted text index,
+    * here composed with the codes-only scan. Identical ranking to
+    * [[ivfAdcTopK]] over the same codes (spec-asserted).
+    */
+  def ivfAdcTopKPartitioned(spark: org.apache.spark.sql.SparkSession,
+                            path: String, centroids: DataFrame,
+                            codebook: DataFrame, queries: DataFrame,
+                            nprobe: Int, k: Int,
+                            idCol: String = "vec_id",
+                            embCol: String = "embedding"): DataFrame = {
+    requireDimMatches(queries, embCol, codebook, "ivfAdcTopKPartitioned")
+    val lut = ivfAdcLut(centroids, codebook, queries, nprobe, idCol, embCol)
+    val probedCids = lut.select("cid").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    adcRankCodes(
+      spark.read.parquet(path).filter(col("cid").isin(probedCids: _*)),
+      lut, k)
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

@@ -97,4 +97,53 @@ class PartitionPruningSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
       == expected, "partitioned path must reproduce ivfTopK's ranking")
   }
+
+  test("IVFADC cid-partitioned CODES: probe query scans only the probed lists") {
+    // The billion-vector IVFADC storage shape: residual codes (blocks
+    // bytes per vector) partitioned by list id, probe query's literal
+    // cid IN (...) pruning non-probed lists — the IVF candidate cut
+    // and the 32x codes-only storage cut composed in one layout.
+    import graft.pipeline.Ann
+    val emb = Tables(spark, sfTiny, "embeddings")
+    val cents = Ann.kmeansCentroids(emb, kClusters = 8, iters = 1)
+    val resid = Ann.ivfResiduals(emb, cents)
+    val rcb = Ann.pqTrain(resid, blocks = 8, kCodes = 8, iters = 2,
+      idCol = "vid", embCol = "res")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_bycid").toString
+    Ann.writeIvfPqPartitioned(resid, rcb, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (scan, rows) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q = Ann.ivfAdcTopKPartitioned(spark, dir, cents, rcb, queries,
+          nprobe = 2, k = 5)
+        val rows = q.collect()
+        (q.queryExecution.executedPlan
+          .collect { case s: FileSourceScanExec => s }.head, rows)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    assert(rows.nonEmpty)
+    assert(scan.partitionFilters.nonEmpty,
+      "cid IN (...) must land as a partition filter, not a data filter")
+    val listDirs = new java.io.File(dir).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cid="))
+    assert(listDirs == 8, s"8 inverted-list partitions written: $listDirs")
+    def filesUnder(sub: String): Int = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(sub))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value < filesUnder("cid="),
+      s"pruned scan must read a strict subset of the $listDirs lists " +
+        s"(read ${scan.metrics("numFiles").value} of " +
+        s"${filesUnder("cid=")} files)")
+
+    // ranking identical to the in-memory ivfAdcTopK over the same codes
+    val expected = Ann.ivfAdcTopK(Ann.ivfPqEncode(resid, rcb), cents, rcb,
+      queries, nprobe = 2, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == expected,
+      "partitioned codes path must reproduce ivfAdcTopK's ranking")
+  }
 }

@@ -74,6 +74,12 @@ class ReadmeApiSpec extends SparkSpec {
       Ann.ivfAdcTopK(rcodes, ucents, rcb, queryVecs, nprobe = 4, k = 100),
       unit, queryVecs, k = 10)
     assert(rtop.count() === queryVecs.count() * 10)
+    // deployed layout: codes partitioned by list id, pruned scan
+    val work = java.nio.file.Files.createTempDirectory("readme-ivfpq")
+    Ann.writeIvfPqPartitioned(resid, rcb, s"$work/ivfpq")
+    val rhits = Ann.ivfAdcTopKPartitioned(spark, s"$work/ivfpq",
+      ucents, rcb, queryVecs, nprobe = 4, k = 10)
+    assert(rhits.groupBy("qid").count().count() === queryVecs.count())
   }
 
   test("retrieval quickstart: scoreFor / inverted / sharded inverted") {

@@ -951,6 +951,8 @@ class JobsSpec extends SparkSpec {
       Jobs.compactStore(spark, s"$w/store", leaseSettleMs = 50)
       assert(spark.read.parquet(s"$w/store").count() == 3)
       assert(cands().isEmpty, s"candidate leaked: ${cands()}")
+      assert(!candDir.exists(),
+        "uncontended release must sweep the empty candidate dir")
       // 2. a foreign candidate with an OLDER timestamp (a live or
       //    crashed compactor) out-arbitrates a new entrant, which
       //    cleans up its own candidate and refuses loudly
