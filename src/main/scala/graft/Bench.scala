@@ -79,7 +79,12 @@ object Bench {
     val benchCanon = new java.io.File(sfDir).getCanonicalPath
     val warmDir: Option[String] =
       if (sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) None
-      else sys.env.get("SPARK_GRAFT_WARMUP_SF").orElse {
+      // canonicalize the env override too (review r16): a trailing
+      // slash / relative / symlinked spelling of the bench dir itself
+      // must hit the never-warm-at-the-bench-dir guard, not slip past
+      // a raw string compare
+      else sys.env.get("SPARK_GRAFT_WARMUP_SF")
+        .map(p => new java.io.File(p).getCanonicalPath).orElse {
         Option(new java.io.File(sfDir).getCanonicalFile.getParentFile)
           .map(p => new java.io.File(p, "sf0.001"))
           .filter(_.isDirectory).map(_.getCanonicalPath)

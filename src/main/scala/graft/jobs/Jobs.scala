@@ -965,6 +965,19 @@ object Jobs {
     new org.apache.hadoop.fs.Path(
       dir.replaceAll("/+$", "") + "_compact_lease.d")
 
+  /** The live arbitration candidates, name-sorted (lexicographic
+    * minimum = the winner). FileNotFoundException-safe by CATCH, not
+    * exists-then-list: a winner's release() can sweep the emptied dir
+    * between the two calls (review r16 TOCTOU), and a vanished dir
+    * means the same thing as an absent one — no candidates.
+    */
+  private def compactCandidates(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    try fs.listStatus(compactCandDir(dir)).filter(_.isFile)
+      .sortBy(_.getPath.getName).toSeq
+    catch { case _: java.io.FileNotFoundException => Nil }
+
   /** A held compaction lease: `heldAt` names the file that blocks
     * appenders (for operator messages), `release()` removes it. The
     * reconcile-needed abort states deliberately do NOT release. Under
@@ -1013,6 +1026,14 @@ object Jobs {
     * candidate file stays, blocking appenders and out-arbitrating
     * every later contender (its timestamp is the oldest); the refusal
     * message routes the operator to verify and delete it.
+    *
+    * CROSS-PROTOCOL exclusion (review r16): two compactors configured
+    * with different protocols stake different claims, so each arm
+    * also checks the OTHER protocol's — the atomic arm refuses (and
+    * releases its own lease) when a candidate file is live; the
+    * arbitrated arm refuses (and cleans its candidate) when the
+    * atomic lease file exists. Each checks after staking its own
+    * claim, so whichever staked first is seen by the other.
     */
   private[graft] def acquireCompactLease(
       spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
@@ -1040,6 +1061,21 @@ object Jobs {
                   s"error, not a held lease)", e)
           }
         try leaseOut.write(info.getBytes("UTF-8")) finally leaseOut.close()
+        // cross-protocol exclusion (review r16): an arbitrated-mode
+        // compactor pointed at the same store stakes its claim as a
+        // candidate file, not the lease — check AFTER our lease is
+        // staked (so a later arbitrated entrant must see it) and back
+        // out if one is live
+        val foreign = compactCandidates(fs, path)
+        if (foreign.nonEmpty) {
+          fs.delete(lease, false)
+          throw new IllegalStateException(
+            s"compactStore: an ARBITRATED-protocol compaction candidate " +
+              s"exists at ${foreign.head.getPath} — another compaction " +
+              s"is in flight under spark.graft.compactLease=arbitrated, " +
+              s"or one crashed. Verify no compactor is live, then delete " +
+              s"the candidate file and re-run")
+        }
         new CompactLeaseHold(fs, lease)
       case "arbitrated" =>
         val candDir = compactCandDir(path)
@@ -1051,10 +1087,6 @@ object Jobs {
         val out = fs.create(mine, true)
         try out.write(info.getBytes("UTF-8")) finally out.close()
         onCandidateWritten()
-        def candidates(): Seq[org.apache.hadoop.fs.FileStatus] =
-          if (!fs.exists(candDir)) Nil
-          else fs.listStatus(candDir).filter(_.isFile)
-            .sortBy(_.getPath.getName).toSeq
         def loseTo(winner: Path, when: String): Nothing = {
           fs.delete(mine, false)
           throw new IllegalStateException(
@@ -1064,15 +1096,25 @@ object Jobs {
               s"no compactor is live, inspect the store, then delete " +
               s"the candidate file and re-run")
         }
+        // cross-protocol exclusion (review r16): an ATOMIC-mode
+        // compactor on the same store stakes the lease FILE, not a
+        // candidate — checked after our candidate is staked, so
+        // whichever staked first is seen by the other
+        def loseToAtomicLease(): Unit = {
+          val atomicLease = compactLeasePath(path)
+          if (fs.exists(atomicLease)) loseTo(atomicLease, "atomic lease held")
+        }
         Thread.sleep(settleMs)
-        val first = candidates()
+        loseToAtomicLease()
+        val first = compactCandidates(fs, path)
         if (first.isEmpty || first.head.getPath.getName != name)
           loseTo(first.headOption.map(_.getPath).getOrElse(mine), "first list")
         // second look: a contender whose candidate sorts LOWER may have
         // written after the first list; within the skew bound it is
         // visible by now
         Thread.sleep(settleMs)
-        val second = candidates()
+        loseToAtomicLease()
+        val second = compactCandidates(fs, path)
         if (second.isEmpty || second.head.getPath.getName != name)
           loseTo(second.headOption.map(_.getPath).getOrElse(mine), "second list")
         new CompactLeaseHold(fs, mine, arbitrated = true)
@@ -1102,15 +1144,11 @@ object Jobs {
     }
     if (fs.exists(lease)) refuse(lease)
     // arbitrated-protocol candidates block appends the same way —
-    // checked unconditionally (cheap: one exists + one list), so an
-    // appender session with a different lease-mode conf still honors
-    // a compactor running the other protocol
-    val candDir = compactCandDir(dir)
-    if (fs.exists(candDir)) {
-      val cands = fs.listStatus(candDir).filter(_.isFile)
-        .sortBy(_.getPath.getName)
-      if (cands.nonEmpty) refuse(cands.head.getPath)
-    }
+    // checked unconditionally (cheap: one list), so an appender
+    // session with a different lease-mode conf still honors a
+    // compactor running the other protocol
+    val cands = compactCandidates(fs, dir)
+    if (cands.nonEmpty) refuse(cands.head.getPath)
   }
 
   /** The whole last mile in one job: corpus in → training examples

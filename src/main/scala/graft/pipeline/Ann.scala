@@ -169,6 +169,27 @@ object Ann {
         .as("centroid"))
   }
 
+  /** Nearest-centroid WINNER row per vector, the one pipeline every
+    * assignment consumer shares (review r16: four textually-identical
+    * copies meant an edit to one — say the rounding precision — would
+    * silently diverge the others, breaking the "assignments identical
+    * by construction" invariant the specs pin). One narrow pass
+    * against the broadcast codebook; the winner keeps `ve` and
+    * `centroid` attached so no caller ever re-joins the corpus to
+    * recover a projected-away column. → (vid, ve, cid, centroid, d2)
+    */
+  private def nearestCentroidWinner(corpus: DataFrame,
+                                    centroids: DataFrame,
+                                    idCol: String, embCol: String,
+                                    who: String): DataFrame =
+    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2", expr(l2sq("ve", "centroid")))
+      .withColumn("r",
+        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
+      .filter(col("r") === 1)
+      .filter(expr(guardWinner("d2", "vid", who)))
+
   /** Nearest-centroid assignment for every corpus vector: one narrow
     * pass against the broadcast codebook → (vid, cid). At scale this
     * is written once as the IVF partition key.
@@ -176,13 +197,7 @@ object Ann {
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
                 idCol: String = "vec_id",
                 embCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("ve", "centroid")))
-      .withColumn("r",
-        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
-      .filter(col("r") === 1)
-      .filter(expr(guardWinner("d2", "vid", "ivfAssign")))
+    nearestCentroidWinner(corpus, centroids, idCol, embCol, "ivfAssign")
       .select("vid", "cid")
 
   /** The DEPLOYED IVF layout: corpus written to parquet PARTITIONED BY
@@ -191,26 +206,19 @@ object Ann {
     * partition PRUNING — non-probed lists are never opened, the
     * storage-level realization of the IVF candidate cut
     * (PartitionPruningSpec asserts the pruned scan end-to-end).
+    * [[nearestCentroidWinner]] keeps the embedding through the window:
+    * joining corpus back onto ivfAssign's (vid, cid) output would scan
+    * the corpus TWICE and add a corpus-sized shuffle join on vid — at
+    * the 100 TB scale this layout exists for, the most expensive
+    * operator in the job. Same ranking expression, so assignments are
+    * identical by construction (AnnSpec pins layout ≡ ivfAssign).
     */
   def writeIvfPartitioned(corpus: DataFrame, centroids: DataFrame,
                           path: String,
                           idCol: String = "vec_id",
                           embCol: String = "embedding"): Unit =
-    // [[ivfAssign]]'s pipeline INLINED with the embedding kept through
-    // the window: joining corpus back onto ivfAssign's (vid, cid)
-    // output would scan the corpus TWICE and add a corpus-sized
-    // shuffle join on vid solely to re-attach the column ivfAssign
-    // projects away — at the 100 TB scale this layout exists for,
-    // that join is the most expensive operator in the job. Same
-    // ranking expression, so assignments are identical by
-    // construction (AnnSpec pins layout ≡ ivfAssign).
-    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("ve", "centroid")))
-      .withColumn("r",
-        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
-      .filter(col("r") === 1)
-      .filter(expr(guardWinner("d2", "vid", "writeIvfPartitioned")))
+    nearestCentroidWinner(corpus, centroids, idCol, embCol,
+      "writeIvfPartitioned")
       .select("vid", "ve", "cid")
       .write.mode("overwrite").partitionBy("cid").parquet(path)
 
@@ -504,13 +512,7 @@ object Ann {
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
                    idCol: String = "vec_id",
                    embCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("d2", expr(l2sq("ve", "centroid")))
-      .withColumn("r",
-        expr("row_number() OVER (PARTITION BY vid ORDER BY round(d2, 6), cid)"))
-      .filter(col("r") === 1)
-      .filter(expr(guardWinner("d2", "vid", "ivfResiduals")))
+    nearestCentroidWinner(corpus, centroids, idCol, embCol, "ivfResiduals")
       .withColumn("res",
         expr("zip_with(ve, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
       .select("vid", "cid", "res")
@@ -559,18 +561,17 @@ object Ann {
                  embCol: String = "embedding"): DataFrame = {
     requireDimMatches(queries, embCol, codebook, "ivfAdcTopK")
     adcRankCodes(codes,
-      ivfAdcLut(centroids, codebook, queries, nprobe, idCol, embCol), k)
+      ivfAdcLut(ivfAdcProbes(centroids, queries, nprobe, idCol, embCol),
+        codebook), k)
   }
 
-  /** The residual ADC LUT shared by [[ivfAdcTopK]] and
-    * [[ivfAdcTopKPartitioned]]: per (query, probed list), the squared
-    * distance from the query's residual sub-vectors to every
-    * sub-centroid — (qid, cid, blk, code, pd).
+  /** The per-query probed lists with their query residuals —
+    * (qid, cid, qres); |q|·nprobe rows.
     */
-  private def ivfAdcLut(centroids: DataFrame, codebook: DataFrame,
-                        queries: DataFrame, nprobe: Int,
-                        idCol: String, embCol: String): DataFrame = {
-    val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+  private def ivfAdcProbes(centroids: DataFrame, queries: DataFrame,
+                           nprobe: Int, idCol: String,
+                           embCol: String): DataFrame =
+    queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -580,12 +581,19 @@ object Ann {
       .withColumn("qres",
         expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
       .select("qid", "cid", "qres")
+
+  /** The residual ADC LUT shared by [[ivfAdcTopK]] and
+    * [[ivfAdcTopKPartitioned]]: per (query, probed list), the squared
+    * distance from the query's residual sub-vectors to every
+    * sub-centroid — (qid, cid, blk, code, pd).
+    */
+  private def ivfAdcLut(probes: DataFrame,
+                        codebook: DataFrame): DataFrame =
     probes.crossJoin(broadcast(codebook))
       .withColumn("pd", expr(l2sqBlock("qres", "centroid")))
       // NULL pd would be silently skipped by sum(pd) — see pqAdcTopK
       .filter(expr(guardWinner("pd", "qid", "ivfAdcTopK")))
       .select("qid", "cid", "blk", "code", "pd")
-  }
 
   private def adcRankCodes(codes: DataFrame, lut: DataFrame,
                            k: Int): DataFrame =
@@ -624,12 +632,16 @@ object Ann {
                             idCol: String = "vec_id",
                             embCol: String = "embedding"): DataFrame = {
     requireDimMatches(queries, embCol, codebook, "ivfAdcTopKPartitioned")
-    val lut = ivfAdcLut(centroids, codebook, queries, nprobe, idCol, embCol)
-    val probedCids = lut.select("cid").distinct()
+    val probes = ivfAdcProbes(centroids, queries, nprobe, idCol, embCol)
+    // probed cids come from the PROBES frame (|q|·nprobe rows), not
+    // the LUT — the driver action re-evaluates only the cheap probe
+    // ranking, not the queries×codebook cross join (same shape as
+    // ivfTopKPartitioned)
+    val probedCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).toSeq
     adcRankCodes(
       spark.read.parquet(path).filter(col("cid").isin(probedCids: _*)),
-      lut, k)
+      ivfAdcLut(probes, codebook), k)
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException,
+import java.io.{BufferedInputStream, ByteArrayInputStream,
   InputStream, PushbackInputStream}
 import java.nio.charset.StandardCharsets
 import java.util.zip.GZIPInputStream
@@ -73,13 +73,22 @@ object Warc {
     */
   def parseStream(in0: InputStream): Iterator[WarcDoc] = {
     val pb = new PushbackInputStream(in0, 2)
-    val b0 = pb.read(); val b1 = pb.read()
-    if (b1 >= 0) pb.unread(b1)
-    if (b0 >= 0) pb.unread(b0)
+    // the sniff reads and the GZIPInputStream constructor (which
+    // consumes the gzip header) can all throw — close the stream on
+    // the way out or the caller leaks an fd per corrupt file
     val in: InputStream =
-      if (b0 == 0x1f && b1 == 0x8b)
-        new BufferedInputStream(new GZIPInputStream(pb, 1 << 16), 1 << 16)
-      else new BufferedInputStream(pb, 1 << 16)
+      try {
+        val b0 = pb.read(); val b1 = pb.read()
+        if (b1 >= 0) pb.unread(b1)
+        if (b0 >= 0) pb.unread(b0)
+        if (b0 == 0x1f && b1 == 0x8b)
+          new BufferedInputStream(new GZIPInputStream(pb, 1 << 16), 1 << 16)
+        else new BufferedInputStream(pb, 1 << 16)
+      } catch {
+        case e: Throwable =>
+          try pb.close() catch { case _: Throwable => () }
+          throw e
+      }
 
     new Iterator[WarcDoc] {
       // pos = DECOMPRESSED byte offset consumed so far; error messages
@@ -132,6 +141,11 @@ object Warc {
       private def advance(): Unit = {
         ready = false
         if (closed) return
+        // the WHOLE advance is close-on-error (review r16): a gzip
+        // CRC/format error surfaces from read1() inside seekMagic or
+        // the version-line scan too, not only from the header/payload
+        // section — the doc contract is "closed on any parse error"
+        try {
         if (!seekMagic()) { closeIn(); return }
         val start = pos - Magic.length
         // rest of the WARC/<version> line; EOF before its newline =
@@ -140,7 +154,6 @@ object Warc {
         var sawEol = false
         while (b >= 0 && !sawEol) { if (b == '\n') sawEol = true else b = read1() }
         if (!sawEol) { closeIn(); return }
-        try {
           val headers = scala.collection.mutable.LinkedHashMap[String, String]()
           var blank = false
           var line = readLine()
@@ -186,7 +199,7 @@ object Warc {
                 "record surfaces as one String; split oversized records " +
                 "upstream)")
           val payload = new Array[Byte](len.toInt)
-          val got = readNBytes(payload)
+          val got = in.readNBytes(payload, 0, payload.length)
           pos += got
           if (got < len)
             throw new IllegalArgumentException(
@@ -203,16 +216,6 @@ object Warc {
             content = new String(payload, StandardCharsets.ISO_8859_1))
           ready = true
         } catch { case e: Throwable => closeIn(); throw e }
-      }
-
-      private def readNBytes(buf: Array[Byte]): Int = {
-        var off = 0
-        while (off < buf.length) {
-          val n = in.read(buf, off, buf.length - off)
-          if (n < 0) return off
-          off += n
-        }
-        off
       }
 
       override def hasNext: Boolean = {

@@ -125,6 +125,8 @@ object KrovetzStem {
     //     the wrong side of the short-'o' length guard; combat/debut
     //     end in restoring vowel+t but take no 'e') ---
     "murmured" -> "murmur", "murmuring" -> "murmur",
+    "sugared" -> "sugar", "sugaring" -> "sugar",
+    "collared" -> "collar", "beggared" -> "beggar",
     "ironed" -> "iron", "ironing" -> "iron",
     "postponed" -> "postpone", "postponing" -> "postpone",
     "combated" -> "combat", "combating" -> "combat",

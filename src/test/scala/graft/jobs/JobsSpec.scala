@@ -1006,6 +1006,32 @@ class JobsSpec extends SparkSpec {
         Seq("cand-99999999999999999999-zzzzzzzz"),
         "the winner must release ONLY its own candidate")
       cands().foreach(_.delete())
+      // 6. cross-protocol: an ATOMIC-mode compactor must refuse while
+      //    an arbitrated candidate is live, and must not leak its own
+      //    lease file on the way out
+      candDir.mkdirs()
+      val live = new java.io.File(candDir,
+        "cand-00000000000000000003-cccccccc")
+      assert(live.createNewFile())
+      spark.conf.set("spark.graft.compactLease", "atomic")
+      val e4 = intercept[IllegalStateException] {
+        Jobs.compactStore(spark, s"$w/store")
+      }
+      assert(e4.getMessage.contains("ARBITRATED-protocol"), e4.getMessage)
+      assert(!new java.io.File(s"$w/store_compact_lease").exists(),
+        "the refused atomic compactor must release its own lease")
+      // 7. ...and an ARBITRATED-mode compactor must refuse while the
+      //    atomic lease file is held
+      assert(live.delete())
+      spark.conf.set("spark.graft.compactLease", "arbitrated")
+      assert(new java.io.File(s"$w/store_compact_lease").createNewFile())
+      val e5 = intercept[IllegalStateException] {
+        Jobs.compactStore(spark, s"$w/store", leaseSettleMs = 50)
+      }
+      assert(e5.getMessage.contains("atomic lease held"), e5.getMessage)
+      assert(cands().isEmpty,
+        "the refused arbitrated compactor must clean its candidate")
+      assert(new java.io.File(s"$w/store_compact_lease").delete())
     } finally spark.conf.set("spark.graft.compactLease", "atomic")
   }
 

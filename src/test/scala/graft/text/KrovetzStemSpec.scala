@@ -302,7 +302,8 @@ class KrovetzStemSpec extends SparkSpec {
       "shrouded", "loaded", "headed", "raided", "avoided",
       // table-pinned false positives of the new rules
       "murmured", "ironed", "ironing", "postponed", "combated",
-      "debuted", "bottomed", "blossomed", "waned"))
+      "debuted", "bottomed", "blossomed", "waned",
+      "sugared", "collared", "beggared"))
     assert(m("generated") == "generate" && m("estimated") == "estimate")
     assert(m("celebrated") == "celebrate")
     assert(m("graduated") == "graduate" && m("situated") == "situate")
@@ -350,6 +351,8 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("postponed") == "postpone" && m("combated") == "combat")
     assert(m("debuted") == "debut" && m("bottomed") == "bottom")
     assert(m("blossomed") == "blossom" && m("waned") == "wane")
+    assert(m("sugared") == "sugar" && m("collared") == "collar")
+    assert(m("beggared") == "beggar")
   }
 
   test("r16 post-plural dictionary consult: plurals of protected headwords") {
