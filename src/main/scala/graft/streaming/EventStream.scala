@@ -149,6 +149,11 @@ object EventStream {
     val evs = graft.Tables.normalizeTs(
       spark.readStream.schema(eventsSchema(spark, eventsDir))
         .parquet(eventsDir))
+      // null ts/user_id would NPE the primitive-Long Ev encoder and
+      // crash-loop the query from the checkpoint forever (the
+      // NearDupStream.collisionLedger guard, applied here too —
+      // review r16); both are nullable in the source schema
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[Ev]
     sessionize(evs)
       .writeStream.outputMode("append").format("memory")
@@ -183,9 +188,14 @@ object EventStream {
       "dedupStream adds an internal column 'h'; the input already " +
         "carries one — rename it first")
     docs
-      .withColumn("h", md5(col("text")))
+      // coalesce NULL text to '' — the batch twin's contract
+      // (Dedup.exactKeepers): md5(NULL) = NULL would otherwise group
+      // every NULL-text doc under one key, "deduping" content that
+      // was never compared, while splitting them from ''-text docs
+      .withColumn("h", md5(coalesce(col("text"), lit(""))))
       .withWatermark(ingestCol, watermark)
       .dropDuplicatesWithinWatermark("h")
+      .drop("h") // internal column, not part of the caller's schema
   }
 
   /** Streaming execution into an in-memory sink named `queryName`;

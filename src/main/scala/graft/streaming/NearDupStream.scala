@@ -30,9 +30,16 @@ object NearDupStream {
   final case class BandRow(band: Int, sig: String, doc_id: Long,
                            ts: java.sql.Timestamp)
 
-  /** One ledger row per (doc, band): the signature and the keeper doc
-    * that owns it. `doc_id != keeper` on any band marks a near-dup
-    * candidate, exactly the pairs the batch LSH join would emit.
+  /** One ledger row per (doc, band) sighting — plus a REASSIGNMENT
+    * row when a later micro-batch delivers a smaller doc_id for a
+    * signature (review r16): the old keeper is re-pointed at the new
+    * minimum, because its earlier self-keeper row is immutable in an
+    * append-mode sink. The ledger is therefore a MONOTONE REFINEMENT:
+    * a doc's final keeper is `min(keeper)` over its rows for a (band,
+    * sig), and `doc_id != keeper` on the min-reduced rows marks
+    * exactly the near-dup candidates the batch LSH join would emit —
+    * reading the raw append stream with `doc_id != keeper` alone
+    * misses pairs whose smaller id arrived later.
     */
   final case class Collision(band: Int, sig: String, doc_id: Long,
                              keeper: Long)
@@ -157,14 +164,25 @@ object NearDupStream {
         // downstream distinct()s, the existing at-least-once contract).
         val fs = part.getFileSystem(spark.sessionState.newHadoopConf())
         val marker = new org.apache.hadoop.fs.Path(part, "_COMMITTED")
-        if (!batch.isEmpty && !fs.exists(marker)) {
-          if (fs.exists(part)) fs.delete(part, true)
-          graft.jobs.Jobs.admitCycle(spark, batch.toDF(),
-            sigStore, corpusDir, threshold, admit = true)
-            .withColumn("batch_id", lit(id))
-            .write.partitionBy("batch_id").mode("append")
-            .parquet(verdictsDir)
-          fs.create(marker, true).close()
+        // marker probe FIRST (review r16): it is the O(1) check —
+        // isEmpty is a Spark job over the micro-batch's input, and
+        // running it before the probe made every committed-batch
+        // replay recompute its source just to skip itself. The live
+        // batch is persisted across its two consumers (the isEmpty
+        // action and admitCycle's reads).
+        if (!fs.exists(marker)) {
+          batch.persist()
+          try {
+            if (!batch.isEmpty) {
+              if (fs.exists(part)) fs.delete(part, true)
+              graft.jobs.Jobs.admitCycle(spark, batch.toDF(),
+                sigStore, corpusDir, threshold, admit = true)
+                .withColumn("batch_id", lit(id))
+                .write.partitionBy("batch_id").mode("append")
+                .parquet(verdictsDir)
+              fs.create(marker, true).close()
+            }
+          } finally batch.unpersist()
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -209,12 +227,21 @@ object NearDupStream {
           } else {
             val rs = rows.toArray
             val batchMin = rs.iterator.map(_.doc_id).min
-            val keeper =
-              if (state.exists) math.min(state.get, batchMin) else batchMin
+            val prev = if (state.exists) Some(state.get) else None
+            val keeper = prev.fold(batchMin)(math.min(_, batchMin))
             state.update(keeper)
             state.setTimeoutTimestamp(
               rs.iterator.map(_.ts.getTime).max + horizonMs)
-            rs.iterator.map(r => Collision(r.band, r.sig, r.doc_id, keeper))
+            // keeper reassignment (review r16): the displaced keeper's
+            // earlier self-keeper row cannot be retracted in append
+            // mode — emit a row re-pointing it, so the min-reduced
+            // ledger still pairs it with the new keeper (a cross-batch
+            // pair whose SMALLER id arrived later was otherwise lost:
+            // both its rows were self-keeper rows)
+            val reassigned = prev.filter(_ > keeper).iterator
+              .map(old => Collision(key._1, key._2, old, keeper))
+            reassigned ++
+              rs.iterator.map(r => Collision(r.band, r.sig, r.doc_id, keeper))
           }
       }
   }

@@ -47,7 +47,11 @@ object StreamingRetrieval {
     // before the final score aggregation narrow/stateless.
     val tf = docsStream
       .select(col("doc_id"),
-        filter(split(lower(col("text")), "[^0-9a-z]+"), t => t =!= "").as("toks"))
+        // TextOps.tokensCol, not an inline regex copy (review r16):
+        // the batch engine and the DuckDB oracle tokenize through the
+        // ONE definition; a second copy here could silently diverge
+        // the streaming rankings this module promises to reproduce
+        filter(TextOps.tokensCol(col("text")), t => t =!= "").as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
       .select(col("doc_id"), col("dl"), col("toks"),
         explode(array_distinct(col("toks"))).as("term"))

@@ -148,6 +148,59 @@ class EventStreamSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream: NULL text keys as '' (batch twin contract), internal h dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("docs_null").toString + "/in"
+    // NULL-text and ''-text docs are ONE content group (the
+    // Dedup.exactKeepers contract); pre-r16 md5(NULL)=NULL grouped
+    // the NULLs separately from '' and "deduped" them against each
+    // other under a key that never compared content
+    Seq((1L, null: String), (2L, null: String), (3L, ""), (4L, "alpha"))
+      .toDF("doc_id", "text")
+      .withColumn("ingest_ts",
+        expr("timestamp_micros(1700000000000000 + doc_id)"))
+      .coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val out = EventStream.dedupStream(
+      spark.readStream.schema(schema).parquet(dir), "ingest_ts")
+    // the internal hash column must not leak into the caller's schema
+    assert(!out.columns.contains("h"), out.columns.mkString(","))
+    val q = out.select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddn_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
+    val kept = spark.table("ddn_out").collect().map(_.getLong(0)).toSet
+    // one survivor for the NULL≡'' group, one for 'alpha'
+    assert(kept.size == 2, s"kept $kept")
+    assert(kept.contains(4L))
+    assert(kept.exists(_ <= 3L))
+  }
+
+  test("sessionizeToMemory: a null-ts/null-user event is dropped, not a crash loop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("events_null").toString + "/in"
+    // one valid user with two events 40 min apart (closes a session)
+    // plus a null-ts and a null-user row: unguarded, either NPEs the
+    // primitive-Long Ev encoder and the checkpoint replay crash-loops
+    Seq(
+      (1L, Some(1700000000000000L), Some(7L), "click"),
+      (2L, Some(1700000000000000L + 2400L * 1000000L), Some(7L), "click"),
+      (3L, None, Some(7L), "click"),
+      (4L, Some(1700000000000000L), None, "click"))
+      .toDF("event_id", "ts_us0", "user_id", "event_type")
+      .withColumn("ts", expr("timestamp_micros(ts_us0)")).drop("ts_us0")
+      .withColumn("value", lit(1.0))
+      .coalesce(1).write.parquet(dir)
+    val q = EventStream.sessionizeToMemory(spark, dir, "sess_null_out")
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
+    // the valid user's first session closed; the null rows vanished
+    val rows = spark.table("sess_null_out").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 7L, rows.mkString(";"))
+  }
+
   test("sessionize: a late cross-batch event never rewinds or falsely closes") {
     import EventStream._
     val us = 1000000L

@@ -106,6 +106,63 @@ class NearDupStreamSpec extends SparkSpec {
     assert(v(20L).contains(11L), s"round-2 verdict lost the admit: $v")
   }
 
+  test("reversed arrival: a later SMALLER id re-points the old keeper (r16)") {
+    import spark.implicits._
+    // The case the aligned-id fixture above cannot exercise: a
+    // cross-batch near-dup pair whose smaller doc_id arrives LATER.
+    // Pre-r16 both its rows were self-keeper rows (batch 1 emitted
+    // (100, keeper=100); batch 2 emitted (1, keeper=1)) and the pair
+    // was silently lost — append mode cannot retract. The ledger now
+    // emits a reassignment row re-pointing the displaced keeper, and
+    // its documented read is the MIN-REDUCTION per (band, sig, doc).
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val textY = "red blue green yellow purple orange black white brown" +
+      " pink cyan teal navy gold silver maroon olive coral beige plum"
+    val dir = Files.createTempDirectory("neardup_rev").toString
+    val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+    val all = Seq((100L, textX), (101L, textY), (1L, textX), (2L, textY))
+      .toDF("doc_id", "text")
+    all.filter(col("doc_id") >= 100L).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/a=1")
+    all.filter(col("doc_id") < 100L).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/b=2")
+    // pin processing order: the high-id file is the OLDER arrival
+    for (f <- new java.io.File(s"$dir/a=1").listFiles())
+      f.setLastModified(System.currentTimeMillis() - 600000)
+    val schema = spark.read.parquet(s"$dir/a=1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{a=1,b=2}")
+    val q = NearDupStream.collisionLedger(stream, "ingest_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndl_rev")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "stream did not terminate in 180s")
+    val rows = spark.table("ndl_rev").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // the fixture really exercised a reassignment: some doc carries
+    // both its stale self-keeper row and the re-pointing row
+    assert(rows.groupBy(r => (r._1, r._2, r._3))
+      .exists(_._2.map(_._4).distinct.length > 1),
+      "fixture must exercise keeper reassignment")
+    // documented read: min(keeper) per (band, sig, doc) == batch truth
+    val reduced = rows.groupBy(r => (r._1, r._2, r._3))
+      .map { case ((b, s, d), vs) => (b, s, d, vs.map(_._4).min) }.toSet
+    val bands = Dedup.bandSigs(Dedup.minhashWide(all))
+    val expected = bands
+      .join(bands.groupBy("band", "sig").agg(min("doc_id").as("keeper")),
+        Seq("band", "sig"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(reduced == expected)
+    // and the near-dup pairs are recoverable again: every min-reduced
+    // non-self row pairs a doc with the batch keeper
+    val dupDocs = reduced.filter(r => r._3 != r._4).map(r => (r._3, r._4))
+    assert(dupDocs == Set((100L, 1L), (101L, 2L)),
+      s"cross-batch pairs must surface: $dupDocs")
+  }
+
   test("storeAdmitStream: marker-less partial partition replays; marked one skips") {
     import spark.implicits._
     val work = Files.createTempDirectory("storeadmit_marker").toString
