@@ -41,7 +41,16 @@ object Bpe {
   /** Inter-symbol separator inside the fold accumulator. */
   val Sep = "\u001f"
 
-  private def esc(s: String): String = s.replace("'", "''")
+  /** Escape a merge symbol for baking into a Spark string literal:
+    * backslashes FIRST (Spark's parser processes backslash escapes in
+    * string literals by default — an unescaped '\b' in an external
+    * merge table would parse as backspace and silently diverge the
+    * ≤32-merge expr encoder from the broadcast encoder; review r16),
+    * then quote doubling. Spark-side only — the DuckDB replay binds
+    * merges as column refs, never literals.
+    */
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "''")
 
   /** Distinct-word dictionary (w, wc) over the standard tokenizer.
     *
@@ -57,8 +66,11 @@ object Bpe {
   def wordDict(docs: DataFrame, textCol: String = "text",
                minCount: Long = 1L): DataFrame = {
     val d = docs
-      .select(explode(expr(
-        s"filter(split(lower($textCol), '[^0-9a-z]+'), x -> x <> '')"))
+      // TextOps.cleanTokensCol, not an inline regex copy (review r16):
+      // the canonical tokenizer has ONE definition; a hand-inlined
+      // fifth copy would silently de-synchronize BPE training from
+      // every TextOps consumer the moment the tokenizer changes
+      .select(explode(graft.text.TextOps.cleanTokensCol(col(textCol)))
         .as("w"))
       .groupBy("w").agg(count(lit(1)).as("wc"))
     if (minCount > 1L) d.filter(col("wc") >= minCount) else d
@@ -78,10 +90,13 @@ object Bpe {
     * 0x1F-joined encoding as a STRING expression.
     */
   def foldPassExpr(arr: String, a: String, b: String): String =
+    // the merge branch is concat(acc, b): the guard already proves
+    // acc ends with symbol a, so strip-a-then-reappend-a was an
+    // identity round-trip paid per merge hit per token (review r16)
     s"""aggregate($arr, '', (acc, x) -> CASE
        |  WHEN acc = '' THEN x
        |  WHEN (acc = $a OR endswith(acc, concat('$Sep', $a))) AND x = $b
-       |    THEN concat(substr(acc, 1, length(acc) - length($a)), $a, $b)
+       |    THEN concat(acc, $b)
        |  ELSE concat(acc, '$Sep', x) END)""".stripMargin
 
   private def splitExpr(s: String): String =

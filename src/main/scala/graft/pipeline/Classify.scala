@@ -60,9 +60,14 @@ object Classify {
     * left-joins this output from `labels` and fills log_odds with
     * ln(d1/(d−d1)).
     *
-    * Smoothing makes every in-vocabulary term scorable for both
-    * classes; the vocabulary is the training corpus's own, so
-    * train-on-self scoring (the px48 gate) covers every token.
+    * Smoothing makes every term scorable for both classes —
+    * including out-of-vocabulary terms (review r16): a term absent
+    * from the labeled training docs contributes the fully-smoothed
+    * ln(1/(N1+V)) − ln(1/(N0+V)) per occurrence through the LEFT
+    * class-count join, so partial-label scoring covers every token
+    * (the old inner join dropped OOV rows, undercounting n_tokens
+    * and erasing all-OOV docs). Train-on-self (the px48 gate) has no
+    * OOV terms and is unchanged.
     *
     * Degenerate training (labels all 1 or all 0) yields NULL
     * log_odds/pred — the prior odds are undefined. The nullif/ln-NULL
@@ -83,11 +88,19 @@ object Classify {
       expr("CAST(count(*) AS BIGINT)").as("v"))
     val pri = labels.agg(expr("CAST(sum(y) AS BIGINT)").as("d1"),
       expr("CAST(count(*) AS BIGINT)").as("d"))
-    tf.join(ctc, Seq("term"))
+    // LEFT join + coalesce (review r16, the dsirLogWeights r14 shape):
+    // scoring must cover out-of-vocabulary terms too — a term absent
+    // from the labeled subcorpus contributes the smoothed
+    // ln(1/(n1+v)) − ln(1/(n0+v)) per occurrence, not a silently
+    // dropped row (which undercounted n_tokens and erased all-OOV
+    // docs entirely). Identical when labels cover every doc — the
+    // px48 oracle shape, whose SQL mirrors this join.
+    tf.join(ctc, Seq("term"), "left")
       .crossJoin(broadcast(tot)).crossJoin(broadcast(pri))
       .groupBy("doc_id")
       .agg(expr("CAST(sum(tf) AS BIGINT)").as("n_tokens"),
-        sum(expr("tf * (ln((c1 + 1) / (n1 + v)) - ln((c0 + 1) / (n0 + v)))"))
+        sum(expr("tf * (ln((coalesce(c1, 0) + 1) / (n1 + v))" +
+          " - ln((coalesce(c0, 0) + 1) / (n0 + v)))"))
           .as("s"),
         // Both degenerate directions guarded: d1=0 (all-negative) would
         // hit ln(0) — an out-of-range error under this session's ANSI

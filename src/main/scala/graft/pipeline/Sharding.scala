@@ -23,6 +23,21 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Sharding {
 
+  /** Loud NULL-id guard (review r16): every op here keys on the
+    * deterministic hash h60(seed|id), which is NULL for a NULL id —
+    * in the temperature cut the row would count NULLS-FIRST into the
+    * histogram yet never match the cut's rank join, silently shifting
+    * the selection boundary (or, when the NULL group absorbs the
+    * quota, selecting NOTHING); in the epoch layout it lands in a
+    * NULL shard. FILTER predicate, not a projection (the Ann guard
+    * convention — survives column pruning).
+    */
+  private def requireIdNotNull(idCol: String,
+                               who: String): org.apache.spark.sql.Column =
+    expr(s"CASE WHEN $idCol IS NULL THEN CAST(raise_error(" +
+      s"'$who: NULL $idCol — the deterministic (hash, id) key is " +
+      s"undefined; assign ids upstream') AS BOOLEAN) ELSE true END")
+
   /** Adds deterministic (shard, ord) columns: shard = h60(seed|id) mod
     * nShards, ord = h60(seed+1|id) — an independent member of the same
     * hash family (seeded h60), so in-shard order is uncorrelated with
@@ -31,6 +46,7 @@ object Sharding {
   def epochAssign(docs: DataFrame, idCol: String, seed: Int,
                   nShards: Int): DataFrame =
     docs
+      .filter(requireIdNotNull(idCol, "epochAssign"))
       .withColumn("shard",
         DetHash.h60(col(idCol).cast("string"), seed) % nShards)
       .withColumn("ord", DetHash.h60(col(idCol).cast("string"), seed + 1))
@@ -56,7 +72,14 @@ object Sharding {
     * over the language table.
     */
   private def tempQuotas(docs: DataFrame, langCol: String,
-                         alphaE: String, targetDiv: Int): DataFrame =
+                         alphaE: String, targetDiv: Int): DataFrame = {
+    // driver-side, not a plan-buried 'div 0': under ANSI that error
+    // would kill the job at its LAST aggregation, after the full
+    // corpus scan; with ANSI off, quotas would go silently NULL and
+    // the selection would return an empty frame (review r16)
+    require(targetDiv >= 1,
+      s"targetDiv must be >= 1 (total div targetDiv is the mix " +
+        s"budget), got $targetDiv")
     docs.groupBy(langCol)
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("pa", expr(
@@ -65,6 +88,7 @@ object Sharding {
         s"CAST(round(round(pa / sum(pa) OVER (), 6) * " +
           s"(sum(n_docs) OVER () div $targetDiv)) AS BIGINT)"))
       .select(col(langCol), col("n_docs"), col("quota"))
+  }
 
   /** Materialize a temperature-resampled training mix (the mT5/XLM-R
     * w_l ∝ p_l^α rule px46 computes the WEIGHTS for, turned into an
@@ -125,6 +149,7 @@ object Sharding {
     val quotas = tempQuotas(docs, langCol, alphaE, targetDiv)
       .select(col(langCol).as("_tsl"), col("n_docs"), col("quota"))
     val keyed = docs
+      .filter(requireIdNotNull(idCol, "temperatureSample"))
       .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
     val sel = cutBounds(keyed, quotas, langCol, idCol)
     keyed.join(broadcast(sel), col(langCol) <=> col("_tsl"))
@@ -267,6 +292,7 @@ object Sharding {
     val plan = repeatBudgetPlan(docs, langCol, alphaE, targetDiv,
       maxRepeat)
     val keyed = docs
+      .filter(requireIdNotNull(idCol, "repeatBudgetMix"))
       .withColumn("_tsh", DetHash.h60(col(idCol).cast("string"), seed))
     val pq = plan.select(col(langCol).as("_tsl"), col("n_docs"),
       col("n_partial").as("quota"))

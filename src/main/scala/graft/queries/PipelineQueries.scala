@@ -1867,11 +1867,12 @@ object PipelineQueries {
               |pri AS (SELECT CAST(sum(y) AS BIGINT) AS d1,
               |    CAST(count(*) AS BIGINT) AS d FROM lab),
               |sc AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-              |    sum(tf * (ln((c1 + 1) / (n1 + v))
-              |      - ln((c0 + 1) / (n0 + v)))) AS s,
+              |    sum(tf * (ln((coalesce(c1, 0) + 1) / (n1 + v))
+              |      - ln((coalesce(c0, 0) + 1) / (n0 + v)))) AS s,
               |    first(ln(nullif(CAST(d1 AS DOUBLE), 0e0)
               |      / nullif(CAST(d - d1 AS DOUBLE), 0e0))) AS lp
-              |  FROM tf JOIN ctc USING (term) CROSS JOIN tot CROSS JOIN pri
+              |  FROM tf LEFT JOIN ctc USING (term)
+              |  CROSS JOIN tot CROSS JOIN pri
               |  GROUP BY doc_id)
               |SELECT doc_id, n_tokens, round(s + lp, 6) AS log_odds,
               |  CAST(CASE WHEN round(s + lp, 6) > 0 THEN 1
@@ -3596,7 +3597,7 @@ object PipelineQueries {
          |c$i AS (SELECT w, wc, string_split(list_reduce(cs${i - 1},
          |    (acc, x) -> CASE
          |      WHEN (acc = m.a OR ends_with(acc, chr(31) || m.a)) AND x = m.b
-         |      THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
+         |      THEN acc || m.b
          |      ELSE acc || chr(31) || x END), chr(31)) AS cs$i
          |  FROM c${i - 1} CROSS JOIN m$i m)""".stripMargin
     }.mkString(",\n")

@@ -146,6 +146,22 @@ class BpeSpec extends SparkSpec {
       .collect().map(_._2).min == 10L)
   }
 
+  test("expr encoder survives quote/backslash merge symbols (r16 esc)") {
+    // external merge tables are a supported encodeWords input (the
+    // non-BMP test pins that) — a symbol containing a backslash used
+    // to parse as a string-literal escape in the baked expression
+    // ('a\b' -> backspace), silently diverging the expr arm from the
+    // broadcast arm on the same input
+    val words = Seq(("a\\b'c", 1L)).toDF("w", "wc")
+    val merges = Seq(("a", "\\"), ("a\\", "b"), ("a\\b", "'"))
+    val e = Bpe.encodeWordsExpr(words, merges, "w")
+      .select("syms").as[Seq[String]].head()
+    val b = Bpe.encodeWordsBroadcast(words, merges, "w")
+      .select("syms").as[Seq[String]].head()
+    assert(e == b, s"expr $e vs broadcast $b")
+    assert(e == Seq("a\\b'", "c"), e.toString)
+  }
+
   test("encode is a narrow map: no shuffle in the encode plan") {
     val words = Seq(("abc", 1L)).toDF("w", "wc")
     val plan = Bpe.encodeWords(words, Seq(("a", "b"), ("ab", "c")))

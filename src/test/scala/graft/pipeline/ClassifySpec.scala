@@ -44,6 +44,33 @@ class ClassifySpec extends SparkSpec {
     assert(math.abs(out(4)._2 - exp4) < 1e-9, "mixed doc uses both likelihoods")
   }
 
+  test("NB partial labels: OOV terms score fully smoothed, all-OOV docs kept (r16)") {
+    import spark.implicits._
+    // labels cover docs 1-4 only; doc 5 mixes known + unknown terms,
+    // doc 6 is ALL out-of-vocabulary. Pre-r16 the inner class-count
+    // join dropped OOV rows (doc 5 undercounted, doc 6 vanished).
+    val (docs, _) = docsOf(Seq(
+      (1L, "good good fine", 1),
+      (2L, "good fine", 1),
+      (3L, "bad bad awful", 0),
+      (4L, "good bad", 0),
+      (5L, "good zzz yyy", 0), // y ignored below
+      (6L, "zzz yyy xxx", 0)))
+    val labels = Seq((1L, 1), (2L, 1), (3L, 0), (4L, 0)).toDF("doc_id", "y")
+    val out = Classify.naiveBayesLogOdds(docs, labels).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // every tokened doc appears, with FULL token counts
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(out(5L)._1 == 3L, s"OOV tokens must count: ${out(5L)}")
+    assert(out(6L)._1 == 3L)
+    // closed form: V=4, N1=5, N0=5, lp=0; OOV term = ln(1/9)-ln(1/9)=0
+    val lnGood = math.log(4.0 / 9) - math.log(2.0 / 9)
+    assert(math.abs(out(5L)._2 - BigDecimal(lnGood)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9,
+      s"doc 5 = one 'good' + two zero-contribution OOV terms: ${out(5L)}")
+    assert(out(6L)._2 == 0.0, s"all-OOV doc scores the bare prior: ${out(6L)}")
+  }
+
   test("NB with single-class labels yields NULL scores, not a runtime error") {
     val (docs, labels) = docsOf(Seq(
       (1L, "good good fine", 1),

@@ -120,6 +120,31 @@ class ShardingSpec extends SparkSpec {
     assert(got.getOrElse(Some("en"), 0L) == rep(Some("en")))
   }
 
+  test("targetDiv < 1 and NULL doc_id refuse loudly, not silently (r16)") {
+    // targetDiv = 0 used to be a plan-buried 'div 0' that killed the
+    // job at its LAST aggregation under ANSI (or NULLed every quota
+    // with ANSI off); it refuses driver-side now
+    val e0 = intercept[IllegalArgumentException] {
+      Sharding.temperatureSample(docs, targetDiv = 0)
+    }
+    assert(e0.getMessage.contains("targetDiv"), e0.getMessage)
+    // a NULL id hashes to a NULL (h, id) cut key: it would inflate
+    // the selection histogram NULLS-FIRST yet never match the cut's
+    // rank join, silently shifting the boundary — raise instead
+    val withNull = docs.select("doc_id", "lang", "text").unionByName(
+      Seq((Option.empty[Long], "en", "some text here"))
+        .toDF("doc_id", "lang", "text"))
+    val e1 = intercept[Exception] {
+      Sharding.temperatureSample(withNull).select("doc_id").collect()
+    }
+    assert(e1.getMessage.contains("NULL doc_id"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Sharding.epochAssign(withNull, "doc_id", 7, 8)
+        .select("shard").collect()
+    }
+    assert(e2.getMessage.contains("NULL doc_id"), e2.getMessage)
+  }
+
   test("mix ops refuse input columns that collide with reserved names") {
     // a corpus already carrying `quota`/`n_docs` would otherwise hit
     // an ambiguous-reference error deep in the plan — or have its own
