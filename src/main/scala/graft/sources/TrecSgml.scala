@@ -101,7 +101,12 @@ object Topics {
       .collect().map(_.getString(0)).sorted
     val header = Seq(s"#MIREX-LENGTH:$collLength", s"#MIREX-NDOCS:$nDocs")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      String.join("\n", (header ++ lines): _*).getBytes)
+      String.join("\n", (header ++ lines): _*)
+        // explicit UTF-8 (review r16): every reader decodes UTF-8
+        // (spark.read.text); the platform default would silently
+        // mojibake non-ASCII terms on a non-UTF-8 JVM and they would
+        // never equi-join against the corpus again
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Parse the augmented format back → header (length, ndocs) +
@@ -115,9 +120,16 @@ object Topics {
     val raw = spark.read.text(path)
     val header = raw.filter(col("value").startsWith("#MIREX-"))
       .collect().map(_.getString(0))
+    // a missing/mistyped stats header is a LOUD error (review r16):
+    // the old 0 default flowed into every scoring formula as
+    // n_tokens/n_docs — zeroed smoothing ratios and a 0/0 BM25 length
+    // norm, silently wrong scores for every query
     def h(k: String): Long = header.collectFirst {
       case l if l.startsWith(s"#MIREX-$k:") => l.substring(k.length + 8).toLong
-    }.getOrElse(0L)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"readAugmented: $path has no #MIREX-$k: header — collection " +
+        s"stats are mandatory in the augmented format (headers found: " +
+        s"${header.mkString("[", ", ", "]")})"))
     val rows = raw.filter(!col("value").startsWith("#"))
       .select(
         split(col("value"), ":", 2).getItem(0).as("qid"),
@@ -136,8 +148,15 @@ object Topics {
     * `GenerateFeedbackQueriesHBase.java:309-354`.
     */
   def readWeighted(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("sep", "\t").csv(path)
-      .toDF("qid", "terms")
+    // text + split, NOT the csv source (review r16): csv's default
+    // quote/escape handling silently rewrites field content (a terms
+    // field starting with '"' triggers quoted-field parsing,
+    // backslashes are eaten) — the sibling readers are all
+    // byte-transparent, and the reference parser splits verbatim
+    spark.read.text(path)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).as("qid"),
+        split(col("value"), "\t", 2).getItem(1).as("terms"))
       .select(col("qid"), explode(split(col("terms"), " ")).as("tw"))
       .filter(col("tw") =!= "")
       .select(col("qid"),

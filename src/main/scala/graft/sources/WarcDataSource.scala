@@ -78,12 +78,25 @@ object WarcDataSource {
       // no glob match / literal path: getFileStatus throws
       // FileNotFoundException — the loud plan-time failure we want
       .getOrElse(Seq(fs.getFileStatus(p)))
-    matched.flatMap { st =>
+    // RECURSE into subdirectories (review r16): crawls arrive as
+    // per-segment directory trees, and the one-level listing silently
+    // returned an EMPTY scan for /crawl/seg-*/part.warc.gz layouts —
+    // the silent-empty failure mode this source's own comments argue
+    // against. Hidden entries (_SUCCESS, .crc) skipped, as in Spark's
+    // built-in file sources.
+    def filesUnder(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
       if (st.isDirectory)
-        fs.listStatus(st.getPath).filter(_.isFile)
-          .map(_.getPath.toString).toSeq
+        fs.listStatus(st.getPath).toSeq
+          .filterNot { s =>
+            val n = s.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .flatMap(filesUnder)
       else Seq(st.getPath.toString)
-    }.sorted
+    val files = matched.flatMap(filesUnder).sorted
+    require(files.nonEmpty,
+      s"warc source: path '$path' matched but contains no files")
+    files
   }
 }
 
@@ -124,26 +137,23 @@ final class WarcReaderFactory(val confEntries: Array[(String, String)])
     val file = p.asInstanceOf[WarcFilePartition].file
     new PartitionReader[InternalRow] {
       // open through Hadoop FS so the partition paths listFiles
-      // produced (file:/…, hdfs://…) resolve on executors too; the
-      // whole-file read mirrors Warc.read's binaryFile contract (the
-      // format is non-splittable). The conf is the driver session's
+      // produced (file:/…, hdfs://…) resolve on executors too, and
+      // STREAM the records (review r16: this path used to materialize
+      // the whole file AND an eager Seq of every record — a per-file
+      // 2 GiB ceiling plus O(file + all records) memory, exactly what
+      // the Warc.parseStream rework removed; one record in memory at
+      // a time now, files unbounded, only an oversized RECORD hits
+      // Warc.MaxRecordBytes). The conf is the driver session's
       // effective Hadoop conf, rebuilt from shipped entries —
       // Configuration(false) + a full entry copy, so credentials and
       // fs overrides behave exactly as they did at plan time.
-      private val it = {
+      private val in = {
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(file)
-        val fs = p.getFileSystem(conf)
-        val len = fs.getFileStatus(p).getLen
-        require(len <= Warc.MaxRecordBytes,
-          s"warc file $file is $len bytes > per-file parser ceiling " +
-            s"${Warc.MaxRecordBytes}; split it upstream")
-        val buf = new Array[Byte](len.toInt)
-        val in = fs.open(p)
-        try in.readFully(0, buf) finally in.close()
-        Warc.parseRecords(buf).iterator
+        p.getFileSystem(conf).open(p)
       }
+      private val it = Warc.parseStream(in)
       private var cur: WarcDoc = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = {
@@ -158,7 +168,11 @@ final class WarcReaderFactory(val confEntries: Array[(String, String)])
           s(cur.date), s(cur.contentType), new ArrayBasedMapData(keys, vals),
           s(cur.content))
       }
-      override def close(): Unit = ()
+      // parseStream closes the stream on exhaustion and on parse
+      // errors; this covers the abandoned-early case (LIMIT, task
+      // kill) — closing twice is a safe no-op
+      override def close(): Unit =
+        try in.close() catch { case _: Throwable => () }
     }
   }
 }
