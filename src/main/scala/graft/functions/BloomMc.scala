@@ -53,8 +53,17 @@ case class BloomMc(child: Expression, bytes: Array[Byte])
       c == child && java.util.Arrays.equals(b, bytes)
     case _ => false
   }
-  override def hashCode(): Int =
-    31 * child.hashCode() + java.util.Arrays.hashCode(bytes)
+  // cached (review r16): Catalyst calls hashCode repeatedly during
+  // planning (ExpressionSet, semanticHash, EquivalentExpressions —
+  // the very dedup this override enables), and an uncached
+  // Arrays.hashCode re-scans the whole sketch per call — seconds per
+  // probe at the 1.2 GB design point, turning plan optimization into
+  // a driver stall
+  @transient private lazy val bytesHash = java.util.Arrays.hashCode(bytes)
+  override def hashCode(): Int = 31 * child.hashCode() + bytesHash
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectLong(child, prettyName)
 
   @transient private lazy val bf: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bytes))

@@ -26,6 +26,9 @@ case class DeflateLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "deflate_len"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectString(child, prettyName)
 
   override protected def nullSafeEval(a: Any): Any =
     DeflateLen.compressedLen(a.asInstanceOf[UTF8String])

@@ -37,17 +37,13 @@ object DetHash {
   /** Spark SQL string form of [[h60]], for use inside expr() strings. */
   def sparkH60Sql(e: String): String = s"h60($e)"
 
-  /** DRIVER-side twin of [[h60]] — same first-15-hex-chars-of-md5
-    * formula on a plain String, for deterministic literal material
-    * baked into plans (e.g. `Ann.randomProject`'s ±1 matrix).
-    * Bit-equality with the native column expression is asserted in
-    * VecOpsSpec.
-    */
-  /** Driver-side twin of the [[H60]] expression — DELEGATES to the
-    * same byte-level implementation (review r14: this used to
-    * reimplement the formula via hex formatting + base-16 reparse,
-    * i.e. exactly the string round-trip H60 exists to avoid, and a
-    * second copy of a bit-identity-critical formula).
+  /** Driver-side twin of the [[H60]] expression, for deterministic
+    * literal material baked into plans (e.g. `Ann.randomProject`'s
+    * ±1 matrix) — DELEGATES to the same byte-level implementation
+    * (review r14: this used to reimplement the formula via hex
+    * formatting + base-16 reparse, a second copy of a
+    * bit-identity-critical formula). Bit-equality with the native
+    * column expression is asserted in VecOpsSpec.
     */
   def h60Local(s: String): Long =
     H60.hash(org.apache.spark.unsafe.types.UTF8String.fromString(s))

@@ -24,6 +24,15 @@ case class H60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "h60"
+  // typed input (review r16, the TokenShingles r14 rule applied to
+  // every registered expression): the SQL registration would
+  // otherwise accept h60(doc_id) — janino rejects the generated
+  // hash(long), execution falls back to interpreted, and the
+  // asInstanceOf throws a raw ClassCastException MID-QUERY instead of
+  // a plan-time error
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectString(child, prettyName)
 
   override protected def nullSafeEval(a: Any): Any =
     H60.hash(a.asInstanceOf[UTF8String])
@@ -71,6 +80,9 @@ case class Md5H1H2(child: Expression) extends UnaryExpression {
     StructField("h2", LongType, nullable = false)))
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "md5_h1h2"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectString(child, prettyName)
 
   override protected def nullSafeEval(a: Any): Any =
     Md5H1H2.compute(a.asInstanceOf[UTF8String])
@@ -95,6 +107,9 @@ case class CharTrigrams(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "char_trigrams"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectString(child, prettyName)
 
   override protected def nullSafeEval(a: Any): Any =
     CharTrigrams.compute(a.asInstanceOf[UTF8String])

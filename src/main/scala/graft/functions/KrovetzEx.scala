@@ -26,6 +26,9 @@ case class KrovetzEx(child: Expression) extends UnaryExpression {
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "krovetz_ex"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.expectString(child, prettyName)
 
   override protected def nullSafeEval(a: Any): Any =
     KrovetzEx.lookup(a.asInstanceOf[UTF8String])

@@ -60,13 +60,17 @@ object Multimodal {
     */
   object StubCodec extends Codec {
     val name = "stub"
+    // per-THREAD digest (the H60 convention): getInstance per row is
+    // the allocation the hot path exists to avoid
+    private val mdLocal =
+      ThreadLocal.withInitial[java.security.MessageDigest](() =>
+        java.security.MessageDigest.getInstance("MD5"))
     def decode(mediaType: String, bytes: Array[Byte]): Option[(Int, Int, Int)] = {
-      val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-      val h = java.math.BigInteger.valueOf(
+      val md = mdLocal.get().digest(bytes)
+      val h =
         ((md(0) & 0x7fL) << 48) | ((md(1) & 0xffL) << 40) |
           ((md(2) & 0xffL) << 32) | ((md(3) & 0xffL) << 24) |
-          ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL))
-        .longValue()
+          ((md(4) & 0xffL) << 16) | ((md(5) & 0xffL) << 8) | (md(6) & 0xffL)
       Some((320 + (h % 1280).toInt, 240 + (h % 720).toInt,
         1 + (bytes.length / 1024)))
     }
@@ -205,7 +209,17 @@ object Multimodal {
               sum += u32(bytes, ps + 8 + i * 8)
               i += 1
             }
-            math.min(sum, Int.MaxValue.toLong).toInt
+            // sanity bound (review r16): stts counts are UNTRUSTED
+            // u32s — one corrupt/hostile entry claiming ~2^32 samples
+            // used to flow to sampleFrames as n_frames ≈ Int.MaxValue,
+            // where sequence() either throws the array-size limit or
+            // materializes a multi-GB per-row array and OOMs the
+            // executor. Past ~134M frames (>1200 h at 30 fps — beyond
+            // any real video) the sample table is treated as corrupt
+            // metadata: frames = 0, the fragmented-MP4 "no usable
+            // sample table" semantics, and the blob contributes no
+            // sample rows instead of killing the job.
+            if (sum > (1L << 27)) 0 else sum.toInt
           }).getOrElse(0)
           (wh._1, wh._2, frames)
         }
@@ -282,7 +296,11 @@ object Multimodal {
     * resize; the pixel op itself belongs in the stubbed codec). Narrow
     * map — resize never shuffles.
     */
-  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame =
+  def resizePlan(meta: Dataset[MediaMeta], maxDim: Int): DataFrame = {
+    // loud driver-side require (review r16, the sampleFrames r14
+    // convention): maxDim <= 0 would silently emit zero/negative
+    // output dimensions downstream
+    require(maxDim >= 1, s"resizePlan needs maxDim >= 1, got $maxDim")
     meta.toDF()
       // pure integer math: (side * maxDim) div long — the longer side
       // lands on maxDim EXACTLY (a double multiply can floor to
@@ -296,12 +314,18 @@ object Multimodal {
           s" ELSE CAST((CAST(height AS BIGINT) * $maxDim)" +
           " div greatest(width, height) AS INT) END"))
       .select("doc_id", "media_type", "width", "height", "out_w", "out_h")
+  }
 
   /** Column-level pseudo-embedding of a binary payload: 8 deterministic
     * float features from seeded content hashes (the layout a real
     * image-encoder UDF would emit).
     */
   def fakeEmbedding(bin: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // the OUTER cast makes the element type float (review r16):
+    // float / float goes through Divide's double-widening, so the
+    // old inner cast still produced array<double> — rejected at plan
+    // time by the repo's own dot_f64/norm2_f64 kernels, which
+    // hard-require array<float>
     array((0 until 8).map(i =>
-      (DetHash.h60(base64(bin), i) % 1000).cast("float") / 1000f): _*)
+      ((DetHash.h60(base64(bin), i) % 1000) / 1000d).cast("float")): _*)
 }
