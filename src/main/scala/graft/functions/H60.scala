@@ -173,7 +173,11 @@ case class TokenShingles(left: Expression, right: Expression)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(StringType, _), IntegerType) =>
+      // NullType slots pass (NULL in → NULL out via NullPropagation);
+      // the array's element may carry any collation — compute() reads
+      // raw UTF8String bytes (ADVICE r16)
+      case (ArrayType(_: StringType, _) | org.apache.spark.sql.types.NullType,
+            IntegerType | org.apache.spark.sql.types.NullType) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -34,6 +34,7 @@ case class DotF64(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     if (Seq(left, right).forall(c => c.dataType match {
       case ArrayType(FloatType, _) => true
+      case org.apache.spark.sql.types.NullType => true // NULL in → NULL out
       case _ => false
     })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
@@ -96,6 +97,8 @@ case class Norm2F64(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case org.apache.spark.sql.types.NullType => // NULL in → NULL out
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
         s"$prettyName expects array<float>, got ${other.simpleString}")
     }

@@ -1094,7 +1094,15 @@ object Jobs {
               s"($when) to $winner — another compaction is in flight, " +
               s"or a previous one crashed leaving its candidate. Verify " +
               s"no compactor is live, inspect the store, then delete " +
-              s"the candidate file and re-run")
+              s"the candidate file and re-run. NOTE: candidates order " +
+              s"by the writer's OWN clock (epoch millis in the name) — " +
+              s"fencing is correct only while contender clocks agree " +
+              s"within the ${settleMs} ms settle window " +
+              s"(compactStore's leaseSettleMs); a contender whose " +
+              s"clock lags beyond that can out-arbitrate a temporally " +
+              s"earlier winner. Either way at most one proceeds, and " +
+              s"the pre-swap snapshot check still refuses loudly before " +
+              s"any silent loss")
         }
         // cross-protocol exclusion (review r16): an ATOMIC-mode
         // compactor on the same store stakes the lease FILE, not a

@@ -133,6 +133,8 @@ object Multimodal {
     */
   object Mp4Codec extends Codec {
     val name = "mp4"
+    private[multimodal] lazy val log =
+      org.slf4j.LoggerFactory.getLogger(getClass)
 
     private def u32(b: Array[Byte], p: Int): Long =
       ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
@@ -218,8 +220,17 @@ object Multimodal {
             // any real video) the sample table is treated as corrupt
             // metadata: frames = 0, the fragmented-MP4 "no usable
             // sample table" semantics, and the blob contributes no
-            // sample rows instead of killing the job.
-            if (sum > (1L << 27)) 0 else sum.toInt
+            // sample rows instead of killing the job. Logged when it
+            // trips (ADVICE r16): a coerced hostile/corrupt table must
+            // stay distinguishable from a genuinely fragmented MP4 in
+            // the executor logs.
+            if (sum > (1L << 27)) {
+              Mp4Codec.log.warn(
+                s"mp4 stts claims $sum samples (> 2^27) in a " +
+                  s"${bytes.length}-byte blob — treating the sample " +
+                  "table as corrupt metadata, frames = 0")
+              0
+            } else sum.toInt
           }).getOrElse(0)
           (wh._1, wh._2, frames)
         }

@@ -45,7 +45,14 @@ class WarcDataSource extends TableProvider with DataSourceRegister {
       "the warc source takes exactly ONE load(path) argument (got " +
         "none or several); pass one path — a directory or a glob " +
         "such as dir/*.warc.gz covers multiple files")
-    new WarcTable(path)
+    // .option("allowEmpty", "true") downgrades a matched-but-empty
+    // directory from a plan-time failure to a legal empty scan
+    // (ADVICE r16): empty crawl segments are routine in incremental
+    // layouts, but silent-empty stays opt-IN — a typo'd glob that
+    // matches a real-but-empty dir should still fail loudly by default.
+    val allowEmpty = java.lang.Boolean.parseBoolean(
+      properties.getOrDefault("allowEmpty", "false"))
+    new WarcTable(path, allowEmpty)
   }
 }
 
@@ -67,7 +74,7 @@ object WarcDataSource {
     * treat a glob as one literal non-existent file and NPE on an
     * unlistable directory.
     */
-  def listFiles(path: String): Seq[String] = {
+  def listFiles(path: String, allowEmpty: Boolean = false): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(_.sessionState.newHadoopConf())
@@ -84,23 +91,44 @@ object WarcDataSource {
     // the silent-empty failure mode this source's own comments argue
     // against. Hidden entries (_SUCCESS, .crc) skipped, as in Spark's
     // built-in file sources.
-    def filesUnder(st: org.apache.hadoop.fs.FileStatus): Seq[String] =
-      if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
+    // Symlink-cycle guard (ADVICE r16): on a local filesystem a
+    // looping symlink under the scanned tree would otherwise recurse
+    // to stack overflow. Directories are deduped by canonical identity
+    // (resolves symlinks on file: paths); the depth bound backstops
+    // schemes where no canonical form is available.
+    val visited = scala.collection.mutable.Set[String]()
+    def canonical(p: org.apache.hadoop.fs.Path): String = {
+      val uri = p.toUri
+      if (uri.getScheme == null || uri.getScheme == "file")
+        try new java.io.File(uri.getPath).getCanonicalPath
+        catch { case _: java.io.IOException => p.toString }
+      else p.toString
+    }
+    def filesUnder(st: org.apache.hadoop.fs.FileStatus,
+                   depth: Int): Seq[String] =
+      if (st.isDirectory) {
+        require(depth < 64,
+          s"warc source: directory tree under '$path' exceeds depth 64 " +
+            s"at '${st.getPath}' — likely a symlink cycle")
+        if (!visited.add(canonical(st.getPath))) Seq.empty // cycle: seen
+        else fs.listStatus(st.getPath).toSeq
           .filterNot { s =>
             val n = s.getPath.getName
             n.startsWith("_") || n.startsWith(".")
           }
-          .flatMap(filesUnder)
-      else Seq(st.getPath.toString)
-    val files = matched.flatMap(filesUnder).sorted
-    require(files.nonEmpty,
-      s"warc source: path '$path' matched but contains no files")
+          .flatMap(filesUnder(_, depth + 1))
+      } else Seq(st.getPath.toString)
+    val files = matched.flatMap(filesUnder(_, 0)).sorted
+    require(allowEmpty || files.nonEmpty,
+      s"warc source: path '$path' matched but contains no files " +
+        "(pass .option(\"allowEmpty\", \"true\") if empty segments " +
+        "are expected)")
     files
   }
 }
 
-final class WarcTable(path: String) extends Table with SupportsRead {
+final class WarcTable(path: String, allowEmpty: Boolean = false)
+    extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -111,7 +139,8 @@ final class WarcTable(path: String) extends Table with SupportsRead {
       override def readSchema(): StructType = WarcDataSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        WarcDataSource.listFiles(path).map(WarcFilePartition(_): InputPartition)
+        WarcDataSource.listFiles(path, allowEmpty)
+          .map(WarcFilePartition(_): InputPartition)
           .toArray
       override def createReaderFactory(): PartitionReaderFactory = {
         // plan-time listing and run-time reads must resolve paths

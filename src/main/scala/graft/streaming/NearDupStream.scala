@@ -34,12 +34,21 @@ object NearDupStream {
     * row when a later micro-batch delivers a smaller doc_id for a
     * signature (review r16): the old keeper is re-pointed at the new
     * minimum, because its earlier self-keeper row is immutable in an
-    * append-mode sink. The ledger is therefore a MONOTONE REFINEMENT:
-    * a doc's final keeper is `min(keeper)` over its rows for a (band,
-    * sig), and `doc_id != keeper` on the min-reduced rows marks
-    * exactly the near-dup candidates the batch LSH join would emit —
-    * reading the raw append stream with `doc_id != keeper` alone
-    * misses pairs whose smaller id arrived later.
+    * append-mode sink.
+    *
+    * The documented READ is [[resolveKeepers]] — a TRANSITIVE
+    * keeper-of-keeper reduction, NOT a plain `min(keeper)` per doc
+    * (ADVICE r16): a doc emitted before a later keeper decrease keeps
+    * its then-current keeper in the append stream (ids 100 then 80
+    * in batch 1, id 1 in batch 2 → doc 80's only row says keeper
+    * 100), and only the chain 80→100→1 recovers batch truth. Emitting
+    * a re-point row for EVERY stale doc instead would require keeping
+    * every doc id ever seen per (band, sig) in operator state —
+    * O(cluster size), unbounded on the boilerplate-heavy signatures a
+    * 100 TB crawl is full of — so the state stays one Long per group
+    * and the fixpoint runs on the (small) ledger at read time.
+    * `doc_id != keeper` on the RESOLVED rows marks exactly the
+    * near-dup candidates the batch LSH join would emit.
     */
   final case class Collision(band: Int, sig: String, doc_id: Long,
                              keeper: Long)
@@ -244,5 +253,50 @@ object NearDupStream {
               rs.iterator.map(r => Collision(r.band, r.sig, r.doc_id, keeper))
           }
       }
+  }
+
+  /** The ledger's documented read: resolve every doc's keeper CHAIN
+    * to its fixpoint, one row per (band, sig, doc_id) with the final
+    * (batch-truth) keeper.
+    *
+    * Why a fixpoint and not `min(keeper)` per doc: see [[Collision]].
+    * Every keeper in the ledger also appears as a doc_id (it was
+    * emitted as its own keeper on arrival) and every displaced keeper
+    * carries a re-point row to its successor, so chains terminate at
+    * a self-keeper row. Keeper values only decrease along a chain and
+    * the chain length is bounded by the number of keeper-changing
+    * micro-batches inside the state horizon; with each round jumping
+    * doc→keeper-of-keeper on the already-jumped map, convergence is
+    * logarithmic in that (small) bound.
+    */
+  def resolveKeepers(ledger: DataFrame): DataFrame = {
+    import ledger.sparkSession.implicits._
+    var m = ledger.groupBy("band", "sig", "doc_id")
+      .agg(min("keeper").as("keeper"))
+      // bound plan depth across iterations (the px42 CC idiom): each
+      // jump would otherwise stack a self-join on the full lineage
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done) {
+      require(iter < 64,
+        "keeper chains failed to converge in 64 jumps — ledger rows " +
+          "violate the monotone-refinement contract")
+      val jumped = m.alias("l")
+        .join(m.alias("r"),
+          $"l.band" === $"r.band" && $"l.sig" === $"r.sig" &&
+            $"l.keeper" === $"r.doc_id")
+        .select($"l.band".as("band"), $"l.sig".as("sig"),
+          $"l.doc_id".as("doc_id"),
+          // r.keeper <= l.keeper by the monotone contract; least() is
+          // a correctness backstop against a malformed ledger
+          least($"l.keeper", $"r.keeper").as("keeper"),
+          ($"r.keeper" < $"l.keeper").as("moved"))
+        .localCheckpoint()
+      done = jumped.filter($"moved").limit(1).isEmpty
+      m = jumped.drop("moved")
+      iter += 1
+    }
+    m
   }
 }

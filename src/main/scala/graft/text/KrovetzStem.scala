@@ -152,7 +152,25 @@ object KrovetzStem {
     //     keeps doubled stems — buzzes→buzz, jazzes→jazz — and quiz,
     //     which DOUBLES in inflection, conflates here; doubled()
     //     excludes 'z' to protect the buzz family) ---
-    "quizzes" -> "quiz", "quizzed" -> "quiz", "quizzing" -> "quiz")
+    "quizzes" -> "quiz", "quizzed" -> "quiz", "quizzing" -> "quiz",
+    // --- r17: the magic-e stems the r16 divergence list pinned as
+    //     rule-undecidable (VERDICT item 2) — the orthographic rules
+    //     are right NOT to restore 'e' for their patterns in general
+    //     (sit/visit, dot/develop, plan/stun, mop/gossip), so only a
+    //     lexicon entry can restore these; with no public kstem word
+    //     list reachable in this environment the frequent members are
+    //     curated here. 'moped' is the HOMOGRAPH case: dictionary
+    //     Krovetz finds the headword (the vehicle) and returns it
+    //     unchanged — protection, not mope+ed conflation ---
+    "moped" -> "moped",
+    "sited" -> "site", "siting" -> "site",
+    "doted" -> "dote", "doting" -> "dote",
+    "moping" -> "mope", "mopes" -> "mope",
+    "griped" -> "gripe", "griping" -> "gripe",
+    "craned" -> "crane", "craning" -> "crane",
+    "dethroned" -> "dethrone", "dethroning" -> "dethrone",
+    "enthroned" -> "enthrone", "enthroning" -> "enthrone",
+    "hoed" -> "hoe", "hoeing" -> "hoe")
 
   private val V = "('a','e','i','o','u')"
 

@@ -991,6 +991,24 @@ class JobsSpec extends SparkSpec {
       assert(cands().map(_.getName) ==
         Seq("cand-00000000000000000002-bbbbbbbb"))
       cands().foreach(_.delete())
+      // 4b. clock skew (VERDICT r16 item 5): a contender whose clock
+      //     LAGS ours by more than the settle window writes a
+      //     candidate that is temporally later but lexicographically
+      //     earlier — it wins the name order, we abort, and the error
+      //     text spells out the skew bound for the operator
+      val e3b = intercept[IllegalStateException] {
+        Jobs.compactStore(spark, s"$w/store", leaseSettleMs = 50,
+          leaseSeam = () => {
+            val laggingEpoch = System.currentTimeMillis() - 60000
+            val skewed = new java.io.File(candDir,
+              f"cand-$laggingEpoch%020d-skewclock")
+            assert(skewed.createNewFile())
+          })
+      }
+      assert(e3b.getMessage.contains("clock"), e3b.getMessage)
+      assert(e3b.getMessage.contains("settle window"), e3b.getMessage)
+      assert(e3b.getMessage.contains("50 ms"), e3b.getMessage)
+      cands().foreach(_.delete())
       // 5. a LATER contender (higher name) mid-window does not steal
       //    the win: compaction proceeds; the foreign candidate stays
       //    (that contender's own cleanup duty) and keeps appends

@@ -80,6 +80,26 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("DSv2: empty dir fails by default, reads empty with allowEmpty; " +
+    "symlink cycles terminate (ADVICE r16)") {
+    import java.nio.file.{Files, Paths}
+    val empty = Files.createTempDirectory("warcempty")
+    intercept[Exception] {
+      spark.read.format("warc").load(empty.toString).count()
+    }
+    assert(spark.read.format("warc").option("allowEmpty", "true")
+      .load(empty.toString).count() == 0L)
+    // a self-looping symlink under the tree: the visited-set guard
+    // must terminate the listing, and the real file still reads
+    val dir = Files.createTempDirectory("warcloop")
+    Files.copy(Paths.get(resource("test.warc.gz")),
+      dir.resolve("a.warc.gz"))
+    val sub = Files.createDirectory(dir.resolve("seg"))
+    Files.createSymbolicLink(sub.resolve("loop"), dir)
+    val n = spark.read.format("warc").load(dir.toString).count()
+    assert(n == all.size.toLong, s"cycle-guarded listing read $n records")
+  }
+
   test("anchor extraction resolves and normalizes URLs (AnchorExtract semantics)") {
     // page /index.html → normalized host; absolute hrefs keep their host
     assert(Html.makeAbsoluteUrl("http://test1.com/index.html",
@@ -298,6 +318,20 @@ class WarcSpec extends SparkSpec {
   test("readLarge (PortableDataStream path) matches read on the golden file") {
     val viaStream = Warc.readLarge(spark, resource("test.warc.gz")).collect()
     assert(viaStream.sortBy(_.trecId).toSeq == all.sortBy(_.trecId).toSeq)
+  }
+
+  test("three-way equality: read == readLarge == DSv2, and read streams " +
+    "(no 2 GiB binaryFile cap to mis-pick — VERDICT r16 item 3)") {
+    val p = resource("test.warc.gz")
+    val viaRead = Warc.read(spark, p).collect().sortBy(_.trecId).toSeq
+    val viaLarge = Warc.readLarge(spark, p).collect().sortBy(_.trecId).toSeq
+    val viaDsv2 = spark.read.format("warc").load(p)
+      .selectExpr("recordType", "trecId", "content").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_._2).toSeq
+    assert(viaRead == viaLarge)
+    assert(viaRead.map(d => (d.recordType, d.trecId, d.content)) == viaDsv2)
+    assert(viaRead == all.sortBy(_.trecId).toSeq, "golden unchanged")
   }
 
   test("streams files past the old 2 GiB whole-file ceiling " +

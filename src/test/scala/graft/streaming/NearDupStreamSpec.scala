@@ -145,9 +145,13 @@ class NearDupStreamSpec extends SparkSpec {
     assert(rows.groupBy(r => (r._1, r._2, r._3))
       .exists(_._2.map(_._4).distinct.length > 1),
       "fixture must exercise keeper reassignment")
-    // documented read: min(keeper) per (band, sig, doc) == batch truth
-    val reduced = rows.groupBy(r => (r._1, r._2, r._3))
-      .map { case ((b, s, d), vs) => (b, s, d, vs.map(_._4).min) }.toSet
+    // documented read: resolveKeepers == batch truth (with only two
+    // batches the chains have length 1, but the read contract is the
+    // transitive one — see the 3-batch test for where min alone fails)
+    val reduced = NearDupStream.resolveKeepers(spark.table("ndl_rev"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
     val bands = Dedup.bandSigs(Dedup.minhashWide(all))
     val expected = bands
       .join(bands.groupBy("band", "sig").agg(min("doc_id").as("keeper")),
@@ -161,6 +165,64 @@ class NearDupStreamSpec extends SparkSpec {
     val dupDocs = reduced.filter(r => r._3 != r._4).map(r => (r._3, r._4))
     assert(dupDocs == Set((100L, 1L), (101L, 2L)),
       s"cross-batch pairs must surface: $dupDocs")
+  }
+
+  test("3-batch decreasing ids: resolveKeepers follows keeper chains; " +
+    "plain min-reduction demonstrably cannot (ADVICE r16)") {
+    import spark.implicits._
+    // ids 100+80 (batch 1), 50 (batch 2), 1 (batch 3), one near-dup
+    // cluster. Append mode leaves doc 100's only row saying keeper 80
+    // and doc 80's newest row saying keeper 50 — batch truth (keeper 1
+    // for all) is reachable ONLY through the chain 100→80→50→1. This
+    // is the fixture the two-batch tests above cannot exercise.
+    val textX = "cat dog emu fox gnu hen ibis jay kiwi lark moth newt" +
+      " owl pig quail rat swan toad vole wolf"
+    val dir = Files.createTempDirectory("neardup_chain").toString
+    val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
+    val all = Seq((100L, textX), (80L, textX), (50L, textX), (1L, textX))
+      .toDF("doc_id", "text")
+    all.filter(col("doc_id") >= 80L).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/a=1")
+    all.filter(col("doc_id") === 50L).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/b=2")
+    all.filter(col("doc_id") === 1L).withColumn("ingest_ts", ts)
+      .coalesce(1).write.parquet(s"$dir/c=3")
+    // pin processing order: strictly decreasing ids across batches
+    val now = System.currentTimeMillis()
+    for ((sub, age) <- Seq("a=1" -> 900000L, "b=2" -> 600000L, "c=3" -> 300000L);
+         f <- new java.io.File(s"$dir/$sub").listFiles())
+      f.setLastModified(now - age)
+    val schema = spark.read.parquet(s"$dir/a=1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/{a=1,b=2,c=3}")
+    val q = NearDupStream.collisionLedger(stream, "ingest_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndl_chain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "stream did not terminate in 180s")
+    val ledger = spark.table("ndl_chain")
+    val rows = ledger.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // plain min-per-doc reduction is WRONG here — doc 100 only ever
+    // saw keeper 80 (this is the hazard the transitive read fixes; if
+    // this assert starts failing, the ledger began emitting full
+    // re-point fan-out and resolveKeepers is no longer load-bearing)
+    val minReduced = rows.groupBy(r => (r._1, r._2, r._3))
+      .map { case ((_, _, d), vs) => d -> vs.map(_._4).min }
+    assert(minReduced.exists { case (d, k) => d == 100L && k != 1L },
+      s"fixture must exercise a stale chained keeper: $minReduced")
+    // the documented read recovers batch truth for every doc
+    val resolved = NearDupStream.resolveKeepers(ledger).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val bands = Dedup.bandSigs(Dedup.minhashWide(all))
+    val expected = bands
+      .join(bands.groupBy("band", "sig").agg(min("doc_id").as("keeper")),
+        Seq("band", "sig"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(resolved == expected)
   }
 
   test("storeAdmitStream: marker-less partial partition replays; marked one skips") {

