@@ -346,6 +346,19 @@ object Ann {
       s" (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
       " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
 
+  /** Codebook regrouped for the argmin encode: one row per block,
+    * centroids + their code ids as parallel code-ASC-sorted arrays —
+    * `blocks` rows total, broadcast-tiny at any kCodes. Parallel
+    * arrays (not structs) so the native kernel reads primitives.
+    */
+  private def codebookByBlock(codebook: DataFrame): DataFrame =
+    codebook.groupBy("blk")
+      .agg(
+        expr("transform(array_sort(collect_list(struct(code, centroid)))," +
+          " s -> s.centroid)").as("cents"),
+        expr("transform(array_sort(collect_list(struct(code, centroid)))," +
+          " s -> s.code)").as("codes"))
+
 
   /** Product-quantization codebook: per-block k-means (Jégou et al.
     * 2011, IEEE TPAMI — "Product quantization for nearest neighbor
@@ -406,21 +419,24 @@ object Ann {
     * (vid, blk, code) — `blocks` skinny rows per vector, the CODES-ONLY
     * storage layout that replaces the raw floats on the ADC scan path
     * (~dim·4 bytes → blocks·1 bytes per vector at kCodes ≤ 256). One
-    * narrow pass against the broadcast codebook; array-native (no
-    * explode of the corpus side).
+    * narrow pass against the broadcast per-block codebook via the
+    * native [[graft.functions.PqArgmin]] kernel — no kCodes× row
+    * blowup, no window shuffle, one codegen'd call per (vid, blk)
+    * (r17; semantics identical to the historical window shape,
+    * AnnSpec/PqArgminSpec-pinned — the 1M-vector encode measured
+    * 109 s → 1.95 s at kCodes=32 and 894 s → 4.6 s at the standard
+    * kCodes=256, identical recall rows, AnnRecallProbe r17).
     */
   def pqEncode(corpus: DataFrame, codebook: DataFrame,
                idCol: String = "vec_id",
                embCol: String = "embedding"): DataFrame = {
     requireDimMatches(corpus, embCol, codebook, "pqEncode")
     corpus.select(col(idCol).as("vid"), col(embCol).as("ve"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("d2", expr(l2sqBlock("ve", "centroid")))
-      .withColumn("r", expr(
-        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
-      .filter(col("r") === 1)
-      .filter(expr(guardWinner("d2", "vid", "pqEncode")))
-      .select("vid", "blk", "code")
+      .crossJoin(broadcast(codebookByBlock(codebook)))
+      .select(col("vid"), col("blk"),
+        graft.functions.PqArgmin.argmin(col("ve"),
+          expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
+          col("cents"), col("codes"), col("vid"), "pqEncode").as("code"))
   }
 
   /** PQ ADC top-k (asymmetric distance computation — the query path of
@@ -527,13 +543,11 @@ object Ann {
     */
   def ivfPqEncode(residuals: DataFrame, codebook: DataFrame): DataFrame = {
     requireDimMatches(residuals, "res", codebook, "ivfPqEncode")
-    residuals.crossJoin(broadcast(codebook))
-      .withColumn("d2", expr(l2sqBlock("res", "centroid")))
-      .withColumn("r", expr(
-        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
-      .filter(col("r") === 1)
-      .filter(expr(guardWinner("d2", "vid", "ivfPqEncode")))
-      .select("vid", "cid", "blk", "code")
+    residuals.crossJoin(broadcast(codebookByBlock(codebook)))
+      .select(col("vid"), col("cid"), col("blk"),
+        graft.functions.PqArgmin.argmin(col("res"),
+          expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
+          col("cents"), col("codes"), col("vid"), "ivfPqEncode").as("code"))
   }
 
   /** IVFADC search (Jégou et al. 2011 §IV): per query, probe the
@@ -553,25 +567,36 @@ object Ann {
     * Compose with [[adcRefine]] for the IVFADC+R production path.
     *
     * @param codes [[ivfPqEncode]] output (vid, cid, blk, code)
+    * @param rotation optional OPQ rotation ([[opqTrainRotation]]) —
+    *                 MUST be the same R the codes side was built with
+    *                 (codebook trained on, and codes encoded from,
+    *                 `rotateVec`-rotated residuals); applied here to
+    *                 the query residual before the LUT so both sides
+    *                 live in the rotated space. Empty = plain IVFADC,
+    *                 plan-identical to the pre-OPQ shape.
     */
   def ivfAdcTopK(codes: DataFrame, centroids: DataFrame,
                  codebook: DataFrame, queries: DataFrame,
                  nprobe: Int, k: Int,
                  idCol: String = "vec_id",
-                 embCol: String = "embedding"): DataFrame = {
+                 embCol: String = "embedding",
+                 rotation: Seq[Seq[Double]] = Nil): DataFrame = {
     requireDimMatches(queries, embCol, codebook, "ivfAdcTopK")
     adcRankCodes(codes,
-      ivfAdcLut(ivfAdcProbes(centroids, queries, nprobe, idCol, embCol),
+      ivfAdcLut(
+        ivfAdcProbes(centroids, queries, nprobe, idCol, embCol, rotation),
         codebook), k)
   }
 
   /** The per-query probed lists with their query residuals —
-    * (qid, cid, qres); |q|·nprobe rows.
+    * (qid, cid, qres); |q|·nprobe rows. With a non-empty `rotation`
+    * the residual is rotated into OPQ space (see [[ivfAdcTopK]]).
     */
   private def ivfAdcProbes(centroids: DataFrame, queries: DataFrame,
                            nprobe: Int, idCol: String,
-                           embCol: String): DataFrame =
-    queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
+                           embCol: String,
+                           rotation: Seq[Seq[Double]] = Nil): DataFrame = {
+    val probes = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -580,7 +605,10 @@ object Ann {
       .filter(expr(guardWinner("d2", "qid", "ivfAdcTopK probe")))
       .withColumn("qres",
         expr("zip_with(qe, centroid, (a, b) -> CAST(a AS DOUBLE) - b)"))
+    (if (rotation.isEmpty) probes
+     else rotateVec(probes, rotation, "qres", "qres"))
       .select("qid", "cid", "qres")
+  }
 
   /** The residual ADC LUT shared by [[ivfAdcTopK]] and
     * [[ivfAdcTopKPartitioned]]: per (query, probed list), the squared
@@ -630,9 +658,11 @@ object Ann {
                             codebook: DataFrame, queries: DataFrame,
                             nprobe: Int, k: Int,
                             idCol: String = "vec_id",
-                            embCol: String = "embedding"): DataFrame = {
+                            embCol: String = "embedding",
+                            rotation: Seq[Seq[Double]] = Nil): DataFrame = {
     requireDimMatches(queries, embCol, codebook, "ivfAdcTopKPartitioned")
-    val probes = ivfAdcProbes(centroids, queries, nprobe, idCol, embCol)
+    val probes =
+      ivfAdcProbes(centroids, queries, nprobe, idCol, embCol, rotation)
     // probed cids come from the PROBES frame (|q|·nprobe rows), not
     // the LUT — the driver action re-evaluates only the cheap probe
     // ranking, not the queries×codebook cross join (same shape as
@@ -642,6 +672,182 @@ object Ann {
     adcRankCodes(
       spark.read.parquet(path).filter(col("cid").isin(probedCids: _*)),
       ivfAdcLut(probes, codebook), k)
+  }
+
+  /** OPQ training result: the learned orthogonal rotation (row-major,
+    * d×d) plus the final per-element quantization MSE on the training
+    * sample — the number OPQ minimizes, returned so callers (and the
+    * spec) can assert the rotation actually reduced it vs identity.
+    */
+  final case class OpqModel(rotation: Seq[Seq[Double]], mse: Double)
+
+  /** Non-parametric OPQ (Ge et al. 2014, "Optimized Product
+    * Quantization", IEEE TPAMI §IV-B): learn an orthogonal rotation R
+    * minimizing the PQ reconstruction error Σ‖R·x − q(R·x)‖², by
+    * alternating (1) per-block Lloyd k-means on the rotated sample and
+    * (2) the orthogonal-Procrustes solve R = U·Vᵀ from
+    * svd(Ŷᵀ·X) — PQ's independent-block assumption wastes code budget
+    * on coordinate systems where variance is correlated ACROSS blocks,
+    * and the rotation re-axes the space so each block carries
+    * independent variance.
+    *
+    * DRIVER-side by design, like every codebook build here: the input
+    * is a bounded training sample (the codebook-class contract — a
+    * model, not an index; `maxSample` enforces the bound loudly), and
+    * the d×d Procrustes/SVD is pure small-matrix math (Breeze/LAPACK,
+    * on the Spark classpath). The learned R is then a broadcast-small
+    * LITERAL applied corpus-side by [[rotateVec]] — one narrow
+    * codegen'd pass, nothing driver-sized ever touches the corpus.
+    *
+    * Determinism: seeds are the first kCodes sample rows in id order
+    * (pqTrain's rule), Lloyd ties break to the lower code, iteration
+    * order is fixed, and LAPACK SVD is deterministic on identical
+    * input — two runs on the same sample return identical R.
+    *
+    * @param opqIters rotation/codebook alternations; 0 returns the
+    *                 identity (useful as the A/B baseline: the MSE in
+    *                 the result is then plain PQ's)
+    */
+  def opqTrainRotation(sample: DataFrame, blocks: Int, kCodes: Int,
+                       lloydIters: Int = 2, opqIters: Int = 8,
+                       maxSample: Int = 65536,
+                       idCol: String = "vec_id",
+                       embCol: String = "embedding"): OpqModel = {
+    import breeze.linalg.{svd, DenseMatrix}
+    val rows = sample
+      .select(col(idCol).cast("long").as("id"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
+      .orderBy("id").limit(maxSample + 1).collect()
+    require(rows.length <= maxSample,
+      s"opqTrainRotation: training sample exceeds maxSample=$maxSample " +
+        "— pass a bounded sample (the codebook contract), not a corpus")
+    val e = rows.map(_.getSeq[Double](1).toArray)
+    val n = e.length
+    require(n > 0, "opqTrainRotation: empty training sample")
+    val d = e.head.length
+    require(e.forall(_.length == d),
+      s"opqTrainRotation: ragged sample — every vector must be $d-dim")
+    require(d % blocks == 0, s"dim $d not divisible into $blocks blocks")
+    require(n >= kCodes,
+      s"opqTrainRotation needs >= $kCodes sample vectors, got $n")
+    val sub = d / blocks
+    val x = DenseMatrix.tabulate(n, d)((i, j) => e(i)(j))
+    // Init matters: from the identity, the Procrustes step is a FIXED
+    // POINT whenever ŶᵀX is symmetric PSD (ŷ ≈ x ⇒ ŶᵀX ≈ XᵀX ⇒
+    // U = V ⇒ R = I) — NP-OPQ alone never leaves an axis-aligned
+    // local optimum. Ge et al. §III's parametric init fixes it:
+    // rotate onto the PCA axes, then permute eigen-directions across
+    // blocks so each block carries a BALANCED share of the variance
+    // (greedy eigenvalue allocation, balancing Σlog λ per block —
+    // the independence+balance assumption under which the parametric
+    // solution is optimal). opqIters = 0 skips the init too and
+    // returns the identity: the plain-PQ baseline, same MSE metric.
+    var rot =
+      if (opqIters == 0) DenseMatrix.eye[Double](d)
+      else {
+        val mean = Array.tabulate(d)(j => (0 until n).map(x(_, j)).sum / n)
+        val cov = DenseMatrix.tabulate(d, d) { (a, b) =>
+          var s = 0.0; var i = 0
+          while (i < n) {
+            s += (x(i, a) - mean(a)) * (x(i, b) - mean(b)); i += 1 }
+          s / n
+        }
+        val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+        val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+        // greedy allocation: next-largest eigenvalue goes to the
+        // open block with the smallest accumulated log-variance
+        val logSum = Array.fill(blocks)(0.0)
+        val fill = Array.fill(blocks)(0)
+        val slots = Array.ofDim[Int](blocks, sub)
+        for (ei <- order) {
+          val b = (0 until blocks).filter(fill(_) < sub)
+            .minBy(b => (logSum(b), b))
+          slots(b)(fill(b)) = ei
+          fill(b) += 1
+          logSum(b) += math.log(math.max(es.eigenvalues(ei), 1e-12))
+        }
+        // row r of R = the eigenvector allocated to output slot r
+        // (eigSym returns eigenvectors as COLUMNS)
+        DenseMatrix.tabulate(d, d) { (r, c) =>
+          es.eigenvectors(c, slots(r / sub)(r % sub))
+        }
+      }
+    var mse = Double.NaN
+    // opqIters + 1 passes: the last pass only quantizes (no Procrustes
+    // update), so the returned MSE is measured AT the returned R
+    for (it <- 0 to opqIters) {
+      val y = x * rot.t
+      val yhat = DenseMatrix.zeros[Double](n, d)
+      var err = 0.0
+      for (b <- 0 until blocks) {
+        val off = b * sub
+        // seeds: first kCodes rows (id order — rows are sorted)
+        val cent = Array.tabulate(kCodes, sub)((c, j) => y(c, off + j))
+        val assign = new Array[Int](n)
+        def assignAll(): Unit = {
+          var i = 0
+          while (i < n) {
+            var best = 0; var bd = Double.MaxValue
+            var c = 0
+            while (c < kCodes) {
+              var s2 = 0.0; var j = 0
+              while (j < sub) {
+                val dv = y(i, off + j) - cent(c)(j); s2 += dv * dv; j += 1
+              }
+              if (s2 < bd) { bd = s2; best = c } // strict: tie → lower code
+              c += 1
+            }
+            assign(i) = best; i += 1
+          }
+        }
+        for (_ <- 1 to lloydIters) {
+          assignAll()
+          val sums = Array.ofDim[Double](kCodes, sub)
+          val cnt = new Array[Int](kCodes)
+          for (i <- 0 until n) {
+            cnt(assign(i)) += 1
+            var j = 0
+            while (j < sub) { sums(assign(i))(j) += y(i, off + j); j += 1 }
+          }
+          for (c <- 0 until kCodes if cnt(c) > 0; j <- 0 until sub)
+            cent(c)(j) = sums(c)(j) / cnt(c) // empty code keeps its seat
+        }
+        assignAll()
+        for (i <- 0 until n; j <- 0 until sub) {
+          yhat(i, off + j) = cent(assign(i))(j)
+          val dv = y(i, off + j) - yhat(i, off + j); err += dv * dv
+        }
+      }
+      mse = err / (n.toLong * d)
+      if (it < opqIters) {
+        // min_R ‖R·Xᵀ − Ŷᵀ‖_F over orthogonal R → R = U·Vᵀ,
+        // svd(Ŷᵀ·X) = U·S·Vᵀ (orthogonal Procrustes)
+        val s = svd(yhat.t * x)
+        rot = s.U * s.Vt
+      }
+    }
+    OpqModel(
+      Seq.tabulate(d, d)((i, j) => rot(i, j)).map(_.toSeq), mse)
+  }
+
+  /** Apply a (learned) rotation corpus-side: `out[i] = Σ_j R[i][j] ·
+    * in[j]`, the d×d matrix inlined as a broadcast-small literal and
+    * the multiply running as ONE narrow codegen'd array expression —
+    * no UDF, no shuffle, nothing driver-sized near the corpus.
+    * Output is array&lt;double&gt; (rotation runs in double whatever
+    * the input element type).
+    */
+  def rotateVec(df: DataFrame, rotation: Seq[Seq[Double]],
+                inCol: String, outCol: String): DataFrame = {
+    val d = rotation.length
+    require(d > 0 && rotation.forall(_.length == d),
+      s"rotateVec: rotation must be square d×d, got " +
+        s"${rotation.map(_.length).distinct.mkString(",")} row widths")
+    val r = typedLit(rotation.map(_.toIndexedSeq).toIndexedSeq)
+    df.withColumn(outCol,
+      transform(r, row => aggregate(
+        zip_with(row, col(inCol), (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

@@ -176,6 +176,62 @@ object AnnRecallProbe {
         topk(Ann.adcRefine(topR, big, queries, 10)))
       println(f"""[annrecall] {"variant":"ivfadc_residual_refine","nprobe":4,"R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
     }
+    // 8-bit codes (r17): kCodes=256, the STANDARD IVFADC setting
+    // (Jégou et al. use 8-bit sub-quantizers throughout) — made
+    // affordable by the argmin-fold encode (the old window shape
+    // would have sorted 2×10⁹ rows here). Finer codebooks resolve
+    // within-cell structure the 5-bit books tie on, which is exactly
+    // what bounds the R-shortlist's coverage on this corpus.
+    val rcb8 = t("pq_train_residual_k256")(
+      Ann.pqTrain(resid.filter(col("vid") % sampleMod === 0),
+        blocks = 8, kCodes = 256, iters = 2,
+        idCol = "vid", embCol = "res").localCheckpoint())
+    val rcodes8 = t("pq_encode_residual_k256")(
+      Ann.ivfPqEncode(resid, rcb8).repartition(32).localCheckpoint())
+    for (nprobe <- Seq(4)) {
+      val radc = t(s"ivfadc_residual_k256_np$nprobe")(
+        topk(Ann.ivfAdcTopK(rcodes8, cent, rcb8, queries, nprobe, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_residual_k256","nprobe":$nprobe,"recall_at_10":${recall(radc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(radc, exact)}%.3f}""")
+    }
+    for (bigR <- Seq(50, 200)) {
+      val topR = Ann.ivfAdcTopK(rcodes8, cent, rcb8, queries,
+        nprobe = 4, k = bigR)
+      val refined = t(s"ivfadc_residual_k256_refine_R$bigR")(
+        topk(Ann.adcRefine(topR, big, queries, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_residual_k256_refine","nprobe":4,"R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
+    }
+    // OPQ on the residuals (r17, Ge et al. 2014): learn the rotation
+    // on the same training slice, rotate residuals, retrain the books
+    // in rotated space, search with the rotated query path. Same R
+    // sweep as the unrotated residual rows above for a like-for-like
+    // read of what the rotation buys on THIS corpus geometry.
+    val opq = t("opq_train")(
+      Ann.opqTrainRotation(resid.filter(col("vid") % sampleMod === 0),
+        blocks = 8, kCodes = 32, lloydIters = 2, opqIters = 8,
+        idCol = "vid", embCol = "res"))
+    println(f"""[annrecall] {"variant":"opq_train","mse":${opq.mse}%.6f}""")
+    val residRot = t("opq_rotate")(
+      Ann.rotateVec(resid, opq.rotation, "res", "res")
+        .repartition(32).localCheckpoint())
+    val ocb = t("pq_train_opq")(
+      Ann.pqTrain(residRot.filter(col("vid") % sampleMod === 0),
+        blocks = 8, kCodes = 32, iters = 2,
+        idCol = "vid", embCol = "res").localCheckpoint())
+    val ocodes = t("pq_encode_opq")(
+      Ann.ivfPqEncode(residRot, ocb).repartition(32).localCheckpoint())
+    for (nprobe <- Seq(1, 2, 4)) {
+      val oadc = t(s"ivfadc_opq_np$nprobe")(
+        topk(Ann.ivfAdcTopK(ocodes, cent, ocb, queries, nprobe, 10,
+          rotation = opq.rotation)))
+      println(f"""[annrecall] {"variant":"ivfadc_opq","nprobe":$nprobe,"recall_at_10":${recall(oadc, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(oadc, exact)}%.3f}""")
+    }
+    for (bigR <- Seq(50, 200)) {
+      val topR = Ann.ivfAdcTopK(ocodes, cent, ocb, queries,
+        nprobe = 4, k = bigR, rotation = opq.rotation)
+      val refined = t(s"ivfadc_opq_refine_R$bigR")(
+        topk(Ann.adcRefine(topR, big, queries, 10)))
+      println(f"""[annrecall] {"variant":"ivfadc_opq_refine","nprobe":4,"R":$bigR,"recall_at_10":${recall(refined, exact)}%.3f,"cloud_recall_at_10":${cloudRecall(refined, exact)}%.3f}""")
+    }
 
     // PQ without the IVF cut: full-corpus ADC scan over codes
     val fulladc = t("full_adc")(topk(Ann.pqAdcTopK(codes, cb, queries, 10)))

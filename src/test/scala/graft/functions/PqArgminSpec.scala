@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.pipeline.Ann
+import org.apache.spark.sql.functions._
+
+/** The native PQ argmin kernel must be bit-equivalent to the
+  * historical crossJoin + round-then-rank window shape it replaced —
+  * including tie resolution (lowest code) and the NULL/dim-mismatch
+  * raise.
+  */
+class PqArgminSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sfTiny/embeddings.parquet")
+
+  test("pqEncode == the historical window shape, row for row") {
+    val cb = Ann.pqTrain(emb.filter(col("vec_id") % 3 === 0),
+      blocks = 8, kCodes = 8, iters = 2)
+    val fast = Ann.pqEncode(emb, cb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the pre-r17 reference shape, inlined: kCodes x row blowup +
+    // round-then-rank window
+    val slow = emb.select(col("vec_id").as("vid"), col("embedding").as("ve"))
+      .crossJoin(broadcast(cb))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(slice(ve, CAST(blk * size(centroid) + 1 AS INT)," +
+          " size(centroid)), centroid, (a, b) ->" +
+          " (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b))," +
+          " CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(d2, 6), code)"))
+      .filter(col("r") === 1).select("vid", "blk", "code").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fast.nonEmpty && fast == slow)
+  }
+
+  test("tie resolution: exact duplicate centroids pick the LOWEST code") {
+    import spark.implicits._
+    // a codebook whose codes 3 and 7 are identical centroids: every
+    // vector's distances tie exactly, and round-then-rank semantics
+    // demand code 3 wins over 7 whenever they share the minimum
+    val base = Seq.tabulate(8)(c =>
+      (0L, c.toLong, Seq.fill(2)(c.toDouble)))
+      .map { case (b, c, ct) => (b, c, if (c == 7) Seq(3.0, 3.0) else ct) }
+      .toDF("blk", "code", "centroid")
+    val vecs = Seq((1L, Seq(3.1f, 2.9f)), (2L, Seq(0.1f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.pqEncode(vecs, base).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(1L) == 3L, s"tie must go to the lowest code: $out")
+    assert(out(2L) == 0L)
+  }
+
+  test("NULL element / dim mismatch raises with the vector id") {
+    import spark.implicits._
+    val cb = Ann.pqTrain(emb.filter(col("vec_id") % 3 === 0),
+      blocks = 8, kCodes = 4, iters = 1)
+    val short = Seq((999L, Seq.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.pqEncode(emb.select("vec_id", "embedding").unionByName(short), cb)
+        .collect()
+    }
+    assert(e.getMessage.contains("pqEncode") &&
+      e.getMessage.contains("999"), e.getMessage)
+  }
+}
