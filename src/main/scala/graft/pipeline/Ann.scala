@@ -832,10 +832,14 @@ object Ann {
 
   /** Apply a (learned) rotation corpus-side: `out[i] = Σ_j R[i][j] ·
     * in[j]`, the d×d matrix inlined as a broadcast-small literal and
-    * the multiply running as ONE narrow codegen'd array expression —
-    * no UDF, no shuffle, nothing driver-sized near the corpus.
-    * Output is array&lt;double&gt; (rotation runs in double whatever
-    * the input element type).
+    * the multiply running as ONE narrow codegen'd kernel call per row
+    * ([[graft.functions.MatVec]] — the HOF transform/aggregate form
+    * is interpreted per element, measured 14.2 s/1M vectors vs the
+    * kernel's 3.26 s incl. the checkpoint write; see the kernel's scaladoc). No UDF, no
+    * shuffle, nothing driver-sized near the corpus. Output is
+    * array&lt;double&gt; (rotation runs in double whatever the input
+    * element type); a NULL input vector yields a genuinely NULL
+    * output, a dim mismatch raises loudly.
     */
   def rotateVec(df: DataFrame, rotation: Seq[Seq[Double]],
                 inCol: String, outCol: String): DataFrame = {
@@ -844,10 +848,7 @@ object Ann {
       s"rotateVec: rotation must be square d×d, got " +
         s"${rotation.map(_.length).distinct.mkString(",")} row widths")
     val r = typedLit(rotation.map(_.toIndexedSeq).toIndexedSeq)
-    df.withColumn(outCol,
-      transform(r, row => aggregate(
-        zip_with(row, col(inCol), (a, b) => a * b.cast("double")),
-        lit(0.0), (acc, v) => acc + v)))
+    df.withColumn(outCol, graft.functions.MatVec.matVec(r, col(inCol)))
   }
 
   /** IVF search: each query probes its `nprobe` nearest centroids and

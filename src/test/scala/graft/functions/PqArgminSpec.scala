@@ -51,6 +51,30 @@ class PqArgminSpec extends SparkSpec {
     assert(out(2L) == 0L)
   }
 
+  test("mat_vec == the HOF transform/aggregate form; NULL vec → NULL; " +
+    "dim mismatch raises") {
+    import spark.implicits._
+    val rot = Seq(Seq(0.0, 1.0), Seq(-1.0, 0.5))
+    val vecs = Seq((1L, Some(Seq(2.0f, 3.0f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val fast = Ann.rotateVec(vecs, rot, "embedding", "r").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getSeq[Double](2))).toMap
+    assert(fast(1L) == Seq(3.0, -0.5) && fast(2L) == null)
+    // HOF reference on the non-null row
+    val hof = vecs.filter(col("vec_id") === 1L)
+      .withColumn("r", transform(typedLit(rot), row => aggregate(
+        zip_with(row, col("embedding"), (a, b) => a * b.cast("double")),
+        lit(0.0), (acc, v) => acc + v)))
+      .head().getSeq[Double](2)
+    assert(hof == fast(1L))
+    val short = Seq((3L, Seq(1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Ann.rotateVec(short, rot, "embedding", "r").collect()
+    }
+    assert(e.getMessage.contains("dim mismatch"), e.getMessage)
+  }
+
   test("NULL element / dim mismatch raises with the vector id") {
     import spark.implicits._
     val cb = Ann.pqTrain(emb.filter(col("vec_id") % 3 === 0),
