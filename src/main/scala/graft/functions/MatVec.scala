@@ -34,8 +34,14 @@ case class MatVec(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "mat_vec"
 
-  private lazy val vecIsFloat: Boolean =
-    right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // pattern match, not an ArrayType cast (review r17): the type check
+  // accepts a NullType vector (NULL in → NULL out), and a NON-FOLDABLE
+  // NullType column reaches codegen — the cast would CCE there instead
+  // of the promised NULL
+  private lazy val vecIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val matOk = left.dataType match {

@@ -177,6 +177,15 @@ object PqArgmin {
       if (d2 < rawMin) rawMin = d2
       c += 1
     }
+    // all-NaN/Infinity distances leave rawMin at +Infinity (review
+    // r17): round6 would throw an opaque NumberFormatException with no
+    // vid — raise the contract's loud, tagged error instead. (The old
+    // window shape silently handed such a vector the lowest code —
+    // garbage codes for a corrupt vector; loud is the repo rule.)
+    if (rawMin.isInfinite || rawMin.isNaN)
+      throw new RuntimeException(
+        s"$who: no finite distance for vid $id — NaN or overflowing " +
+          "embedding values")
     val r0 = round6(rawMin)
     // first code (ascending order) whose rounded distance equals the
     // minimum rounded distance; only the ±band near rawMin can qualify

@@ -356,8 +356,11 @@ object Ann {
       .agg(
         expr("transform(array_sort(collect_list(struct(code, centroid)))," +
           " s -> s.centroid)").as("cents"),
+        // widened to BIGINT (review r17): the kernel reads getLong;
+        // an int-code codebook — legal against the old window shape —
+        // must not fail its type check
         expr("transform(array_sort(collect_list(struct(code, centroid)))," +
-          " s -> s.code)").as("codes"))
+          " s -> CAST(s.code AS BIGINT))").as("codes"))
 
 
   /** Product-quantization codebook: per-block k-means (Jégou et al.
@@ -436,7 +439,8 @@ object Ann {
       .select(col("vid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("ve"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          col("cents"), col("codes"), col("vid"), "pqEncode").as("code"))
+          col("cents"), col("codes"), col("vid").cast("long"),
+          "pqEncode").as("code"))
   }
 
   /** PQ ADC top-k (asymmetric distance computation — the query path of
@@ -547,7 +551,8 @@ object Ann {
       .select(col("vid"), col("cid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("res"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          col("cents"), col("codes"), col("vid"), "ivfPqEncode").as("code"))
+          col("cents"), col("codes"), col("vid").cast("long"),
+          "ivfPqEncode").as("code"))
   }
 
   /** IVFADC search (Jégou et al. 2011 §IV): per query, probe the
@@ -745,23 +750,36 @@ object Ann {
     var rot =
       if (opqIters == 0) DenseMatrix.eye[Double](d)
       else {
-        val mean = Array.tabulate(d)(j => (0 until n).map(x(_, j)).sum / n)
-        val cov = DenseMatrix.tabulate(d, d) { (a, b) =>
+        // covariance via ONE gemm on the centered matrix (review r17:
+        // the per-cell scalar loops were O(d²·n) single-threaded —
+        // minutes at d=768, n=64k — next to the LAPACK `*` the
+        // Procrustes step below already uses)
+        val mean = Array.tabulate(d) { j =>
           var s = 0.0; var i = 0
-          while (i < n) {
-            s += (x(i, a) - mean(a)) * (x(i, b) - mean(b)); i += 1 }
+          while (i < n) { s += x(i, j); i += 1 }
           s / n
         }
+        val xc = DenseMatrix.tabulate(n, d)((i, j) => x(i, j) - mean(j))
+        val cov = (xc.t * xc) /:/ n.toDouble
         val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
         val order = (0 until d).sortBy(i => -es.eigenvalues(i))
         // greedy allocation: next-largest eigenvalue goes to the
-        // open block with the smallest accumulated log-variance
+        // LEAST-FILLED block, min accumulated log-variance as the
+        // tiebreak within that set (review r17: an unconstrained
+        // min-logSum pick is SCALE-dependent — with every λ < 1, the
+        // normal case for unit-norm embeddings, log-terms are negative
+        // and the fullest block keeps winning, i.e. consecutive-chunk
+        // allocation, the opposite of balance. Least-filled-first
+        // interleaves one eigenvalue per block per round, and the
+        // within-round logSum comparison is scale-invariant because
+        // every block then carries the SAME count of log λ terms)
         val logSum = Array.fill(blocks)(0.0)
         val fill = Array.fill(blocks)(0)
         val slots = Array.ofDim[Int](blocks, sub)
         for (ei <- order) {
-          val b = (0 until blocks).filter(fill(_) < sub)
-            .minBy(b => (logSum(b), b))
+          val open = (0 until blocks).filter(fill(_) < sub)
+          val least = open.map(fill).min
+          val b = open.filter(fill(_) == least).minBy(b => (logSum(b), b))
           slots(b)(fill(b)) = ei
           fill(b) += 1
           logSum(b) += math.log(math.max(es.eigenvalues(ei), 1e-12))

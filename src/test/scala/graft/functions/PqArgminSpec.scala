@@ -73,6 +73,39 @@ class PqArgminSpec extends SparkSpec {
       Ann.rotateVec(short, rot, "embedding", "r").collect()
     }
     assert(e.getMessage.contains("dim mismatch"), e.getMessage)
+    // a NON-FOLDABLE NullType column (NullPropagation only folds
+    // literals) must flow NULL through codegen, not CCE on the
+    // ArrayType cast (review r17)
+    import org.apache.spark.sql.types._
+    val nullSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", NullType)))
+    val nullDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(5L, null)), nullSchema)
+    val nr = Ann.rotateVec(nullDf, rot, "embedding", "r").collect()
+    assert(nr.length == 1 && nr(0).isNullAt(2))
+  }
+
+  test("int vec_id and int code columns still encode (review r17: the " +
+    "kernel must not narrow the old window shape's accepted inputs)") {
+    import spark.implicits._
+    val cb = Seq((0L, 0, Seq(0.0, 0.0)), (0L, 1, Seq(5.0, 5.0)))
+      .toDF("blk", "code", "centroid") // int code
+    val vecs = Seq((7, Seq(4.9f, 5.1f)), (8, Seq(0.1f, -0.1f)))
+      .toDF("vec_id", "embedding") // int id
+    val out = Ann.pqEncode(vecs, cb).collect()
+      .map(r => (r.getInt(0), r.getLong(2))).toMap
+    assert(out == Map(7 -> 1L, 8 -> 0L))
+  }
+
+  test("all-NaN distances raise loudly with the vector id (review r17: " +
+    "round6(Infinity) threw an untagged NumberFormatException)") {
+    import spark.implicits._
+    val cb = Seq((0L, 0L, Seq(0.0, 0.0))).toDF("blk", "code", "centroid")
+    val bad = Seq((42L, Seq(Float.NaN, 1.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Ann.pqEncode(bad, cb).collect() }
+    assert(e.getMessage.contains("pqEncode") &&
+      e.getMessage.contains("42") &&
+      e.getMessage.contains("finite"), e.getMessage)
   }
 
   test("NULL element / dim mismatch raises with the vector id") {

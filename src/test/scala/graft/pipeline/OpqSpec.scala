@@ -58,6 +58,22 @@ class OpqSpec extends SparkSpec {
         s"opq ${opq.mse} vs plain ${plain.mse}")
   }
 
+  test("eigenvalue allocation is scale-invariant (review r17: the " +
+    "unconstrained min-logSum pick chunked instead of balancing " +
+    "whenever every eigenvalue < 1)") {
+    // scaling by 2 is exact in binary floating point: every distance
+    // comparison, assignment, and Procrustes input scales uniformly,
+    // so the learned ROTATION must be bit-identical
+    val m1 = opqTrainRotation(correlated, blocks = 2, kCodes = 8,
+      lloydIters = 2, opqIters = 4)
+    val scaled = correlated.selectExpr("vec_id",
+      "transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS embedding")
+    val m2 = opqTrainRotation(scaled, blocks = 2, kCodes = 8,
+      lloydIters = 2, opqIters = 4)
+    assert(m1.rotation == m2.rotation,
+      "rotation must not depend on the corpus scale")
+  }
+
   test("rotateVec preserves pairwise squared distances") {
     val m = opqTrainRotation(correlated, blocks = 2, kCodes = 8,
       lloydIters = 2, opqIters = 4)
