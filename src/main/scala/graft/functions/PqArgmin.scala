@@ -43,7 +43,12 @@ import org.apache.spark.sql.types._
   * @param cents  this block's centroids, array&lt;array&lt;double&gt;&gt;,
   *               CODE-ASC ordered
   * @param codes  the matching code ids, array&lt;bigint&gt;, same order
-  * @param id     the vector id, for the error message only
+  * @param id     the vector id, for the error message only — STRING-
+  *               typed (r18, advice fix): callers cast their id with
+  *               `cast("string")`, which succeeds for ANY id type, so
+  *               the kernel never narrows the window shape's accepted
+  *               inputs (a long-typed slot made a non-numeric string
+  *               id cast to NULL and fail every row at runtime)
   */
 case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
                     codes: Expression, id: Expression, who: String)
@@ -52,7 +57,12 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
   override def children: Seq[Expression] = Seq(vec, offset, cents, codes, id)
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def nullIntolerant: Boolean = true
+  // NOT nullIntolerant (r18, advice fix): nullIntolerant=true lets
+  // NullPropagation fold a foldable typed-null argument to
+  // Literal(null, LongType) at OPTIMIZATION time — silently emitting
+  // NULL codes and bypassing the loud NULL raise that eval/doGenCode
+  // implement (and contradicting nullable=false above).
+  override def nullIntolerant: Boolean = false
   override def prettyName: String = "pq_argmin"
 
   private lazy val vecIsFloat: Boolean =
@@ -71,11 +81,16 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
       case ArrayType(LongType, _) => true
       case _ => false
     }
+    // id slot: any StringType instance (collation-agnostic — only the
+    // raw bytes reach an error message) or NullType (a NULL id raises
+    // loudly at eval, same as a NULL embedding)
+    val idOk = id.dataType.isInstanceOf[StringType] ||
+      id.dataType == NullType
     if (vecOk && centsOk && codesOk && offset.dataType == IntegerType &&
-      id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+      idOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<float|double>, int, " +
-        s"array<array<double>>, array<bigint>, bigint), got (" +
+        s"array<array<double>>, array<bigint>, string), got (" +
         children.map(_.dataType.simpleString).mkString(", ") + ")")
   }
 
@@ -91,7 +106,8 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
           " — NULL embedding or codebook row")
     PqArgmin.compute(v.asInstanceOf[ArrayData], vecIsFloat,
       o.asInstanceOf[Int], ce.asInstanceOf[ArrayData],
-      co.asInstanceOf[ArrayData], i.asInstanceOf[Long], who)
+      co.asInstanceOf[ArrayData],
+      i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], who)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -142,9 +158,13 @@ object PqArgmin {
     java.math.BigDecimal.valueOf(d)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
-  /** See the class doc for the two-pass round-then-rank contract. */
+  /** See the class doc for the two-pass round-then-rank contract.
+    * `id` is the display-only error tag (UTF8String — no per-row
+    * java.lang.String allocation on the happy path).
+    */
   def compute(vec: ArrayData, vecIsFloat: Boolean, offset: Int,
-              cents: ArrayData, codes: ArrayData, id: Long,
+              cents: ArrayData, codes: ArrayData,
+              id: org.apache.spark.unsafe.types.UTF8String,
               who: String): Long = {
     val k = cents.numElements()
     if (k == 0 || codes.numElements() != k)

@@ -439,7 +439,10 @@ object Ann {
       .select(col("vid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("ve"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          col("cents"), col("codes"), col("vid").cast("long"),
+          // display-only error tag: cast("string") succeeds for ANY
+          // id type (r18 advice fix — cast("long") made a non-numeric
+          // string id NULL out and fail every row at runtime)
+          col("cents"), col("codes"), col("vid").cast("string"),
           "pqEncode").as("code"))
   }
 
@@ -551,7 +554,8 @@ object Ann {
       .select(col("vid"), col("cid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("res"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          col("cents"), col("codes"), col("vid").cast("long"),
+          // display-only error tag — see pqEncode
+          col("cents"), col("codes"), col("vid").cast("string"),
           "ivfPqEncode").as("code"))
   }
 
@@ -720,9 +724,17 @@ object Ann {
                        embCol: String = "embedding"): OpqModel = {
     import breeze.linalg.{svd, DenseMatrix}
     val rows = sample
-      .select(col(idCol).cast("long").as("id"),
+      .select(col(idCol).cast("string").as("id"),
         expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
-      .orderBy("id").limit(maxSample + 1).collect()
+      // total order (r18 advice fix): orderBy(id) alone is not total
+      // under duplicate ids — which duplicate lands in the collected
+      // sample (and hence the k-means seeds and the learned R) became
+      // partition-dependent; the embedding hash breaks ties
+      // deterministically, and rows identical in BOTH id and embedding
+      // are interchangeable. id is cast("string") (not "long") so a
+      // non-numeric id column orders lexically instead of NULLing out.
+      .orderBy(col("id"), xxhash64(col("e")))
+      .limit(maxSample + 1).collect()
     require(rows.length <= maxSample,
       s"opqTrainRotation: training sample exceeds maxSample=$maxSample " +
         "— pass a bounded sample (the codebook contract), not a corpus")

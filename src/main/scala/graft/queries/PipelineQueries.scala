@@ -225,24 +225,39 @@ object PipelineQueries {
   }
 
   /** PQ code assignment: nearest sub-centroid per (vector, block).
-    * → (vid, blk, code). One narrow pass over the blocked vectors
-    * against the broadcastable codebook (px31's gated shape).
+    * → (vid, blk, code). Since r18 this routes through the PRODUCTION
+    * encode path — [[graft.pipeline.Ann.pqEncode]] and its native
+    * `pq_argmin` codegen kernel — so the DuckDB oracle (whose SQL
+    * still replays the historical join + round-then-rank window
+    * shape) gates the kernel itself: PqArgminSpec pins bit-equality
+    * of the two shapes, and px31/50/51/86 hash-green is the
+    * cross-engine proof at every gated SF (r17 verdict item 1).
     *
-    * Callers that already hold the codebook pass it in (px50/px51) so
-    * the codebook aggregation appears as ONE subtree per plan — the
-    * repeated-subtree shape the round-2 px27 regression came from —
-    * instead of relying on AQE exchange reuse to dedupe a recompute.
+    * Callers that already hold the codebook pass it in (px50/px51/
+    * px86) so the codebook aggregation appears as ONE subtree per
+    * plan — the repeated-subtree shape the round-2 px27 regression
+    * came from — instead of relying on AQE exchange reuse to dedupe
+    * a recompute.
     */
   private def pqCodes(s: SparkSession, dir: String,
                       cb0: DataFrame = null): DataFrame =
-    pqBlocked(s, dir)
-      .join(Option(cb0).getOrElse(pqCodebook(s, dir)), Seq("blk", "i"))
-      .withColumn("d", expr("(x - c) * (x - c)"))
-      .groupBy("vid", "blk", "label").agg(sum("d").as("dist2"))
-      .withColumn("r", expr(
-        "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), label)"))
-      .filter(col("r") === 1)
-      .select(col("vid"), col("blk"), col("label").as("code"))
+    graft.pipeline.Ann.pqEncode(
+        Tables(s, dir, "embeddings"),
+        pqCodebookRows(Option(cb0).getOrElse(pqCodebook(s, dir))))
+      // the kernel's code slot is bigint; the gated schema keeps
+      // label's native int type (what the window shape emitted)
+      .select(col("vid"), col("blk"), col("code").cast("int").as("code"))
+
+  /** The (label, blk, i, c) label-means codebook regrouped to
+    * [[graft.pipeline.Ann.pqEncode]]'s (blk, code, centroid)
+    * contract: per (blk, label) the subDim centroid components in
+    * global-i order (the kernel indexes the vector at blk·subDim + j,
+    * so within-block order must be i ascending).
+    */
+  private def pqCodebookRows(cb: DataFrame): DataFrame =
+    cb.groupBy(col("blk"), col("label").cast("long").as("code"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
+        " s -> s.c)").as("centroid"))
 
   /** Spark dot product / squared norm of float arrays: NATIVE codegen'd
     * expressions (functions/VecOps.scala) with the same IEEE operation

@@ -282,21 +282,59 @@ object NearDupStream {
       require(iter < 64,
         "keeper chains failed to converge in 64 jumps — ledger rows " +
           "violate the monotone-refinement contract")
+      val prev = m
+      // LEFT join (r18 advice fix): an inner join here silently
+      // DROPPED any doc whose keeper value has no doc_id row — a
+      // filtered or retention-trimmed ledger shrank the result
+      // instead of failing. The ledger contract says every keeper
+      // was emitted as its own doc (self-keeper row), so a miss is a
+      // contract violation and raises loudly below.
       val jumped = m.alias("l")
         .join(m.alias("r"),
           $"l.band" === $"r.band" && $"l.sig" === $"r.sig" &&
-            $"l.keeper" === $"r.doc_id")
+            $"l.keeper" === $"r.doc_id", "left")
         .select($"l.band".as("band"), $"l.sig".as("sig"),
           $"l.doc_id".as("doc_id"),
           // r.keeper <= l.keeper by the monotone contract; least() is
           // a correctness backstop against a malformed ledger
-          least($"l.keeper", $"r.keeper").as("keeper"),
-          ($"r.keeper" < $"l.keeper").as("moved"))
+          least($"l.keeper", coalesce($"r.keeper", $"l.keeper"))
+            .as("keeper"),
+          coalesce($"r.keeper" < $"l.keeper", lit(false)).as("moved"),
+          $"r.doc_id".isNull.as("lost"))
         .localCheckpoint()
-      done = jumped.filter($"moved").limit(1).isEmpty
-      m = jumped.drop("moved")
+      // one action for both flags (the happy path stays one action
+      // per jump, as before); the example row fetch runs only on the
+      // error path
+      val flags = jumped
+        .agg(max($"moved").as("any_moved"), max($"lost").as("any_lost"))
+        .head()
+      if (!flags.isNullAt(1) && flags.getBoolean(1)) {
+        val ex = jumped.filter($"lost")
+          .select("band", "sig", "doc_id", "keeper").head()
+        throw new IllegalStateException(
+          s"resolveKeepers: ledger violates the keeper-is-also-a-doc " +
+            s"contract — doc ${ex.get(2)} in band ${ex.get(0)} sig " +
+            s"'${ex.get(1)}' points at keeper ${ex.get(3)} which has " +
+            "no doc_id row (filtered or retention-trimmed ledger?)")
+      }
+      done = flags.isNullAt(0) || !flags.getBoolean(0)
+      m = jumped.drop("moved", "lost")
+      // the superseded iteration's localCheckpoint blocks otherwise
+      // pin executor storage for the session, proportional to chain
+      // length (r18 advice fix); the new checkpoint is already
+      // materialized (localCheckpoint is eager), so this is safe
+      unpersistCheckpoint(prev)
       iter += 1
     }
     m
   }
+
+  /** Unpersist the localCheckpoint block storage behind `df` (every
+    * LogicalRDD in its analyzed plan). Only called on frames this
+    * object created and owns.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }.foreach(_.rdd.unpersist(blocking = false))
 }

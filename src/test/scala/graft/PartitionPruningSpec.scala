@@ -146,4 +146,57 @@ class PartitionPruningSpec extends SparkSpec {
       == expected,
       "partitioned codes path must reproduce ivfAdcTopK's ranking")
   }
+
+  test("OPQ-rotated IVFADC over the cid-partitioned layout: pruning " +
+    "holds and ranking matches the in-memory rotated path (r17 " +
+    "verdict item 3 — the deployed layout's parity with a NON-empty " +
+    "rotation, not just the in-memory one)") {
+    import graft.pipeline.Ann
+    val emb = Tables(spark, sfTiny, "embeddings")
+    val cents = Ann.kmeansCentroids(emb, kClusters = 8, iters = 1)
+    val resid = Ann.ivfResiduals(emb, cents)
+    val m = Ann.opqTrainRotation(resid, blocks = 8, kCodes = 8,
+      lloydIters = 2, opqIters = 4, idCol = "vid", embCol = "res")
+    assert(m.rotation.zipWithIndex.exists { case (row, i) =>
+      row.zipWithIndex.exists { case (v, j) =>
+        math.abs(v - (if (i == j) 1.0 else 0.0)) > 1e-9 } },
+      "the learned rotation must be non-trivial for this case to pin " +
+        "anything the identity case doesn't")
+    val residRot = Ann.rotateVec(resid, m.rotation, "res", "res")
+    val rcb = Ann.pqTrain(residRot, blocks = 8, kCodes = 8, iters = 2,
+      idCol = "vid", embCol = "res")
+    val dir =
+      java.nio.file.Files.createTempDirectory("ivfpq_opq_bycid").toString
+    Ann.writeIvfPqPartitioned(residRot, rcb, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val (scan, rows) =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val q = Ann.ivfAdcTopKPartitioned(spark, dir, cents, rcb, queries,
+          nprobe = 2, k = 5, rotation = m.rotation)
+        val rows = q.collect()
+        (q.queryExecution.executedPlan
+          .collect { case s: FileSourceScanExec => s }.head, rows)
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    assert(rows.nonEmpty)
+    assert(scan.partitionFilters.nonEmpty,
+      "cid IN (...) must stay a partition filter on the rotated path")
+    def filesUnder(sub: String): Int = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith(sub))
+      .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value < filesUnder("cid="),
+      "rotated probe query must still read a strict subset of lists")
+
+    // parity with the in-memory rotated search over the same codes
+    val expected = Ann.ivfAdcTopK(Ann.ivfPqEncode(residRot, rcb), cents,
+      rcb, queries, nprobe = 2, k = 5, rotation = m.rotation)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+      == expected,
+      "partitioned rotated path must reproduce the in-memory rotated " +
+        "ranking")
+  }
 }

@@ -97,6 +97,38 @@ class PqArgminSpec extends SparkSpec {
     assert(out == Map(7 -> 1L, 8 -> 0L))
   }
 
+  test("non-numeric STRING vec_id encodes (r18 advice fix: the " +
+    "long-typed error-tag slot cast it to NULL and failed every row)") {
+    import spark.implicits._
+    val cb = Seq((0L, 0L, Seq(0.0, 0.0)), (0L, 1L, Seq(5.0, 5.0)))
+      .toDF("blk", "code", "centroid")
+    val vecs = Seq(("doc-a", Seq(4.9f, 5.1f)), ("doc-b", Seq(0.1f, -0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.pqEncode(vecs, cb).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(out == Map("doc-a" -> 1L, "doc-b" -> 0L))
+    // and the loud per-row raise still names the (string) id — a
+    // valid row rides along so the constant-width requireDimMatches
+    // fast-fail doesn't trip first
+    val mixed = Seq(("doc-ok", Seq(1.0f, 1.0f)), ("doc-short", Seq(1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Ann.pqEncode(mixed, cb).collect() }
+    assert(e.getMessage.contains("doc-short"), e.getMessage)
+  }
+
+  test("a foldable typed-NULL argument raises loudly (r18 advice fix: " +
+    "nullIntolerant=true let NullPropagation fold it to silent NULL " +
+    "codes, contradicting nullable=false)") {
+    import spark.implicits._
+    val df = Seq(1L).toDF("x")
+    val c = PqArgmin.argmin(
+      lit(null).cast("array<double>"), lit(0),
+      typedLit(Seq(Seq(0.0, 0.0))), typedLit(Seq(0L)),
+      lit("v1"), "spec")
+    val e = intercept[Exception] { df.select(c.as("code")).collect() }
+    assert(e.getMessage.contains("pq_argmin"), e.getMessage)
+  }
+
   test("all-NaN distances raise loudly with the vector id (review r17: " +
     "round6(Infinity) threw an untagged NumberFormatException)") {
     import spark.implicits._

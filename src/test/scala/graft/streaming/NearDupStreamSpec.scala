@@ -225,6 +225,28 @@ class NearDupStreamSpec extends SparkSpec {
     assert(resolved == expected)
   }
 
+  test("resolveKeepers raises loudly on a ledger whose keeper has no " +
+    "doc_id row (r18 advice fix: the inner self-join silently DROPPED " +
+    "the doc instead — a filtered or retention-trimmed ledger shrank " +
+    "the result without error)") {
+    import spark.implicits._
+    // doc 80 points at keeper 50, but 50's own self-keeper row was
+    // trimmed away — a contract-violating ledger
+    val bad = Seq((0, "sigA", 80L, 50L), (0, "sigA", 99L, 99L))
+      .toDF("band", "sig", "doc_id", "keeper")
+    val e = intercept[IllegalStateException] {
+      NearDupStream.resolveKeepers(bad).collect()
+    }
+    assert(e.getMessage.contains("80") && e.getMessage.contains("50"),
+      e.getMessage)
+    // a well-formed ledger resolves identically through the left join
+    val ok = Seq((0, "sigA", 80L, 50L), (0, "sigA", 50L, 50L))
+      .toDF("band", "sig", "doc_id", "keeper")
+    assert(NearDupStream.resolveKeepers(ok).collect()
+      .map(r => r.getLong(2) -> r.getLong(3)).toMap ==
+      Map(80L -> 50L, 50L -> 50L))
+  }
+
   test("storeAdmitStream: marker-less partial partition replays; marked one skips") {
     import spark.implicits._
     val work = Files.createTempDirectory("storeadmit_marker").toString
