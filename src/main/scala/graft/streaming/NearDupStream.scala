@@ -269,7 +269,25 @@ object NearDupStream {
     * doc→keeper-of-keeper on the already-jumped map, convergence is
     * logarithmic in that (small) bound.
     */
-  def resolveKeepers(ledger: DataFrame): DataFrame = {
+  def resolveKeepers(ledger: DataFrame): DataFrame =
+    resolveKeepersCounted(ledger)._1
+
+  /** [[resolveKeepers]] plus the number of pointer-jump iterations
+    * the fixpoint took — the observable the 64-jump `require` bound
+    * is sized against. Measured (ProbeKeeperChains,
+    * probes/keeper_chains_r18.log): a worst-case boilerplate ledger —
+    * ONE mega-signature, strictly decreasing ids across B batches, so
+    * every batch displaces the keeper and the chain is B long —
+    * resolves in ⌈log2 B⌉ + 1 jumps (the +1 is the no-movement
+    * confirming pass), e.g. 129 batches → 9 jumps, 1025 → 12. The
+    * doc→keeper-of-keeper squaring makes 64 jumps cover chains of
+    * ~2^63 keeper-changing batches — unreachable by any physical
+    * stream — so tripping the bound can only mean ledger rows that
+    * violate the monotone-refinement contract (e.g. a keeper cycle
+    * from hand-edited rows), which is exactly when refusing beats
+    * spinning.
+    */
+  def resolveKeepersCounted(ledger: DataFrame): (DataFrame, Int) = {
     import ledger.sparkSession.implicits._
     var m = ledger.groupBy("band", "sig", "doc_id")
       .agg(min("keeper").as("keeper"))
@@ -326,7 +344,7 @@ object NearDupStream {
       unpersistCheckpoint(prev)
       iter += 1
     }
-    m
+    (m, iter)
   }
 
   /** Unpersist the localCheckpoint block storage behind `df` (every
