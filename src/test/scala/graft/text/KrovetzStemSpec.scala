@@ -274,17 +274,52 @@ class KrovetzStemSpec extends SparkSpec {
     assert(m("goes") == "go")
   }
 
+  test("r18 family curation: the l-after-single-vowel and -ede " +
+    "magic-e families resolve to dictionary answers (r17 verdict " +
+    "item 4 — StemProbe family sweep)") {
+    val m = stemAll(Seq(
+      "filed", "smiled", "piled", "compiled", "reconciled", "profiled",
+      "ruled", "scheduled", "poled", "doled", "holed", "moled",
+      "consoled", "paroled", "scaled", "exhaled", "inhaled",
+      "ceded", "preceded", "receded", "conceded", "superseded",
+      "stampeded", "impeded", "sniped",
+      // the unstressed-final-syllable side the rules already get
+      // right and the table must NOT touch
+      "penciled", "stenciled", "imperiled", "modeled", "totaled"))
+    assert(m("filed") == "file" && m("smiled") == "smile")
+    assert(m("piled") == "pile" && m("compiled") == "compile")
+    assert(m("reconciled") == "reconcile" && m("profiled") == "profile")
+    assert(m("ruled") == "rule" && m("scheduled") == "schedule")
+    assert(m("poled") == "pole" && m("doled") == "dole")
+    assert(m("holed") == "hole" && m("moled") == "mole")
+    assert(m("consoled") == "console" && m("paroled") == "parole")
+    assert(m("scaled") == "scale" && m("exhaled") == "exhale")
+    assert(m("inhaled") == "inhale")
+    assert(m("ceded") == "cede" && m("preceded") == "precede")
+    assert(m("receded") == "recede" && m("conceded") == "concede")
+    assert(m("superseded") == "supersede")
+    assert(m("stampeded") == "stampede" && m("impeded") == "impede")
+    assert(m("sniped") == "snipe")
+    assert(m("penciled") == "pencil" && m("stenciled") == "stencil")
+    assert(m("imperiled") == "imperil" && m("modeled") == "model")
+    assert(m("totaled") == "total")
+  }
+
   test("documented residual divergence: the unlisted rare magic-e tail") {
     // Any finite table has a tail: a rare unlisted magic-e stem still
     // falls to the rules, which correctly refuse to restore 'e' for
-    // its pattern class (pol-/sol- after 'o' like develop). Pinned so
-    // the residual class is explicit, not silent; closing it entirely
-    // needs the full ~30k-headword kstem lexicon, which is not
-    // reachable in this environment (zero egress). Retrieval-rank
-    // impact is negligible (VERDICT r16 §missing item 1).
-    val m = stemAll(Seq("poled", "moled"))
-    assert(m("poled") == "pol") // dict: pole
-    assert(m("moled") == "mol") // dict: mole
+    // its pattern class (ril-/pul- in the l-after-single-vowel family,
+    // where penciled/imperiled/modeled prove blanket restore wrong).
+    // Pinned so the residual class is explicit, not silent; closing
+    // it entirely needs the full ~30k-headword kstem lexicon, which
+    // is not reachable in this environment (zero egress; r18 re-
+    // checked — /usr/share/dict is absent and the testdata vocabulary
+    // is 31 uninflected tokens, so no in-sandbox headword source
+    // exists). Retrieval-rank impact is negligible (VERDICT r16
+    // §missing item 1).
+    val m = stemAll(Seq("riled", "puled"))
+    assert(m("riled") == "ril") // dict: rile
+    assert(m("puled") == "pul") // dict: pule
   }
 
   test("r16 rule families: t/r/p/n/d dictionary-completion by orthography") {
