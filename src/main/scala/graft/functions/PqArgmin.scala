@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native PQ encode kernel: the per-(vector, block) nearest-sub-
   * centroid argmin under the repo's round-then-rank semantics —
@@ -43,12 +44,16 @@ import org.apache.spark.sql.types._
   * @param cents  this block's centroids, array&lt;array&lt;double&gt;&gt;,
   *               CODE-ASC ordered
   * @param codes  the matching code ids, array&lt;bigint&gt;, same order
-  * @param id     the vector id, for the error message only — STRING-
-  *               typed (r18, advice fix): callers cast their id with
-  *               `cast("string")`, which succeeds for ANY id type, so
-  *               the kernel never narrows the window shape's accepted
-  *               inputs (a long-typed slot made a non-numeric string
-  *               id cast to NULL and fail every row at runtime)
+  * @param id     the vector id, for the error message only — BIGINT
+  *               or STRING typed (r18, advice fix + review): an
+  *               integral id passes as a primitive long (zero
+  *               allocation on the happy path — the production case),
+  *               any other id type casts to string (a no-op for
+  *               string ids), so the kernel never narrows the window
+  *               shape's accepted inputs the way the original
+  *               long-only slot did (a non-numeric string id cast to
+  *               NULL and failed every row); see [[graft.pipeline
+  *               .Ann]]'s call sites for the dispatch
   */
 case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
                     codes: Expression, id: Expression, who: String)
@@ -68,6 +73,8 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
   private lazy val vecIsFloat: Boolean =
     vec.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private lazy val idIsLong: Boolean = id.dataType == LongType
+
   override def checkInputDataTypes(): TypeCheckResult = {
     val vecOk = vec.dataType match {
       case ArrayType(FloatType | DoubleType, _) => true
@@ -81,16 +88,18 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
       case ArrayType(LongType, _) => true
       case _ => false
     }
-    // id slot: any StringType instance (collation-agnostic — only the
-    // raw bytes reach an error message) or NullType (a NULL id raises
+    // id slot: bigint (primitive, zero-alloc — the production path),
+    // any StringType instance (collation-agnostic — only the raw
+    // bytes reach an error message), or NullType (a NULL id raises
     // loudly at eval, same as a NULL embedding)
-    val idOk = id.dataType.isInstanceOf[StringType] ||
+    val idOk = id.dataType == LongType ||
+      id.dataType.isInstanceOf[StringType] ||
       id.dataType == NullType
     if (vecOk && centsOk && codesOk && offset.dataType == IntegerType &&
       idOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects (array<float|double>, int, " +
-        s"array<array<double>>, array<bigint>, string), got (" +
+        s"array<array<double>>, array<bigint>, bigint|string), got (" +
         children.map(_.dataType.simpleString).mkString(", ") + ")")
   }
 
@@ -104,10 +113,14 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
       throw new RuntimeException(
         s"$who: NULL input to pq_argmin for id ${if (i == null) "?" else i}" +
           " — NULL embedding or codebook row")
+    val (idL, idS) = i match {
+      case l: java.lang.Long => (l.longValue(), null: UTF8String)
+      case s: UTF8String     => (0L, s)
+      case other             => (0L, UTF8String.fromString(other.toString))
+    }
     PqArgmin.compute(v.asInstanceOf[ArrayData], vecIsFloat,
       o.asInstanceOf[Int], ce.asInstanceOf[ArrayData],
-      co.asInstanceOf[ArrayData],
-      i.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], who)
+      co.asInstanceOf[ArrayData], idL, idS, who)
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -118,6 +131,18 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
     val cg = cents.genCode(ctx); val kg = codes.genCode(ctx)
     val ig = id.genCode(ctx)
     val whoLit = ctx.addReferenceObj("who", who, "java.lang.String")
+    // error-tag slots for compute: a long id stays primitive (no
+    // per-row allocation); a string id passes its UTF8String through
+    val (idLongArg, idStrArg) =
+      if (idIsLong) (s"${ig.value}", "null") else ("0L", s"${ig.value}")
+    // NULL raise includes the id when it is itself non-null (review
+    // r18: the codegen path dropped the tag eval carries) — the
+    // String.valueOf boxes only inside the throw branch. A NullType
+    // id child generates a bare `null` whose String.valueOf overload
+    // is ambiguous to janino, so it renders "?" directly.
+    val idDisplay =
+      if (id.dataType == NullType) "\"?\""
+      else s"""(${ig.isNull} ? "?" : String.valueOf(${ig.value}))"""
     ev.copy(isNull = FalseLiteral,
       code = code"""
          |${vg.code}
@@ -128,11 +153,12 @@ case class PqArgmin(vec: Expression, offset: Expression, cents: Expression,
          |if (${vg.isNull} || ${og.isNull} || ${cg.isNull} ||
          |    ${kg.isNull} || ${ig.isNull}) {
          |  throw new RuntimeException($whoLit +
-         |    ": NULL input to pq_argmin — NULL embedding or codebook row");
+         |    ": NULL input to pq_argmin for id " + $idDisplay +
+         |    " — NULL embedding or codebook row");
          |}
          |long ${ev.value} = graft.functions.PqArgmin.compute(
          |  ${vg.value}, $vecIsFloat, ${og.value}, ${cg.value},
-         |  ${kg.value}, ${ig.value}, $whoLit);
+         |  ${kg.value}, $idLongArg, $idStrArg, $whoLit);
        """.stripMargin)
   }
 
@@ -159,17 +185,20 @@ object PqArgmin {
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** See the class doc for the two-pass round-then-rank contract.
-    * `id` is the display-only error tag (UTF8String — no per-row
-    * java.lang.String allocation on the happy path).
+    * The error tag is `idStr` when non-null, else `idLong` — both
+    * allocation-free on the happy path (the display string is built
+    * only inside a throw branch).
     */
   def compute(vec: ArrayData, vecIsFloat: Boolean, offset: Int,
               cents: ArrayData, codes: ArrayData,
-              id: org.apache.spark.unsafe.types.UTF8String,
+              idLong: Long, idStr: UTF8String,
               who: String): Long = {
+    def idTag: String = if (idStr != null) idStr.toString
+                        else String.valueOf(idLong)
     val k = cents.numElements()
     if (k == 0 || codes.numElements() != k)
       throw new RuntimeException(
-        s"$who: empty or misaligned codebook for id $id " +
+        s"$who: empty or misaligned codebook for id $idTag " +
           s"(${k} centroids, ${codes.numElements()} codes)")
     val n = vec.numElements()
     var rawMin = Double.PositiveInfinity
@@ -179,14 +208,14 @@ object PqArgmin {
       val sub = cent.numElements()
       if (offset + sub > n)
         throw new RuntimeException(
-          s"$who: NULL distance for vid $id — embedding dim mismatch " +
+          s"$who: NULL distance for vid $idTag — embedding dim mismatch " +
             "vs centroid, NULL embedding, or NULL element")
       var d2 = 0.0
       var j = 0
       while (j < sub) {
         if (vec.isNullAt(offset + j) || cent.isNullAt(j))
           throw new RuntimeException(
-            s"$who: NULL distance for vid $id — embedding dim mismatch " +
+            s"$who: NULL distance for vid $idTag — embedding dim mismatch " +
               "vs centroid, NULL embedding, or NULL element")
         val x = if (vecIsFloat) vec.getFloat(offset + j).toDouble
                 else vec.getDouble(offset + j)
@@ -204,7 +233,7 @@ object PqArgmin {
     // garbage codes for a corrupt vector; loud is the repo rule.)
     if (rawMin.isInfinite || rawMin.isNaN)
       throw new RuntimeException(
-        s"$who: no finite distance for vid $id — NaN or overflowing " +
+        s"$who: no finite distance for vid $idTag — NaN or overflowing " +
           "embedding values")
     val r0 = round6(rawMin)
     // first code (ascending order) whose rounded distance equals the
@@ -227,6 +256,6 @@ object PqArgmin {
       c += 1
     }
     throw new IllegalStateException(
-      s"$who: pq_argmin found no winner for id $id — unreachable")
+      s"$who: pq_argmin found no winner for id $idTag — unreachable")
   }
 }

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column —
@@ -351,6 +351,23 @@ object Ann {
     * `blocks` rows total, broadcast-tiny at any kCodes. Parallel
     * arrays (not structs) so the native kernel reads primitives.
     */
+  /** Display-only error-tag column (projected name `vid`) for the
+    * argmin kernel, dispatched on the SOURCE id column's type (r18
+    * advice + review): an integral id rides as a primitive long —
+    * zero allocation on the encode hot path, the production case —
+    * and any other type casts to string (a no-op cast for string
+    * ids), so ANY id type keeps working where the original long-only
+    * slot made a non-numeric id cast to NULL and fail every row.
+    */
+  private def idTag(src: DataFrame, srcCol: String): Column = {
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    src.schema(srcCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        col("vid").cast("long")
+      case _ => col("vid").cast("string")
+    }
+  }
+
   private def codebookByBlock(codebook: DataFrame): DataFrame =
     codebook.groupBy("blk")
       .agg(
@@ -439,10 +456,7 @@ object Ann {
       .select(col("vid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("ve"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          // display-only error tag: cast("string") succeeds for ANY
-          // id type (r18 advice fix — cast("long") made a non-numeric
-          // string id NULL out and fail every row at runtime)
-          col("cents"), col("codes"), col("vid").cast("string"),
+          col("cents"), col("codes"), idTag(corpus, idCol),
           "pqEncode").as("code"))
   }
 
@@ -554,8 +568,7 @@ object Ann {
       .select(col("vid"), col("cid"), col("blk"),
         graft.functions.PqArgmin.argmin(col("res"),
           expr("CAST(blk * size(element_at(cents, 1)) AS INT)"),
-          // display-only error tag — see pqEncode
-          col("cents"), col("codes"), col("vid").cast("string"),
+          col("cents"), col("codes"), idTag(residuals, "vid"),
           "ivfPqEncode").as("code"))
   }
 
@@ -724,16 +737,19 @@ object Ann {
                        embCol: String = "embedding"): OpqModel = {
     import breeze.linalg.{svd, DenseMatrix}
     val rows = sample
-      .select(col(idCol).cast("string").as("id"),
-        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
       // total order (r18 advice fix): orderBy(id) alone is not total
       // under duplicate ids — which duplicate lands in the collected
       // sample (and hence the k-means seeds and the learned R) became
       // partition-dependent; the embedding hash breaks ties
       // deterministically, and rows identical in BOTH id and embedding
-      // are interchangeable. id is cast("string") (not "long") so a
-      // non-numeric id column orders lexically instead of NULLing out.
-      .orderBy(col("id"), xxhash64(col("e")))
+      // are interchangeable. Ordering is on the id column's NATIVE
+      // type (review r18: a cast would reorder numeric ids — e.g.
+      // lexically, "10" < "2" — silently de-aligning the seeds from
+      // pqTrain's orderBy(id) rule on the same sample); non-numeric
+      // ids order by their own type's comparator, same as pqTrain.
+      .orderBy(col(idCol), xxhash64(col(embCol)))
+      .select(col(idCol).cast("string").as("id"),
+        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
       .limit(maxSample + 1).collect()
     require(rows.length <= maxSample,
       s"opqTrainRotation: training sample exceeds maxSample=$maxSample " +

@@ -240,13 +240,22 @@ object PipelineQueries {
     * a recompute.
     */
   private def pqCodes(s: SparkSession, dir: String,
-                      cb0: DataFrame = null): DataFrame =
-    graft.pipeline.Ann.pqEncode(
-        Tables(s, dir, "embeddings"),
-        pqCodebookRows(Option(cb0).getOrElse(pqCodebook(s, dir))))
+                      cb0: DataFrame = null): DataFrame = {
+    // materialize the broadcast-tiny codebook ONCE (blocks·kCodes
+    // rows — driver material by the codebook-class contract, like
+    // every pqTrain output): pqEncode's requireDimMatches head()
+    // and the encode cross join both read the LOCAL frame, so the
+    // label-means aggregation runs exactly once per query (review
+    // r18 — routing through pqEncode otherwise re-computed it as a
+    // second eager action, the px27 repeated-subtree shape)
+    val built = pqCodebookRows(Option(cb0).getOrElse(pqCodebook(s, dir)))
+    val cb = s.createDataFrame(
+      java.util.List.of(built.collect(): _*), built.schema)
+    graft.pipeline.Ann.pqEncode(Tables(s, dir, "embeddings"), cb)
       // the kernel's code slot is bigint; the gated schema keeps
       // label's native int type (what the window shape emitted)
       .select(col("vid"), col("blk"), col("code").cast("int").as("code"))
+  }
 
   /** The (label, blk, i, c) label-means codebook regrouped to
     * [[graft.pipeline.Ann.pqEncode]]'s (blk, code, centroid)

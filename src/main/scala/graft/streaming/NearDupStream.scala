@@ -278,8 +278,9 @@ object NearDupStream {
     * probes/keeper_chains_r18.log): a worst-case boilerplate ledger —
     * ONE mega-signature, strictly decreasing ids across B batches, so
     * every batch displaces the keeper and the chain is B long —
-    * resolves in ⌈log2 B⌉ + 1 jumps (the +1 is the no-movement
-    * confirming pass), e.g. 129 batches → 9 jumps, 1025 → 12. The
+    * resolves within ⌈log2 B⌉ + 1 jumps (the +1 is the no-movement
+    * confirming pass); measured 8 jumps at B = 129, 10 at 512, 11 at
+    * 1025 against those bounds of 9/10/12. The
     * doc→keeper-of-keeper squaring makes 64 jumps cover chains of
     * ~2^63 keeper-changing batches — unreachable by any physical
     * stream — so tripping the bound can only mean ledger rows that
@@ -297,9 +298,15 @@ object NearDupStream {
     var iter = 0
     var done = false
     while (!done) {
-      require(iter < 64,
-        "keeper chains failed to converge in 64 jumps — ledger rows " +
-          "violate the monotone-refinement contract")
+      if (iter >= 64) {
+        // free the last checkpoint before refusing (review r18: every
+        // throw path must release the blocks the loop owns)
+        unpersistCheckpoint(m)
+        throw new IllegalArgumentException(
+          "requirement failed: keeper chains failed to converge in " +
+            "64 jumps — ledger rows violate the monotone-refinement " +
+            "contract")
+      }
       val prev = m
       // LEFT join (r18 advice fix): an inner join here silently
       // DROPPED any doc whose keeper value has no doc_id row — a
@@ -329,6 +336,11 @@ object NearDupStream {
       if (!flags.isNullAt(1) && flags.getBoolean(1)) {
         val ex = jumped.filter($"lost")
           .select("band", "sig", "doc_id", "keeper").head()
+        // release both live checkpoints before refusing (review r18:
+        // a repeatedly-failing resolve in a long-lived streaming
+        // session must not accumulate pinned ledger copies)
+        unpersistCheckpoint(prev)
+        unpersistCheckpoint(jumped)
         throw new IllegalStateException(
           s"resolveKeepers: ledger violates the keeper-is-also-a-doc " +
             s"contract — doc ${ex.get(2)} in band ${ex.get(0)} sig " +
