@@ -59,12 +59,16 @@ object Dedup {
     * shingles ⇒ no near-dup signal; minhashWide drops them too).
     */
   def minhashWideNarrow(docs: DataFrame): DataFrame = {
+    // _mh_-prefixed internals (review r18): the bare names sh/hh
+    // silently OVERWROTE same-named input columns, corrupting the
+    // passthrough this scaladoc promises (the _pb_ convention of
+    // perplexityBucketsFromScores applied here)
     val withH = docs
-      .withColumn("sh", TextOps.shinglesCol(col("text"), 3))
-      .filter(size(col("sh")) > 0)
-      .withColumn("hh", expr("transform(sh, s -> md5_h1h2(s))"))
+      .withColumn("_mh_sh", TextOps.shinglesCol(col("text"), 3))
+      .filter(size(col("_mh_sh")) > 0)
+      .withColumn("_mh_hh", expr("transform(_mh_sh, s -> md5_h1h2(s))"))
     val mins = (0 until 16).map(i => expr(
-      s"aggregate(hh, CAST(9223372036854775807 AS BIGINT)," +
+      s"aggregate(_mh_hh, CAST(9223372036854775807 AS BIGINT)," +
         s" (a, x) -> least(a, x.h1 + $i * x.h2))").as(s"m$i"))
     withH.select(docs.columns.map(col).toSeq ++ mins: _*)
   }
@@ -310,7 +314,8 @@ object Dedup {
     // h60 carries 60 hash bits — beyond that the vote thresholds can't
     // be reached (and 1L<<63 overflows), so higher bits would silently
     // be constant zero
-    require(bits <= 60, s"simhash bits must fit h60's 60 hash bits, got $bits")
+    require(bits >= 1 && bits <= 60,
+      s"simhash bits must be in [1, 60] (h60 carries 60 hash bits), got $bits")
     val votes = (0 until bits).map(b => sum(expr(voteExpr(b))).as(s"v$b"))
     val packed = (0 until bits)
       .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
@@ -372,14 +377,19 @@ object Dedup {
     * feasible where pairwise comparison is not.
     */
   def dupSpans(docs: DataFrame, n: Int = 5): DataFrame = {
+    // dl = size(toks) rides the shingle rows (an int per row) so the
+    // final ratio join needs NO second corpus-wide tokenize pass
+    // (review r18: the old docLengths join re-tokenized 100% of docs
+    // to fetch dl for the typically tiny duplicated set; same values —
+    // docLengths is size() of this same canonical token array)
     val sh = docs
       .select(col("doc_id"),
         graft.text.TextOps.tokArrayCol(col("text"))
           .as("toks"))
-      .select(col("doc_id"),
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         posexplode(TextOps.shinglesFromToks(col("toks"), n))
           .as(Seq("pos0", "s")))
-      .select(col("doc_id"), expr("pos0 + 1").as("pos"),
+      .select(col("doc_id"), col("dl"), expr("pos0 + 1").as("pos"),
         DetHash.h60(col("s")).as("h"))
     val dup = sh.groupBy("h")
       .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
@@ -392,13 +402,13 @@ object Dedup {
         "CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END"))
       .withColumn("island", expr(s"sum(is_new) OVER ($w)"))
     val spans = hits.groupBy("doc_id", "island")
-      .agg(count(lit(1)).as("n_g"),
+      .agg(count(lit(1)).as("n_g"), max("dl").as("dl"),
         expr(s"CAST(max(pos) - min(pos) + $n AS BIGINT)").as("span_len"))
     spans.groupBy("doc_id")
       .agg(expr("CAST(sum(n_g) AS BIGINT)").as("n_dup_ngrams"),
         count(lit(1)).as("n_spans"),
-        expr("CAST(sum(span_len) AS BIGINT)").as("dup_tokens"))
-      .join(TextOps.docLengths(docs), Seq("doc_id"))
+        expr("CAST(sum(span_len) AS BIGINT)").as("dup_tokens"),
+        max("dl").as("dl"))
       .withColumn("dup_frac", expr("round(dup_tokens / dl, 6)"))
   }
 
@@ -630,13 +640,13 @@ object Dedup {
     }
   }
 
-  /** (doc_id, tk) token arrays, empty array for token-less docs. */
+  /** (doc_id, tk) token arrays, empty array for token-less docs —
+    * [[graft.text.TextOps.tokArrayCol]], the ONE canonical definition
+    * (review r18: this was a hand-inlined copy of the exact idiom the
+    * r14 consolidation exists to prevent).
+    */
   private def tokArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      coalesce(org.apache.spark.sql.functions.filter(
-          TextOps.tokensCol(col("text")), t => t =!= ""),
-        org.apache.spark.sql.functions.array().cast("array<string>"))
-        .as("tk"))
+    docs.select(col("doc_id"), TextOps.tokArrayCol(col("text")).as("tk"))
 
   /** Covered positions per doc: every token position under a
     * NON-FIRST occurrence of a corpus-duplicated n-gram (the

@@ -27,21 +27,28 @@ object TextMetrics {
     * stopword ratio, and a 50/50 composite score (the
     * length/punct/stopword-family signal of C4-style curation).
     * Requires an `n_chars` column (or join one in beforehand).
+    *
+    * ONE ROW PER INPUT DOC (review r18, the r14 NULL convention this
+    * file's siblings follow): a token-less doc (NULL text, punct- or
+    * whitespace-only) gets NULL token stats and a NULL quality score —
+    * the old inner join silently DROPPED it, so it bypassed any
+    * curation funnel keyed on this frame without a verdict.
     */
   def quality(docs: DataFrame): DataFrame = {
     val stop = TextOps.stopwords.map("'" + _ + "'").mkString(",")
-    TextOps.tokens(docs)
+    val aggs = TextOps.tokens(docs)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
         countDistinct(col("term")).as("n_types"),
         expr(s"sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END)").as("n_stop"))
-      // ONE combined join for the char-level columns: two separate
-      // joins would scan the docs source twice and pay two joins for
-      // columns that come off the same row
-      .join(docs.select(col("doc_id"), col("n_chars"),
+    // ONE combined scan for the char-level columns: two separate
+    // joins would scan the docs source twice and pay two joins for
+    // columns that come off the same row
+    docs.select(col("doc_id"), col("n_chars"),
         expr("size(regexp_extract_all(text, '[^0-9a-zA-Z\\\\s]', 0))")
-          .cast("bigint").as("n_punct")), Seq("doc_id"))
+          .cast("bigint").as("n_punct"))
+      .join(aggs, Seq("doc_id"), "left")
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
       .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
       .withColumn("punct_ratio", expr("round(n_punct / n_chars, 6)"))
@@ -281,10 +288,41 @@ object TextMetrics {
     // frames) must match its own NULL cut, and "above the cut" must
     // treat NULL as smallest (nulls-first), or the row silently drops
     val isTie = expr("exists(_pb_bnds, bd -> bd.cut <=> ppl)")
-    val tied = withB.filter(isTie)
-      .withColumn("_pb_trk", row_number().over(
-        Window.partitionBy(col(langCol), col("ppl")).orderBy("doc_id"))
-        .cast("bigint"))
+    // tie-band rank WITHOUT a (lang, ppl)-partitioned window (review
+    // r18): when a cut lands on a boilerplate mass — identical text ⇒
+    // identical ppl for a large corpus share, exactly the
+    // concentration the histogram above is built to dodge — a window
+    // partitioned by (lang, ppl) would sort that whole mass in ONE
+    // task. Same slice-rank + broadcast-offset trick as the cumsum:
+    // range-partition the tied rows by (lang, ppl, doc_id) — doc_id
+    // in the range key spreads a tie mass over many slices while
+    // keeping doc_id order ACROSS slices — rank locally per slice,
+    // add the per-slice offsets (≤ nPart rows per (lang, cut) pair,
+    // broadcastable by construction). Same _pb_trk values: global
+    // doc_id rank within the tie group.
+    val tiedRanged = withB.filter(isTie)
+      .repartitionByRange(nPart, col(langCol), col("ppl"), col("doc_id"))
+      .withColumn("_pb_tp", spark_partition_id())
+      .localCheckpoint(false) // pid alignment across the two consumers
+    val tieOffs = tiedRanged
+      .groupBy(col(langCol).as("_pb_tl"), col("ppl").as("_pb_tppl"),
+        col("_pb_tp").as("_pb_top"))
+      .agg(count(lit(1)).as("_pb_tc"))
+      .withColumn("_pb_toff", coalesce(sum("_pb_tc").over(
+        Window.partitionBy(col("_pb_tl"), col("_pb_tppl"))
+          .orderBy("_pb_top")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_pb_tl", "_pb_tppl", "_pb_top", "_pb_toff")
+    val tied = tiedRanged
+      .withColumn("_pb_tlrk", row_number().over(
+        Window.partitionBy(col(langCol), col("ppl"), col("_pb_tp"))
+          .orderBy("doc_id")).cast("bigint"))
+      .join(broadcast(tieOffs),
+        col(langCol) <=> col("_pb_tl") && col("ppl") <=> col("_pb_tppl") &&
+          col("_pb_tp") === col("_pb_top"))
+      .withColumn("_pb_trk", col("_pb_tlrk") + col("_pb_toff"))
+      .drop("_pb_tl", "_pb_tppl", "_pb_top", "_pb_toff", "_pb_tlrk",
+        "_pb_tp")
     val rest = withB.filter(!isTie)
       .withColumn("_pb_trk", lit(null).cast("bigint"))
     tied.unionByName(rest)
@@ -463,7 +501,11 @@ object TextMetrics {
     * Per-shard windows keep the cumulative sum partition-parallel.
     */
   def packSequences(docs: DataFrame, budget: Int,
-                    shardCol: String = "source"): DataFrame =
+                    shardCol: String = "source"): DataFrame = {
+    // fast-fail like every sibling numeric param (review r18): 0
+    // reaches `div 0` — an ANSI DIVIDE_BY_ZERO mid-job — and a
+    // negative budget silently corrupts seq_ids
+    require(budget > 0, s"packSequences budget must be positive, got $budget")
     docs
       .select(col(shardCol), col("doc_id"),
         size(graft.text.TextOps.tokArrayCol(col("text")))
@@ -473,6 +515,7 @@ object TextMetrics {
           " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
       .withColumn("seq_id", expr(s"cum0 div $budget"))
       .select(col(shardCol), col("doc_id"), col("n_tok"), col("seq_id"))
+  }
 
   /** Sliding-window chunking with overlap — the OTHER pretraining
     * batch-prep shape next to [[packSequences]]: instead of packing
@@ -565,24 +608,38 @@ object TextMetrics {
       regexp_replace(acc, lit(p), lit(r))
     }
 
-  /** Per-kind match counts for `c`, aliased `n_<kind>`, counted BEFORE
-    * any masking (an email's digits must not be double-counted as a
-    * phone — counting on the unmasked text keeps kinds independent).
+  /** Per-kind match counts for `c`, aliased `n_<kind>` — each kind
+    * counted on the text with all PRIOR kinds already masked, the
+    * exact intermediate [[redactPii]]'s fold sees, so Σ counts equals
+    * the number of replacements redaction performs (review r18: the
+    * old raw-text counting DOUBLE-counted overlapping kinds — a
+    * digit-local-part email like 555-123-4567@x.com reported a phone
+    * that redaction never masks — while its comment claimed the
+    * opposite).
     */
-  def piiCounts(c: Column): Seq[Column] =
-    piiPatterns.map { case (k, p, _) =>
-      regexp_count(c, lit(p)).cast("bigint").as(s"n_$k")
+  def piiCounts(c: Column): Seq[Column] = {
+    val masked = piiPatterns.scanLeft(c) { case (acc, (_, p, r)) =>
+      regexp_replace(acc, lit(p), lit(r))
     }
+    piiPatterns.zip(masked).map { case ((k, p, _), pre) =>
+      regexp_count(pre, lit(p)).cast("bigint").as(s"n_$k")
+    }
+  }
 
-  /** DuckDB twins for oracle authoring (RE2 reads the same patterns). */
+  /** DuckDB twins for oracle authoring (RE2 reads the same patterns,
+    * same progressive masking as [[piiCounts]]). */
   def duckRedactPii(e: String): String =
     piiPatterns.foldLeft(e) { case (acc, (_, p, r)) =>
       s"regexp_replace($acc, '$p', '$r', 'g')"
     }
-  def duckPiiCounts(e: String): Seq[String] =
-    piiPatterns.map { case (k, p, _) =>
-      s"len(regexp_extract_all($e, '$p')) AS n_$k"
+  def duckPiiCounts(e: String): Seq[String] = {
+    val masked = piiPatterns.scanLeft(e) { case (acc, (_, p, r)) =>
+      s"regexp_replace($acc, '$p', '$r', 'g')"
     }
+    piiPatterns.zip(masked).map { case ((k, p, _), pre) =>
+      s"len(regexp_extract_all($pre, '$p')) AS n_$k"
+    }
+  }
 
   /** Span-level decontamination (the surgical counterpart of the
     * px24/px56 doc-level flag): remove every token covered by a k-gram

@@ -928,13 +928,13 @@ object PipelineQueries {
            |          count(DISTINCT term) AS n_types,
            |          CAST(sum(CASE WHEN term IN ($stop) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
            |        FROM tokens GROUP BY doc_id)
-           |SELECT a.doc_id, d.n_chars, a.n_tokens, a.n_types,
+           |SELECT d.doc_id, d.n_chars, a.n_tokens, a.n_types,
            |  round(n_types / n_tokens, 6) AS ttr,
            |  round(n_stop / n_tokens, 6) AS stop_ratio,
            |  round(len(regexp_extract_all(d.text, '[^0-9a-zA-Z\\s]'))
            |    / d.n_chars, 6) AS punct_ratio,
            |  ${graft.pipeline.TextMetrics.qualityScoreExpr} AS quality
-           |FROM agg a JOIN documents d ON a.doc_id = d.doc_id""".stripMargin
+           |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
       },
       survey = Seq("TEXT-QUALITY")),
 
@@ -1752,6 +1752,11 @@ object PipelineQueries {
         val cl = dupClusters(s, dir)
         val q = graft.pipeline.TextMetrics
           .quality(Tables(s, dir, "documents")).select("doc_id", "quality")
+          // token-less docs score NULL since r18's one-row-per-doc
+          // quality(); they can't win a quality contest and a NULL in
+          // the rank window would hang on engine NULL-ordering — keep
+          // the survivor semantics exactly as before
+          .filter(col("quality").isNotNull)
         // membership via a window, not groupBy + self-join: the
         // minhash→LSH→propagation chain behind cl is referenced ONCE
         val sized = cl.withColumn("n_members",

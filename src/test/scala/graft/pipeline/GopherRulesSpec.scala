@@ -177,4 +177,25 @@ class GopherRulesSpec extends SparkSpec {
     assert(r.getDouble(6) == 0.3, s"punct_ratio: $r")
     assert(r.getDouble(7) == 0.625, s"quality: $r")
   }
+
+  test("quality: ONE row per input doc — token-less docs score NULL, " +
+    "not silently dropped (r18: the inner join let them bypass any " +
+    "funnel keyed on this frame without a verdict)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = Seq((1L, "a b c"), (2L, "!!! ???"), (3L, null: String))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.coalesce(
+          length(col("text")).cast("long"),
+          org.apache.spark.sql.functions.lit(0L)))
+    val out = TextMetrics.quality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), s"one row per doc: ${out.keys}")
+    assert(!out(1L).isNullAt(7), "tokenful doc scores")
+    assert(out(2L).isNullAt(2) && out(2L).isNullAt(7),
+      "punct-only doc: NULL token stats and NULL score")
+    assert(out(3L).isNullAt(2) && out(3L).isNullAt(7),
+      "NULL-text doc: NULL token stats and NULL score")
+  }
 }

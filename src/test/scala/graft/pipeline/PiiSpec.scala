@@ -48,11 +48,23 @@ class PiiSpec extends SparkSpec {
     assert(r == "host <IP> runs v <IP>" && ni == 2)
   }
 
-  test("counts are per kind on the UNMASKED text and independent") {
+  test("counts reconcile with redaction: one count per replacement") {
     val Seq((r, ne, np, ni)) =
       redact("a@b.co then 555-867-5309 from 10.0.0.1")
     assert(r == "<EMAIL> then <PHONE> from <IP>")
     assert((ne, np, ni) == ((1L, 1L, 1L)))
+  }
+
+  test("overlapping kinds count what redaction actually masks (r18: " +
+    "a digit-local-part email is ONE email, not also a phone)") {
+    val Seq((r, ne, np, ni)) =
+      redact("mail 555-867-5309@mail.example.com today")
+    // the email pattern eats the whole address (digits/hyphens are
+    // legal local-part chars), so redaction performs ONE replacement —
+    // and the counts must say exactly that (the old raw-text counting
+    // reported a phantom phone that was never masked)
+    assert(r == "mail <EMAIL> today", r)
+    assert((ne, np, ni) == ((1L, 0L, 0L)))
   }
 
   test("text without PII passes through byte-identical") {
