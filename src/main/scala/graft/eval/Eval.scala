@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
 object Qrels {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      // trim first: split on \s+ yields an empty FIRST element for a
-      // line with leading whitespace (hand-edited qrels files have
-      // them), which would shift qid/doc_id/rel one field right and
-      // silently drop the judgment via the try_cast
-      .select(split(trim(col("value")), "\\s+").as("f"))
+      // strip leading whitespace first: split on \s+ yields an empty
+      // FIRST element for a line with leading whitespace (hand-edited
+      // qrels files have them), which would shift qid/doc_id/rel one
+      // field right and silently drop the judgment via the try_cast.
+      // regexp_replace, NOT trim() (review r18): SQL TRIM strips
+      // SPACES only — a TAB-led line still field-shifted through it
+      .select(split(regexp_replace(col("value"), "^\\s+", ""), "\\s+")
+        .as("f"))
       .filter(size(col("f")) >= 4)
       .select(
         col("f").getItem(0).as("qid"),

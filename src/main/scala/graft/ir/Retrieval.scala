@@ -220,25 +220,19 @@ object Retrieval {
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tf = TextOps.termFreqs(docs, idCol, textCol)
     val qlen = qAug.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    // dl as a window — same rationale as matchedTermsFromTf
-    val grouped = tf
+    // dl as a window — same rationale as matchedTermsFromTf; the
+    // part->gate->rank block DELEGATES to scoreMatched (review r18:
+    // this method carried a verbatim copy, so the Index.scala "one
+    // definition" invariant for gating/tie-break was already false —
+    // a future gate change would have silently missed the
+    // TrecRunBaselines path)
+    val matched = tf
       .withColumn("dl", expr(s"sum(tf) OVER (PARTITION BY $idCol)"))
       .join(broadcast(qAug), Seq("term"))
       .join(broadcast(qlen), Seq("qid"))
       .withColumn("n_tokens", lit(collLength))
       .withColumn("n_docs", lit(nDocs))
-      .withColumn("part", expr(partExpr))
-      .groupBy(col("qid"), col(idCol), col("dl"), col("qlen"))
-      .agg(sum("part").as("score_sum"), count(lit(1)).as("n_matched"))
-    val gated =
-      if (conjunctive) grouped.filter(col("n_matched") === col("qlen"))
-      else grouped
-    gated
-      .withColumn("score", expr(finalExpr))
-      .withColumn("rank",
-        expr(s"row_number() OVER (PARTITION BY qid ORDER BY score DESC, $idCol)"))
-      .filter(col("rank") <= k)
-      .select("qid", idCol, "score", "rank")
+    scoreMatched(matched, partExpr, finalExpr, conjunctive, k, idCol)
   }
 
   /** [[scoreFor]] bound to the testdata corpus + [[querySet]]. */

@@ -118,12 +118,34 @@ object Jobs {
   /** MIREX sequential-scan retrieval, LMno conjunctive
     * (`nl/utwente/mirex/TrecRun.java`).
     */
+  /** Run `body` with the loaded docs PERSISTED when the loader is
+    * expensive — `warc:`, whose anchor-extract chain costs a WARC
+    * parse + HTML extraction and is referenced by every branch of a
+    * downstream scorer (review r18: trecRun over `warc:` re-ran the
+    * extraction ~9× — 3 scorer branches × glue()'s documented 3-scan
+    * shape — because the lazy loadDocs composition can't scope a
+    * persist; these ACTION sites can, the anchorExtract idiom).
+    * Cheap loaders (parquet/trec/keyval) pass through unpersisted —
+    * caching them wastes executor memory against a columnar re-scan.
+    */
+  private def withDocs[T](spark: SparkSession, spec: String)
+                         (body: DataFrame => T): T = {
+    val heavy = spec.startsWith("warc:")
+    val docs =
+      if (heavy) loadDocs(spark, spec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else loadDocs(spark, spec)
+    try body(docs)
+    finally if (heavy) docs.unpersist(blocking = false)
+  }
+
   def trecRun(spark: SparkSession, in: String, out: String,
-              topics: String): Unit =
+              topics: String): Unit = withDocs(spark, in) { docs =>
     writeRun(
-      Retrieval.scoreFor(loadDocs(spark, in), Topics.readPlain(spark, topics),
+      Retrieval.scoreFor(docs, Topics.readPlain(spark, topics),
         Retrieval.lmnoPart, Retrieval.lmnoFinal, conjunctive = true, TopK),
       out, "graft-lmno")
+  }
 
   /** Job 1 of the baselines chain: collection stats + per-query-term
     * df/cf → stats-augmented topic file
@@ -385,8 +407,8 @@ object Jobs {
     */
   def generateFeedbackQueries(spark: SparkSession, in: String, out: String,
                               topics: String, fbDocs: Int = 10,
-                              fbTerms: Int = 10, lambda: Double = 0.5): Unit = {
-    val docs = loadDocs(spark, in)
+                              fbTerms: Int = 10, lambda: Double = 0.5): Unit =
+                              withDocs(spark, in) { docs =>
     val q = Topics.readPlain(spark, topics)
     val fb = Retrieval.scoreFor(docs, q, Retrieval.lmdirPart,
       Retrieval.lmdirFinal, conjunctive = false, fbDocs)
@@ -434,12 +456,14 @@ object Jobs {
     */
   def runQueryWeighted(spark: SparkSession, in: String, out: String,
                        weightedTopics: String): Unit =
-    writeRun(
-      Retrieval.scoreFor(loadDocs(spark, in),
-        Topics.readWeighted(spark, weightedTopics),
-        s"w * (${Retrieval.lmdirPart})", Retrieval.lmdirFinal,
-        conjunctive = false, TopK),
-      out, "graft-rm3")
+    withDocs(spark, in) { docs =>
+      writeRun(
+        Retrieval.scoreFor(docs,
+          Topics.readWeighted(spark, weightedTopics),
+          s"w * (${Retrieval.lmdirPart})", Retrieval.lmdirFinal,
+          conjunctive = false, TopK),
+        out, "graft-rm3")
+    }
 
   /** The reference's feedback LOOP closed through the INDEX path
     * (`GenerateFeedbackQueriesHBase` → weighted topic file →

@@ -64,21 +64,46 @@ object Kde {
     * Applied to `eps` (the collected per-group epoch array) + the
     * window-derived `sd`/`iqr`/`k` columns; KdeGoldenSpec pins the
     * result against R's values on the committed fixture to 1e-3
-    * relative. Degenerate groups (σ = 0: every epoch identical) NaN
-    * here exactly as they error in R — use the Silverman default for
-    * samples the reference's R round-trip would also reject.
+    * relative. Degenerate groups (σ = 0, a sign-flipped pilot, k < 2)
+    * RAISE loudly (r18; R's bw.SJ aborts on the same samples) — use
+    * the Silverman default for samples R would also reject.
     */
+  /** Evaluate a per-group-constant heavy expression on ONE row of the
+    * qid group and window-propagate it (review r18): psi6/psi4 are k²
+    * pairwise sums whose value is identical on every row of the
+    * group — the plain withColumn form re-evaluated them per ROW,
+    * k³ interpreted lambda/exp evaluations per query (HOF lambdas are
+    * CodegenFallback). CaseWhen evaluates branches lazily, so the
+    * pair sum runs exactly once per group; same value on every row.
+    */
+  private def oncePerGroup(e: String): String =
+    s"max(CASE WHEN _kde_pos = 1 THEN $e END) OVER (PARTITION BY qid)"
+
   private val sjSteps: Seq[(String, String)] = Seq(
     "sigma" -> "least(sd, iqr / 1.349e0)",
     "g6" -> ("pow((30 / sqrt(2 * pi())) / " +
       "((105 / (32 * sqrt(pi()) * pow(sigma, 9))) * k), 1e0 / 9)"),
-    "psi6" -> (pairSum("g6",
+    "psi6" -> oncePerGroup(pairSum("g6",
       u => s"pow($u, 6) - 15 * pow($u, 4) + 45 * pow($u, 2) - 15") +
       " / (k * (k - 1) * pow(g6, 7))"),
     "g4" -> "pow((-6 / sqrt(2 * pi())) / (psi6 * k), 1e0 / 7)",
-    "psi4" -> (pairSum("g4", u => s"pow($u, 4) - 6 * pow($u, 2) + 3") +
+    "psi4" -> oncePerGroup(
+      pairSum("g4", u => s"pow($u, 4) - 6 * pow($u, 2) + 3") +
       " / (k * (k - 1) * pow(g4, 5))"),
-    "bw" -> "pow((1e0 / (2 * sqrt(pi()))) / (psi4 * k), 1e0 / 5)")
+    "bw" -> "pow((1e0 / (2 * sqrt(pi()))) / (psi4 * k), 1e0 / 5)",
+    // loud degeneracy guard (review r18): sigma = 0 needs only
+    // IQR = 0 — ≥ 50% tied epochs, a day-granularity reality, NOT
+    // just all-identical samples — and an estimation-noise
+    // sign-flipped psi6 NaNs through pow(negative, 1/7); either way
+    // bw = NaN, and NaN ranks FIRST under ORDER BY new_score DESC —
+    // a valid-looking, garbage run file. R's bw.SJ ABORTS on these
+    // samples (so does its n = 1 case); match it instead of shipping
+    // silent wrong output.
+    "bw" -> ("CASE WHEN isnan(bw) OR bw <= 0 THEN CAST(raise_error(" +
+      "concat('SJ bandwidth degenerate for qid ', CAST(qid AS STRING)," +
+      " ': sigma = 0 (>= 50% tied epochs), sign-flipped pilot, or" +
+      " k < 2 — R bw.SJ aborts on this sample too; use" +
+      " bw = \"silverman\"')) AS DOUBLE) ELSE bw END"))
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
 
@@ -133,9 +158,13 @@ object Kde {
           .withColumn("iqr", expr(
             s"percentile(ep, 7.5e-1) OVER $w - percentile(ep, 2.5e-1) OVER $w"))
           .withColumn("eps", expr("transform(pts, p -> CAST(p.ep2 AS DOUBLE))"))
+          // the one-row marker oncePerGroup keys the heavy pair sums on
+          .withColumn("_kde_pos", expr(
+            "row_number() OVER (PARTITION BY qid ORDER BY doc_id)"))
         sjSteps.foldLeft(sj) { case (df, (name, e)) =>
           df.withColumn(name, expr(e))
-        }.drop("iqr", "eps", "sigma", "g6", "psi6", "g4", "psi4")
+        }.drop("iqr", "eps", "sigma", "g6", "psi6", "g4", "psi4",
+          "_kde_pos")
       case other => throw new IllegalArgumentException(
         s"unknown bandwidth method '$other' (silverman | sj)")
     }

@@ -1333,6 +1333,13 @@ class JobsSpec extends SparkSpec {
     assert(qrels.count() == 3)
     assert(qrels.filter(col("qid") === "53" && col("doc_id") === "test2"
       && col("rel") === 1).count() == 1)
+    // the TAB-led line must parse field-correct, not just count
+    // (review r18: trim() strips spaces only, so this line used to
+    // field-shift to qid='', doc_id='0', rel=NULL and the count-only
+    // assert never noticed)
+    assert(qrels.filter(col("qid") === "99" && col("doc_id") === "nothing"
+      && col("rel") === 1).count() == 1)
+    assert(qrels.filter(col("qid") === "").count() == 0)
 
     val results = Seq(("53", "test2", 1)).toDF("qid", "doc_id", "rank")
     val m = Eval.metrics(results, qrels, k = 1).head()
