@@ -60,28 +60,69 @@ object Index {
     * maxPostings entries — the 100 TB pressure valve for head-term
     * skew (IndexScaleProbe measured a 1.96M-struct array in ONE row
     * at 2.5M docs; at 1000× that row is a task-killer, both to build
-    * and to explode at query time). The sharded build costs one extra
-    * exchange but bounds per-group state two ways: the window sorts
-    * SPILL (UnsafeExternalSorter), and each (term, shard)
-    * collect_list buffer — which cannot spill mid-group — holds
-    * ≤ maxPostings structs. Every shard row carries the TERM-level
-    * df/cf, so [[scoreFromInverted]] reads both layouts unchanged
-    * (explode unions shards; stats are constant per term —
-    * equivalence asserted in IndexSpec, plan shape in PlanShapeSpec).
-    * Measured at 2.5M docs (BENCH_NOTES §3g): build 35.5 s vs
-    * 41.8 s compact, scoring 9.9 s vs 14–21 s at 10.8 GB peak heap
-    * vs 18+ GB.
+    * and to explode at query time). Since r18 the shard rank is
+    * SLICE-DISTRIBUTED (see the inline note): no stage anywhere
+    * funnels one term's full postings through a single task, and the
+    * rank arithmetic is long — the r17 shape's per-term windows hit
+    * row_number's int ceiling at 2^31 postings per term, below the
+    * layout's own design point. Per-group state stays bounded: each
+    * (term, shard) collect_list buffer — which cannot spill
+    * mid-group — holds ≤ maxPostings structs. Every shard row carries
+    * the TERM-level df/cf, so [[scoreFromInverted]] reads both
+    * layouts unchanged (explode unions shards; stats are constant per
+    * term — equivalence asserted in IndexSpec, plan shape in
+    * PlanShapeSpec). The r17 per-term-window build measured 35.5 s vs
+    * 41.8 s compact at 2.5M docs (BENCH_NOTES §3g); the slice build
+    * trades two extra bounded exchanges for removing the per-term
+    * funnel (re-measured r18: see IndexScaleProbe / BENCH_NOTES).
     */
   private[graft] def postingsFrame(tf: DataFrame,
                                    maxPostings: Int): DataFrame =
     if (maxPostings > 0) {
       import org.apache.spark.sql.expressions.Window
-      val byTerm = Window.partitionBy("term")
-      val ordered = byTerm.orderBy("doc_id")
-      tf.withColumn("df", count(lit(1)).over(byTerm))
-        .withColumn("cf", sum("tf").over(byTerm))
-        .withColumn("shard",
-          ((row_number().over(ordered) - 1) / maxPostings).cast("int"))
+      // Distributed shard rank (review r18). The old shape — df/cf
+      // windows + row_number over (PARTITION BY term ORDER BY
+      // doc_id) — funneled each term's FULL postings through one
+      // task, and row_number's int counter overflows past 2^31
+      // postings for a head term: at the layout's own 100 TB design
+      // point that is an ANSI arithmetic error (or, non-ANSI,
+      // negative shard ids and a mis-sharded index) in the one
+      // layout documented to survive head-term skew. Same slice-rank
+      // + broadcast-offset idiom as TextMetrics' band bucketers:
+      // range-partition by (term, doc_id) — a head term spreads over
+      // many slices, doc_id order preserved ACROSS slices — rank
+      // locally per slice (int-safe: a slice is one range partition),
+      // add per-slice offsets, LONG arithmetic end to end. Term stats
+      // ride the per-slice counts (window over ≤ nSlices rows per
+      // term), so no second corpus aggregation. The lazy checkpoint
+      // pins one tf-sized block set until the caller releases it
+      // (writeInverted does; the alignment rationale is the _pb_
+      // bucketer's: two executions of repartitionByRange can sample
+      // different boundaries, which would misalign the offset join).
+      val nPart = tf.sparkSession.sessionState.conf.numShufflePartitions
+      val ranged = tf.repartitionByRange(nPart, col("term"), col("doc_id"))
+        .withColumn("_ix_pid", spark_partition_id())
+        .localCheckpoint(false)
+      val offs = ranged
+        .groupBy(col("term").as("_ix_t"), col("_ix_pid").as("_ix_p"))
+        .agg(count(lit(1)).as("_ix_c"), sum("tf").as("_ix_cfp"))
+        .withColumn("_ix_off", coalesce(sum("_ix_c").over(
+          Window.partitionBy("_ix_t").orderBy("_ix_p")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("df",
+          sum("_ix_c").over(Window.partitionBy("_ix_t")))
+        .withColumn("cf",
+          sum("_ix_cfp").over(Window.partitionBy("_ix_t")))
+        .select("_ix_t", "_ix_p", "_ix_off", "df", "cf")
+      ranged
+        .withColumn("_ix_lrk", row_number().over(
+          Window.partitionBy("term", "_ix_pid").orderBy("doc_id"))
+          .cast("bigint"))
+        .join(offs, col("term") === col("_ix_t") &&
+          col("_ix_pid") === col("_ix_p"))
+        .withColumn("shard", expr(
+          s"CAST((_ix_lrk + _ix_off - 1) div CAST($maxPostings AS BIGINT)" +
+            " AS INT)"))
         .groupBy("term", "shard", "df", "cf")
         .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
           .as("postings"))
@@ -132,7 +173,16 @@ object Index {
         .write.mode("overwrite").parquet(s"$path/postings")
       tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         .write.mode("overwrite").parquet(s"$path/doclen")
-    } finally { agged.unpersist(); tf.unpersist(); () }
+    } finally {
+      agged.unpersist(); tf.unpersist()
+      // release the sharded build's slice-alignment checkpoint blocks
+      // (inside agged's lineage — see postingsFrame): without this a
+      // long-lived session pins a tf-sized block set per index build
+      agged.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+      }.foreach(_.rdd.unpersist(blocking = false))
+      ()
+    }
   }
 
   /** Retrieval from the inverted layout. The query-term set is driver

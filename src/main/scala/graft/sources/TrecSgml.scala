@@ -55,16 +55,21 @@ object TrecSgml {
     */
   def read(spark: SparkSession, path: String,
            startTag: String = "<DOC", endTag: String = "</DOC>"): DataFrame =
-    spark.read.option("lineSep", endTag).text(path)
-      .filter(col("value").contains(startTag))
+    // composes on readRecords — ONE definition of the record-carving
+    // contract (review r18: this method carried its own lineSep +
+    // contains prologue, which already diverged by extracting fields
+    // from the whole chunk INCLUDING inter-record bytes before the
+    // startTag; a future carving-policy change would have split the
+    // two paths further)
+    readRecords(spark, path, startTag, endTag)
       .select(
-        regexp_extract(col("value"), "(?s)<DOCNO>\\s*(.*?)\\s*</DOCNO>", 1)
+        regexp_extract(col("record"), "(?s)<DOCNO>\\s*(.*?)\\s*</DOCNO>", 1)
           .as("docno"),
         // try_cast: docs without an <EPOCH> tag extract "" — NULL, not
         // an ANSI cast error
-        expr("try_cast(regexp_extract(value, '(?s)<EPOCH>\\\\s*(.*?)\\\\s*</EPOCH>', 1) AS BIGINT)")
+        expr("try_cast(regexp_extract(record, '(?s)<EPOCH>\\\\s*(.*?)\\\\s*</EPOCH>', 1) AS BIGINT)")
           .as("epoch"),
-        regexp_extract(col("value"), "(?s)<TEXT>\\s*(.*?)\\s*</TEXT>", 1)
+        regexp_extract(col("record"), "(?s)<TEXT>\\s*(.*?)\\s*</TEXT>", 1)
           .as("text"))
 }
 
@@ -78,9 +83,13 @@ object Topics {
     spark.read.text(path)
       .select(
         split(col("value"), ":", 2).getItem(0).as("qid"),
-        explode(split(lower(split(col("value"), ":", 2).getItem(1)),
-          "[^0-9a-z]+")).as("term"))
-      .filter(col("term") =!= "")
+        // the CANONICAL tokenizer (review r18: this was a hand-inlined
+        // copy of the split/lower/filter idiom — the r14 one-definition
+        // rule exists because a tokenizer change that reaches the
+        // corpus but not the query parse silently empties every
+        // retrieval equi-join)
+        explode(graft.text.TextOps.cleanTokensCol(
+          split(col("value"), ":", 2).getItem(1))).as("term"))
 
   /** Stats-augmented topic format (FIXTURES §3): `#MIREX-LENGTH:`/
     * `#MIREX-NDOCS:` headers + `qid:term=qtf=df=cf …` rows — writer
@@ -91,22 +100,34 @@ object Topics {
     */
   def writeAugmented(stats: DataFrame, collLength: Long, nDocs: Long,
                      path: String): Unit = {
-    // stats: (qid, term, qtf, df, cf)
+    // stats: (qid, term, qtf, df, cf); term entries array_sort'ed so
+    // the emitted file is byte-stable across runs/partitionings
+    // (review r18 — the weighted-topic writer already does this;
+    // collect_list order is task-order-dependent)
     val lines = stats
       .groupBy("qid")
-      .agg(concat_ws(" ", collect_list(
-        concat_ws("=", col("term"), col("qtf"), col("df"), col("cf"))))
+      .agg(concat_ws(" ", array_sort(collect_list(
+        concat_ws("=", col("term"), col("qtf"), col("df"), col("cf")))))
         .as("terms"))
       .select(concat_ws(":", col("qid"), col("terms")).as("value"))
       .collect().map(_.getString(0)).sorted
     val header = Seq(s"#MIREX-LENGTH:$collLength", s"#MIREX-NDOCS:$nDocs")
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      String.join("\n", (header ++ lines): _*)
-        // explicit UTF-8 (review r16): every reader decodes UTF-8
-        // (spark.read.text); the platform default would silently
-        // mojibake non-ASCII terms on a non-UTF-8 JVM and they would
-        // never equi-join against the corpus again
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val bytes = String.join("\n", (header ++ lines): _*)
+      // explicit UTF-8 (review r16): every reader decodes UTF-8
+      // (spark.read.text); the platform default would silently
+      // mojibake non-ASCII terms on a non-UTF-8 JVM and they would
+      // never equi-join against the corpus again
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // Hadoop FS, not java.nio (review r18): readAugmented and every
+    // sibling reader resolve this path against Spark's DEFAULT
+    // filesystem — a driver-local nio write breaks the
+    // QueryTermCount -> TrecRunBaselines chain on any cluster whose
+    // fs.defaultFS is not file:// (and nio refuses to create parents)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(
+      stats.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
   }
 
   /** Parse the augmented format back → header (length, ndocs) +

@@ -79,12 +79,23 @@ object Html {
 
   /** All (absolute URL, anchor text) pairs of one page; skips
     * rel=nofollow links; strips tags/newlines inside the anchor text;
-    * truncates the page at `maxHtml` bytes (AnchorExtract.java:71-72).
+    * truncates the page at `maxHtml` UTF-16 CODE UNITS — chars, not
+    * bytes (the reference caps raw bytes, AnchorExtract.java:71-72;
+    * chars is the JVM-string equivalent, as AnchorExtractJob's
+    * sibling cap documents), backing off one unit when the cut would
+    * split a surrogate pair (review r18: a dangling high surrogate
+    * flowed into the emitted anchor text and mojibaked on write).
     */
   def extractAnchors(pageUrl: String, html0: String,
                      maxHtml: Int = 50000): Seq[(String, String)] = {
-    val html = scriptPat.replaceAllIn(
-      if (html0.length > maxHtml) html0.substring(0, maxHtml) else html0, " ")
+    val cut =
+      if (html0.length > maxHtml)
+        html0.substring(0,
+          if (Character.isHighSurrogate(html0.charAt(maxHtml - 1)))
+            maxHtml - 1
+          else maxHtml)
+      else html0
+    val html = scriptPat.replaceAllIn(cut, " ")
     anchorPat.findAllMatchIn(html).flatMap { m =>
       val attrs = m.group(1) + m.group(3)
       if (nofollowPat.findFirstIn(attrs).isDefined) None

@@ -388,14 +388,16 @@ object KrovetzStem {
       graft.functions.KrovetzEx(GraftColumnBridge.expression(col(c))))
     // construct the expression directly (not via the registered
     // "krovetz_ex" SQL name) so stem() keeps working on sessions
-    // built without GraftExtensions
-    df.withColumn("_kx", kx(in))
-      .withColumn("_s1", expr(pluralSql(in)))
-      .withColumn("_kx1", kx("_s1"))
-      .withColumn("_s2", expr(pastSql("_s1")))
-      .withColumn("_s3", expr(ingSql("_s2")))
-      .withColumn(out, expr("coalesce(_kx, _kx1, _s3)"))
-      .drop("_kx", "_kx1", "_s1", "_s2", "_s3")
+    // built without GraftExtensions. Stage names carry the _kvst_
+    // prefix (review r18): the old bare _s1/_s2/_s3/_kx names
+    // silently CLOBBERED and then dropped same-named caller columns.
+    df.withColumn("_kvst_kx", kx(in))
+      .withColumn("_kvst_s1", expr(pluralSql(in)))
+      .withColumn("_kvst_kx1", kx("_kvst_s1"))
+      .withColumn("_kvst_s2", expr(pastSql("_kvst_s1")))
+      .withColumn("_kvst_s3", expr(ingSql("_kvst_s2")))
+      .withColumn(out, expr("coalesce(_kvst_kx, _kvst_kx1, _kvst_s3)"))
+      .drop("_kvst_kx", "_kvst_kx1", "_kvst_s1", "_kvst_s2", "_kvst_s3")
   }
 
   /** DuckDB pipeline over an inner relation exposing `termCol`:

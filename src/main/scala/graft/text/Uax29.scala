@@ -38,9 +38,18 @@ object Uax29 {
     * (whitespace/punctuation-only) dropped. Pure JVM function — also
     * usable outside Spark.
     */
+  // BreakIterator is stateful but clone-from-prototype is expensive
+  // (provider lookup per getWordInstance); one instance per executor
+  // thread, reset per document (review r18 — the per-row allocation
+  // was pure garbage on the whole-corpus parity path)
+  private val localBi = new ThreadLocal[BreakIterator] {
+    override def initialValue(): BreakIterator =
+      BreakIterator.getWordInstance(Locale.ROOT)
+  }
+
   def tokenize(text: String): Seq[String] = {
     if (text == null || text.isEmpty) return Nil
-    val bi = BreakIterator.getWordInstance(Locale.ROOT)
+    val bi = localBi.get()
     bi.setText(text)
     val out = Seq.newBuilder[String]
     var start = bi.first()
@@ -80,12 +89,13 @@ object Uax29 {
     tokenize(text).filterNot(luceneStopSet)
 
   /** Array-of-tokens column (UDF — see scaladoc above for why this
-    * path is not codegen'd).
+    * path is not codegen'd). The UDF object is hoisted (review r18:
+    * per-call construction re-created the closure wrapper for every
+    * tokensCol reference).
     */
-  def tokensCol(text: Column): Column = {
-    val f = udf((s: String) => tokenize(s))
-    f(text)
-  }
+  private val tokenizeUdf = udf((s: String) => tokenize(s))
+
+  def tokensCol(text: Column): Column = tokenizeUdf(text)
 
   /** (doc_id, term) rows — drop-in for [[TextOps.tokens]] with UAX#29
     * semantics.

@@ -193,22 +193,37 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
-  test("sharded postings: one term shuffle + one (term, shard) shuffle, windows spill-capable") {
+  test("sharded postings: slice-ranked build — no per-term window over " +
+    "corpus rows, rank arithmetic long (r18: the old per-term windows " +
+    "funneled a head term's full postings through ONE task and " +
+    "row_number's int counter overflowed past 2^31 postings)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.window.WindowExec
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    val p = try {
+    val (plan, pstr) = try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      graft.ir.Index.postingsFrame(
+      val qe = graft.ir.Index.postingsFrame(
         graft.text.TextOps.termFreqs(Tables(spark, sfTiny, "documents")),
-        maxPostings = 16)
-        .queryExecution.executedPlan.toString
+        maxPostings = 16).queryExecution
+      (qe.executedPlan, qe.executedPlan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    // the bounded build's honest cost is exactly ONE extra exchange
-    // over the compact layout: term-partitioned windows (df/cf/shard
-    // ride one frame), then the (term, shard) aggregation
-    assert(countOf(p, "Exchange hashpartitioning") === 2, p)
-    assert(p.contains("Window"), "df/cf/shard must come from windows, not a join-back")
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
-      "no join-back in the sharded build")
+    // slice alignment comes from ONE range partitioning on
+    // (term, doc_id) — the localCheckpoint pins it, so it appears as
+    // a scanned RDD, not a live exchange in this plan
+    assert(pstr.contains("Scan ExistingRDD") || pstr.contains("LogicalRDD"),
+      s"checkpointed slice frame expected:\n$pstr")
+    // every window must be slice-bounded (partition keys include the
+    // slice id) or run over the per-(term, slice) AGGREGATE frame —
+    // never a bare per-term window over raw corpus rows
+    def windows(p: SparkPlan): Seq[WindowExec] = p.collect {
+      case w: WindowExec => w
+    }
+    val bad = windows(plan).filter { w =>
+      val keys = w.partitionSpec.map(_.toString).mkString(",")
+      !(keys.contains("_ix_pid") || keys.contains("_ix_t"))
+    }
+    assert(bad.isEmpty,
+      s"per-term window over corpus rows: ${bad.map(_.partitionSpec)}")
   }
 
   test("px68/px69: no per-language window consumes un-aggregated corpus rows") {
