@@ -71,11 +71,14 @@ object Index {
     * the TERM-level df/cf, so [[scoreFromInverted]] reads both
     * layouts unchanged (explode unions shards; stats are constant per
     * term — equivalence asserted in IndexSpec, plan shape in
-    * PlanShapeSpec). The r17 per-term-window build measured 35.5 s vs
-    * 41.8 s compact at 2.5M docs (BENCH_NOTES §3g); the slice build
-    * trades two extra bounded exchanges for removing the per-term
-    * funnel (re-measured r18: see IndexScaleProbe / BENCH_NOTES).
+    * PlanShapeSpec). Re-measured r18 at 2.5M docs (IndexScaleProbe,
+    * probes/index_scale500_r18.log): see BENCH_NOTES §3g addendum.
     */
+  /** Slices per term in the sharded postings build — fixed (NOT a
+    * partition count) so the slice id is a stable function of doc_id.
+    */
+  private val IxSlices = 4096L
+
   private[graft] def postingsFrame(tf: DataFrame,
                                    maxPostings: Int): DataFrame =
     if (maxPostings > 0) {
@@ -87,24 +90,26 @@ object Index {
       // postings for a head term: at the layout's own 100 TB design
       // point that is an ANSI arithmetic error (or, non-ANSI,
       // negative shard ids and a mis-sharded index) in the one
-      // layout documented to survive head-term skew. Same slice-rank
-      // + broadcast-offset idiom as TextMetrics' band bucketers:
-      // range-partition by (term, doc_id) — a head term spreads over
-      // many slices, doc_id order preserved ACROSS slices — rank
-      // locally per slice (int-safe: a slice is one range partition),
-      // add per-slice offsets, LONG arithmetic end to end. Term stats
-      // ride the per-slice counts (window over ≤ nSlices rows per
-      // term), so no second corpus aggregation. The lazy checkpoint
-      // pins one tf-sized block set until the caller releases it
-      // (writeInverted does; the alignment rationale is the _pb_
-      // bucketer's: two executions of repartitionByRange can sample
-      // different boundaries, which would misalign the offset join).
-      val nPart = tf.sparkSession.sessionState.conf.numShufflePartitions
-      val ranged = tf.repartitionByRange(nPart, col("term"), col("doc_id"))
-        .withColumn("_ix_pid", spark_partition_id())
-        .localCheckpoint(false)
-      val offs = ranged
-        .groupBy(col("term").as("_ix_t"), col("_ix_pid").as("_ix_p"))
+      // layout documented to survive head-term skew. Slice-rank +
+      // offset instead, with the slice id a PURE HASH of doc_id:
+      //  - deterministic per row, so the twice-referenced frame needs
+      //    no checkpoint/persist for alignment (an IndexScaleProbe
+      //    A/B of the range-partitioned variant paid a corpus-sized
+      //    localCheckpoint write+read — ~2x build time at 2.5M docs)
+      //    and the WRITTEN layout is byte-stable across runs;
+      //  - a head term spreads over all IxSlices slices (~df/4096
+      //    rows per local-rank group: int-safe and sort-spill-bounded
+      //    up to ~2^42 postings per term);
+      //  - per-slice counts/offsets are tiny (≤ IxSlices rows per
+      //    term) and term stats ride them, so no second corpus
+      //    aggregation. Long arithmetic end to end. Shards are no
+      //    longer doc_id-contiguous GLOBALLY (they are within a
+      //    slice) — a layout detail: consumers explode and union
+      //    shards, arrays stay sorted within each shard, and
+      //    IndexSpec's scan-path equivalence pins the semantics.
+      val offs = tf
+        .withColumn("_ix_sl", pmod(xxhash64(col("doc_id")), lit(IxSlices)))
+        .groupBy(col("term").as("_ix_t"), col("_ix_sl").as("_ix_p"))
         .agg(count(lit(1)).as("_ix_c"), sum("tf").as("_ix_cfp"))
         .withColumn("_ix_off", coalesce(sum("_ix_c").over(
           Window.partitionBy("_ix_t").orderBy("_ix_p")
@@ -114,12 +119,12 @@ object Index {
         .withColumn("cf",
           sum("_ix_cfp").over(Window.partitionBy("_ix_t")))
         .select("_ix_t", "_ix_p", "_ix_off", "df", "cf")
-      ranged
-        .withColumn("_ix_lrk", row_number().over(
-          Window.partitionBy("term", "_ix_pid").orderBy("doc_id"))
-          .cast("bigint"))
+      tf.withColumn("_ix_sl", pmod(xxhash64(col("doc_id")), lit(IxSlices)))
         .join(offs, col("term") === col("_ix_t") &&
-          col("_ix_pid") === col("_ix_p"))
+          col("_ix_sl") === col("_ix_p"))
+        .withColumn("_ix_lrk", row_number().over(
+          Window.partitionBy("term", "_ix_sl").orderBy("doc_id"))
+          .cast("bigint"))
         .withColumn("shard", expr(
           s"CAST((_ix_lrk + _ix_off - 1) div CAST($maxPostings AS BIGINT)" +
             " AS INT)"))
@@ -173,16 +178,7 @@ object Index {
         .write.mode("overwrite").parquet(s"$path/postings")
       tf.groupBy("doc_id").agg(sum("tf").as("dl"))
         .write.mode("overwrite").parquet(s"$path/doclen")
-    } finally {
-      agged.unpersist(); tf.unpersist()
-      // release the sharded build's slice-alignment checkpoint blocks
-      // (inside agged's lineage — see postingsFrame): without this a
-      // long-lived session pins a tf-sized block set per index build
-      agged.queryExecution.analyzed.collect {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr
-      }.foreach(_.rdd.unpersist(blocking = false))
-      ()
-    }
+    } finally { agged.unpersist(); tf.unpersist(); () }
   }
 
   /** Retrieval from the inverted layout. The query-term set is driver

@@ -207,11 +207,11 @@ class PlanShapeSpec extends SparkSpec {
         maxPostings = 16).queryExecution
       (qe.executedPlan, qe.executedPlan.toString)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
-    // slice alignment comes from ONE range partitioning on
-    // (term, doc_id) — the localCheckpoint pins it, so it appears as
-    // a scanned RDD, not a live exchange in this plan
-    assert(pstr.contains("Scan ExistingRDD") || pstr.contains("LogicalRDD"),
-      s"checkpointed slice frame expected:\n$pstr")
+    // the slice id is a pure hash of doc_id — no checkpoint, no
+    // range sampling, so no RDD scan in the plan and the layout is
+    // byte-stable across runs
+    assert(!pstr.contains("Scan ExistingRDD"),
+      s"hash slices need no checkpointed frame:\n$pstr")
     // every window must be slice-bounded (partition keys include the
     // slice id) or run over the per-(term, slice) AGGREGATE frame —
     // never a bare per-term window over raw corpus rows
@@ -220,7 +220,7 @@ class PlanShapeSpec extends SparkSpec {
     }
     val bad = windows(plan).filter { w =>
       val keys = w.partitionSpec.map(_.toString).mkString(",")
-      !(keys.contains("_ix_pid") || keys.contains("_ix_t"))
+      !(keys.contains("_ix_sl") || keys.contains("_ix_t"))
     }
     assert(bad.isEmpty,
       s"per-term window over corpus rows: ${bad.map(_.partitionSpec)}")
