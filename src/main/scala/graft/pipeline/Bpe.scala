@@ -237,6 +237,25 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
+        // tie-break in UTF-8 BYTE order (review r18): the distributed
+        // trainer ranks via Spark's UTF8String binary comparison;
+        // Java String '<' is UTF-16 code-unit order, which ranks
+        // supplementary-plane symbols BELOW U+E000..U+FFFF — the two
+        // orders diverge on non-ASCII ties, and the scaladoc promises
+        // bit-for-bit equal merge tables (latent today: wordDict's
+        // tokenizer emits [0-9a-z] only, where the orders coincide)
+        implicit val utf8Order: Ordering[String] =
+          (x: String, y: String) => {
+            val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            var i = 0
+            val n = math.min(xb.length, yb.length)
+            var r = 0
+            while (r == 0 && i < n) {
+              r = (xb(i) & 0xff) - (yb(i) & 0xff); i += 1
+            }
+            if (r != 0) r else xb.length - yb.length
+          }
         val ((a, b), _) = counts.minBy { case ((pa, pb), cnt) =>
           (-cnt, pa, pb)
         }
@@ -322,7 +341,12 @@ object Bpe {
     * counts each row once).
     */
   private def wcOr1(encoded: DataFrame): Column =
-    if (encoded.columns.contains("wc")) col("wc") else lit(1L)
+    // case-INsensitive (review r18): Spark resolution is
+    // case-insensitive by default, so a frame carrying `WC` resolves
+    // as col("wc") everywhere else — a case-sensitive contains() here
+    // silently weighted every row 1 instead
+    if (encoded.columns.exists(_.equalsIgnoreCase("wc"))) col("wc")
+    else lit(1L)
 
   /** Corpus symbol frequencies under the encoding: top `n`
     * (sym, cnt), weighted by word count when present (frames without

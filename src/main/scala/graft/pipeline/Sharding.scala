@@ -44,12 +44,20 @@ object Sharding {
     * shard choice. Narrow map; engine-portable (DetHash).
     */
   def epochAssign(docs: DataFrame, idCol: String, seed: Int,
-                  nShards: Int): DataFrame =
+                  nShards: Int): DataFrame = {
+    // driver-side refusals (review r18, the targetDiv rule): 0 shards
+    // is a plan-buried `% 0` — ANSI DIVIDE_BY_ZERO mid-task, or
+    // silent NULL shards non-ANSI; and a pre-existing shard/ord
+    // column would be silently clobbered (the requireNoReserved
+    // contract its sibling mix ops already enforce)
+    require(nShards >= 1, s"epochAssign needs nShards >= 1, got $nShards")
+    requireNoReserved(docs, Seq("shard", "ord"), "epochAssign")
     docs
       .filter(requireIdNotNull(idCol, "epochAssign"))
       .withColumn("shard",
         DetHash.h60(col(idCol).cast("string"), seed) % nShards)
       .withColumn("ord", DetHash.h60(col(idCol).cast("string"), seed + 1))
+  }
 
   /** The corpus physically resharded into the epoch layout: one
     * hash-partitioned exchange on `shard`, then per-partition sorts on
