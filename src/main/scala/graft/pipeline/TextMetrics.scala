@@ -45,8 +45,12 @@ object TextMetrics {
     // ONE combined scan for the char-level columns: two separate
     // joins would scan the docs source twice and pay two joins for
     // columns that come off the same row
+    // nullif: NULL-text docs must get NULL n_punct (the tokenCounts
+    // r14 convention — non-ANSI size() returns the -1 sentinel on
+    // NULL input, which would surface as a NEGATIVE punct_ratio
+    // whenever n_chars > 0, while the oracle's len(NULL) is NULL)
     docs.select(col("doc_id"), col("n_chars"),
-        expr("size(regexp_extract_all(text, '[^0-9a-zA-Z\\\\s]', 0))")
+        expr("nullif(size(regexp_extract_all(text, '[^0-9a-zA-Z\\\\s]', 0)), -1)")
           .cast("bigint").as("n_punct"))
       .join(aggs, Seq("doc_id"), "left")
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))

@@ -1392,25 +1392,43 @@ object PipelineQueries {
       survey = Seq("MIX-ENTROPY")),
 
     // Exact nearest-rank length percentiles per language (p50/p90/p99
-    // of n_chars): row_number to ceil(n·k/100) positions — pure integer
-    // arithmetic, so the outputs are exact BIGINTs in both engines (no
-    // engine-specific quantile interpolation). The profiling twin of
-    // q23's two-position median.
+    // of n_chars): pure integer position arithmetic, so the outputs
+    // are exact BIGINTs in both engines (no engine-specific quantile
+    // interpolation). The profiling twin of q23's two-position median.
+    //
+    // AGG-FIRST shape (review r19, queries slice): the former
+    // row-level row_number window partitioned the WHOLE corpus by
+    // lang — a handful of partitions each sorting everything in one
+    // task at 100 TB. n_chars is a bounded integer, so aggregate to
+    // per-(lang, n_chars) counts first (fully parallel, map-side
+    // partials) and run the position windows over the tiny
+    // distinct-value frame: the value at nearest-rank position p is
+    // the row whose cumulative count first reaches p — identical
+    // output by construction (the oracle keeps the row-level window
+    // form, so the cross-engine gate proves the identity every run).
+    // q23 cannot take this shape (o_totalprice is near-unique, the
+    // value aggregation buys nothing there — see its note).
     Decl(
       "px36_length_percentiles",
       (s, dir) =>
         Tables(s, dir, "documents")
-          .select(col("lang"), col("n_chars"), col("doc_id"))
-          .withColumn("rn", expr(
-            "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)"))
-          .withColumn("n", expr("count(*) OVER (PARTITION BY lang)"))
-          .filter(expr("rn = (n * 50 + 99) div 100" +
-            " OR rn = (n * 90 + 99) div 100 OR rn = (n * 99 + 99) div 100"))
+          .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+          .withColumn("cum", expr(
+            "sum(c) OVER (PARTITION BY lang ORDER BY n_chars)"))
+          .withColumn("n", expr("sum(c) OVER (PARTITION BY lang)"))
+          .withColumn("prev", expr("cum - c"))
+          .filter(expr(
+            "(prev < (n * 50 + 99) div 100 AND (n * 50 + 99) div 100 <= cum)" +
+              " OR (prev < (n * 90 + 99) div 100 AND (n * 90 + 99) div 100 <= cum)" +
+              " OR (prev < (n * 99 + 99) div 100 AND (n * 99 + 99) div 100 <= cum)"))
           .groupBy("lang")
           .agg(
-            expr("max(CASE WHEN rn = (n * 50 + 99) div 100 THEN n_chars END)").as("p50"),
-            expr("max(CASE WHEN rn = (n * 90 + 99) div 100 THEN n_chars END)").as("p90"),
-            expr("max(CASE WHEN rn = (n * 99 + 99) div 100 THEN n_chars END)").as("p99"),
+            expr("max(CASE WHEN prev < (n * 50 + 99) div 100" +
+              " AND (n * 50 + 99) div 100 <= cum THEN n_chars END)").as("p50"),
+            expr("max(CASE WHEN prev < (n * 90 + 99) div 100" +
+              " AND (n * 90 + 99) div 100 <= cum THEN n_chars END)").as("p90"),
+            expr("max(CASE WHEN prev < (n * 99 + 99) div 100" +
+              " AND (n * 99 + 99) div 100 <= cum THEN n_chars END)").as("p99"),
             expr("CAST(max(n) AS BIGINT)").as("n")),
       Some("""SELECT lang,
              |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END) AS p50,

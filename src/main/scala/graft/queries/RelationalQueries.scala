@@ -470,6 +470,19 @@ object RelationalQueries {
     // interpolation rules differ across engines): row_number to the
     // one/two middle positions, average them. Integer position math
     // (div) is engine-portable; the value average touches ≤2 doubles.
+    //
+    // Scale adjudication (review r19, queries slice): the window
+    // partitions by o_orderpriority (~5 groups), so at 100 TB five
+    // tasks each sort a fifth of the table — inherent to EXACT
+    // order statistics over a near-unique value column (o_totalprice):
+    // px36's agg-first rewrite doesn't apply because the per-(group,
+    // value) aggregation barely shrinks a near-unique column, and the
+    // window sort pays the same bytes again. Spark's window sort
+    // spills, so it completes; the 100 TB production shapes are
+    // percentile_approx (one pass, mergeable sketch) or a two-pass
+    // count/binary-search when the answer must be exact — kept out of
+    // the gated query because approx results are engine-specific and
+    // the gate exists to pin exact cross-engine arithmetic.
     Decl(
       "q23_group_median",
       (s, dir) =>

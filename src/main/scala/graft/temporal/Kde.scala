@@ -81,6 +81,17 @@ object Kde {
 
   private val sjSteps: Seq[(String, String)] = Seq(
     "sigma" -> "least(sd, iqr / 1.349e0)",
+    // named guard at the FIRST degenerate step (review r19): sigma = 0
+    // (>= 50% tied epochs) hits pow(sigma, 9) = 0 in g6's divisor and
+    // ANSI raises a generic DIVIDE_BY_ZERO there — loud but unnamed,
+    // and the named bw guard below is never reached. sigma IS NULL
+    // covers k < 2 (stddev_samp of one row is NULL).
+    "sigma" -> ("CASE WHEN sigma IS NULL OR isnan(sigma) OR sigma <= 0" +
+      " THEN CAST(raise_error(" +
+      "concat('SJ bandwidth degenerate for qid ', CAST(qid AS STRING)," +
+      " ': sigma = 0 or undefined (>= 50% tied epochs, or k < 2) — R" +
+      " bw.SJ aborts on this sample too; use bw = \"silverman\"'))" +
+      " AS DOUBLE) ELSE sigma END"),
     "g6" -> ("pow((30 / sqrt(2 * pi())) / " +
       "((105 / (32 * sqrt(pi()) * pow(sigma, 9))) * k), 1e0 / 9)"),
     "psi6" -> oncePerGroup(pairSum("g6",
@@ -99,11 +110,16 @@ object Kde {
     // a valid-looking, garbage run file. R's bw.SJ ABORTS on these
     // samples (so does its n = 1 case); match it instead of shipping
     // silent wrong output.
-    "bw" -> ("CASE WHEN isnan(bw) OR bw <= 0 THEN CAST(raise_error(" +
+    // bw IS NULL first (ADVICE r18): a NULL epoch in the sample
+    // (epoch is try_cast'ed in TrecSgml, so NULL is legal input)
+    // propagates NULL through the pair sums to bw — under the old
+    // isnan/<=0 predicate that NULL fell to ELSE and ranked silently.
+    "bw" -> ("CASE WHEN bw IS NULL OR isnan(bw) OR bw <= 0" +
+      " THEN CAST(raise_error(" +
       "concat('SJ bandwidth degenerate for qid ', CAST(qid AS STRING)," +
-      " ': sigma = 0 (>= 50% tied epochs), sign-flipped pilot, or" +
-      " k < 2 — R bw.SJ aborts on this sample too; use" +
-      " bw = \"silverman\"')) AS DOUBLE) ELSE bw END"))
+      " ': sigma = 0 (>= 50% tied epochs), a NULL epoch in the" +
+      " sample, sign-flipped pilot, or k < 2 — R bw.SJ aborts on this" +
+      " sample too; use bw = \"silverman\"')) AS DOUBLE) ELSE bw END"))
   def rescoreExpr(alpha: String = "5e-1") =
     s"round($alpha * ln(kde) + (1 - $alpha) * score, 6)"
 

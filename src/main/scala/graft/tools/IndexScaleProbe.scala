@@ -26,10 +26,22 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `sbt "runMain graft.tools.IndexScaleProbe [N]"` (default
   * 500). Results → BENCH_NOTES §3g + probes/index_scale500.log.
+  *
+  * `sbt "runMain graft.tools.IndexScaleProbe N shardedRead"` (r19,
+  * the r18 verdict's item 4): sharded-layout READ-side focus at
+  * N >= 1000 — builds ONLY the 65536-bounded sharded layout (the
+  * compact build and the rawscan yardstick are r18-settled) and runs
+  * scoring twice: the head query set (every term's postings sharded
+  * across ~max_df/65536 shards) and a SKEWED head+tail set mixing
+  * those heads with synthetic rare terms (`w<h>x<k>`, df ≈ corpus/1000
+  * each) — the vocabulary-pruning case: fs_read_kb vs
+  * sharded_postings_mb is the literal-IN row-group pruning evidence
+  * at the grown vocab.
   */
 object IndexScaleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(500)
+    val shardedReadOnly = args.lift(1).contains("shardedRead")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local()
     spark.sparkContext.setLogLevel("WARN")
@@ -91,6 +103,49 @@ object IndexScaleProbe {
     }
 
     val work = java.nio.file.Files.createTempDirectory("idxscale").toString
+
+    if (shardedReadOnly) {
+      import spark.implicits._
+      t("write_inverted_sharded", withCkptRead = true)(
+        Index.writeInverted(big, s"$work/invsh", files = 64,
+          maxPostings = 65536))
+      val postSh = spark.read.parquet(s"$work/invsh/postings")
+      val shSkew = postSh.agg(
+        count(lit(1)).as("rows"),
+        countDistinct(col("term")).as("vocab"),
+        max(size(col("postings"))).as("max_postings")).head()
+      def dMb(p: String): Long = {
+        val d = new java.io.File(p)
+        (if (d.isDirectory) d.listFiles.map(_.length).sum else 0L) >> 20
+      }
+      println(s"""[idxscale] {"sharded_rows":${shSkew.getLong(0)},"vocab_terms":${shSkew.getLong(1)},"sharded_max_postings":${shSkew.getInt(2)},"sharded_postings_mb":${dMb(s"$work/invsh/postings")}}""")
+      val headQ = Retrieval.querySet
+        .flatMap { case (qid, ts) => ts.map(qid -> _) }.toDF("qid", "term")
+      // skewed head+tail set: each head query keeps its head terms and
+      // gains two synthetic rare terms of replicas 0 and n/2 (df about
+      // corpus/1000 each at hash bucket h = qid % 1000) — one query now
+      // touches both a max-df sharded list and near-singleton shards
+      val skewQ = Retrieval.querySet.flatMap { case (qid, ts) =>
+        ts.map(qid -> _) ++ Seq(
+          qid -> s"w${qid.toInt % 1000}x0",
+          qid -> s"w${qid.toInt % 1000}x${n / 2}")
+      }.toDF("qid", "term")
+      t("score_sharded_head_cold")(
+        Index.scoreFromInverted(spark, s"$work/invsh", headQ,
+          Retrieval.lmdirPart, Retrieval.lmdirFinal,
+          conjunctive = false, 10).count())
+      t("score_sharded_head_warm")(
+        Index.scoreFromInverted(spark, s"$work/invsh", headQ,
+          Retrieval.lmdirPart, Retrieval.lmdirFinal,
+          conjunctive = false, 10).count())
+      t("score_sharded_skewed")(
+        Index.scoreFromInverted(spark, s"$work/invsh", skewQ,
+          Retrieval.lmdirPart, Retrieval.lmdirFinal,
+          conjunctive = false, 10).count())
+      spark.stop()
+      return
+    }
+
     t("write_inverted", withCkptRead = true)(
       Index.writeInverted(big, s"$work/inv", files = 64))
 

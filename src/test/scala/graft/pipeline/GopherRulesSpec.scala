@@ -197,5 +197,12 @@ class GopherRulesSpec extends SparkSpec {
       "punct-only doc: NULL token stats and NULL score")
     assert(out(3L).isNullAt(2) && out(3L).isNullAt(7),
       "NULL-text doc: NULL token stats and NULL score")
+    // ADVICE r19: NULL text must give NULL n_punct/punct_ratio (the
+    // tokenCounts nullif convention) — the bare size() idiom emitted
+    // the -1 sentinel, a NEGATIVE punct_ratio whenever n_chars > 0,
+    // where the oracle's len(NULL) is NULL
+    assert(out(3L).isNullAt(6), "NULL-text doc: NULL punct_ratio")
+    assert(!out(2L).isNullAt(6) && out(2L).getDouble(6) > 0,
+      "punct-only doc still gets a real punct_ratio")
   }
 }

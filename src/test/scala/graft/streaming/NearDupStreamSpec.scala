@@ -430,4 +430,56 @@ class NearDupStreamSpec extends SparkSpec {
     assert(batchDupDocs == ledgerDupDocs,
       "every batch-candidate doc must appear in some ledger collision")
   }
+
+  test("PROPERTY: resolveKeepers == batch-truth keepers over RANDOM " +
+    "valid ledgers (r18 verdict item 5 — generator-side pinning of the " +
+    "monotone-refinement contract, not curated fixtures)") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // A random VALID ledger: per (band, sig) group, an arbitrary
+    // micro-batch sequence of doc-id sets, with ledger rows produced
+    // by simulating the operator's documented per-batch emission —
+    // keeper = min(prev, batchMin), a re-point row whenever the prior
+    // keeper is displaced, a (doc -> keeper) row per sighting. Small
+    // id domain (0..50) forces heavy duplication, re-arrivals of the
+    // same doc under different keepers, and multi-step displacement
+    // chains — the interleavings the curated fixtures can't cover.
+    // Batch truth: every doc of a group resolves to the group's
+    // global-min id.
+    val genGroup = for {
+      nBatches <- Gen.choose(1, 8)
+      batches <- Gen.listOfN(nBatches,
+        Gen.nonEmptyListOf(Gen.choose(0L, 50L)))
+    } yield batches
+    val genLedger = Gen.listOfN(8, genGroup)
+    val params = Gen.Parameters.default
+    (0 until 10).foreach { trial =>
+      val groups = genLedger(params, Seed(9000L + trial)).get
+      val rows = scala.collection.mutable
+        .ArrayBuffer.empty[(Int, String, Long, Long)]
+      val truth = scala.collection.mutable
+        .Set.empty[(Int, String, Long, Long)]
+      groups.zipWithIndex.foreach { case (batches, gi) =>
+        val (band, sig) = (gi, s"s$gi")
+        var keeper: Option[Long] = None
+        batches.foreach { b =>
+          val nk = keeper.fold(b.min)(math.min(_, b.min))
+          keeper.filter(_ > nk)
+            .foreach(old => rows += ((band, sig, old, nk)))
+          b.foreach(d => rows += ((band, sig, d, nk)))
+          keeper = Some(nk)
+        }
+        val all = batches.flatten
+        all.distinct.foreach(d => truth += ((band, sig, d, all.min)))
+      }
+      val ledger = rows.toSeq.toDF("band", "sig", "doc_id", "keeper")
+      val resolved = NearDupStream.resolveKeepers(ledger).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(resolved == truth.toSet,
+        s"trial $trial diverges from batch truth: extra=" +
+          s"${resolved -- truth} missing=${truth.toSet -- resolved}")
+    }
+  }
 }
