@@ -130,18 +130,37 @@ object IndexScaleProbe {
           qid -> s"w${qid.toInt % 1000}x0",
           qid -> s"w${qid.toInt % 1000}x${n / 2}")
       }.toDF("qid", "term")
-      t("score_sharded_head_cold")(
+      // non-vacuity check: the synthetic tail terms must EXIST in the
+      // index (rows found + their df), or the skewed pass silently
+      // re-measures the head case
+      val skewTerms = Retrieval.querySet.map(_._1).flatMap(q =>
+        Seq(s"w${q.toInt % 1000}x0", s"w${q.toInt % 1000}x${n / 2}"))
+      val found = postSh.filter(col("term").isin(skewTerms: _*))
+        .agg(count(lit(1)).as("rows"),
+          expr("CAST(sum(df) AS BIGINT)").as("sum_df")).head()
+      println(s"""[idxscale] {"skew_terms":${skewTerms.length},"skew_rows_found":${found.getLong(0)},"skew_sum_df":${found.get(1)}}""")
+      // tail-ONLY queries isolate the vocab-tail read: every byte this
+      // pass pulls is attributable to the rare terms' shards alone
+      val tailQ = Retrieval.querySet.map(_._1).flatMap(qid => Seq(
+        qid -> s"w${qid.toInt % 1000}x0",
+        qid -> s"w${qid.toInt % 1000}x${n / 2}")).toDF("qid", "term")
+      val c1 = t("score_sharded_head_cold")(
         Index.scoreFromInverted(spark, s"$work/invsh", headQ,
           Retrieval.lmdirPart, Retrieval.lmdirFinal,
           conjunctive = false, 10).count())
-      t("score_sharded_head_warm")(
+      val c2 = t("score_sharded_head_warm")(
         Index.scoreFromInverted(spark, s"$work/invsh", headQ,
           Retrieval.lmdirPart, Retrieval.lmdirFinal,
           conjunctive = false, 10).count())
-      t("score_sharded_skewed")(
+      val c3 = t("score_sharded_skewed")(
         Index.scoreFromInverted(spark, s"$work/invsh", skewQ,
           Retrieval.lmdirPart, Retrieval.lmdirFinal,
           conjunctive = false, 10).count())
+      val c4 = t("score_sharded_tail_only")(
+        Index.scoreFromInverted(spark, s"$work/invsh", tailQ,
+          Retrieval.lmdirPart, Retrieval.lmdirFinal,
+          conjunctive = false, 10).count())
+      println(s"""[idxscale] {"rows_head_cold":$c1,"rows_head_warm":$c2,"rows_skewed":$c3,"rows_tail_only":$c4}""")
       spark.stop()
       return
     }

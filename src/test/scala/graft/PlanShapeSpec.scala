@@ -247,8 +247,10 @@ class PlanShapeSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     try {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // px36 joined r19: its percentile positions now rank over the
+      // per-(lang, n_chars) count frame, never raw corpus rows
       for (q <- Seq("px68_ccnet_buckets", "px69_temperature_select",
-        "px79_repeat_mix")) {
+        "px79_repeat_mix", "px36_length_percentiles")) {
         val exec = SparkEntry.queries(q)(spark, sfTiny)
           .queryExecution.executedPlan
         val offenders = exec.collect {
