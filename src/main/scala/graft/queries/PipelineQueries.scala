@@ -39,10 +39,20 @@ object PipelineQueries {
     */
   private val MaxShingleDf = 1000
 
-  /** Duck CTEs: filtered token LIST per doc + distinct 3-token shingles. */
+  /** Duck CTEs: filtered token LIST per doc + distinct 3-token shingles.
+    *
+    * NULL text coalesces to '' so `tk` is always a (possibly empty)
+    * LIST — the [[TextOps.tokArrayCol]] convention (review r19): the
+    * Spark twins read `size(tk) = 0` for a NULL-text doc, while a bare
+    * `string_split_regex(NULL)` here made `tk` NULL and every direct
+    * `len(tk)` reader (the scrub summaries' n_tok) emitted NULL for
+    * the same doc. Explode-style consumers are unaffected —
+    * `unnest([])` and `unnest(NULL)` both produce zero rows.
+    */
   private val duckToksList =
     """tk AS (SELECT doc_id, list_filter(
-      |  string_split_regex(lower(text), '[^0-9a-z]+'), x -> x <> '') AS tk
+      |  string_split_regex(lower(coalesce(text, '')), '[^0-9a-z]+'),
+      |  x -> x <> '') AS tk
       |  FROM documents)""".stripMargin
   private val duckShingles =
     s"""$duckToksList,
@@ -267,6 +277,63 @@ object PipelineQueries {
     cb.groupBy(col("blk"), col("label").cast("long").as("code"))
       .agg(expr("transform(array_sort(collect_list(struct(i, c)))," +
         " s -> s.c)").as("centroid"))
+
+  /** Per-query ADC lookup table: squared distance from each probe
+    * query's sub-vector (the vid < 4 probe set) to every sub-centroid
+    * → (qid, blk, code, pd). |q|·blocks·|codebook| rows — broadcast by
+    * construction at any corpus size. ONE definition (review r19):
+    * px50/px51/px86 carried three verbatim copies of this block; an
+    * edit to the probe set or the distance form in one copy would
+    * silently desynchronize the other two gated queries — the drift
+    * class the r14 rm3Grid consolidation closed for IrQueries.
+    */
+  private def pqQueryLut(s: SparkSession, dir: String,
+                         cb: DataFrame): DataFrame =
+    pqBlocked(s, dir).filter(col("vid") < 4)
+      .select(col("vid").as("qid"), col("blk"), col("i"),
+        col("x").as("qx"))
+      .join(cb, Seq("blk", "i"))
+      .withColumn("d", expr("(qx - c) * (qx - c)"))
+      .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
+      .withColumnRenamed("label", "code")
+
+  /** The deterministic Lloyd-iteration building blocks shared by
+    * px34/px44/px76 (fixture seeds = the vectors with vid < 4, in
+    * EXPLODED (vid, i, x) long form; distances rounded BEFORE the
+    * argmin rank so cross-engine sum-order noise cannot flip an
+    * assignment tie). ONE definition (review r19): the three inline
+    * copies of the assign/seed/mean-update chain could silently
+    * diverge on a rounding or tie-break edit — the drift class the
+    * r16 nearestCentroidWinner consolidation closed in Ann. The
+    * parameterized production API is
+    * [[graft.pipeline.Ann.kmeansCentroids]];
+    * these stay the frozen oracle-twin shapes.
+    */
+  private def explodedEmb(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id").as("vid"),
+        posexplode(col("embedding")).as(Seq("i", "x0")))
+      .withColumn("x", col("x0").cast("double")).drop("x0")
+
+  /** One assignment round: nearest centroid per vid (round-then-rank,
+    * cid tiebreak). `cent` is (cid, i, c). */
+  private def lloydAssign(e: DataFrame, cent: DataFrame): DataFrame =
+    e.join(cent, Seq("i"))
+      .withColumn("d", expr("(x - c) * (x - c)"))
+      .groupBy("vid", "cid").agg(sum("d").as("dist2"))
+      .withColumn("r", expr(
+        "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
+      .filter(col("r") === 1).select("vid", "cid")
+
+  /** The fixture seed centroids: vectors vid < 4, cid = vid. */
+  private def lloydSeeds(e: DataFrame): DataFrame =
+    e.filter(col("vid") < 4)
+      .select(col("vid").as("cid"), col("i"), col("x").as("c"))
+
+  /** Mean update: per-(cid, i) means of the assigned vectors. */
+  private def lloydMeans(e: DataFrame, assigned: DataFrame): DataFrame =
+    e.join(assigned, Seq("vid"))
+      .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
 
   /** Spark dot product / squared norm of float arrays: NATIVE codegen'd
     * expressions (functions/VecOps.scala) with the same IEEE operation
@@ -624,6 +691,13 @@ object PipelineQueries {
         val e = Tables(s, dir, "embeddings").filter(col("vec_id") < 200)
           .select(col("vec_id"), col("embedding").as("emb"))
           .withColumn("nrm", expr(normExpr))
+          // zero-norm rule (review r19, the Ann.cosineTopK r14
+          // convention): an all-zero embedding has no defined cosine —
+          // unguarded, the zero divisor RAISES under the session's
+          // ANSI default and one padding row kills the whole query,
+          // while the DuckDB twin's x/0 = NULL silently drops the
+          // pair. Exclude explicitly on BOTH sides (oracle: HAVING).
+          .filter(col("nrm") > 0)
         val a = e.select(col("vec_id").as("a"), col("emb").as("ea"), col("nrm").as("na"))
         val b = e.select(col("vec_id").as("b"), col("emb").as("eb"), col("nrm").as("nb"))
         a.crossJoin(b).filter(col("a") < col("b"))
@@ -634,7 +708,8 @@ object PipelineQueries {
           .select("a", "b", "cos")
       },
       Some(s"""WITH e AS ${duckEmb("WHERE vec_id < 200")},
-              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid
+              |        HAVING sum(x * x) > 0),
               |dots AS (SELECT a.vid AS a, b.vid AS b, sum(a.x * b.x) AS dot
               |         FROM e a JOIN e b ON a.i = b.i AND a.vid < b.vid
               |         GROUP BY 1, 2),
@@ -654,6 +729,8 @@ object PipelineQueries {
         val e = Tables(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding").as("emb"))
           .withColumn("nrm", expr(normExpr))
+          // zero-norm rule — see px06 (ANSI raise vs oracle NULL-drop)
+          .filter(col("nrm") > 0)
         val q = e.filter(col("vec_id") < 20)
           .select(col("vec_id").as("qid"), col("emb").as("ea"), col("nrm").as("na"))
         val c = e.select(col("vec_id").as("vid"), col("emb").as("eb"), col("nrm").as("nb"))
@@ -666,7 +743,8 @@ object PipelineQueries {
           .select("qid", "vid", "cos", "rank")
       },
       Some(s"""WITH e AS ${duckEmb("")},
-              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid
+              |        HAVING sum(x * x) > 0),
               |q AS (SELECT * FROM e WHERE vid < 20),
               |dots AS (SELECT q.vid AS qid, c.vid AS vid, sum(q.x * c.x) AS dot
               |         FROM q JOIN e c ON q.i = c.i AND q.vid <> c.vid
@@ -742,7 +820,9 @@ object PipelineQueries {
           .withColumn("r",
             expr("row_number() OVER (PARTITION BY qid ORDER BY round(dist2, 6), label)"))
           .filter(col("r") === 1).select("qid", "label")
+        // zero-norm rule — see px06 (ANSI raise vs oracle NULL-drop)
         val nrm = e.groupBy("vid").agg(expr("sum(x * x)").as("nrm"))
+          .filter(col("nrm") > 0)
         val cand = lab.join(assign, Seq("label")).filter(col("vid") =!= col("qid"))
         val dots = cand.join(e, Seq("vid")).join(q, Seq("qid", "i"))
           .groupBy("qid", "vid").agg(expr("sum(qx * x)").as("dot"))
@@ -766,7 +846,8 @@ object PipelineQueries {
               |      row_number() OVER (PARTITION BY qid
               |        ORDER BY round(sum((qx - c) * (qx - c)), 6), label) AS r
               |    FROM q JOIN cent USING (i) GROUP BY qid, label) t WHERE r = 1),
-              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid),
+              |nrm AS (SELECT vid, sum(x * x) AS nrm FROM e GROUP BY vid
+              |        HAVING sum(x * x) > 0),
               |cand AS (SELECT qid, vid FROM lab JOIN assign USING (label)
               |         WHERE vid <> qid),
               |dots AS (SELECT c.qid, c.vid, sum(q.qx * e.x) AS dot
@@ -1322,22 +1403,8 @@ object PipelineQueries {
     Decl(
       "px34_kmeans_iter",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("vid"),
-            posexplode(col("embedding")).as(Seq("i", "x0")))
-          .withColumn("x", col("x0").cast("double")).drop("x0")
-        def assign(cent: DataFrame): DataFrame = e.join(cent, Seq("i"))
-          .withColumn("d", expr("(x - c) * (x - c)"))
-          .groupBy("vid", "cid").agg(sum("d").as("dist2"))
-          .withColumn("r", expr(
-            "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
-          .filter(col("r") === 1).select("vid", "cid")
-        val c0 = e.filter(col("vid") < 4)
-          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
-        val a1 = assign(c0)
-        val c1 = e.join(a1, Seq("vid"))
-          .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
-        assign(c1)
+        val e = explodedEmb(s, dir)
+        lloydAssign(e, lloydMeans(e, lloydAssign(e, lloydSeeds(e))))
       },
       Some(s"""WITH e AS ${duckEmb("")},
               |c0 AS (SELECT vid AS cid, i, x AS c FROM e WHERE vid < 4),
@@ -1456,21 +1523,31 @@ object PipelineQueries {
       (s, dir) =>
         Tables(s, dir, "documents")
           .withColumn("h", DetHash.h60(expr("CAST(doc_id AS STRING)")))
-          .withColumn("k",
-            expr("-ln((h + 1) / 1152921504606846976e0) / n_chars"))
+          // zero/NULL weight → +Infinity key (review r19): in E–S
+          // sampling a weight-0 item is NEVER selected (u^(1/w) → 0),
+          // which in the −ln(u)/w key form is key = +∞ — it sorts
+          // last in BOTH engines. Unguarded, the zero divisor RAISES
+          // under Spark's ANSI default while DuckDB's x/0 = NULL
+          // floats on engine-specific NULL ordering instead.
+          .withColumn("k", expr(
+            "CASE WHEN n_chars > 0" +
+              " THEN -ln((h + 1) / 1152921504606846976e0) / n_chars" +
+              " ELSE CAST('Infinity' AS DOUBLE) END"))
           .withColumn("r", expr(
             "row_number() OVER (PARTITION BY lang ORDER BY round(k, 9), doc_id)"))
           .filter(col("r") <= 5)
           .select(col("lang"), col("doc_id"), col("r"),
             expr("round(k, 6)").as("key")),
       Some(s"""SELECT lang, doc_id, r, round(k, 6) AS key FROM (
-              |  SELECT lang, doc_id,
-              |    -ln((${H("CAST(doc_id AS VARCHAR)")} + 1)
-              |        / 1152921504606846976e0) / n_chars AS k,
-              |    row_number() OVER (PARTITION BY lang ORDER BY
-              |      round(-ln((${H("CAST(doc_id AS VARCHAR)")} + 1)
-              |        / 1152921504606846976e0) / n_chars, 9), doc_id) AS r
-              |  FROM documents) t WHERE r <= 5""".stripMargin),
+              |  SELECT lang, doc_id, k,
+              |    row_number() OVER (PARTITION BY lang
+              |      ORDER BY round(k, 9), doc_id) AS r
+              |  FROM (SELECT lang, doc_id,
+              |          CASE WHEN n_chars > 0
+              |            THEN -ln((${H("CAST(doc_id AS VARCHAR)")} + 1)
+              |                 / 1152921504606846976e0) / n_chars
+              |            ELSE CAST('infinity' AS DOUBLE) END AS k
+              |        FROM documents) kk) t WHERE r <= 5""".stripMargin),
       survey = Seq("SAMPLE-WEIGHTED")),
 
     // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df) —
@@ -1698,18 +1775,8 @@ object PipelineQueries {
     Decl(
       "px44_semdedup",
       (s, dir) => {
-        val el = Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("vid"),
-            posexplode(col("embedding")).as(Seq("i", "x0")))
-          .withColumn("x", col("x0").cast("double")).drop("x0")
-        val c0 = el.filter(col("vid") < 4)
-          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
-        val a1 = el.join(c0, Seq("i"))
-          .withColumn("d", expr("(x - c) * (x - c)"))
-          .groupBy("vid", "cid").agg(sum("d").as("dist2"))
-          .withColumn("r", expr(
-            "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
-          .filter(col("r") === 1).select("vid", "cid")
+        val el = explodedEmb(s, dir)
+        val a1 = lloydAssign(el, lloydSeeds(el))
         val arr = Tables(s, dir, "embeddings")
           .select(col("vec_id").as("vid"), col("embedding").as("emb"))
           .withColumn("nrm", expr(normExpr))
@@ -1719,6 +1786,13 @@ object PipelineQueries {
         val b = arr.select(col("cid"), col("vid").as("v2"),
           col("emb").as("eb"), col("nrm").as("nb"))
         val dropped = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
+          // zero-norm rule on the PAIRING only (review r19; the
+          // Dedup.semDedup r14 convention): an all-zero embedding has
+          // no defined cosine — unguarded, the zero divisor RAISES
+          // under ANSI, while the oracle's x/0 = NULL already fails
+          // its >= threshold. The verdict base below stays UNfiltered,
+          // so a zero-norm doc is kept (keep = 1), never dropped.
+          .filter(col("na") > 0 && col("nb") > 0)
           .withColumn("cos", expr(s"round($dotExpr / (sqrt(na) * sqrt(nb)), 6)"))
           .filter(col("cos") >= expr("4e-1"))
           .select(col("v2").as("vid")).distinct()
@@ -1975,13 +2049,7 @@ object PipelineQueries {
       (s, dir) => {
         val cb = pqCodebook(s, dir)
         // 4 query vectors (vid < 4, px44's probe set)
-        val lut = pqBlocked(s, dir).filter(col("vid") < 4)
-          .select(col("vid").as("qid"), col("blk"), col("i"),
-            col("x").as("qx"))
-          .join(cb, Seq("blk", "i"))
-          .withColumn("d", expr("(qx - c) * (qx - c)"))
-          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
-          .withColumnRenamed("label", "code")
+        val lut = pqQueryLut(s, dir, cb)
         pqCodes(s, dir, cb)
           .join(broadcast(lut), Seq("blk", "code"))
           .groupBy("qid", "vid")
@@ -2049,10 +2117,7 @@ object PipelineQueries {
           .withColumn("r", expr(
             "row_number() OVER (PARTITION BY qid ORDER BY round(dist2, 6), label)"))
           .filter(col("r") <= 2).select("qid", "label")
-        val lut = q.join(cb, Seq("blk", "i"))
-          .withColumn("d", expr("(qx - c) * (qx - c)"))
-          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
-          .withColumnRenamed("label", "code")
+        val lut = pqQueryLut(s, dir, cb)
         val cand = lab.join(assign, Seq("label"))
           .filter(col("vid") =!= col("qid")).select("qid", "vid")
         cand.join(pqCodes(s, dir, cb), Seq("vid"))
@@ -2467,7 +2532,7 @@ object PipelineQueries {
               |g AS (SELECT doc_id,
               |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep FROM gm),
               |kp AS (SELECT min(doc_id) AS doc_id FROM documents
-              |       GROUP BY md5(text)),
+              |       GROUP BY md5(coalesce(text, ''))),
               |dl AS (${TextOps.duckDocLengths}),
               |j AS (SELECT d.doc_id, d.source, l.pred_lang, g.keep,
               |        CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS uniq,
@@ -2677,7 +2742,7 @@ object PipelineQueries {
               |    ${graft.pipeline.TextMetrics.gopherKeepExpr} AS keep FROM gm),
               |kp AS (SELECT min(c.doc_id) AS doc_id FROM corpus c
               |       JOIN g ON g.doc_id = c.doc_id AND g.keep = 1
-              |       GROUP BY md5(c.text)),
+              |       GROUP BY md5(coalesce(c.text, ''))),
               |$duckToksList,
               |s5 AS (SELECT doc_id, unnest(list_transform(
               |    generate_series(1, greatest(len(tk) - 4, 0)),
@@ -3011,27 +3076,14 @@ object PipelineQueries {
     Decl(
       "px76_cluster_balanced_mix",
       (s, dir) => {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("vid"),
-            posexplode(col("embedding")).as(Seq("i", "x0")))
-          .withColumn("x", col("x0").cast("double")).drop("x0")
-        def assign(cent: org.apache.spark.sql.DataFrame) =
-          e.join(cent, Seq("i"))
-            .withColumn("d", expr("(x - c) * (x - c)"))
-            .groupBy("vid", "cid").agg(sum("d").as("dist2"))
-            .withColumn("r", expr(
-              "row_number() OVER (PARTITION BY vid ORDER BY round(dist2, 6), cid)"))
-            .filter(col("r") === 1).select("vid", "cid")
-        val c0 = e.filter(col("vid") < 4)
-          .select(col("vid").as("cid"), col("i"), col("x").as("c"))
-        val c1 = e.join(assign(c0), Seq("vid"))
-          .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
+        val e = explodedEmb(s, dir)
+        val c1 = lloydMeans(e, lloydAssign(e, lloydSeeds(e)))
         // the label chain (two assignment rounds of joins + window)
         // is consumed THREE times inside temperatureSample (quota
         // table, slim histogram frame, final selection scan) — the
         // px27/§0h lesson: lazily checkpoint the aggregation subtree
         // once instead of recomputing it per consumer
-        val labels = assign(c1).localCheckpoint(false)
+        val labels = lloydAssign(e, c1).localCheckpoint(false)
         graft.pipeline.Sharding
           .temperatureSample(labels, langCol = "cid", idCol = "vid")
           .groupBy("cid")
@@ -3499,13 +3551,7 @@ object PipelineQueries {
       "px86_adc_refine",
       (s, dir) => {
         val cb = pqCodebook(s, dir)
-        val lut = pqBlocked(s, dir).filter(col("vid") < 4)
-          .select(col("vid").as("qid"), col("blk"), col("i"),
-            col("x").as("qx"))
-          .join(cb, Seq("blk", "i"))
-          .withColumn("d", expr("(qx - c) * (qx - c)"))
-          .groupBy("qid", "blk", "label").agg(sum("d").as("pd"))
-          .withColumnRenamed("label", "code")
+        val lut = pqQueryLut(s, dir, cb)
         val adcTopR = pqCodes(s, dir, cb)
           .join(broadcast(lut), Seq("blk", "code"))
           .groupBy("qid", "vid")

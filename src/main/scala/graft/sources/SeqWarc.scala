@@ -24,6 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`ClueWebRunQueries.java:176-200` keys its output on the
   * `WARC-TREC-ID` metadata item); it is ignored here.
   *
+  * Content DECODE is UTF-8 — the reference consumer's own semantics
+  * (`ClueWebRunQueries.java:181` reads every record through
+  * `WarcRecord.getContentUTF8`, `WarcRecord.java:485-491`). This is a
+  * deliberate DIVERGENCE from the raw-WARC scan ([[Warc]]), which
+  * decodes ISO-8859-1 for byte transparency: the two paths model
+  * different contracts — [[Warc]] parses raw crawl containers where
+  * Content-Length byte math must stay valid, while this source
+  * ingests the reference's already-cooked pipeline format exactly as
+  * the reference's own jobs read it. Non-UTF-8 bytes in a legacy
+  * payload become replacement chars here, as they do in the
+  * reference.
+  *
   * The read path goes through `SequenceFileAsBinaryInputFormat`, which
   * hands over raw record payloads WITHOUT instantiating the declared
   * value class — so files whose headers name

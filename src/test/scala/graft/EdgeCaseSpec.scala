@@ -251,4 +251,76 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sp.forall { case (f, s) => (s == "val") == (f >= 3) },
       sp.mkString(","))
   }
+
+  test("gated queries survive zero-norm embeddings, NULL text, and " +
+    "zero-weight docs (review r19)") {
+    // A corpus with the degenerate rows a 100 TB pipeline meets daily:
+    // all-zero embeddings (padding/dead docs) and NULL/empty text.
+    // Before r19, the inline cosine kernels in px06/07/09/44 raised
+    // ANSI DIVIDE_BY_ZERO on the first zero-norm pair, and px37's
+    // Efraimidis–Spirakis key did the same on n_chars = 0 — one bad
+    // row killed the whole query while the DuckDB oracle kept running.
+    val dirF = java.nio.file.Files
+      .createTempDirectory("graft-degenerate").toFile
+    dirF.deleteOnExit()
+    val dir = dirF.getAbsolutePath
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    // zero-norm at vids 5, 10, 17 (all inside the vid < 20 probe sets
+    // AND the candidate sides)
+    val emb = (0L until 30L).map { v =>
+      val e = if (v == 5L || v == 10L || v == 17L) Array.fill(8)(0f)
+              else vec(v.toInt)
+      (v, e, (v % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    emb.repartition(1).write.parquet(s"$dir/embeddings.parquet")
+    val docs = ((0L until 12L).map { d =>
+      val txt = "alpha beta gamma delta " + rnd.nextInt(100)
+      (d, txt, "en", "web", txt.length.toLong)
+    } ++ Seq(
+      (12L, null.asInstanceOf[String], "en", "web", 0L), // NULL text
+      (13L, "", "en", "web", 0L)))                       // zero weight
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.repartition(1).write.parquet(s"$dir/documents.parquet")
+
+    def run(name: String) = SparkEntry.queries(name)(spark, dir)
+
+    // cosine kernels: complete, and no zero-norm id appears in a pair
+    val zeroIds = Set(5L, 17L, 10L)
+    val p6 = run("px06_embed_dups")
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(p6.nonEmpty &&
+      p6.forall { case (a, b) => !zeroIds(a) && !zeroIds(b) })
+    val p7 = run("px07_cosine_topk")
+      .select("qid", "vid").as[(Long, Long)].collect()
+    assert(p7.nonEmpty &&
+      p7.forall { case (q, v) => !zeroIds(q) && !zeroIds(v) })
+    assert(run("px09_ivf_topk").count() > 0)
+    // semDedup verdict: zero-norm docs sit OUT the pairing but are
+    // KEPT in the verdict (the Dedup.semDedup r14 rule)
+    val p44 = run("px44_semdedup")
+      .select("vid", "keep").as[(Long, Int)].collect().toMap
+    assert(p44.size == 30 && zeroIds.forall(p44(_) == 1))
+    // E-S weighted sample: the zero-weight docs (12, 13) are never
+    // selected — their key is +Infinity, ranked past every real doc
+    val p37 = run("px37_weighted_sample")
+      .select("doc_id").as[Long].collect()
+    assert(p37.length == 5 && !p37.contains(12L) && !p37.contains(13L))
+    // scrub summary treats NULL text as ZERO tokens, not NULL
+    // (tokArrayCol convention; the oracle's duckToksList now matches)
+    val p72 = run("px72_exact_substr_dedup")
+      .filter(col("doc_id") === 12L)
+      .select("clean_text", "n_kept", "n_removed")
+      .as[(String, Long, Long)].collect()
+    assert(p72.sameElements(Array(("", 0L, 0L))))
+    // exact-dedup composition: NULL text and '' text land in ONE
+    // md5(coalesce) group (the exactKeepers contract px60/px66's
+    // oracles now share)
+    val p60 = run("px60_curation_e2e")
+    assert(p60.count() > 0)
+  }
 }
