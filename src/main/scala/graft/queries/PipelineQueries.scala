@@ -1785,15 +1785,19 @@ object PipelineQueries {
           col("emb").as("ea"), col("nrm").as("na"))
         val b = arr.select(col("cid"), col("vid").as("v2"),
           col("emb").as("eb"), col("nrm").as("nb"))
+        // zero-norm rule on the PAIRING only (review r19; the
+        // Dedup.semDedup r14 convention): an all-zero embedding has no
+        // defined cosine — unguarded, the zero divisor RAISES under
+        // ANSI. nullif makes the cosine NULL instead, which fails the
+        // >= threshold — EXACTLY the oracle's x/0 = NULL semantics —
+        // and, unlike a na/nb > 0 filter, adds no join-side predicate
+        // for pushdown to specialize the two arr subtrees apart
+        // (measured: the filter form broke the self-join's exchange
+        // reuse, 0.8 → 1.8 s). The verdict base below stays
+        // UNfiltered, so a zero-norm doc is kept (keep = 1).
         val dropped = a.join(b, Seq("cid")).filter(col("v1") < col("v2"))
-          // zero-norm rule on the PAIRING only (review r19; the
-          // Dedup.semDedup r14 convention): an all-zero embedding has
-          // no defined cosine — unguarded, the zero divisor RAISES
-          // under ANSI, while the oracle's x/0 = NULL already fails
-          // its >= threshold. The verdict base below stays UNfiltered,
-          // so a zero-norm doc is kept (keep = 1), never dropped.
-          .filter(col("na") > 0 && col("nb") > 0)
-          .withColumn("cos", expr(s"round($dotExpr / (sqrt(na) * sqrt(nb)), 6)"))
+          .withColumn("cos", expr(
+            s"round($dotExpr / nullif(sqrt(na) * sqrt(nb), 0e0), 6)"))
           .filter(col("cos") >= expr("4e-1"))
           .select(col("v2").as("vid")).distinct()
         // verdict base reuses the a-side projection — arr appears in
