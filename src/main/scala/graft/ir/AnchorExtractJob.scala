@@ -47,7 +47,19 @@ object AnchorExtractJob {
     */
   def pages(warc: Dataset[WarcDoc]): DataFrame = {
     import warc.sparkSession.implicits._
-    warc.filter((d: WarcDoc) => d.recordType == "response")
+    // marker-less pages DROP (review r19): on a crawl without
+    // WARC-TREC-ID headers (any non-ClueWeb WARC) the accessor
+    // returns "" and every page used to collapse onto docid "" — one
+    // giant pseudo-document after the downstream doc_id keying. The
+    // reference's reducer guards the same way (`found && trecId != ""`,
+    // `AnchorExtract.java:219`): a page whose marker never arrived is
+    // not emitted. (Its mapper can still emit the literal string
+    // "null" for an absent header via Java string concat — an
+    // accident of reference equality we do not reproduce, the NPMI
+    // divergence convention.) A URI-less response likewise has no
+    // join key and drops.
+    warc.filter((d: WarcDoc) => d.recordType == "response" &&
+        d.trecId.nonEmpty && d.targetUri.nonEmpty)
       .map(d => (Html.normalizePageUrl(d.targetUri), d.trecId))
       .toDF("url", "trecid")
   }
@@ -66,9 +78,10 @@ object AnchorExtractJob {
     * `StringBuilder.length()` cap — `AnchorExtract.java:71,197` — not
     * bytes).
     *
-    * LAZY composition: [[glue]] scans its anchor input twice (its
-    * scaladoc'd cost shape), and here that input is the WARC parse +
-    * HTML extraction. An ACTION site should parse once and persist —
+    * LAZY composition: [[glue]] scans its anchor input THREE times
+    * (hub totals + the two route branches; its scaladoc'd cost
+    * shape), and here that input is the WARC parse + HTML extraction.
+    * An ACTION site should parse once and persist —
     * `Jobs.anchorExtract` does exactly that; this method stays lazy
     * for callers that compose further (the `loadDocs("warc:")`
     * loader).
@@ -120,11 +133,17 @@ object AnchorExtractJob {
     * A/B'd at 2.3M anchors: ~1.7× slower than the direct agg when the
     * hub still fits memory (`probes/anchorcap.log`) — the split keeps
     * the common case at direct-agg speed and the hub case bounded.
-    * Cost shape: the totals pass plus the route-and-aggregate pass
-    * scan `anchorRows` twice (both map-side combined — the shuffles
-    * move per-url partials, not raw anchors); a caller whose anchor
-    * frame is expensive to recompute (e.g. derived from a WARC parse)
-    * can persist it across the two.
+    * Cost shape: THREE scans of `anchorRows` (review r19, correcting
+    * the former "twice" — Jobs.scala's persist note had it right):
+    * one for the hub totals (shared with the guard via the reused
+    * groupBy exchange) and one per route branch of the union — the
+    * under-cap direct agg and the over-cap window cut each rescan the
+    * stream side of their broadcast join, and no exchange exists
+    * below those filters for ReusedExchange to merge. All three are
+    * map-side combined (the shuffles move per-url partials, not raw
+    * anchors); a caller whose anchor frame is expensive to recompute
+    * (e.g. derived from a WARC parse) must persist it across the
+    * three — `Jobs.anchorExtract` does.
     */
   def glue(anchorRows: DataFrame, maxChars: Int,
            maxHubUrls: Long = 1L << 20): DataFrame = {

@@ -15,8 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale: the index write is one tokenize+aggregate pass; retrieval
   * from the index skips re-tokenization entirely (explode of the map
   * column is cheaper than regex-splitting raw text and prunes to the
-  * `dv` column at the parquet scan). Partition the write by a stable
-  * doc-id hash for co-located joins at 100 TB.
+  * `dv` column at the parquet scan). The write's `buckets` knob is a
+  * FILE-SIZING control only (review r19, correcting an over-claim):
+  * `repartition(buckets, doc_id)` shapes file count and contents, but
+  * plain parquet stores no bucketing metadata — a reader's joins on
+  * doc_id still shuffle. Co-located joins at 100 TB need a
+  * metastore-backed `bucketBy(...).sortBy(...).saveAsTable` layout
+  * (catalog-dependent; out of scope for a path-addressed library).
   */
 object Index {
 
@@ -107,8 +112,13 @@ object Index {
       //    slice) — a layout detail: consumers explode and union
       //    shards, arrays stay sorted within each shard, and
       //    IndexSpec's scan-path equivalence pins the semantics.
-      val offs = tf
-        .withColumn("_ix_sl", pmod(xxhash64(col("doc_id")), lit(IxSlices)))
+      // the slice id is computed ONCE (review r19): the offset join's
+      // alignment rests on both sides deriving the IDENTICAL slice of
+      // each row — one `sliced` frame makes that invariant structural
+      // instead of two textually-duplicated expressions
+      val sliced = tf.withColumn("_ix_sl",
+        pmod(xxhash64(col("doc_id")), lit(IxSlices)))
+      val offs = sliced
         .groupBy(col("term").as("_ix_t"), col("_ix_sl").as("_ix_p"))
         .agg(count(lit(1)).as("_ix_c"), sum("tf").as("_ix_cfp"))
         .withColumn("_ix_off", coalesce(sum("_ix_c").over(
@@ -119,7 +129,7 @@ object Index {
         .withColumn("cf",
           sum("_ix_cfp").over(Window.partitionBy("_ix_t")))
         .select("_ix_t", "_ix_p", "_ix_off", "df", "cf")
-      tf.withColumn("_ix_sl", pmod(xxhash64(col("doc_id")), lit(IxSlices)))
+      sliced
         .join(offs, col("term") === col("_ix_t") &&
           col("_ix_sl") === col("_ix_p"))
         .withColumn("_ix_lrk", row_number().over(
@@ -199,7 +209,7 @@ object Index {
       .select(col("term"), col("df"), col("cf"),
         col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
     val dl = spark.read.parquet(s"$path/doclen")
-    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+    val qlen = Retrieval.qlenOf(q) // one definition, review r19
     val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
     // part -> gate -> rank is Retrieval.scoreMatched VERBATIM (review
     // r14: this block was copy-pasted four times across the scorers —
@@ -220,15 +230,17 @@ object Index {
                      finalExpr: String, conjunctive: Boolean, k: Int): DataFrame = {
     val tf = dv.select(col("doc_id"), explode(col("dv")).as(Seq("term", "tf")))
     val dl = dv.select(col("doc_id"), col("len").as("dl"))
-    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    // df/cf from the SAME exploded frame the scorer scans (review r14:
-    // termStats(dv) exploded the map column a second time — two
-    // independent index scans per query batch, the duplicated-subtree
-    // shape matchedTermsFromTf's own comment warns about); semantics
-    // identical — tf has one row per (doc, term), so count(*) = df
-    val tstats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .join(q.select("term").distinct(), Seq("term"), "left_semi")
+    val qlen = Retrieval.qlenOf(q) // one definition, review r19
+    // df/cf from the SAME exploded frame the scorer scans — ONE
+    // definition of tf, so the stats and the matched rows can never
+    // disagree (semantics: tf has one row per (doc, term), so
+    // count(*) = df). Honest cost note (review r19, correcting the
+    // r14 claim of a saved scan): the tstats aggregation and the
+    // matched-join consumer share NO exchange boundary below this
+    // point, so the physical plan still scans the index parquet twice
+    // per query batch — callers batching many queries should persist
+    // `dv`; the shared frame buys definitional consistency, not I/O.
+    val tstats = Retrieval.tstatsFor(tf, q)
     val cs = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("n_tokens"))
     Retrieval.scoreMatched(
       tf.join(broadcast(q), Seq("term"))

@@ -151,10 +151,8 @@ object Retrieval {
     // conditions). At 100 TB this whole debate is moot: tf+dl are the
     // materialized doc-vector index (ir/Index.scala, scoreFromIndex) —
     // the sequential-scan path is reference parity, not deployment.
-    val qlen = q.groupBy("qid").agg(count(lit(1)).as("qlen"))
-    val tstats = tf.groupBy("term")
-      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
-      .join(q.select("term").distinct(), Seq("term"), "left_semi")
+    val qlen = qlenOf(q)
+    val tstats = tstatsFor(tf, q)
     // n_docs = docs with ≥1 token, n_tokens = Σ tf (long sums:
     // order-independent, exact)
     val cs = tf.agg(countDistinct(col(idCol)).as("n_docs"),
@@ -165,6 +163,25 @@ object Retrieval {
       .join(broadcast(qlen), Seq("qid"))
       .crossJoin(broadcast(cs))
   }
+
+  /** ONE definition of the per-query term count (review r19: this
+    * one-liner existed verbatim here and in both Index scorers — a
+    * qlen-convention change, e.g. deduping repeated query terms,
+    * would have had to land in three places or the index and
+    * sequential-scan paths silently diverge on the conjunctive gate).
+    */
+  private[graft] def qlenOf(q: DataFrame): DataFrame =
+    q.groupBy("qid").agg(count(lit(1)).as("qlen"))
+
+  /** ONE definition of the query-pruned per-term df/cf stats (same
+    * r19 consolidation; shared by the sequential scan and
+    * [[Index.scoreFromIndex]] — the inverted layout carries its stats
+    * precomputed on the postings rows instead).
+    */
+  private[graft] def tstatsFor(tf: DataFrame, q: DataFrame): DataFrame =
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .join(q.select("term").distinct(), Seq("term"), "left_semi")
 
   /** [[matchedTermsFor]] bound to the testdata corpus + [[querySet]]. */
   def matchedTerms(spark: SparkSession, sfDir: String): DataFrame = {

@@ -74,7 +74,12 @@ object Ann {
     * with meaningless rows. They are excluded on both sides —
     * a zero-norm corpus vector is never a neighbor, a zero-norm query
     * gets no result rows (same rule in [[ivfTopK]] /
-    * [[ivfTopKPartitioned]]).
+    * [[ivfTopKPartitioned]]). NaN-norm vectors (a NaN/Inf element from
+    * an upstream normalize) fall under the SAME rule (review r19):
+    * Spark's comparison semantics order NaN ABOVE every value, so an
+    * unguarded NaN passed `> 0`, its NaN cosine outranked every real
+    * neighbor in the DESC window, and one poisoned vector topped
+    * every query's results silently.
     *
     * NULL-cos pairs (a dim-MISMATCHED corpus/query pair zip_withs to
     * null padding and `dot_f64` goes NULL — the other undefined-cosine
@@ -96,14 +101,14 @@ object Ann {
                  embCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0 && !isnan(col("cn")))
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
-      .filter(col("qn") > 0)
+      .filter(col("qn") > 0 && !isnan(col("qn")))
     c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
-      .filter(col("cos").isNotNull) // undefined-cosine rule, see above
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // undefined-cosine rule, see above
       // round-then-rank: stable ordering under FP noise, vid tiebreak
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
@@ -117,6 +122,15 @@ object Ann {
     * to be broadcast. Build-phase op: runs in exploded long form so the
     * mean update is one keyed aggregation (no elementwise array agg
     * exists, and the build runs once per index, not per query).
+    *
+    * @note like [[pqTrain]], a cluster that loses every member during
+    *       a Lloyd iteration drops OUT of the result (fewer than
+    *       kClusters rows) rather than resurfacing at a stale
+    *       position — the seed guard protects the SEEDING arithmetic,
+    *       not the iterated count. Consumers treating the returned
+    *       rows as the cluster universe (ivfTopK, the partitioned
+    *       layout) stay correct on a shrunken result; train with
+    *       kClusters ≪ n to avoid it.
     */
   def kmeansCentroids(corpus: DataFrame, kClusters: Int, iters: Int,
                       idCol: String = "vec_id",
@@ -124,7 +138,16 @@ object Ann {
                       allowFewer: Boolean = false): DataFrame = {
     val e = corpus
       .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
-      .withColumn("x", col("x0").cast("double")).drop("x0")
+      // loud on a NULL ELEMENT (review r19): the exploded form's
+      // sum('d') silently SKIPS NULL dims — a vector with one NULL
+      // element would get a truncated, underestimated dist2 and a
+      // possibly-wrong assignment with no error, while the zip_with
+      // paths raise. (A NULL embedding COLUMN still explodes to zero
+      // rows and sits out, the nullIntolerant convention.)
+      .withColumn("x", when(col("x0").isNotNull, col("x0").cast("double"))
+        .otherwise(expr("CAST(raise_error(concat('kmeansCentroids: NULL " +
+          "element in embedding of vid ', CAST(vid AS STRING))) AS DOUBLE)")))
+      .drop("x0")
     // round-then-rank (repo determinism rule, as in px34): dist2 is a
     // parallel double sum; ranking the rounded value keeps assignments
     // stable across partitionings, the cid tiebreak settles exact ties.
@@ -157,10 +180,16 @@ object Ann {
           s"seed, got $nSeeds (allowFewer opts into the every-vector-" +
           s"its-own-cluster shrink)")
     }
+    // seed-init aggregates per (cid, i) — review r19: duplicate-ID
+    // rows with different embeddings would otherwise put SEVERAL
+    // centroid rows under one (cid, i), and the first assign round's
+    // sum(d) would charge each vector the distance to ALL of them
+    // (~2× every other cid's scale). The mean matches the update
+    // step's own shape; for unique ids it is the identity.
     var cent = e.join(broadcast(seedIds), Seq("vid"))
       .withColumn("cid",
         expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))
-      .select(col("cid"), col("i"), col("x").as("c"))
+      .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
     for (_ <- 1 to iters)
       cent = e.join(assign(cent), Seq("vid"))
         .groupBy("cid", "i").agg(expr("sum(x) / count(x)").as("c"))
@@ -236,7 +265,7 @@ object Ann {
                          embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
-      .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
+      .filter(col("qn") > 0 && !isnan(col("qn"))) // zero/NaN-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -250,11 +279,11 @@ object Ann {
       .filter(col("cid").isin(probedCids: _*))
       .select(col("vid"), col("ve").as("ce"), col("cid"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0 && !isnan(col("cn")))
       .join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
-      .filter(col("cos").isNotNull) // undefined-cosine rule, see cosineTopK
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // undefined-cosine rule, see cosineTopK
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)
@@ -308,13 +337,21 @@ object Ann {
     // dim guard PER ROW (the PQ fail-fast convention, but rows can
     // disagree with each other): a mismatched vector would zip_with
     // into null padding and poison the fold to NULL silently — it
-    // raises instead. NULL embeddings stay NULL rows (nullIntolerant
-    // convention), they never trip the guard.
-    val guarded = when(col(embCol).isNull.or(size(col(embCol)) === dIn),
-      col(embCol)).otherwise(expr(
-      s"""CAST(raise_error(concat('randomProject: vector dim ',
-         |  CAST(size($embCol) AS STRING), ' != dIn $dIn'))
-         |  AS ARRAY<FLOAT>)""".stripMargin))
+    // raises instead. A NULL ELEMENT inside a correctly-sized vector
+    // raises too (review r19): it would otherwise NULL every per-dim
+    // fold and emit a NON-NULL proj of dOut NULL elements — exactly
+    // the shape the comment below says downstream isNull checks miss.
+    // NULL embeddings stay NULL rows (nullIntolerant convention),
+    // they never trip either guard.
+    val guarded = when(col(embCol).isNull, col(embCol))
+      .when(size(col(embCol)) =!= dIn, expr(
+        s"""CAST(raise_error(concat('randomProject: vector dim ',
+           |  CAST(size($embCol) AS STRING), ' != dIn $dIn'))
+           |  AS ARRAY<FLOAT>)""".stripMargin))
+      .when(expr(s"exists($embCol, x -> x IS NULL)"), expr(
+        s"CAST(raise_error('randomProject: NULL element in a " +
+          s"$dIn-dim vector') AS ARRAY<FLOAT>)"))
+      .otherwise(col(embCol))
     // a NULL embedding yields a genuinely NULL proj COLUMN VALUE, not
     // an array of dOut NULL elements (which the per-dim folds would
     // otherwise produce — downstream proj.isNull checks would miss
@@ -334,8 +371,20 @@ object Ann {
     val cb = codebook
       .agg(max(col("blk")).as("mb"), max(size(col("centroid"))).as("sd"))
       .head()
+    // loud-with-context guards (review r19): an empty codebook makes
+    // both max() aggregates NULL and an empty/NULL-embedding probe
+    // row used to die in a bare NPE/NoSuchElement with no mention of
+    // the actual problem — the file's loud-error convention applies
+    // to the probes too.
+    require(!cb.isNullAt(0) && !cb.isNullAt(1),
+      s"$who: EMPTY codebook — nothing to encode against")
     val expected = (cb.getLong(0) + 1L) * cb.getInt(1)
-    val d = df.select(size(col(embCol))).head().getInt(0)
+    val probe = df.select(size(col(embCol)).as("sz")).limit(1).collect()
+    require(probe.nonEmpty, s"$who: empty input frame — no vectors")
+    require(!probe.head.isNullAt(0),
+      s"$who: first row's $embCol is NULL — cannot infer the vector dim" +
+        " (filter NULL embeddings out before encoding)")
+    val d = probe.head.getInt(0)
     require(d.toLong == expected,
       s"$who: vector dim $d != codebook blocks*subDim $expected")
   }
@@ -409,7 +458,12 @@ object Ann {
     val subDim = dim / blocks
     val ex = sample
       .select(col(idCol).as("vid"), posexplode(col(embCol)).as(Seq("i", "x0")))
-      .withColumn("x", col("x0").cast("double")).drop("x0")
+      // loud on a NULL element — the kmeansCentroids r19 guard: the
+      // exploded sum('d') silently skips NULL dims otherwise
+      .withColumn("x", when(col("x0").isNotNull, col("x0").cast("double"))
+        .otherwise(expr("CAST(raise_error(concat('pqTrain: NULL element " +
+          "in embedding of vid ', CAST(vid AS STRING))) AS DOUBLE)")))
+      .drop("x0")
       .withColumn("blk", expr(s"CAST(i div $subDim AS BIGINT)"))
     def assign(cent: DataFrame): DataFrame = ex.join(broadcast(cent), Seq("blk", "i"))
       .withColumn("d", expr("(x - c) * (x - c)"))
@@ -417,16 +471,24 @@ object Ann {
       .withColumn("r", expr(
         "row_number() OVER (PARTITION BY vid, blk ORDER BY round(dist2, 6), code)"))
       .filter(col("r") === 1).select("vid", "blk", "code")
-    val seedIds = sample.select(col(idCol).as("vid"))
+    // distinct FIRST (review r19, the kmeansCentroids rule finally
+    // ported here): dense_rank mints codes from distinct id VALUES,
+    // so a duplicate-id sample used to pass the row-count guard while
+    // seeding FEWER than kCodes codes — a silently shrunken codebook.
+    val seedIds = sample.select(col(idCol).as("vid")).distinct()
       .orderBy("vid").limit(kCodes)
     val nSeeds = seedIds.count()
     require(nSeeds == kCodes,
-      s"pqTrain needs >= $kCodes sample vectors to seed, got $nSeeds")
+      s"pqTrain needs >= $kCodes distinct-id sample vectors to seed, " +
+        s"got $nSeeds")
+    // seed-init aggregates per (blk, code, i) — duplicate-id rows
+    // would otherwise stack several centroid values under one code
+    // (the kmeansCentroids r19 fix); identity for unique ids
     var cent = ex.join(broadcast(
         seedIds.withColumn("code",
           expr("dense_rank() OVER (ORDER BY vid) - 1").cast("long"))),
         Seq("vid"))
-      .select(col("blk"), col("code"), col("i"), col("x").as("c"))
+      .groupBy("blk", "code", "i").agg(expr("sum(x) / count(x)").as("c"))
     for (_ <- 1 to iters)
       cent = ex.join(assign(cent), Seq("vid", "blk"))
         .groupBy("blk", "code", "i").agg(expr("sum(x) / count(x)").as("c"))
@@ -748,13 +810,14 @@ object Ann {
       // pqTrain's orderBy(id) rule on the same sample); non-numeric
       // ids order by their own type's comparator, same as pqTrain.
       .orderBy(col(idCol), xxhash64(col(embCol)))
-      .select(col(idCol).cast("string").as("id"),
-        expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
+      // the id orders the sample but is never read back — projecting
+      // it away saves collecting maxSample unused strings (review r19)
+      .select(expr(s"transform($embCol, x -> CAST(x AS DOUBLE))").as("e"))
       .limit(maxSample + 1).collect()
     require(rows.length <= maxSample,
       s"opqTrainRotation: training sample exceeds maxSample=$maxSample " +
         "— pass a bounded sample (the codebook contract), not a corpus")
-    val e = rows.map(_.getSeq[Double](1).toArray)
+    val e = rows.map(_.getSeq[Double](0).toArray)
     val n = e.length
     require(n > 0, "opqTrainRotation: empty training sample")
     val d = e.head.length
@@ -911,7 +974,7 @@ object Ann {
               embCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qe"))
       .withColumn("qn", expr("sqrt(norm2_f64(qe))"))
-      .filter(col("qn") > 0) // zero-norm rule, see cosineTopK
+      .filter(col("qn") > 0 && !isnan(col("qn"))) // zero/NaN-norm rule, see cosineTopK
     val probes = q.crossJoin(broadcast(centroids))
       .withColumn("d2", expr(l2sq("qe", "centroid")))
       .withColumn("pr",
@@ -921,12 +984,12 @@ object Ann {
       .select("qid", "qe", "qn", "cid")
     val c = corpus.select(col(idCol).as("vid"), col(embCol).as("ce"))
       .withColumn("cn", expr("sqrt(norm2_f64(ce))"))
-      .filter(col("cn") > 0)
+      .filter(col("cn") > 0 && !isnan(col("cn")))
       .join(assignment, Seq("vid"))
     c.join(broadcast(probes), Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", expr("dot_f64(qe, ce) / (qn * cn)"))
-      .filter(col("cos").isNotNull) // undefined-cosine rule, see cosineTopK
+      .filter(col("cos").isNotNull && !isnan(col("cos"))) // undefined-cosine rule, see cosineTopK
       .withColumn("rank", expr(
         "row_number() OVER (PARTITION BY qid ORDER BY round(cos, 9) DESC, vid)"))
       .filter(col("rank") <= k)

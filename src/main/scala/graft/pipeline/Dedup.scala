@@ -59,6 +59,21 @@ object Dedup {
     * shingles ⇒ no near-dup signal; minhashWide drops them too).
     */
   def minhashWideNarrow(docs: DataFrame): DataFrame = {
+    // reserved-name refusal (review r19, the Sharding.epochAssign
+    // convention): an input column named _mh_sh/_mh_hh would still be
+    // silently OVERWRITTEN by the withColumns below and the internal
+    // value re-selected as the user's column through the passthrough;
+    // an input m0..m15 would collide with the signature output and
+    // break the downstream bandSigs split. Refuse loudly instead.
+    {
+      val reserved = docs.columns.filter(c =>
+        c.equalsIgnoreCase("_mh_sh") || c.equalsIgnoreCase("_mh_hh") ||
+          (0 until 16).exists(i => c.equalsIgnoreCase(s"m$i")))
+      require(reserved.isEmpty,
+        s"minhashWideNarrow reserves columns m0..m15/_mh_sh/_mh_hh for " +
+          s"the signature output; the input already carries " +
+          s"${reserved.mkString(", ")} — rename first")
+    }
     // _mh_-prefixed internals (review r18): the bare names sh/hh
     // silently OVERWROTE same-named input columns, corrupting the
     // passthrough this scaladoc promises (the _pb_ convention of
@@ -85,9 +100,14 @@ object Dedup {
       val cols = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS STRING)")
       s"$b, concat_ws(',', ${cols.mkString(", ")})"
     }
-    val passthrough = wide.columns.filterNot(_.matches("m\\d+"))
-    wide.selectExpr(passthrough :+
-      s"stack(4, ${bandCases.mkString(", ")}) AS (band, sig)": _*)
+    // passthrough as col() references, not selectExpr strings (review
+    // r19): a passthrough column whose name is not a plain SQL
+    // identifier — `event-time`, a dotted name — used to PARSE as an
+    // expression (`event - time`) and fail at plan time, breaking the
+    // any-column passthrough minhashWideNarrow promises for streams
+    val passthrough = wide.columns.filterNot(_.matches("m\\d+")).map(col)
+    wide.select(passthrough :+
+      expr(s"stack(4, ${bandCases.mkString(", ")}) AS (band, sig)"): _*)
   }
 
   /** (d1, d2) pairs sharing a full band signature, d1 < d2. */
@@ -160,6 +180,11 @@ object Dedup {
     * references the previous labels once, so the plan stays linear.
     */
   def clusters(docs: DataFrame, edges: DataFrame, rounds: Int = 3): DataFrame = {
+    // loud parameter guard (review r19, the file convention): rounds
+    // <= 0 would silently return identity labels — every doc its own
+    // cluster, dedup a no-op — instead of raising like simhash's bits
+    // or leakageSplit's folds
+    require(rounds >= 1, s"clusters needs rounds >= 1, got $rounds")
     val ids = docs.select("doc_id")
     // EAGER checkpoint, same rationale as connectedComponents: each
     // propagation round references bi, and without materialization the
@@ -224,6 +249,7 @@ object Dedup {
       .groupBy(col("node").as("doc_id"))
       .agg(min("olbl").as("lbl"), max("olbl").as("mx"))
     var labels = ids.select(col("doc_id"), col("doc_id").as("lbl"))
+    var prevCkpt: DataFrame = null
     var block = 0
     var inconsistent = 1L
     while (inconsistent > 0 && block < maxIter) {
@@ -253,18 +279,43 @@ object Dedup {
         .localCheckpoint() // truncate lineage: plan depth stays O(1)
       inconsistent = flagged.filter(col("lbl") =!= col("mx")).count()
       labels = flagged.drop("mx")
+      // release the SUPERSEDED block's checkpoint storage (review r19,
+      // the NearDupStream.resolveKeepersCounted r18 rule): the new
+      // block is already materialized (localCheckpoint is eager), so
+      // the previous block's RDD blocks would otherwise pin executor
+      // storage for the whole session — up to maxIter frames per call
+      // in a long-lived service
+      if (prevCkpt != null) unpersistCheckpoint(prevCkpt)
+      prevCkpt = flagged
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         println(s"[cc] block=$block inconsistent=$inconsistent t=${System.nanoTime()/1e9}")
       block += 1
     }
     // the contract is EXACT components — refusing beats silently
-    // returning partial labels when the block budget runs out
-    require(inconsistent == 0,
-      s"connectedComponents did not converge within $maxIter blocks " +
-        s"($inconsistent nodes still have a label-inconsistent edge); " +
-        "raise maxIter")
+    // returning partial labels when the block budget runs out; every
+    // throw path releases the blocks the loop owns (r18 rule), and on
+    // success the edge frame is released too (the returned labels ride
+    // ONLY their own final checkpoint)
+    if (inconsistent != 0) {
+      unpersistCheckpoint(bi)
+      if (prevCkpt != null) unpersistCheckpoint(prevCkpt)
+      throw new IllegalArgumentException(
+        s"requirement failed: connectedComponents did not converge " +
+          s"within $maxIter blocks ($inconsistent nodes still have a " +
+          "label-inconsistent edge); raise maxIter")
+    }
+    unpersistCheckpoint(bi)
     labels
   }
+
+  /** Unpersist the localCheckpoint block storage behind `df` (every
+    * LogicalRDD in its analyzed plan). Only called on frames this
+    * object created and owns — the NearDupStream r18 pattern.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr
+    }.foreach(_.rdd.unpersist(blocking = false))
 
   /** Near-dup survivor filter: keep each cluster's min-id doc.
     * → the kept (doc_id) set as a one-column frame for a semi-join.
@@ -434,7 +485,12 @@ object Dedup {
     * review r14) and always return keep = 1, including two IDENTICAL
     * all-zero vectors: semantic dedup has no defined similarity for
     * them — route exact duplicates (zero-norm ones included) through
-    * [[exactKeepers]], the exact-dup tool.
+    * [[exactKeepers]], the exact-dup tool. NaN-norm embeddings (a
+    * NaN/Inf element from an upstream normalize) take the SAME
+    * sit-out-and-keep path (review r19): Spark orders NaN ABOVE every
+    * value, so an unguarded NaN norm passed `> 0` and its NaN cosine
+    * passed `>= threshold` — one poisoned vector silently dropped
+    * every higher-id member of its cluster.
     */
   def semDedup(corpus: DataFrame, kClusters: Int, iters: Int,
                threshold: Double,
@@ -458,12 +514,15 @@ object Dedup {
     // rule); round-then-compare pins the FP boundary deterministically.
     // Zero-norm rows sit out the pairing (see scaladoc) — both sides,
     // so they neither drop others nor get dropped.
-    val dropped = a.filter(col("na") > 0)
-      .join(b.filter(col("nb") > 0), Seq("cid"))
+    val dropped = a.filter(col("na") > 0 && !isnan(col("na")))
+      .join(b.filter(col("nb") > 0 && !isnan(col("nb"))), Seq("cid"))
       .filter(col("v1") < col("v2"))
       .withColumn("cos",
         expr(s"round(dot_f64(ea, eb) / (sqrt(na) * sqrt(nb)), 6)"))
-      .filter(col("cos") >= lit(threshold))
+      // the !isnan belt covers an Inf/Inf cosine from Inf ELEMENTS
+      // whose norm itself read finite-positive — undefined similarity
+      // never drops a doc
+      .filter(col("cos") >= lit(threshold) && !isnan(col("cos")))
       .select(col("v2").as("vid")).distinct()
     a.select(col("v1").as("vid"), col("cid"))
       .join(dropped.withColumn("hit", lit(1)), Seq("vid"), "left")
@@ -676,17 +735,31 @@ object Dedup {
     * (doc_id, _ds_s, _ds_e) in the covered stream's INT position
     * type (element_at downstream needs INT). Doc-keyed
     * gaps-and-islands window over hit rows only. */
-  private def coveredIslands(covered: DataFrame,
-                             minLen: Int): DataFrame = {
+  /** ONE gaps-and-islands kernel (review r19: the pos − row_number
+    * grouping + min/max bounds + ≥ minLen filter existed verbatim in
+    * both [[coveredIslands]] and [[dupRunSpans]], drift-prone): hit
+    * positions → per-doc consecutive islands as (doc_id, _ds_s,
+    * _ds_e), ends extended by `endOffset` (0 for covered-position
+    * islands; n−1 for shingle-START islands, so the span includes the
+    * final n-gram's width) BEFORE the minLen cut. `dedupHits` adds
+    * the distinct() overlapping covers need — position-unique inputs
+    * (one shingle start per position) skip that exchange.
+    */
+  private def islandSpans(hits: DataFrame, endOffset: Int, minLen: Int,
+                          dedupHits: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    covered.distinct()
+    (if (dedupHits) hits.distinct() else hits)
       .withColumn("_ds_g", col("pos") - row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")))
       .groupBy(col("doc_id"), col("_ds_g"))
-      .agg(min("pos").as("_ds_s"), max("pos").as("_ds_e"))
+      .agg(min("pos").as("_ds_s"), (max("pos") + endOffset).as("_ds_e"))
       .filter(col("_ds_e") - col("_ds_s") + 1 >= minLen)
       .select(col("doc_id"), col("_ds_s"), col("_ds_e"))
   }
+
+  private def coveredIslands(covered: DataFrame,
+                             minLen: Int): DataFrame =
+    islandSpans(covered, endOffset = 0, minLen, dedupHits = true)
 
   /** EXACTLY what [[scrubDupSpans]]`(docs, n, minLen)` will excise,
     * as spans: the ≥ minLen islands of covered positions (non-keeper
@@ -741,17 +814,14 @@ object Dedup {
         DetHash.h60(col("s")).as("h"))
     val dupH = sh.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
-    sh.join(dupH, Seq("h"))
-      .withColumn("_dr_g", col("pos") - row_number().over(
-        Window.partitionBy("doc_id").orderBy("pos")))
-      .groupBy(col("doc_id"), col("_dr_g"))
-      .agg(min("pos").as("start_pos"),
-        (max("pos") + (n - 1)).as("end_pos"))
-      .filter(col("end_pos") - col("start_pos") + 1 >= minLen)
+    // shared island kernel; one shingle start per position, so no
+    // dedup exchange — ends carry the final n-gram's width
+    islandSpans(sh.join(dupH, Seq("h")).select("doc_id", "pos"),
+      endOffset = n - 1, minLen = minLen, dedupHits = false)
       .select(col("doc_id"),
-        col("start_pos").cast("bigint").as("start_pos"),
-        col("end_pos").cast("bigint").as("end_pos"),
-        (col("end_pos") - col("start_pos") + 1).cast("bigint")
+        col("_ds_s").cast("bigint").as("start_pos"),
+        col("_ds_e").cast("bigint").as("end_pos"),
+        (col("_ds_e") - col("_ds_s") + 1).cast("bigint")
           .as("span_len"))
   }
 
@@ -795,7 +865,12 @@ object Dedup {
       .agg(min("doc_id").as("doc_id"))
       .select("doc_id")
 
-  /** 60-bit h60 content fingerprint column (engine-portable). */
+  /** 60-bit h60 content fingerprint column (engine-portable). NULL
+    * text keys as '' — the [[exactKeepers]] repo-wide convention
+    * (review r19): a bare h60(NULL) = NULL key would group every
+    * NULL-text doc together (content never compared "dedups" as one
+    * group) while splitting them from ''-text docs.
+    */
   def fingerprint(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    DetHash.h60(text)
+    DetHash.h60(coalesce(text, lit("")))
 }

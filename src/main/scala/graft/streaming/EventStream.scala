@@ -55,13 +55,29 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** The shared transformation: hourly tumbling-window aggregate. */
+  /** The shared transformation: hourly tumbling-window aggregate.
+    *
+    * NULL-ts events are EXCLUDED — explicitly, not as a side effect
+    * (review r19): Spark's TimeWindowing rule already inserts an
+    * IsNotNull(ts) filter under `window()`, so they could never form
+    * a window group; the explicit filter makes that semantics visible
+    * and pins it for the batch twin too. This is the one documented
+    * divergence from the oracle-gated q12_time_window, whose
+    * `date_trunc` grouping keeps a NULL hour_ts group — an event with
+    * no event time has no place in watermark semantics.
+    *
+    * The money sum is [[graft.queries.Decl.decSumSql]] — the ONE
+    * cross-engine exact-sum definition (review r19: this was a
+    * verbatim inline copy that could silently diverge from the
+    * oracle-checked batch query on any scale/cast edit).
+    */
   def hourlyAgg(events: DataFrame): DataFrame =
     graft.Tables.normalizeTs(events)
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        expr("CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)").as("sum_value"))
+        expr(graft.queries.Decl.decSumSql("value")).as("sum_value"))
       .select(col("w.start").as("hour_ts"), col("event_type"), col("n"),
         col("sum_value"))
 
@@ -188,6 +204,14 @@ object EventStream {
       "dedupStream adds an internal column 'h'; the input already " +
         "carries one — rename it first")
     docs
+      // NULL event time is undefined under watermark semantics — the
+      // module-wide convention (collisionLedger, sessionizeToMemory;
+      // review r19 closes the one remaining hole): unguarded, the
+      // dedup operator reads the null event-time field as epoch 0, so
+      // the hash's state expires at the watermark's FIRST advance and
+      // later duplicates of that content re-emit silently. Dropped
+      // here; route NULL-ingest docs through the batch exactKeepers.
+      .filter(col(ingestCol).isNotNull)
       // coalesce NULL text to '' — the batch twin's contract
       // (Dedup.exactKeepers): md5(NULL) = NULL would otherwise group
       // every NULL-text doc under one key, "deduping" content that

@@ -107,8 +107,17 @@ object NearDupStream {
       val fs = root.getFileSystem(
         docs.sparkSession.sessionState.newHadoopConf())
       val tag = new org.apache.hadoop.fs.Path(root, "_CHECKPOINT")
-      val current = fs.makeQualified(
-        new org.apache.hadoop.fs.Path(checkpointDir)).toString
+      // qualify against the CHECKPOINT's own filesystem, not the
+      // verdicts dir's (review r19): a relative or cross-scheme
+      // checkpoint path qualified against the wrong FS/working dir
+      // yields a different identity string per launch context, and
+      // the guard would refuse a correctly-paired restart with a
+      // misleading message. Same string as before for the common
+      // same-scheme absolute-path case.
+      val ckptPath = new org.apache.hadoop.fs.Path(checkpointDir)
+      val current = ckptPath.getFileSystem(
+        docs.sparkSession.sessionState.newHadoopConf())
+        .makeQualified(ckptPath).toString
       if (fs.exists(tag)) {
         val in = fs.open(tag)
         val prior =
@@ -219,35 +228,49 @@ object NearDupStream {
       // arithmetic — and since the micro-batch replays deterministically
       // from the checkpoint, ONE such record would crash-loop the
       // ledger forever. Dropped here, the same fate the watermark
-      // assigns to unusably-late rows.
-      .filter(col("ts").isNotNull)
+      // assigns to unusably-late rows. NULL doc_id likewise (review
+      // r19): it passes the band/signature stages (they gate on text
+      // only) and would NPE the primitive-Long BandRow encoder into
+      // the same crash loop — an unidentifiable doc has no place in
+      // an id-keyed ledger.
+      .filter(col("ts").isNotNull && col("doc_id").isNotNull)
       .withWatermark("ts", watermark)
       .as[BandRow]
 
     bands
       .groupByKey(r => (r.band, r.sig))
-      .flatMapGroupsWithState[Long, Collision](
+      // state = (keeper, maxTsSeen). Carrying the max event time seen
+      // (review r19): the timeout used to be set from the CURRENT
+      // micro-batch's max ts alone, so one late-but-within-watermark
+      // sighting REWOUND the eviction deadline and the signature
+      // could be evicted before its documented horizon — a duplicate
+      // arriving inside the promised window then started a fresh
+      // self-keeper epoch and the cross-epoch pair was silently
+      // absent. "Horizon past the last sighting" means the MAX event
+      // time ever seen; the deadline never moves backward now.
+      .flatMapGroupsWithState[(Long, Long), Collision](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, String), rows: Iterator[BandRow],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val rs = rows.toArray
             val batchMin = rs.iterator.map(_.doc_id).min
+            val batchMaxTs = rs.iterator.map(_.ts.getTime).max
             val prev = if (state.exists) Some(state.get) else None
-            val keeper = prev.fold(batchMin)(math.min(_, batchMin))
-            state.update(keeper)
-            state.setTimeoutTimestamp(
-              rs.iterator.map(_.ts.getTime).max + horizonMs)
+            val keeper = prev.fold(batchMin)(p => math.min(p._1, batchMin))
+            val maxTs = prev.fold(batchMaxTs)(p => math.max(p._2, batchMaxTs))
+            state.update((keeper, maxTs))
+            state.setTimeoutTimestamp(maxTs + horizonMs)
             // keeper reassignment (review r16): the displaced keeper's
             // earlier self-keeper row cannot be retracted in append
             // mode — emit a row re-pointing it, so the min-reduced
             // ledger still pairs it with the new keeper (a cross-batch
             // pair whose SMALLER id arrived later was otherwise lost:
             // both its rows were self-keeper rows)
-            val reassigned = prev.filter(_ > keeper).iterator
+            val reassigned = prev.map(_._1).filter(_ > keeper).iterator
               .map(old => Collision(key._1, key._2, old, keeper))
             reassigned ++
               rs.iterator.map(r => Collision(r.band, r.sig, r.doc_id, keeper))

@@ -364,4 +364,77 @@ class AnnSpec extends SparkSpec {
     assert(out.filter(col("vec_id") === 1).head().getSeq[Double](1)
       .size == 2)
   }
+
+  test("randomProject: a NULL ELEMENT inside a sized vector raises, " +
+    "never an all-NULL proj (review r19)") {
+    import spark.implicits._
+    // correctly-sized vector with one NULL element: the dim guard
+    // passes, but the fold would NULL every output dim and emit a
+    // NON-NULL proj of NULL elements — raise instead
+    val rows = Seq((1L, Seq[java.lang.Float](1.0f, null, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] { Ann.randomProject(rows, 4, 2).collect() }
+    assert(e.getMessage.contains("NULL element"), e.getMessage)
+  }
+
+  test("kmeans/pqTrain: NULL embedding elements raise with the vid, " +
+    "never a truncated silent dist2 (review r19)") {
+    import spark.implicits._
+    // the exploded assignment's sum('d') SKIPS NULL dims — unguarded,
+    // a vector with a NULL element would be assigned on a truncated
+    // distance with no error
+    val bad = emb.select("vec_id", "embedding").unionByName(
+      Seq((999L, Seq[java.lang.Float](null) ++ Seq.fill(47)(
+        java.lang.Float.valueOf(0.5f)))).toDF("vec_id", "embedding"))
+    val e1 = intercept[Exception] {
+      Ann.kmeansCentroids(bad, kClusters = 4, iters = 1).collect()
+    }
+    assert(e1.getMessage.contains("kmeansCentroids") &&
+      e1.getMessage.contains("999"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      Ann.pqTrain(bad, blocks = 8, kCodes = 4, iters = 1).collect()
+    }
+    assert(e2.getMessage.contains("pqTrain") &&
+      e2.getMessage.contains("999"), e2.getMessage)
+  }
+
+  test("pqTrain: duplicate-id samples cannot shrink the codebook " +
+    "silently (review r19)") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 10).toFloat)
+    // 3 rows but only 2 DISTINCT ids: the old row-count guard passed
+    // while dense_rank minted 2 codes instead of 3
+    val dup = Seq((1L, vec(1)), (1L, vec(2)), (2L, vec(3)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Ann.pqTrain(dup, blocks = 2, kCodes = 3, iters = 1)
+    }
+    assert(e.getMessage.contains("distinct-id"), e.getMessage)
+    // with enough distinct ids the full codebook trains even when a
+    // seeded id carries duplicate rows (seed-init aggregates them)
+    val ok = Seq((1L, vec(1)), (1L, vec(2)), (2L, vec(3)), (3L, vec(4)))
+      .toDF("vec_id", "embedding")
+    val cb = Ann.pqTrain(ok, blocks = 2, kCodes = 3, iters = 1)
+    assert(cb.select("blk", "code").distinct().count() == 6,
+      cb.collect().mkString(", ")) // 2 blocks x 3 codes
+  }
+
+  test("pqEncode: empty codebook and NULL-probe rows refuse with " +
+    "named errors, not bare NPEs (review r19)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long, Seq[Double])]
+      .toDF("blk", "code", "centroid")
+    val e1 = intercept[IllegalArgumentException] {
+      Ann.pqEncode(emb, empty)
+    }
+    assert(e1.getMessage.contains("EMPTY codebook"), e1.getMessage)
+    val cb = Ann.pqTrain(emb, blocks = 8, kCodes = 4, iters = 1)
+    val nullFirst = Seq((1L, Option.empty[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Ann.pqEncode(nullFirst, cb)
+    }
+    assert(e2.getMessage.contains("NULL"), e2.getMessage)
+  }
 }

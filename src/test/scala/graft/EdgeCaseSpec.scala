@@ -112,6 +112,57 @@ class EdgeCaseSpec extends SparkSpec {
     assert(v(2L) == 1 && v(3L) == 1, v.toString)
   }
 
+  test("semDedup/cosineTopK: a NaN embedding sits out, never drops " +
+    "mates or tops rankings (review r19)") {
+    import org.apache.spark.sql.functions.col
+    // Spark orders NaN ABOVE every double: unguarded, a NaN norm
+    // passed `> 0`, its NaN cosine passed `>= threshold` (dropping
+    // every higher-id cluster-mate in semDedup) and outranked every
+    // real neighbor in cosineTopK's DESC window
+    val nan = Float.NaN
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(nan, 1.0f)),
+      (3L, Seq(0.9f, 0.1f)), (4L, Seq(0.8f, 0.2f)))
+      .toDF("vec_id", "embedding")
+    val v = graft.pipeline.Dedup.semDedup(rows, kClusters = 1, iters = 1,
+      threshold = -10.0) // everything pairs; only NaN sits out
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // the NaN row keeps AND cannot drop others; 3/4 drop against 1
+    assert(v(2L) == 1, v.toString)
+    assert(v(1L) == 1 && v(3L) == 0 && v(4L) == 0, v.toString)
+    val topk = graft.pipeline.Ann
+      .cosineTopK(rows, rows.filter(col("vec_id") === 1L), k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(!topk.contains(2L), s"NaN vector ranked: $topk")
+    assert(topk == Seq(3L, 4L), topk.toString)
+  }
+
+  test("dedup misparameterization and reserved columns refuse loudly " +
+    "(review r19)") {
+    import graft.pipeline.Dedup
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val edges = Seq((1L, 1L)).toDF("d1", "d2")
+    intercept[IllegalArgumentException](Dedup.clusters(docs, edges, 0))
+    // reserved signature names in the passthrough input
+    val e = intercept[IllegalArgumentException](
+      Dedup.minhashWideNarrow(docs.withColumn("m3",
+        org.apache.spark.sql.functions.lit(1))))
+    assert(e.getMessage.contains("m3"), e.getMessage)
+    // non-identifier passthrough names flow through bandSigs (the
+    // selectExpr form parsed `event-time` as an expression)
+    val sigs = Dedup.minhashWideNarrow(
+      docs.withColumn("event-time", org.apache.spark.sql.functions.lit(7)))
+    val bands = Dedup.bandSigs(sigs)
+    assert(bands.columns.contains("event-time") &&
+      bands.select("event-time", "band", "sig").count() == 4)
+    // fingerprint: NULL text keys as '' (the exactKeepers convention)
+    val fp = Seq((1L, Option.empty[String]), (2L, Some("")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L), fp.toString)
+  }
+
   test("eval: tied ranks cannot inflate AP past 1 (ROWS frame, not RANGE)") {
     // two docs sharing rank 1 (raw-score ranks): the default RANGE
     // frame counted BOTH rows' rel into each peer's cum_rel, summing

@@ -153,4 +153,25 @@ class ConnectedComponentsSpec extends SparkSpec {
       .filter($"n" > 1).select("ns").as[Long].collect()
     assert(multi.nonEmpty && multi.forall(_ == 1L))
   }
+
+  test("connectedComponents releases superseded checkpoint blocks " +
+    "(review r19: at most the returned frame's own checkpoint survives)") {
+    import spark.implicits._
+    // a long chain forces multiple blocks; pre-fix, every block's
+    // localCheckpoint plus the edge frame stayed pinned for the session
+    val n = 600L
+    val docs = spark.range(n).select($"id".as("doc_id"))
+    val edges = spark.range(n - 1)
+      .select($"id".as("d1"), ($"id" + 1L).as("d2"))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val labels = Dedup.connectedComponents(docs, edges)
+    assert(labels.select("lbl").distinct().count() == 1L)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // one chain of blocks ran; only the RETURNED labels' final
+    // checkpoint may remain pinned (+1), everything superseded and
+    // the bi edge frame released
+    assert(after <= before + 1,
+      s"persistent RDDs grew $before -> $after: superseded " +
+        "connectedComponents checkpoints are leaking")
+  }
 }

@@ -378,4 +378,28 @@ class WarcSpec extends SparkSpec {
     }
     assert(count == reps, s"framed $count of $reps records")
   }
+
+  test("anchor pages: marker-less responses drop, never collapse onto " +
+    "docid '' (review r19)") {
+    import spark.implicits._
+    // a crawl WITHOUT WARC-TREC-ID headers (any non-ClueWeb WARC):
+    // every page used to emit trecid "" and the downstream doc_id
+    // keying merged them all into one giant pseudo-document — the
+    // reference's reducer emits only pages whose marker arrived
+    // (AnchorExtract.java:219)
+    def doc(uri: String, id: String, html: String) =
+      WarcDoc("response", uri, id, "", "text/html", Map.empty, html)
+    val warc = Seq(
+      doc("http://a.example/", "", "<html>no marker</html>"),
+      doc("", "lost-uri-1", "<html>no uri</html>"),
+      doc("http://b.example/", "doc-b",
+        """<html><a href="http://a.example/">to a</a></html>"""))
+      .toDS()
+    val p = AnchorExtractJob.pages(warc).collect()
+    assert(p.length == 1 && p.head.getString(1) == "doc-b", p.mkString(","))
+    // end-to-end: the marker-less page receives anchors but emits no
+    // row (and certainly not an empty-docid row)
+    val out = AnchorExtractJob.run(warc).collect()
+    assert(out.forall(_.getString(0).nonEmpty), out.mkString(","))
+  }
 }

@@ -178,6 +178,34 @@ class EventStreamSpec extends SparkSpec {
     assert(kept.exists(_ <= 3L))
   }
 
+  test("dedupStream: a NULL-ingest row is dropped, never epoch-0 state " +
+    "(review r19)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // unguarded, a NULL event time reads as epoch 0 in the dedup
+    // operator's state: the hash's entry evicts at the watermark's
+    // first advance and later duplicates re-emit silently — the
+    // module-wide NULL-event-time convention applies here too
+    val dir = Files.createTempDirectory("docs_nullts").toString + "/in"
+    Seq((1L, "same text", Option.empty[Long]),
+      (2L, "same text", Some(1700000000000000L)),
+      (3L, "other words", Some(1700000001000000L)))
+      .toDF("doc_id", "text", "us")
+      .withColumn("ingest_ts", expr("timestamp_micros(us)")).drop("us")
+      .coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val q = EventStream.dedupStream(
+        spark.readStream.schema(schema).parquet(dir), "ingest_ts")
+      .select("doc_id")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ddnts_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not terminate in 120s")
+    val kept = spark.table("ddnts_out").collect().map(_.getLong(0)).toSet
+    // the NULL-ingest row (doc 1) is excluded; docs 2 and 3 survive
+    assert(kept == Set(2L, 3L), s"kept $kept")
+  }
+
   test("sessionizeToMemory: a null-ts/null-user event is dropped, not a crash loop") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -29,16 +29,22 @@ class NearDupStreamSpec extends SparkSpec {
   // or after an earlier failure).
   // Two files, ids aligned with arrival order (listing order): the
   // cross-batch state must resolve the same keepers as one batch.
-  // One row carries a NULL ingest_ts: undefined under watermark
-  // semantics and NOT caught by the late-row filter — unguarded it
-  // NPEs the state function and crash-loops the checkpoint replay;
-  // the ledger must drop it and stay alive.
+  // One row carries a NULL ingest_ts and one a NULL doc_id: both are
+  // undefined under the ledger's contract (watermark semantics / the
+  // id-keyed state) and NOT caught by the late-row filter — unguarded
+  // either NPEs the state function or the primitive-Long BandRow
+  // encoder and crash-loops the checkpoint replay; the ledger must
+  // drop them and stay alive.
   private lazy val ledgerRows: Array[(Int, String, Long, Long)] = {
     val dir = Files.createTempDirectory("neardup").toString
     val ts = expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
     docs.filter(col("doc_id") < 250).withColumn("ingest_ts", ts)
       .unionByName(docs.filter(col("doc_id") < 250).limit(1)
         .withColumn("ingest_ts", lit(null).cast("timestamp")))
+      .unionByName(docs.filter(col("doc_id") < 250).limit(1)
+        .withColumn("ingest_ts",
+          expr("timestamp_micros(1700000000000000)"))
+        .withColumn("doc_id", lit(null).cast("long")))
       .coalesce(1).write.parquet(s"$dir/a=1")
     docs.filter(col("doc_id") >= 250).withColumn("ingest_ts", ts)
       .coalesce(1).write.parquet(s"$dir/b=2")
@@ -481,5 +487,50 @@ class NearDupStreamSpec extends SparkSpec {
         s"trial $trial diverges from batch truth: extra=" +
           s"${resolved -- truth} missing=${truth.toSet -- resolved}")
     }
+  }
+
+  test("a late-but-in-watermark sighting never REWINDS the eviction " +
+    "deadline (review r19: horizon = max event time seen)") {
+    import spark.implicits._
+    // Batch 1: doc 100 (sig S) at 12:00 — deadline 13:00.
+    // Batch 2: doc 101 (S) LATE at 11:10 (>= watermark 11:00, passes)
+    //          + doc 500 (sig U) at 13:30 → watermark becomes 12:30.
+    //   Pre-fix, the deadline was reset from THIS batch alone:
+    //   11:10 + 1h = 12:10 < 12:30 — rewound inside the horizon.
+    // Batch 3: doc 501 (U) at 13:40; S has NO data, so the timeout
+    //   can fire: pre-fix S is evicted here; fixed, deadline is
+    //   max(12:00, 11:10) + 1h = 13:00 > 12:30 and S survives.
+    // Batch 4: doc 102 (S) at 12:45 (>= watermark 12:40) — fixed, it
+    //   pairs with keeper 100; pre-fix it started a fresh epoch as
+    //   its own keeper inside the promised horizon.
+    val dir = Files.createTempDirectory("ndl_rewind").toString
+    val S = "alpha beta gamma delta epsilon"
+    val U = "omega psi chi phi upsilon"
+    val B = 1700000000000000L // "12:00" in epoch micros
+    def mins(m: Long) = B + m * 60000000L
+    def write(sub: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("doc_id", "text", "us")
+        .withColumn("ingest_ts", expr("timestamp_micros(us)")).drop("us")
+        .coalesce(1).write.parquet(s"$dir/$sub")
+    write("m1", Seq((100L, S, mins(0))))
+    write("m2", Seq((101L, S, mins(-50)), (500L, U, mins(90))))
+    write("m3", Seq((501L, U, mins(100))))
+    write("m4", Seq((102L, S, mins(45))))
+    val schema = spark.read.parquet(s"$dir/m1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/{m1,m2,m3,m4}")
+    val q = NearDupStream.collisionLedger(stream, "ingest_ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ndl_rewind")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "stream did not terminate in 180s")
+    val resolved = NearDupStream
+      .resolveKeepers(spark.table("ndl_rewind"))
+      .filter(col("doc_id") === 102L)
+      .select("keeper").collect().map(_.getLong(0)).toSet
+    assert(resolved == Set(100L),
+      s"doc 102 should keep pairing with 100 inside the horizon, " +
+        s"got keepers $resolved")
   }
 }
