@@ -55,7 +55,12 @@ object TextMetrics {
       .join(aggs, Seq("doc_id"), "left")
       .withColumn("ttr", expr("round(n_types / n_tokens, 6)"))
       .withColumn("stop_ratio", expr("round(n_stop / n_tokens, 6)"))
-      .withColumn("punct_ratio", expr("round(n_punct / n_chars, 6)"))
+      // nullif divisor: the file's one previously-unguarded division —
+      // a text='' doc has n_chars = 0 and would throw ANSI
+      // DIVIDE_BY_ZERO mid-query; NULL ratio instead (mirrored in the
+      // px11 oracle), the same convention every sibling ratio follows
+      .withColumn("punct_ratio",
+        expr("round(n_punct / nullif(n_chars, 0), 6)"))
       .withColumn("quality", expr(qualityScoreExpr))
       .select("doc_id", "n_chars", "n_tokens", "n_types", "ttr",
         "stop_ratio", "punct_ratio", "quality")
@@ -182,9 +187,16 @@ object TextMetrics {
     // is ~40 B/doc — the px29 output artifact a real pipeline would
     // have written anyway — so a lazy localCheckpoint is the at-scale
     // shape too, not just a bench fix.
+    // LEFT join from the docs side (review r19): perplexity() emits no
+    // row for a token-less doc, and the old inner join silently dropped
+    // it from the banding — the one-row-per-input-doc convention
+    // quality()'s r18 fix established. A NULL-ppl row buckets
+    // nulls-first instead (the assignment half's documented NULL rule),
+    // so every input doc carries a verdict. Oracle side mirrored
+    // (px68: documents LEFT JOIN p, ntile ORDER BY ppl NULLS FIRST).
     perplexityBucketsFromScores(
-      perplexity(docs)
-        .join(docs.select(col("doc_id"), col(langCol)), Seq("doc_id"))
+      docs.select(col("doc_id"), col(langCol))
+        .join(perplexity(docs), Seq("doc_id"), "left")
         .localCheckpoint(false),
       nBuckets, langCol)
   }
@@ -438,13 +450,17 @@ object TextMetrics {
     * repetition filter): 1 − distinct/total. Docs shorter than one
     * shingle emit no row.
     */
-  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame =
+  def repetitionRatio(docs: DataFrame, n: Int = 3): DataFrame = {
+    // fast-fail like every sibling numeric param (review r19): n < 1
+    // builds a degenerate shingle stream instead of erroring
+    require(n >= 1, s"repetitionRatio shingle size must be >= 1, got $n")
     TextOps.shingleRows(docs, n)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         countDistinct(col("s")).as("d_sh"))
       .select(col("doc_id"), col("n_sh"), col("d_sh"),
         expr("round(1 - d_sh / n_sh, 6)").as("rep_ratio"))
+  }
 
   /** Winnowing fingerprints (Schleimer et al. 2003, SIGMOD — the
     * rolling-hash document sketch behind MOSS): hash every k-gram,
@@ -482,6 +498,11 @@ object TextMetrics {
 
   /** (doc_id, wmin) per FULL window of w consecutive k-gram hashes. */
   private def winnowedMinima(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    // guards both public entry points (review r19): w = 0 builds an
+    // invalid "CURRENT ROW AND -1 FOLLOWING" window frame, and k < 1
+    // makes no k-gram — fail at build like the sibling numeric params
+    require(k >= 1, s"winnowing k-gram size must be >= 1, got $k")
+    require(w >= 1, s"winnowing window size must be >= 1, got $w")
     val sh = docs
       .select(col("doc_id"),
         graft.text.TextOps.tokArrayCol(col("text"))
@@ -510,13 +531,18 @@ object TextMetrics {
     // reaches `div 0` — an ANSI DIVIDE_BY_ZERO mid-job — and a
     // negative budget silently corrupts seq_ids
     require(budget > 0, s"packSequences budget must be positive, got $budget")
+    // shardCol via the Column API, not raw SQL interpolation (review
+    // r19, the perplexityBucketsFromScores langCol convention): a
+    // caller column named e.g. `my shard` or `a-b` must resolve as a
+    // name, never parse as SQL
+    import org.apache.spark.sql.expressions.Window
     docs
       .select(col(shardCol), col("doc_id"),
         size(graft.text.TextOps.tokArrayCol(col("text")))
           .cast("bigint").as("n_tok"))
-      .withColumn("cum0", expr(
-        s"coalesce(sum(n_tok) OVER (PARTITION BY $shardCol ORDER BY doc_id" +
-          " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)"))
+      .withColumn("cum0", coalesce(sum(col("n_tok")).over(
+        Window.partitionBy(col(shardCol)).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("seq_id", expr(s"cum0 div $budget"))
       .select(col(shardCol), col("doc_id"), col("n_tok"), col("seq_id"))
   }
@@ -663,6 +689,9 @@ object TextMetrics {
     */
   def scrubContaminated(docs: DataFrame, bench: DataFrame,
                         k: Int = 5): DataFrame = {
+    // fast-fail (review r19): k = 0 makes sequence(i, i-1) DESCEND in
+    // Spark — the cover explode would silently excise a wrong token
+    require(k >= 1, s"scrub shingle size must be >= 1, got $k")
     // null text folds to the empty token array, so null docs come out
     // as ('', 0, 0) like empty docs — not a NULL n_removed
     val tk = docs.select(col("doc_id"),
@@ -770,10 +799,19 @@ object TextMetrics {
     */
   def compressionBuckets(docs: DataFrame, nBuckets: Int = 3,
                          langCol: String = "lang"): DataFrame =
+    // lazy localCheckpoint before the bucketer (review r19, the
+    // perplexityBuckets sibling shape): the assignment half's three
+    // consumers (histogram, tie-band, rest) each re-derive their input
+    // subtree, so an un-materialized lens frame pays the DEFLATE
+    // kernel — the file's most expensive narrow op — ~3× per run
+    // (px85). The lens is ~40 B/doc — the artifact a real pipeline
+    // writes anyway (px85's own prepare hook materializes exactly this
+    // frame), so the checkpoint is the at-scale shape too.
     compressionBucketsFromLens(
       docs.select(col("doc_id"), col(langCol),
         octet_length(col("text")).cast("long").as("n_bytes"),
-        expr("deflate_len(text)").as("deflate_len")),
+        expr("deflate_len(text)").as("deflate_len"))
+        .localCheckpoint(false),
       nBuckets, langCol)
 
   /** [[compressionBuckets]] from an already-materialized kernel

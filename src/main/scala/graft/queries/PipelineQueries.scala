@@ -1013,7 +1013,7 @@ object PipelineQueries {
            |  round(n_types / n_tokens, 6) AS ttr,
            |  round(n_stop / n_tokens, 6) AS stop_ratio,
            |  round(len(regexp_extract_all(d.text, '[^0-9a-zA-Z\\s]'))
-           |    / d.n_chars, 6) AS punct_ratio,
+           |    / nullif(d.n_chars, 0), 6) AS punct_ratio,
            |  ${graft.pipeline.TextMetrics.qualityScoreExpr} AS quality
            |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
       },
@@ -2843,9 +2843,10 @@ object PipelineQueries {
               |      GROUP BY doc_id),
               |p AS (SELECT doc_id, dl, round(exp(-(ll) / dl), 6) AS ppl
               |      FROM g),
-              |j AS (SELECT p.*, d.lang, ntile(3) OVER (PARTITION BY d.lang
-              |        ORDER BY ppl, doc_id) AS bucket
-              |      FROM p JOIN documents d USING (doc_id))
+              |j AS (SELECT d.doc_id, p.dl, p.ppl, d.lang,
+              |        ntile(3) OVER (PARTITION BY d.lang
+              |        ORDER BY ppl NULLS FIRST, d.doc_id) AS bucket
+              |      FROM documents d LEFT JOIN p USING (doc_id))
               |SELECT lang, bucket, count(*) AS n_docs,
               |  CAST(sum(dl) AS BIGINT) AS n_tokens,
               |  min(ppl) AS ppl_min, max(ppl) AS ppl_max,

@@ -288,6 +288,19 @@ class EdgeCaseSpec extends SparkSpec {
         nFolds = 10, nVal = 10))
     intercept[IllegalArgumentException](
       TextMetrics.featureHashVectors(empty, dim = 1))
+    // r19 hand-off finding 4: the winnowing/repetition/scrub params
+    // refuse like their siblings — w = 0 built an invalid window
+    // frame, k = 0 made sequence(i, i-1) DESCEND and excise a wrong
+    // token, n = 0 a degenerate shingle stream
+    intercept[IllegalArgumentException](
+      TextMetrics.winnowingFingerprints(empty, k = 4, w = 0))
+    intercept[IllegalArgumentException](
+      TextMetrics.winnowingSelection(empty, k = 0, w = 5))
+    intercept[IllegalArgumentException](
+      TextMetrics.repetitionRatio(empty, n = 0))
+    intercept[IllegalArgumentException](
+      TextMetrics.scrubContaminated(empty,
+        Seq(1L).toDF("sh"), k = 0))
     // empty corpora flow through to empty results, no crash
     val el = empty.withColumn("lang", lit("en"))
     assert(Sharding.repeatBudgetMix(el).isEmpty)
@@ -301,6 +314,19 @@ class EdgeCaseSpec extends SparkSpec {
       .select("fold", "split").as[(Long, String)].collect()
     assert(sp.forall { case (f, s) => (s == "val") == (f >= 3) },
       sp.mkString(","))
+  }
+
+  test("packSequences shard column resolves as a NAME, not as SQL " +
+    "(r19 hand-off finding 5)") {
+    import graft.pipeline.TextMetrics
+    import spark.implicits._
+    // a column name with a space: the old raw-SQL window interpolation
+    // failed to parse it; the Column API resolves it as an identifier
+    val docs = Seq((1L, "a b c", "s-1"), (2L, "d e", "s-1"),
+      (3L, "f", "s 2")).toDF("doc_id", "text", "shard group")
+    val got = TextMetrics.packSequences(docs, 3, "shard group")
+      .select("doc_id", "seq_id").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 0L), got.toString)
   }
 
   test("gated queries survive zero-norm embeddings, NULL text, and " +
@@ -373,5 +399,23 @@ class EdgeCaseSpec extends SparkSpec {
     // oracles now share)
     val p60 = run("px60_curation_e2e")
     assert(p60.count() > 0)
+    // px11 quality on n_chars = 0 (r19 hand-off finding 1): the old
+    // punct_ratio divided by raw n_chars — doc 13 (text = '',
+    // n_chars = 0) threw ANSI DIVIDE_BY_ZERO and killed the query.
+    // Now: one row per doc, NULL ratio on the degenerate rows.
+    val p11 = run("px11_quality")
+      .select("doc_id", "punct_ratio")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(p11.size == 14, s"px11 rows=${p11.size}")
+    assert(p11(13L).isEmpty, "n_chars=0 doc must get NULL punct_ratio")
+    assert(p11(12L).isEmpty, "NULL-text doc must get NULL punct_ratio")
+    assert(p11(0L).nonEmpty)
+    // px68 buckets on token-less docs (r19 hand-off finding 2): the
+    // old inner join dropped docs 12/13 from the banding without a
+    // verdict; the left join buckets their NULL ppl nulls-first, so
+    // every input doc is counted in exactly one band.
+    val p68 = run("px68_ccnet_buckets")
+      .agg(sum("n_docs")).as[Long].collect().head
+    assert(p68 == 14L, s"px68 banded docs=$p68, want all 14")
   }
 }

@@ -152,6 +152,28 @@ class ScaleOpsSpec extends SparkSpec {
       10L -> 1L, 11L -> 2L, 12L -> 3L), got.toString)
   }
 
+  test("px68 buckets: token-less docs get a NULL-ppl verdict, not dropped " +
+    "(r19 hand-off finding 2)") {
+    // perplexity() emits no row for a token-less doc; the banding must
+    // still hand every input doc a verdict (one row per doc, the
+    // quality() r18 convention) — NULL ppl buckets nulls-first, exactly
+    // where a left-join + ntile window would put it
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq((1L, "alpha beta gamma", "en"), (2L, "delta alpha", "en"),
+      (3L, "", "en"), (4L, null.asInstanceOf[String], "fr"),
+      (5L, "epsilon zeta", "fr")).toDF("doc_id", "text", "lang")
+    val got = graft.pipeline.TextMetrics.perplexityBuckets(docs, 2)
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("lang")
+      .orderBy(col("ppl").asc_nulls_first, col("doc_id"))
+    val expect = docs.select("doc_id", "lang")
+      .join(graft.pipeline.TextMetrics.perplexity(docs), Seq("doc_id"), "left")
+      .withColumn("bucket", ntile(2).over(w).cast("bigint"))
+      .select("doc_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(got.size == 5 && got == expect, s"got $got expect $expect")
+  }
+
   test("px68 ccnet buckets: balanced per-lang terciles, bands ordered by ppl") {
     import spark.implicits._
     val perDoc = graft.pipeline.TextMetrics
